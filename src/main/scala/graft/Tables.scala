@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All queries take an `sfDir` (e.g. /root/testdata/sf0.01) and read one
+  * parquet per table. Reads go through `spark.read.parquet` so Catalyst
+  * gets native vectorized scans with predicate pushdown + column pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+      // Spark's vectorized reader rejects. Read them as raw nanos-since-epoch
+      // longs and truncate to Spark's native microsecond timestamps
+      // (integer `div`, not `/` — double division loses precision at 1e18).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view named after itself, so SQL-surface
+    * queries (GROUPING SETS, ordinal GROUP BY, CTEs, LATERAL VIEW...) can
+    * run via spark.sql with the same table names the DuckDB oracle sees. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
