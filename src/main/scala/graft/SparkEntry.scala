@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** All registered operator/query definitions, in inventory order. */
-  def defs: Seq[Q] = operators.Relational.defs
+  def defs: Seq[Q] =
+    operators.Relational.defs ++ operators.TextOps.defs ++ operators.VectorOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

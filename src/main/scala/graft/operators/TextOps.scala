@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text pipeline: dedup (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), text analysis (tokens, quality, language-ID,
+  * fingerprints). All over the `documents` table.
+  *
+  * Scale design (100 TB):
+  *  - per-document features are single-projection, codegen'd expressions —
+  *    no shuffle, no UDFs;
+  *  - exact pairwise similarity (q44/q46/q48 oracles) is the *correctness
+  *    baseline*; the scale path is LSH banding (q45 MinHash, q49 random
+  *    hyperplanes): candidates come from equi-joins on (band, signature)
+  *    — a shuffle on a high-cardinality key, never an n² cross join —
+  *    then exact verification only on candidates.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // -------------------------------------------------------- exact dedup
+
+  private val q40 = Q(
+    "q40_dedup_exact",
+    """SELECT array_to_string((string_split(text, ' '))[:5], ' ') AS dup_key,
+      |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+      |ORDER BY dup_key""".stripMargin) { (s, dir) =>
+    // Exact dedup on a normalization key (first 5 tokens). Deterministic
+    // keep-rule: min doc_id (groupBy-min, not dropDuplicates, which keeps
+    // an arbitrary row and breaks distributed determinism).
+    docs(s, dir)
+      .withColumn("dup_key", concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+      .groupBy("dup_key")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy("dup_key")
+  }
+
+  // ------------------------------------------------------ text analysis
+
+  private val q41 = Q(
+    "q41_text_stats",
+    """SELECT doc_id,
+      |  length(text) AS n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_types,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS ttr,
+      |  len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS stop_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(ws).as("n_tokens"),
+      size(array_distinct(ws)).as("n_types"),
+      (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"),
+      size(expr("filter(split(text, ' '), w -> w IN ('the','a','of','and','to'))"))
+        .as("n_stop"),
+      (size(expr("filter(split(text, ' '), w -> w IN ('the','a','of','and','to'))"))
+        .cast("double") / size(ws)).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val q42 = Q(
+    "q42_quality_score",
+    """SELECT doc_id,
+      |  0.4 * LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50, 1.0)
+      |  + 0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')))
+      |  + 0.2 * (CASE WHEN length(text) BETWEEN 50 AND 2000 THEN 1.0 ELSE 0.0 END)
+      |    AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Heuristic quality score: length saturation + lexical diversity +
+    // in-range length bonus. Pure codegen'd arithmetic, no shuffle.
+    val ws = split(col("text"), " ")
+    docs(s, dir).select(
+      col("doc_id"),
+      (lit(0.4) * least(size(ws).cast("double") / 50, lit(1.0))
+        + lit(0.4) * (size(array_distinct(ws)).cast("double") / size(ws))
+        + lit(0.2) * when(length(col("text")).between(50, 2000), 1.0).otherwise(0.0))
+        .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val q43 = Q(
+    "q43_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Whitespace tokens + a BPE-ish regex tokenizer (letter runs / digit
+    // runs / single punctuation) — same pattern class in Java and RE2.
+    docs(s, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("n_re_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val q52 = Q(
+    "q52_lang_id",
+    """SELECT doc_id, lang,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('the', 'a', 'of', 'and', 'is'))) >= 2 THEN 'en'
+      |       WHEN len(list_filter(string_split(text, ' '),
+      |              w -> w IN ('el', 'la', 'de', 'los'))) >= 2 THEN 'es'
+      |       ELSE 'und' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Marker-token language ID (n-gram-heuristic family): deterministic
+    // CASE cascade so ties resolve identically everywhere.
+    docs(s, dir).select(
+      col("doc_id"), col("lang"),
+      when(size(expr("filter(split(text,' '), w -> w IN ('the','a','of','and','is'))")) >= 2, "en")
+        .when(size(expr("filter(split(text,' '), w -> w IN ('el','la','de','los'))")) >= 2, "es")
+        .otherwise("und").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val q53 = Q(
+    "q53_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text, ' ')[:20],
+      |    w -> CAST(length(w) * 31 + ord(w) AS BIGINT))),
+      |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Rolling polynomial fingerprint over the first 20 tokens. Word atoms
+    // are (len*31 + first-char-code) so the fold is expressible identically
+    // in DuckDB; mod at each step keeps every intermediate < 2^52.
+    docs(s, dir).select(
+      col("doc_id"),
+      expr("""aggregate(
+              |  transform(slice(split(text, ' '), 1, 20),
+              |            w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
+              |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin)
+        .as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------- n-gram Jaccard dedup
+
+  /** doc_id → exploded distinct word-3-gram shingles (the shared building
+    * block of q44/q45). Single narrow shuffle on explode output. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """CASE WHEN size(ws) >= 3
+          |THEN transform(sequence(1, size(ws) - 2),
+          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))
+          |ELSE array() END""".stripMargin))).as("g"))
+
+  private val jaccardOracle =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) AS jaccard
+      |FROM pairs
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= %THRESH%
+      |ORDER BY d1, d2""".stripMargin
+
+  private def exactJaccardPairs(s: SparkSession, dir: String,
+      candidates: Option[DataFrame], thresh: Double): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.withColumnRenamed("doc_id", "d1")
+    val b = sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("g", "g2")
+    val joined = a.join(b, a("g") === b("g2") && a("d1") < b("d2"))
+    val inter = (candidates match {
+      case Some(c) => joined.join(c, Seq("d1", "d2"), "left_semi")
+      case None => joined
+    }).groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    inter.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= thresh)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
+  }
+
+  private val q44 = Q(
+    "q44_ngram_jaccard",
+    jaccardOracle.replace("%THRESH%", "0.8")) { (s, dir) =>
+    // Exact n-gram Jaccard near-dup pairs (the correctness baseline for
+    // the LSH variants). The shingle equi-join is shuffle-bound, not n².
+    exactJaccardPairs(s, dir, None, 0.8)
+  }
+
+  // --------------------------------------------------- MinHash + LSH
+
+  private val MinhashP = 2038074743L // prime < 2^31
+  private val NumHashes = 64
+  private val BandRows = 4 // 16 bands x 4 rows
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(1L + rnd.nextInt((MinhashP - 1).toInt)),
+      Array.fill(NumHashes)(rnd.nextInt(MinhashP.toInt).toLong))
+  }
+
+  private val q45 = Q(
+    "q45_minhash_lsh",
+    jaccardOracle.replace("%THRESH%", "0.9")) { (s, dir) =>
+    // MinHash signatures (64 perms) + LSH banding (16 bands x 4 rows):
+    // the 100 TB dedup path. Candidates come from an equi-join on
+    // (band, band-signature); exact Jaccard verifies candidates, so the
+    // output equals the exact result whenever recall = 1 (at j >= 0.9 the
+    // per-pair miss probability is (1 - 0.9^4)^16 ~ 4e-8, hence the exact
+    // oracle).
+    val withShingleHashes = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("hx", expr(
+        s"""transform(array_distinct(CASE WHEN size(ws) >= 3
+           |  THEN transform(sequence(1, size(ws) - 2),
+           |       i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))
+           |  ELSE array() END), g -> pmod(xxhash64(g), ${MinhashP}L))""".stripMargin))
+      .filter(size(col("hx")) > 0)
+    val sigCols = (0 until NumHashes).map { i =>
+      expr(s"array_min(transform(hx, x -> pmod(${hashA(i)}L * x + ${hashB(i)}L, ${MinhashP}L)))")
+    }
+    val withSig = withShingleHashes.withColumn("sig", array(sigCols: _*))
+    val bandCols = (0 until NumHashes / BandRows).map { bnd =>
+      val elems = (0 until BandRows)
+        .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
+      expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
+    }
+    val banded = withSig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
+    val l = banded.select(col("doc_id").as("d1"), col("band"), col("bsig"))
+    val r = banded.select(col("doc_id").as("d2"), col("band"), col("bsig"))
+    val candidates = l.join(r, Seq("band", "bsig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    exactJaccardPairs(s, dir, Some(candidates), 0.9)
+  }
+
+  // --------------------------------------------------------- SimHash
+
+  /** DuckDB: per-word polynomial hash list with seed/multiplier (s, m). */
+  private def duckWordHashes(seed: Int, mult: Int): String =
+    s"""list_transform(string_split(text, ' '),
+       |  w -> list_reduce(list_prepend(CAST($seed AS BIGINT),
+       |         list_transform(range(1, length(w) + 1),
+       |                        i -> CAST(ord(substring(w, i, 1)) AS BIGINT))),
+       |       (acc, c) -> (acc * $mult + c) % 2147483647))""".stripMargin
+
+  /** DuckDB: 31-bit simhash from a word-hash list column. */
+  private def duckSim(hsCol: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(0, 31),
+       |    j -> CASE WHEN list_sum(list_transform($hsCol,
+       |           h -> 2 * ((h >> j) & 1) - 1)) > 0
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private val q46 = Q(
+    "q46_simhash",
+    s"""WITH wh AS (
+       |  SELECT doc_id, ${duckWordHashes(17, 31)} AS hs1,
+       |                 ${duckWordHashes(91, 37)} AS hs2
+       |  FROM documents),
+       |sims AS (
+       |  SELECT doc_id, ${duckSim("hs1")} AS sim1, ${duckSim("hs2")} AS sim2
+       |  FROM wh)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) <= 3
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    // SimHash near-dup detection: 62-bit signature (two 31-bit words from
+    // independent polynomial word hashes — mod at each step keeps every
+    // intermediate < 2^36, so Spark long and DuckDB int128 agree).
+    // Scale path: 8 bands of ~8 bits; hamming<=3 pairs differ in at most
+    // 3 bands, so any-band-equality has recall 1 by pigeonhole. The
+    // oracle is the brute-force pair scan.
+    def wordHash(seed: Int, mult: Int) =
+      s"""transform(split(text, ' '),
+         |  w -> aggregate(transform(sequence(1, length(w)),
+         |                           i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+         |       ${seed}L, (acc, c) -> (acc * $mult + c) % 2147483647))""".stripMargin
+    def simExpr(hsCol: String) =
+      s"""aggregate(transform(sequence(0, 30),
+         |  j -> CASE WHEN aggregate($hsCol, 0L,
+         |              (a, h) -> a + (2 * ((h >> j) & 1) - 1)) > 0
+         |       THEN shiftleft(1L, j) ELSE 0L END),
+         |  0L, (acc, x) -> acc + x)""".stripMargin
+    val sims = docs(s, dir)
+      .withColumn("hs1", expr(wordHash(17, 31)))
+      .withColumn("hs2", expr(wordHash(91, 37)))
+      .select(col("doc_id"), expr(simExpr("hs1")).as("sim1"),
+        expr(simExpr("hs2")).as("sim2"))
+    val bandCols =
+      (0 until 4).map(bnd =>
+        expr(s"named_struct('band', $bnd, 'bits', (sim1 >> ${bnd * 8}) & 255)")) ++
+      (0 until 4).map(bnd =>
+        expr(s"named_struct('band', ${bnd + 4}, 'bits', (sim2 >> ${bnd * 8}) & 255)"))
+    val banded = sims.select(col("doc_id"), col("sim1"), col("sim2"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sim1"), col("sim2"), col("bb.band"), col("bb.bits"))
+    val l = banded.select(col("doc_id").as("d1"), col("sim1").as("a1"),
+      col("sim2").as("a2"), col("band"), col("bits"))
+    val r = banded.select(col("doc_id").as("d2"), col("sim1").as("b1"),
+      col("sim2").as("b2"), col("band"), col("bits"))
+    l.join(r, Seq("band", "bits")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  val defs: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q52, q53)
+}

