@@ -149,16 +149,19 @@ object TextOps {
 
   // ----------------------------------------------- n-gram Jaccard dedup
 
-  /** doc_id → exploded distinct word-3-gram shingles (the shared building
-    * block of q44/q45). Single narrow shuffle on explode output. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id → distinct word-3-gram shingle array (the shared building
+    * block of q44/q45), via the one-pass [[graft.functions.WordShingles]]
+    * expression. */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(ws) >= 3
-          |THEN transform(sequence(1, size(ws) - 2),
-          |     i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))
-          |ELSE array() END""".stripMargin))).as("g"))
+      .select(col("doc_id"), expr("graft_shingles3(text)").as("gs"))
+      .filter(size(col("gs")) > 0)
+  }
+
+  /** doc_id → exploded distinct shingles. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docShingleSets(s, dir).select(col("doc_id"), explode(col("gs")).as("g"))
 
   private val jaccardOracle =
     """WITH sh AS (
@@ -179,33 +182,25 @@ object TextOps {
       |WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= %THRESH%
       |ORDER BY d1, d2""".stripMargin
 
-  private def exactJaccardPairs(s: SparkSession, dir: String,
-      candidates: Option[DataFrame], thresh: Double): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.withColumnRenamed("doc_id", "d1")
-    val b = sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("g", "g2")
-    val joined = a.join(b, a("g") === b("g2") && a("d1") < b("d2"))
-    val inter = (candidates match {
-      case Some(c) => joined.join(c, Seq("d1", "d2"), "left_semi")
-      case None => joined
-    }).groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
-    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
-    inter.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .filter(col("jaccard") >= thresh)
-      .select("d1", "d2", "jaccard")
-      .orderBy("d1", "d2")
-  }
-
   private val q44 = Q(
     "q44_ngram_jaccard",
     jaccardOracle.replace("%THRESH%", "0.8")) { (s, dir) =>
     // Exact n-gram Jaccard near-dup pairs (the correctness baseline for
     // the LSH variants). The shingle equi-join is shuffle-bound, not n².
-    exactJaccardPairs(s, dir, None, 0.8)
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.withColumnRenamed("doc_id", "d1")
+    val b = sh.withColumnRenamed("doc_id", "d2").withColumnRenamed("g", "g2")
+    val inter = a.join(b, a("g") === b("g2") && a("d1") < b("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val s1 = sizes.select(col("doc_id").as("d1"), col("n").as("n1"))
+    val s2 = sizes.select(col("doc_id").as("d2"), col("n").as("n2"))
+    inter.join(broadcast(s1), "d1").join(broadcast(s2), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.8)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
   }
 
   // --------------------------------------------------- MinHash + LSH
@@ -223,37 +218,50 @@ object TextOps {
     "q45_minhash_lsh",
     jaccardOracle.replace("%THRESH%", "0.9")) { (s, dir) =>
     // MinHash signatures (64 perms) + LSH banding (16 bands x 4 rows):
-    // the 100 TB dedup path. Candidates come from an equi-join on
-    // (band, band-signature); exact Jaccard verifies candidates, so the
-    // output equals the exact result whenever recall = 1 (at j >= 0.9 the
-    // per-pair miss probability is (1 - 0.9^4)^16 ~ 4e-8, hence the exact
-    // oracle).
-    val withShingleHashes = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("hx", expr(
-        s"""transform(array_distinct(CASE WHEN size(ws) >= 3
-           |  THEN transform(sequence(1, size(ws) - 2),
-           |       i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))
-           |  ELSE array() END), g -> pmod(xxhash64(g), ${MinhashP}L))""".stripMargin))
-      .filter(size(col("hx")) > 0)
-    val sigCols = (0 until NumHashes).map { i =>
-      expr(s"array_min(transform(hx, x -> pmod(${hashA(i)}L * x + ${hashB(i)}L, ${MinhashP}L)))")
-    }
-    val withSig = withShingleHashes.withColumn("sig", array(sigCols: _*))
+    // the 100 TB dedup path. At j >= 0.9 the per-pair miss probability is
+    // (1 - 0.9^4)^16 ~ 4e-8, so exact verification of candidates equals
+    // the exact-Jaccard oracle.
+    //
+    // Plan shape (checked with .explain): the signature — the expensive
+    // part — is computed ONCE per document by the codegen'd
+    // [[graft.functions.MinHashSig]] (one fused pass for all 64 perms);
+    // candidate pairs come from grouping by (band, band-sig) and exploding
+    // in-bucket combinations (no self-join, so no second signature pass);
+    // verification joins the (tiny) candidate list back to the doc
+    // shingle-sets and intersects arrays per pair.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.functions.MinHashSig(exprs.head, hashA, hashB, MinhashP),
+      "scala_udf")
+    val docsets = docShingleSets(s, dir)
+    val sig = docsets.select(col("doc_id"), expr(
+      s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
     val bandCols = (0 until NumHashes / BandRows).map { bnd =>
       val elems = (0 until BandRows)
         .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
       expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
     }
-    val banded = withSig
+    val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
-    val l = banded.select(col("doc_id").as("d1"), col("band"), col("bsig"))
-    val r = banded.select(col("doc_id").as("d2"), col("band"), col("bsig"))
-    val candidates = l.join(r, Seq("band", "bsig"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    exactJaccardPairs(s, dir, Some(candidates), 0.9)
+    val candidates = banded
+      .groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)),
+          |            y -> struct(x AS d1, y AS d2))))""".stripMargin)).as("pr"))
+      .select(col("pr.d1"), col("pr.d2")).distinct()
+    val d1sets = docsets.select(col("doc_id").as("d1"), col("gs").as("gs1"))
+    val d2sets = docsets.select(col("doc_id").as("d2"), col("gs").as("gs2"))
+    candidates.join(d1sets, "d1").join(d2sets, "d2")
+      .withColumn("inter", size(array_intersect(col("gs1"), col("gs2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("gs1")) + size(col("gs2")) - col("inter")))
+      .filter(col("jaccard") >= 0.9)
+      .select("d1", "d2", "jaccard")
+      .orderBy("d1", "d2")
   }
 
   // --------------------------------------------------------- SimHash
@@ -292,25 +300,33 @@ object TextOps {
     // SimHash near-dup detection: 62-bit signature (two 31-bit words from
     // independent polynomial word hashes — mod at each step keeps every
     // intermediate < 2^36, so Spark long and DuckDB int128 agree).
-    // Scale path: 8 bands of ~8 bits; hamming<=3 pairs differ in at most
-    // 3 bands, so any-band-equality has recall 1 by pigeonhole. The
-    // oracle is the brute-force pair scan.
-    def wordHash(seed: Int, mult: Int) =
-      s"""transform(split(text, ' '),
-         |  w -> aggregate(transform(sequence(1, length(w)),
-         |                           i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
-         |       ${seed}L, (acc, c) -> (acc * $mult + c) % 2147483647))""".stripMargin
-    def simExpr(hsCol: String) =
-      s"""aggregate(transform(sequence(0, 30),
-         |  j -> CASE WHEN aggregate($hsCol, 0L,
-         |              (a, h) -> a + (2 * ((h >> j) & 1) - 1)) > 0
-         |       THEN shiftleft(1L, j) ELSE 0L END),
-         |  0L, (acc, x) -> acc + x)""".stripMargin
-    val sims = docs(s, dir)
-      .withColumn("hs1", expr(wordHash(17, 31)))
-      .withColumn("hs2", expr(wordHash(91, 37)))
-      .select(col("doc_id"), expr(simExpr("hs1")).as("sim1"),
-        expr(simExpr("hs2")).as("sim2"))
+    //
+    // Scale shape: the char-level hash fold is computed once per DISTINCT
+    // token (dictionary encoding — token frequency is zipfian, so the
+    // vocabulary is tiny next to the corpus) and broadcast-joined back to
+    // token occurrences; per-bit votes are then one codegen'd hash
+    // aggregation over (doc_id) — no interpreted per-row array folds.
+    // Banding: 8 bands of ~8 bits; hamming<=3 pairs differ in at most 3
+    // bands, so any-band-equality has recall 1 by pigeonhole. The oracle
+    // is the brute-force pair scan.
+    def charFold(seed: Int, mult: Int) =
+      s"""aggregate(transform(sequence(1, length(w)),
+         |                    i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+         |  ${seed}L, (acc, c) -> (acc * $mult + c) % 2147483647)""".stripMargin
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.select("w").distinct()
+      .withColumn("h1", expr(charFold(17, 31)))
+      .withColumn("h2", expr(charFold(91, 37)))
+    val voteAggs =
+      (0 until 31).map(j => sum(expr(s"2 * ((h1 >> $j) & 1) - 1")).as(s"v1_$j")) ++
+      (0 until 31).map(j => sum(expr(s"2 * ((h2 >> $j) & 1) - 1")).as(s"v2_$j"))
+    def packBits(prefix: String) = expr(
+      (0 until 31).map(j => s"CASE WHEN ${prefix}_$j > 0 THEN ${1L << j}L ELSE 0L END")
+        .mkString(" + "))
+    val sims = words.join(broadcast(vocab), "w")
+      .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"), packBits("v1").as("sim1"), packBits("v2").as("sim2"))
     val bandCols =
       (0 until 4).map(bnd =>
         expr(s"named_struct('band', $bnd, 'bits', (sim1 >> ${bnd * 8}) & 255)")) ++

@@ -20,15 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** vec_id + embedding as double[] + precomputed L2 norm. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** vec_id + embedding as double[] + precomputed L2 norm. Dot products go
+    * through the codegen'd [[graft.functions.DotProduct]] expression — the
+    * interpreted `aggregate(zip_with(...))` HOF was the bench bottleneck. */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+  }
 
-  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  private val dotExpr = "graft_dot(qv, v)"
 
   /** DuckDB-side cosine between embeddings of rows a and b. */
   private def duckCos(a: String, b: String): String =
