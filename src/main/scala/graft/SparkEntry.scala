@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All registered operator/query definitions, in inventory order. */
   def defs: Seq[Q] =
-    operators.Relational.defs ++ operators.TextOps.defs ++ operators.VectorOps.defs
+    operators.Relational.defs ++ operators.TextOps.defs ++
+      operators.VectorOps.defs ++ operators.LineageQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

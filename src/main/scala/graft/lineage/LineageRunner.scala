@@ -1,0 +1,167 @@
+package graft.lineage
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.StringType
+
+/** Script-level lineage extraction — the Spark-first equivalent of the
+  * reference's per-file pipeline (BatchProcessor.ParsingTask.run,
+  * BatchProcessor.java:232-286): preprocess → per statement parse →
+  * analyze → extract, maintaining session catalog state across
+  * statements (USE, CREATE TABLE, CTAS targets).
+  *
+  * Permissive mode (SURVEY §7.4.1): the reference extracts lineage even
+  * from scripts it can't fully validate ("90% coverage" philosophy,
+  * README.md:81). We mirror that:
+  *  - INSERT targets are NOT schema-validated: the insert's query is
+  *    unwrapped pre-analysis, so ANSI store-assignment strictness and
+  *    missing targets don't kill extraction;
+  *  - unknown functions (the reference accepts any `ident(args)`,
+  *    Bingql.g4:1436-1442) are shimmed on the fly with a pass-through
+  *    that preserves argument references, then analysis is retried;
+  *  - Hive-only DDL (STORED AS / typed PARTITIONED BY / s3 LOCATION) is
+  *    registered schema-only via the parsed column definitions.
+  */
+object LineageRunner {
+
+  final case class Result(
+      edges: Seq[(String, ColumnEdge)], // (targetTable or "", edge)
+      inserts: Seq[TableInsert],
+      datasets: Seq[DatasetNode])
+
+  def run(spark: SparkSession, script: String): Result = {
+    FixtureCatalog.register(spark)
+    spark.sql("USE default")
+    val edges = Seq.newBuilder[(String, ColumnEdge)]
+    val inserts = Seq.newBuilder[TableInsert]
+    val dsNodes = Seq.newBuilder[DatasetNode]
+
+    SqlPreprocessor.preprocess(script).foreach { stmt =>
+      val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+      parsed match {
+        case _: SetCatalogAndNamespace =>
+          spark.sql(stmt)
+
+        case ct: CreateTable =>
+          val (db, tbl) = identOf(spark, ct.name)
+          registerParsedTable(spark, db, tbl, ct)
+          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+
+        case ctas: CreateTableAsSelect =>
+          val (db, tbl) = identOf(spark, ctas.name)
+          inserts += TableInsert(db, tbl, "CREATE TABLE AS")
+          val analyzed = analyzePermissive(spark, ctas.query)
+          edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+          // Register the created table so later statements resolve it.
+          val cols = analyzed.output
+            .map(a => s"`${a.name}` ${a.dataType.sql}").mkString(", ")
+          FixtureCatalog.ensureTable(spark, db, tbl, cols)
+          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+
+        case w: UnresolvedWith if collectInserts(w.child).nonEmpty =>
+          // Hive multi-table INSERT sharing a CTE/FROM
+          // (SqlMetaDataExtractor.java:163-169, test 0009): extract each
+          // INSERT branch separately under the same CTE scope.
+          collectInserts(w.child).foreach { ins =>
+            val (db, tbl) = insertTarget(spark, ins)
+            inserts += TableInsert(db, tbl, insertType(ins))
+            val branch = w.copy(child = ins.query)
+            val analyzed = analyzePermissive(spark, branch)
+            edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+          }
+
+        case ins: InsertIntoStatement =>
+          val (db, tbl) = insertTarget(spark, ins)
+          inserts += TableInsert(db, tbl, insertType(ins))
+          val analyzed = analyzePermissive(spark, ins.query)
+          edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+
+        case _: DropTable =>
+          () // session/bookkeeping; no lineage (SETs die in the preprocessor)
+
+        case query =>
+          val analyzed = analyzePermissive(spark, query)
+          edges ++= LineageWalker.edgesOf(analyzed).map(e => "" -> e)
+      }
+    }
+    Result(edges.result(), inserts.result(), dsNodes.result())
+  }
+
+  /** Multi-insert branches under a shared FROM (Union of inserts). */
+  private def collectInserts(p: LogicalPlan): Seq[InsertIntoStatement] = p match {
+    case u: Union => u.children.flatMap(collectInserts)
+    case i: InsertIntoStatement => Seq(i)
+    case _ => Seq.empty
+  }
+
+  private def insertType(i: InsertIntoStatement): String =
+    if (i.overwrite) "INSERT OVERWRITE TABLE" else "INSERT INTO TABLE"
+
+  private def insertTarget(spark: SparkSession, i: InsertIntoStatement): (String, String) =
+    i.table match {
+      case u: UnresolvedRelation => qualify(spark, u.multipartIdentifier)
+      case other => ("", other.nodeName)
+    }
+
+  private def identOf(spark: SparkSession, name: LogicalPlan): (String, String) =
+    name match {
+      case u: UnresolvedIdentifier => qualify(spark, u.nameParts)
+      case other => ("", other.toString)
+    }
+
+  private def qualify(spark: SparkSession, parts: Seq[String]): (String, String) =
+    if (parts.length >= 2) (parts.dropRight(1).mkString("."), parts.last)
+    else (spark.catalog.currentDatabase, parts.last)
+
+  /** Register a parsed CREATE TABLE schema-only (USING parquet), ignoring
+    * Hive-only storage clauses and external locations. */
+  private def registerParsedTable(
+      spark: SparkSession, db: String, tbl: String, ct: CreateTable): Unit = {
+    val colDefs = ct.columns.map(c => s"`${c.name}` ${c.dataType.sql}")
+    val partCols = ct.partitioning.flatMap(_.references.map(_.fieldNames().mkString(".")))
+    val declared = ct.columns.map(_.name).toSet
+    // Hive-style typed partition columns may not be in `columns`.
+    val missingParts = partCols.filterNot(declared.contains).map(p => s"`$p` string")
+    FixtureCatalog.ensureTable(spark, db, tbl, (colDefs ++ missingParts).mkString(", "))
+  }
+
+  /** Resolve a plan WITHOUT CheckAnalysis — the reference extracts
+    * lineage from scripts it can't fully validate (90%-coverage
+    * philosophy, README.md:81), and Hive-lenient SQL in its own corpus
+    * (e.g. `SELECT col, count(*)` with no GROUP BY in 0006) resolves but
+    * fails Spark's CheckAnalysis. Spark itself skips CheckAnalysis for
+    * command inner children, so this matches whole-statement behavior.
+    *
+    * Unknown functions (the reference accepts any `ident(args)`,
+    * Bingql.g4:1436-1442, README.md:80) are shimmed with a pass-through
+    * preserving argument references, then resolution is retried.
+    */
+  def analyzePermissive(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+    // LookupFunctions throws from a RESOLUTION batch (not CheckAnalysis),
+    // so unknown functions surface as exceptions even under
+    // analyzer.execute — catch, shim, retry.
+    val Unresolved = """.*Cannot resolve routine `([^`]+)`.*""".r
+    var attempt = 0
+    while (true) {
+      try {
+        return spark.sessionState.analyzer.execute(plan)
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+          if attempt < 8 && e.getMessage != null &&
+            e.getMessage.contains("UNRESOLVED_ROUTINE") =>
+          val fname = e.getMessage.replaceAll("\n", " ") match {
+            case Unresolved(n) => n
+            case _ => throw e
+          }
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            fname,
+            (exprs: Seq[Expression]) => Concat(exprs.map(Cast(_, StringType))),
+            "scala_udf")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,46 @@
+package graft.lineage
+
+/** Lineage data model, ported from the reference's MySQL schema
+  * (reference: sql_lineage/src/main/resources/db_setup_ddl.sql:24-190,
+  * persistable/Dataset.java:18-38, persistable/SelectItem.java:10-29).
+  * Stored as Datasets of these case classes (parquet-friendly).
+  */
+
+/** One column-level lineage edge, flattened to base-table origins.
+  *
+  * `context` mirrors the reference's SelectSectionType (SELECT/WHERE/JOIN,
+  * persistable/SelectSectionType.java:3-7). WHERE/JOIN parents fan out to
+  * every output column of the dataset, as in the reference
+  * (Dataset.java:214-222). `parentColumn` may be the `$COL_ASTERISK$`
+  * proxy for column-less aggregates like count(*)
+  * (DatasetPool.java:171-195).
+  */
+final case class ColumnEdge(
+    outColumn: String,
+    parentSchema: String,
+    parentTable: String,
+    parentColumn: String,
+    context: String)
+
+/** A dataset node (reference DatasetType: SUBQUERY, CTE, TABLE,
+  * LATERAL_VIEW, TEMPORARY_TABLE — persistable/DatasetType.java:3-9). */
+final case class DatasetNode(
+    name: String,
+    dsType: String,
+    schema: String,
+    table: String)
+
+/** A recorded INSERT/CTAS target (reference table_insert,
+  * LineageDbService.java:185-198). */
+final case class TableInsert(
+    dbSchema: String,
+    dbTable: String,
+    insertType: String)
+
+/** table→table summary edge (reference table_lineage,
+  * db_setup_ddl.sql:164-175). */
+final case class TableEdge(
+    childSchema: String,
+    childTable: String,
+    parentSchema: String,
+    parentTable: String)
