@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the custom Catalyst expressions, checked against plain
+  * Scala reference computations through the SQL surface (registered
+  * functions), including codegen vs interpreted agreement. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_dot equals sequential fold, bit-exact") {
+    functions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+    val got = df.selectExpr("graft_dot(a, b)").as[Double].collect()
+    val exp = Seq(
+      1.0 * 4.0 + 2.0 * 5.0 + 3.0 * 6.0,
+      0.1 * 0.3 + -0.2 * 0.7,
+      0.0)
+    assert(got.toSeq == exp)
+  }
+
+  test("graft_dot interpreted eval matches codegen") {
+    val e = functions.DotProduct(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.5, 2.5), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0, 4.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 1.5 * 2.0 + 2.5 * 4.0)
+  }
+
+  test("graft_shingles3 produces distinct word 3-grams in order") {
+    functions.GraftFunctions.register(spark)
+    val got = Seq("a b c d a b c d", "x y", "")
+      .toDF("text").selectExpr("graft_shingles3(text)")
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d", "c d a", "d a b")) // dups removed
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("graft_minhash matches per-permutation array_min formulation") {
+    val p = 2038074743L
+    val a = Array(3L, 7L)
+    val b = Array(11L, 13L)
+    val e = functions.MinHashSig(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(5L, 100L, 999999L), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), a, b, p)
+    val sig = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    def mh(ai: Long, bi: Long) =
+      Seq(5L, 100L, 999999L).map(x => Math.floorMod(ai * x + bi, p)).min
+    assert(sig.toSeq == Seq(mh(3, 11), mh(7, 13)))
+  }
+}
