@@ -12,8 +12,10 @@ object SparkEntry {
 
   /** All registered operator/query definitions, in inventory order. */
   def defs: Seq[Q] =
-    operators.Relational.defs ++ operators.TextOps.defs ++
-      operators.VectorOps.defs ++ operators.LineageQueries.defs
+    operators.Relational.defs ++ operators.Relational2.defs ++
+      operators.TextOps.defs ++
+      operators.VectorOps.defs ++ operators.LineageQueries.defs ++
+      operators.MultimodalOps.defs ++ streaming.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

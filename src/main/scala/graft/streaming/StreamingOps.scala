@@ -1,0 +1,109 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (all-new capability; the reference has no
+  * streaming — SURVEY §2.10). The events parquet drives a real streaming
+  * query synchronously via the memory sink (`processAllAvailable`), so
+  * the result is batch-deterministic and oracle-checkable while the plan
+  * is a genuine StreamingQuery (file source → event-time window agg →
+  * sink). On a cluster the same code runs continuously off a directory /
+  * Kafka source with the same semantics.
+  */
+object StreamingOps {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) read as long). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val q70 = Q(
+    "q70_stream_window_agg",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val sinkName = "graft_q70_sink"
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_dec"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+    }
+    s.table(sinkName)
+      .select(col("window.start").cast("date").as("day"), col("event_type"),
+        col("n"), col("total_dec").cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Stateful stream: per-user running event counts via
+    * mapGroupsWithState, checked against a batch GROUP BY oracle. */
+  private val q71 = Q(
+    "q71_stream_stateful",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_q71_sink"
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ (Long, Long), (Long, Long, Long) ](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var cents = c0
+          evs.foreach { case (_, v) =>
+            n += 1
+            cents += math.round(v * 100) // exact: 2-decimal doubles
+          }
+          state.update((n, cents))
+          (uid, n, cents)
+      }
+    val query = stream.toDF("user_id", "n_events", "cents").writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Update())
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    // Update-mode emits one row per key per batch; keep the latest state.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    s.table(sinkName)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        (col("cents").cast("double") / 100).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71)
+}
