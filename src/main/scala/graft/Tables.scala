@@ -25,9 +25,16 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   /** Register every table as a temp view named after itself, so SQL-surface
     * queries (GROUPING SETS, ordinal GROUP BY, CTEs, LATERAL VIEW...) can
-    * run via spark.sql with the same table names the DuckDB oracle sees. */
+    * run via spark.sql with the same table names the DuckDB oracle sees.
+    * Memoized per (session, dir) — re-reading 10 parquet footers per query
+    * was measurable overhead in the bench. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.add((System.identityHashCode(spark).toString, dir))) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    }
 }

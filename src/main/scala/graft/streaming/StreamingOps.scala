@@ -33,6 +33,11 @@ object StreamingOps {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.schemaInference", "false")
     val sinkName = "graft_q70_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    // Each state-store partition carries real per-batch setup cost in
+    // local mode; 8 partitions is plenty for this key cardinality.
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val stream = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -56,6 +61,7 @@ object StreamingOps {
       .select(col("window.start").cast("date").as("day"), col("event_type"),
         col("n"), col("total_dec").cast("double").as("total_value"))
       .orderBy("day", "event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   /** Stateful stream: per-user running event counts via
@@ -69,6 +75,9 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_q71_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
     val stream = s.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
@@ -103,6 +112,7 @@ object StreamingOps {
       .select(col("user_id"), col("n_events"),
         (col("cents").cast("double") / 100).as("total_value"))
       .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   val defs: Seq[Q] = Seq(q70, q71)
