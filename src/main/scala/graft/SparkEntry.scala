@@ -13,7 +13,7 @@ object SparkEntry {
   /** All registered operator/query definitions, in inventory order. */
   def defs: Seq[Q] =
     operators.Relational.defs ++ operators.Relational2.defs ++
-      operators.TextOps.defs ++
+      operators.Relational3.defs ++ operators.TextOps.defs ++
       operators.VectorOps.defs ++ operators.LineageQueries.defs ++
       operators.MultimodalOps.defs ++ streaming.StreamingOps.defs
 

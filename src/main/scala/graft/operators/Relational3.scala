@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Third batch: datetime/string/math/conditional/array function surface
+  * (SURVEY §2.2/§2.11 — the reference has no function catalog, so
+  * Spark's FunctionRegistry is the strict superset we expose) and two
+  * more TPC-H-shaped headline joins.
+  *
+  * Math functions are restricted to IEEE-exact operations (sqrt is
+  * correctly rounded; pow/log/exp are libm-dependent and would not
+  * hash-match across engines).
+  */
+object Relational3 {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private val oneD = lit(1).cast(DecimalType(12, 2))
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val q84 = Q(
+    "q84_datetime_funcs",
+    """SELECT o_orderkey,
+      |  CAST(o_orderdate AS DATE) + 7 AS ship_by,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(epoch(o_orderdate + INTERVAL 90 MINUTE) AS BIGINT) AS plus_90m_epoch
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      date_add(col("o_orderdate").cast("date"), 7).as("ship_by"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("int").as("days_since_epoch_start"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"),
+      trunc(col("o_orderdate").cast("date"), "MM").as("month_start"),
+      quarter(col("o_orderdate")).cast("int").as("q"),
+      unix_timestamp(col("o_orderdate") + expr("INTERVAL 90 MINUTE"))
+        .as("plus_90m_epoch"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q85 = Q(
+    "q85_string_funcs",
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_pad,
+      |  rpad(p_type, 10, '.') AS type_pad,
+      |  reverse(p_name) AS name_rev,
+      |  repeat(p_brand[7:7], 3) AS brand_digit3,
+      |  split_part(p_name, ' ', 2) AS name_word2,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_lowered_vowels,
+      |  starts_with(p_name, 'small') AS is_small,
+      |  ends_with(p_name, 'bolt') AS is_bolt,
+      |  CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS lev_to_zero
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_pad"),
+      rpad(col("p_type"), 10, ".").as("type_pad"),
+      reverse(col("p_name")).as("name_rev"),
+      repeat(substring(col("p_brand"), 7, 1), 3).as("brand_digit3"),
+      split_part(col("p_name"), lit(" "), lit(2)).as("name_word2"),
+      translate(col("p_type"), "AEIOU", "aeiou").as("type_lowered_vowels"),
+      col("p_name").startsWith("small").as("is_small"),
+      col("p_name").endsWith("bolt").as("is_bolt"),
+      levenshtein(col("p_brand"), lit("Brand#00")).cast("int").as("lev_to_zero"))
+      .orderBy("p_partkey")
+  }
+
+  private val q86 = Q(
+    "q86_math_funcs",
+    """SELECT o_orderkey,
+      |  abs(o_totalprice - 100000) AS dist_from_100k,
+      |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_ceil_k,
+      |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_floor_k,
+      |  sqrt(o_totalprice) AS price_sqrt,
+      |  CAST(sign(o_totalprice - 150000) AS INT) AS above_150k,
+      |  o_orderkey % 7 AS mod7,
+      |  CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+      |  CAST(xor(o_orderkey, 42) AS BIGINT) AS xored,
+      |  CAST((o_orderkey << 2) >> 1 AS BIGINT) AS shifted,
+      |  greatest(o_totalprice, 50000.0) AS at_least_50k
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      abs(col("o_totalprice") - 100000).as("dist_from_100k"),
+      ceil(col("o_totalprice") / 1000).cast("long").as("price_ceil_k"),
+      floor(col("o_totalprice") / 1000).cast("long").as("price_floor_k"),
+      sqrt(col("o_totalprice")).as("price_sqrt"),
+      signum(col("o_totalprice") - 150000).cast("int").as("above_150k"),
+      (col("o_orderkey") % 7).as("mod7"),
+      col("o_orderkey").bitwiseAND(255).cast("long").as("low_byte"),
+      col("o_orderkey").bitwiseXOR(42).cast("long").as("xored"),
+      shiftright(shiftleft(col("o_orderkey"), 2), 1).cast("long").as("shifted"),
+      greatest(col("o_totalprice"), lit(50000.0)).as("at_least_50k"))
+      .orderBy("o_orderkey")
+  }
+
+  private val q87 = Q(
+    "q87_conditional",
+    """SELECT c_custkey,
+      |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+      |  CASE WHEN c_acctbal < 0 THEN 'debt'
+      |       WHEN c_acctbal = 0 THEN 'zero' ELSE 'credit' END AS bal_class,
+      |  least(c_acctbal, 5000.0) AS capped_bal,
+      |  (c_acctbal > 0) AND (c_nationkey < 10) AS positive_low_nation,
+      |  CAST(if(c_acctbal > 5000, 1, 0) AS INT) AS high_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER"))
+        .as("seg_or_other"),
+      when(col("c_acctbal") < 0, "debt")
+        .when(col("c_acctbal") === 0, "zero")
+        .otherwise("credit").as("bal_class"),
+      least(col("c_acctbal"), lit(5000.0)).as("capped_bal"),
+      (col("c_acctbal") > 0 && col("c_nationkey") < 10).as("positive_low_nation"),
+      when(col("c_acctbal") > 5000, 1).otherwise(0).cast("int").as("high_bal"))
+      .orderBy("c_custkey")
+  }
+
+  private val q88 = Q(
+    "q88_array_funcs",
+    """SELECT doc_id,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+      |  CAST(list_position(string_split(text, ' '), 'the') AS INT) AS first_the,
+      |  list_sort(string_split(text, ' '))[1] AS min_word,
+      |  array_to_string(string_split(text, ' ')[1:3], '_') AS first3_joined,
+      |  CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INT) AS max_word_len
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ws = split(col("text"), " ")
+    t(s, dir, "documents").filter(col("doc_id") < 50).select(
+      col("doc_id"),
+      array_contains(ws, "spark").as("has_spark"),
+      array_position(ws, "the").cast("int").as("first_the"),
+      sort_array(ws).getItem(0).as("min_word"),
+      concat_ws("_", slice(ws, 1, 3)).as("first3_joined"),
+      array_max(transform(ws, w => length(w))).cast("int").as("max_word_len"))
+      .orderBy("doc_id")
+  }
+
+  private val q89 = Q(
+    "q89_local_supplier_volume",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    // TPC-H Q5 shape: 6-way join. Fact-fact (orders x lineitem) is the
+    // only shuffle join; every dimension broadcasts.
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem")
+    val supp = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val q90 = Q(
+    "q90_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    // TPC-H Q10 shape: returned-item revenue ranking.
+    val cust = t(s, dir, "customer")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val nat = t(s, dir, "nation")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90)
+}
