@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.defs ++ operators.Relational2.defs ++
       operators.Relational3.defs ++ operators.TextOps.defs ++
       operators.VectorOps.defs ++ operators.LineageQueries.defs ++
-      operators.MultimodalOps.defs ++ streaming.StreamingOps.defs
+      operators.MultimodalOps.defs ++ operators.AsOfOps.defs ++
+      streaming.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Minimal private[sql] bridge for custom-operator plumbing
+  * (Dataset.ofRows / Column->Expression / experimental strategies are
+  * private[sql] or classic-only in Spark 4; this is the standard
+  * extension-point access pattern for Catalyst plugins). */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) {
+      exp.extraStrategies = exp.extraStrategies :+ s
+    }
+  }
+}
