@@ -1,0 +1,75 @@
+package graft.lineage
+
+import org.apache.spark.sql.SparkSession
+
+/** Batch entry point — the Spark-first equivalent of the reference's
+  * BatchProcessor (BatchProcessor.java:100-164): list `*.sql` files in a
+  * directory, extract lineage per file, persist to the parquet store,
+  * route failures to a skip report instead of aborting (the reference's
+  * --skip-to behavior, :267-277).
+  *
+  * Usage: graft.lineage.BatchRunner <sqlDir> <storeDir>
+  */
+object BatchRunner {
+  def main(args: Array[String]): Unit = {
+    val Array(sqlDir, storeDir) = args.take(2)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.warehouse.dir", "file:///tmp/graft_wh_cat")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (ok, skipped) = run(spark, sqlDir, storeDir)
+    println(s"[batch] ok=${ok.size} skipped=${skipped.size}")
+    skipped.foreach { case (f, err) => println(s"[batch] SKIP $f: $err") }
+    spark.stop()
+  }
+
+  /** Returns (processed files, (file, error) skipped). Files process
+    * sequentially — each mutates session catalog state (USE, CTAS), like
+    * the reference's per-thread sessions; scale-out shape is one Spark
+    * session per executor task over a file list. */
+  def run(spark: SparkSession, sqlDir: String, storeDir: String)
+      : (Seq[String], Seq[(String, String)]) = {
+    val files = new java.io.File(sqlDir).listFiles()
+      .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
+    val ok = Seq.newBuilder[String]
+    val skipped = Seq.newBuilder[(String, String)]
+    files.foreach { f =>
+      try {
+        val script = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+        val res = LineageRunner.run(spark, script)
+        val name = new java.io.File(f).getName.stripSuffix(".sql")
+        LineageStore.write(spark, name, res, s"$storeDir/$name")
+        ok += f
+      } catch {
+        case e: Throwable =>
+          skipped += f -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
+      }
+    }
+    (ok.result(), skipped.result())
+  }
+}
+
+/** Parse gate — the reference's SyntaxCheck (shared/SyntaxCheck.java:15-38):
+  * lex+parse only, exit 0 if every statement parses, 1 otherwise. */
+object SyntaxCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[1]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val script = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))))
+    val errs = SqlPreprocessor.preprocess(script).flatMap { stmt =>
+      try { spark.sessionState.sqlParser.parsePlan(stmt); None }
+      catch { case e: Throwable =>
+        Some(s"${stmt.linesIterator.next().take(60)}: ${e.getClass.getSimpleName}")
+      }
+    }
+    errs.foreach(System.err.println)
+    spark.stop()
+    sys.exit(if (errs.isEmpty) 0 else 1)
+  }
+}

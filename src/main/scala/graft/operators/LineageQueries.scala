@@ -159,5 +159,33 @@ object LineageQueries {
     * function (`str`) exercising the permissive shim path. */
   private val q69 = lineageQ("q69_lineage_asterisks", "0007", OracleValues.q69)
 
-  val defs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+  /** The full batch pipeline (reference BatchProcessor lifecycle, SURVEY
+    * §3.1): write the corpus to a directory, run BatchRunner over it,
+    * persist each script's lineage to the parquet store, read the store
+    * back and aggregate — verifying the dir→parse→extract→persist→query
+    * loop end to end. */
+  private val q94 = Q("q94_lineage_batch_store", OracleValues.q94) { (s, _) =>
+    import s.implicits._
+    import graft.lineage.{BatchRunner, LineageStore}
+    val sqlDir = "/tmp/graft_batch_sql"
+    val storeDir = "/tmp/graft_batch_store"
+    val d = new java.io.File(sqlDir)
+    d.mkdirs()
+    scripts.foreach { case (id, sql) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$sqlDir/$id.sql"), sql)
+    }
+    val (ok, skipped) = BatchRunner.run(s, sqlDir, storeDir)
+    require(skipped.isEmpty, s"batch skipped: $skipped")
+    ok.map { f =>
+      val name = new java.io.File(f).getName.stripSuffix(".sql")
+      LineageStore.readEdges(s, s"$storeDir/$name")
+        .withColumn("case_id", lit(name))
+    }.reduce(_ unionByName _)
+      .groupBy("case_id", "usage_context")
+      .agg(count(lit(1)).as("n_edges"))
+      .orderBy("case_id", "usage_context")
+  }
+
+  val defs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94)
 }

@@ -211,5 +211,25 @@ object Relational3 {
       .limit(20)
   }
 
-  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90)
+  private val q95 = Q(
+    "q95_try_cast",
+    """SELECT o_orderkey,
+      |  TRY_CAST(o_orderpriority AS INT) AS prio_int,
+      |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+      |  TRY_CAST(o_orderstatus AS DOUBLE) AS status_num
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      try_cast_int(col("o_orderpriority")).as("prio_int"),
+      try_cast_int(substring(col("o_orderpriority"), 1, 1)).as("prio_digit"),
+      expr("try_cast(o_orderstatus AS DOUBLE)").as("status_num"))
+      .orderBy("o_orderkey")
+  }
+
+  private def try_cast_int(c: Column): Column = {
+    import org.apache.spark.sql.functions.expr
+    c.try_cast("int")
+  }
+
+  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90, q95)
 }
