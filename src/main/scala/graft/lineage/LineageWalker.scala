@@ -216,6 +216,70 @@ object LineageWalker {
     tables ++ ctes ++ lateral ++ subqueries
   }
 
+  /** Multi-level dataset graph: one node per SELECT-block scope (the
+    * reference's dataset/dataset_rel structure — each SubqueryAlias'd
+    * block or CTE becomes a Dataset row, with parent→child edges to the
+    * scopes it reads; validate_0002 checks exactly this 3-subquery
+    * shape). Returns (nodes, edges) where edges are (child, parent). */
+  def datasetGraph(plan: LogicalPlan): (Seq[DatasetNode], Seq[(String, String)]) = {
+    val query = unwrapCommand(plan)
+    val nodes = Seq.newBuilder[DatasetNode]
+    val edges = Seq.newBuilder[(String, String)]
+
+    /** Returns the dataset name this subtree presents to its consumer. */
+    def walk(p: LogicalPlan, scopeName: String): Seq[String] = p match {
+      case lr: LogicalRelation =>
+        val (d, t) = relationName(lr)
+        nodes += DatasetNode(s"$d.$t", "TABLE", d, t)
+        Seq(s"$d.$t")
+      case sa: SubqueryAlias =>
+        // The analyzer chains SubqueryAlias(userAlias, SubqueryAlias(
+        // qualifiedName, Relation)) around base tables — an aliased
+        // table is still the TABLE dataset (reference semantics), not a
+        // subquery scope.
+        def stripAliases(q: LogicalPlan): LogicalPlan = q match {
+          case s: SubqueryAlias => stripAliases(s.child)
+          case o => o
+        }
+        stripAliases(sa.child) match {
+          case lr: LogicalRelation => walk(lr, scopeName)
+          case _ =>
+            val dsType = sa.child match {
+              case _: CTERelationRef => "CTE"
+              case _ => "SUBQUERY"
+            }
+            nodes += DatasetNode(sa.alias, dsType, "", "")
+            walk(sa.child, sa.alias).foreach(par => edges += sa.alias -> par)
+            Seq(sa.alias)
+        }
+      case w: WithCTE =>
+        w.cteDefs.foreach { d =>
+          val name = d.child.collectFirst { case s: SubqueryAlias => s.alias }
+            .getOrElse(s"cte_${d.id}")
+          nodes += DatasetNode(name, "CTE", "", "")
+          walk(d.child match {
+            case s: SubqueryAlias => s.child
+            case other => other
+          }, name).foreach(par => edges += name -> par)
+        }
+        walk(w.plan, scopeName)
+      case r: CTERelationRef =>
+        Seq.empty // consumer edge added by enclosing SubqueryAlias via name
+      case g: Generate =>
+        val name = g.qualifier.getOrElse("lateral_view")
+        nodes += DatasetNode(name, "LATERAL_VIEW", "", "")
+        walk(g.child, name).foreach(par => edges += name -> par)
+        Seq(name)
+      case other =>
+        other.children.flatMap(walk(_, scopeName))
+    }
+
+    val rootName = "_root_"
+    nodes += DatasetNode(rootName, "SUBQUERY", "", "")
+    walk(query, rootName).foreach(par => edges += rootName -> par)
+    (nodes.result().distinct, edges.result().distinct)
+  }
+
   /** INSERT/CTAS targets (reference table_insert,
     * processInsertBySelect SqlMetaDataExtractor.java:1050-1075). */
   def tableInserts(spark: SparkSession, sql: String): Seq[TableInsert] = {

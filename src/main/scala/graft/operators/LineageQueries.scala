@@ -187,5 +187,23 @@ object LineageQueries {
       .orderBy("case_id", "usage_context")
   }
 
-  val defs: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94)
+  /** Multi-level dataset graph of case 0002 (validate_0002 pins exactly
+    * 3 SUBQUERY datasets and the 3-hop dataset_rel chain). */
+  private val q96 = Q("q96_lineage_dataset_graph", OracleValues.q96) { (s, _) =>
+    import s.implicits._
+    graft.lineage.FixtureCatalog.register(s)
+    s.sql("USE default")
+    val stmt = graft.lineage.SqlPreprocessor.preprocess(scripts("0002")).head
+    val plan = graft.lineage.LineageRunner.analyzePermissive(
+      s, s.sessionState.sqlParser.parsePlan(stmt))
+    val (nodes, edges) = graft.lineage.LineageWalker.datasetGraph(plan)
+    val n = nodes.map(d => ("node", d.name, d.dsType))
+      .toDF("kind", "name", "detail")
+    val e = edges.map { case (c, p) => ("edge", c, p) }
+      .toDF("kind", "name", "detail")
+    n.unionByName(e).orderBy("kind", "name", "detail")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96)
 }
