@@ -26,7 +26,11 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // Drop cached relations + let the ContextCleaner reap broadcasts so
       // one query's residue doesn't bill the next (local-mode GC noise).
+      // The explicit GC drives the weak-reference ContextCleaner promptly;
+      // without it, broadcast/shuffle cleanup lands inside a later query's
+      // measured window.
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

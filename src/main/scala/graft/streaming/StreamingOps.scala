@@ -115,5 +115,39 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q70, q71)
+  /** Sessionization: session_window with a 30-minute gap (batch form of
+    * the same operator Structured Streaming uses for stateful
+    * sessionization). Oracle: classic gaps-and-islands SQL — new session
+    * when the gap to the previous event is >= 30 min (matching Spark's
+    * half-open [start, last+gap) window). */
+  private val q72s = Q(
+    "q72_session_window",
+    """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM m)
+      |SELECT user_id,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_last_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("first_ts")).as("session_start_us"),
+        unix_micros(col("last_ts")).as("session_last_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71, q72s)
 }
