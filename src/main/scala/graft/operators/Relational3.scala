@@ -231,5 +231,32 @@ object Relational3 {
     c.try_cast("int")
   }
 
-  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90, q95)
+  private val q97 = Q(
+    "q97_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS med_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_disc(l_quantity, 0.25) AS q1_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // Exact percentiles (sort-based; both engines use the same linear
+    // interpolation on identical sorted inputs, so doubles match).
+    t(s, dir, "lineitem").groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("q1_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q98 = sqlQ3(
+    "q98_stratified_sample",
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE (o_orderkey * 2654435761) % 100 <
+      |  CASE o_orderstatus WHEN 'P' THEN 50 WHEN 'F' THEN 10 ELSE 2 END
+      |ORDER BY o_orderkey""".stripMargin)
+
+  private def sqlQ3(name: String, text: String): Q =
+    Q(name, text) { (s, dir) => Tables.registerAll(s, dir); s.sql(text) }
+
+  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98)
 }
