@@ -258,5 +258,48 @@ object Relational3 {
   private def sqlQ3(name: String, text: String): Q =
     Q(name, text) { (s, dir) => Tables.registerAll(s, dir); s.sql(text) }
 
-  val defs: Seq[Q] = Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98)
+  // TPC-H Q17 shape: correlated scalar subquery (decorrelated by
+  // Catalyst's RewriteCorrelatedScalarSubquery into a join).
+  private val q100 = sqlQ3(
+    "q100_small_quantity_orders",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+
+  // TPC-H Q18 shape: IN over a grouped HAVING subquery.
+  private val q101 = sqlQ3(
+    "q101_large_volume_orders",
+    """SELECT c_custkey, o_orderkey,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 110)
+      |GROUP BY c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 50""".stripMargin)
+
+  // TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same table.
+  private val q102 = sqlQ3(
+    "q102_waiting_suppliers",
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
+
+  val defs: Seq[Q] =
+    Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102)
 }
