@@ -113,7 +113,7 @@ object LineageQueries {
     res.edges.map { case (tgt, e) =>
       (tgt, e.outColumn, e.parentSchema, e.parentTable, e.parentColumn, e.context)
     }.toDF("target", "out_column", "parent_schema", "parent_table", "parent_column", "context")
-      .orderBy("target", "out_column", "context", "parent_schema", "parent_table", "parent_column")
+      .orderBy("target", "out_column", "parent_schema", "parent_table", "parent_column", "context")
   }
 
   private def lineageQ(name: String, caseId: String, oracle: String): Q =

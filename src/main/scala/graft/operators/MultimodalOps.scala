@@ -42,13 +42,13 @@ object MultimodalOps {
   private val q50 = Q(
     "q50_multimodal_meta",
     """WITH meta AS (
-      |  SELECT doc_id, length(text) AS n_bytes,
-      |    list_sum(list_transform(range(1, length(text) + 1),
-      |             i -> CAST(ord(substring(text, i, 1)) AS BIGINT))) % 997 AS checksum,
+      |  SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+      |    CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |             i -> CAST(ord(substring(text, i, 1)) AS BIGINT))) % 997 AS BIGINT) AS checksum,
       |    ord(substring(text, 1, 1)) % 3 AS fb
       |  FROM documents)
       |SELECT doc_id, n_bytes, checksum,
-      |  n_bytes % 640 + 1 AS fake_width,
+      |  CAST(n_bytes % 640 + 1 AS INT) AS fake_width,
       |  CAST(checksum % 480 AS INT) + 1 AS fake_height,
       |  CASE fb WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
       |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -304,9 +304,9 @@ object Relational {
   private val q20 = Q(
     "q20_window_rank",
     """SELECT c_custkey, c_nationkey,
-      |  RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-      |  DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS drnk,
-      |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  CAST(RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS drnk,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val w = Window.partitionBy("c_nationkey")
       .orderBy(col("c_acctbal").desc, col("c_custkey"))

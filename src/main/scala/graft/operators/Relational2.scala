@@ -43,7 +43,7 @@ object Relational2 {
   private val q75 = sqlQ(
     "q75_named_window",
     """SELECT o_orderkey,
-      |  RANK() OVER w AS rnk,
+      |  CAST(RANK() OVER w AS INT) AS rnk,
       |  LAG(o_orderkey) OVER w AS prev_key
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -158,7 +158,7 @@ object Relational2 {
   private val q82 = Q(
     "q82_higher_order",
     """SELECT doc_id,
-      |  list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS sum_word_len,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS sum_word_len,
       |  len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS n_long_words,
       |  len(list_filter(string_split(text, ' '), w -> w = 'spark')) > 0 AS has_spark
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>

@@ -38,7 +38,7 @@ object SketchOps {
       }.mkString("LEAST(", ", ", ")")
       s"""WITH cnt AS ($perRow),
          |probes AS (SELECT unnest(range(1, 21)) AS k)
-         |SELECT k, CAST($probeJoin AS BIGINT) AS est_count
+         |SELECT CAST(k AS INT) AS k, CAST($probeJoin AS BIGINT) AS est_count
          |FROM probes ORDER BY k""".stripMargin
     }) { (s, dir) =>
     Tables.registerAll(s, dir)

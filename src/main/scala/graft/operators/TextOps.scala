@@ -46,13 +46,13 @@ object TextOps {
   private val q41 = Q(
     "q41_text_stats",
     """SELECT doc_id,
-      |  length(text) AS n_chars,
-      |  len(string_split(text, ' ')) AS n_tokens,
-      |  len(list_distinct(string_split(text, ' '))) AS n_types,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS ttr,
-      |  len(list_filter(string_split(text, ' '),
-      |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INT) AS n_stop,
       |  CAST(len(list_filter(string_split(text, ' '),
       |      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
       |    / len(string_split(text, ' ')) AS stop_ratio
@@ -95,8 +95,8 @@ object TextOps {
   private val q43 = Q(
     "q43_token_count",
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS n_ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_re_tokens
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     // Whitespace tokens + a BPE-ish regex tokenizer (letter runs / digit
     // runs / single punctuation) — same pattern class in Java and RE2.
@@ -293,7 +293,7 @@ object TextOps {
        |  SELECT doc_id, ${duckSim("hs1")} AS sim1, ${duckSim("hs2")} AS sim2
        |  FROM wh)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS hamming
+       |  CAST(bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) AS BIGINT) AS hamming
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.sim1, b.sim1)) + bit_count(xor(a.sim2, b.sim2)) <= 3
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>

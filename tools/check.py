@@ -57,6 +57,21 @@ def main():
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
+        # type-strict: the driver hash-compares typed values, so a
+        # HUGEINT/BIGINT-vs-INT oracle mismatch fails there even when the
+        # numeric values are identical. DESCRIBE both sides and compare.
+        try:
+            gt = dict(r[:2] for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall())
+            et = dict(r[:2] for r in con.execute(
+                "DESCRIBE " + oracles[name]).fetchall())
+            tdiff = {c: (gt.get(c), et.get(c)) for c in gt
+                     if gt.get(c) != et.get(c)}
+            if tdiff:
+                print(f"FAIL {name}: column types differ (spark vs oracle): {tdiff}")
+                n_fail += 1; continue
+        except Exception as e:
+            print(f"      {name}: type-check skipped ({e})")
         # align column order by sorted name
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         ei = [exp_cols.index(c) for c in sorted(exp_cols)]
