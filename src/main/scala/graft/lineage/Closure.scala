@@ -1,22 +1,78 @@
 package graft.lineage
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import scala.collection.mutable
 
 /** Transitive closure with distance over lineage edges — the Spark
   * re-design of the reference's downstream-populated summary tables
   * (table_lineage / column_lineage with `distance`,
-  * db_setup_ddl.sql:164-190). Iterative DataFrame self-join to fixpoint;
-  * lineage graphs are metadata-sized, so the loop converges in
-  * graph-diameter steps (SURVEY §7.3).
+  * db_setup_ddl.sql:164-190).
+  *
+  * Lineage graphs are metadata-sized (the reference populates its closure
+  * tables with downstream batch SQL over the edge tables), so the default
+  * path collects the edge list and runs a driver BFS — O(V·E) on a few
+  * thousand rows, no per-iteration Spark jobs, no compounding logical
+  * plans. Edge sets too big to collect fall back to an iterative
+  * self-join with per-iteration `localCheckpoint` (cuts the plan lineage)
+  * and explicit unpersist, so planning cost stays constant per hop.
   */
 object Closure {
+
+  /** Above this many distinct edges, use the distributed fixpoint
+    * instead of collecting to the driver. */
+  val DriverBfsMaxEdges = 2000000L
+
+  private val outSchema = StructType(Seq(
+    StructField("child", StringType),
+    StructField("parent", StringType),
+    StructField("distance", IntegerType)))
 
   /** edges: (child, parent) one-hop pairs.
     * Returns (child, parent, distance) with minimal distance, all hops. */
   def close(edges: DataFrame, maxIters: Int = 20): DataFrame = {
-    val base = edges.select(col("child"), col("parent"))
-      .distinct().withColumn("distance", lit(1))
+    val spark = edges.sparkSession
+    val base = edges.select(col("child").cast("string"), col("parent").cast("string"))
+      .na.drop().distinct()
+    val pairs = base.limit((DriverBfsMaxEdges + 1).toInt).collect()
+    if (pairs.length <= DriverBfsMaxEdges) closeOnDriver(spark, pairs, maxIters)
+    else closeDistributed(base, maxIters)
+  }
+
+  private def closeOnDriver(
+      spark: SparkSession, pairs: Array[Row], maxIters: Int): DataFrame = {
+    val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
+    pairs.foreach { r =>
+      adj.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) += r.getString(1)
+    }
+    val out = mutable.ArrayBuffer.empty[Row]
+    adj.keysIterator.foreach { start =>
+      // BFS from each child: first visit = minimal distance.
+      val dist = mutable.HashMap.empty[String, Int]
+      var frontier = List(start)
+      var d = 0
+      while (frontier.nonEmpty && d < maxIters) {
+        d += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .filter(p => !dist.contains(p))
+          .distinct
+        frontier.foreach { p =>
+          dist(p) = d
+          out += Row(start, p, d)
+        }
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
+  }
+
+  /** Iterative self-join fixpoint for edge sets too large to collect.
+    * localCheckpoint per iteration keeps the plan O(1); superseded
+    * frontiers are unpersisted eagerly. */
+  private def closeDistributed(base0: DataFrame, maxIters: Int): DataFrame = {
+    val base = base0.withColumn("distance", lit(1)).localCheckpoint()
     var acc = base
     var frontier = base
     var i = 0
@@ -28,10 +84,13 @@ object Closure {
           (col("f.distance") + 1).as("distance"))
       val fresh = next.join(acc, Seq("child", "parent"), "left_anti")
         .groupBy("child", "parent").agg(min(col("distance")).as("distance"))
-        .cache()
+        .localCheckpoint() // materializes; cuts lineage; replaces cache+isEmpty job
       if (fresh.isEmpty) done = true
       else {
-        acc = acc.union(fresh)
+        val oldAcc = acc
+        acc = oldAcc.union(fresh).localCheckpoint()
+        oldAcc.unpersist()
+        frontier.unpersist()
         frontier = fresh
       }
       i += 1
