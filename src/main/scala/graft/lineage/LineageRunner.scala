@@ -29,7 +29,8 @@ object LineageRunner {
   final case class Result(
       edges: Seq[(String, ColumnEdge)], // (targetTable or "", edge)
       inserts: Seq[TableInsert],
-      datasets: Seq[DatasetNode])
+      datasets: Seq[DatasetNode],
+      items: Seq[(String, SelectItemNode)] = Seq.empty) // (targetTable or "", item)
 
   def run(spark: SparkSession, script: String): Result = {
     FixtureCatalog.register(spark)
@@ -37,6 +38,7 @@ object LineageRunner {
     val edges = Seq.newBuilder[(String, ColumnEdge)]
     val inserts = Seq.newBuilder[TableInsert]
     val dsNodes = Seq.newBuilder[DatasetNode]
+    val items = Seq.newBuilder[(String, SelectItemNode)]
 
     SqlPreprocessor.preprocess(script).foreach { stmt =>
       val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
@@ -54,6 +56,7 @@ object LineageRunner {
           inserts += TableInsert(db, tbl, "CREATE TABLE AS")
           val analyzed = analyzePermissive(spark, ctas.query)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+          items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
           // Register the created table so later statements resolve it.
           val cols = analyzed.output
             .map(a => s"`${a.name}` ${a.dataType.sql}").mkString(", ")
@@ -70,6 +73,7 @@ object LineageRunner {
             val branch = w.copy(child = ins.query)
             val analyzed = analyzePermissive(spark, branch)
             edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+            items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
           }
 
         case ins: InsertIntoStatement =>
@@ -77,6 +81,7 @@ object LineageRunner {
           inserts += TableInsert(db, tbl, insertType(ins))
           val analyzed = analyzePermissive(spark, ins.query)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
+          items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
 
         case _: DropTable =>
           () // session/bookkeeping; no lineage (SETs die in the preprocessor)
@@ -84,9 +89,10 @@ object LineageRunner {
         case query =>
           val analyzed = analyzePermissive(spark, query)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => "" -> e)
+          items ++= LineageWalker.selectItems(analyzed).map(it => "" -> it)
       }
     }
-    Result(edges.result(), inserts.result(), dsNodes.result())
+    Result(edges.result(), inserts.result(), dsNodes.result(), items.result())
   }
 
   /** Multi-insert branches under a shared FROM (Union of inserts). */

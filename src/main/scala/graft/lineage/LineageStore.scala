@@ -38,6 +38,17 @@ object LineageStore {
       .toDF("sql_source_id", "defined_name", "type", "map_to_schema", "map_to_table")
       .dropDuplicates()
 
+    val items = result.items.map { case (tgt, it) =>
+      (sourceId, tgt, it.name, it.definition, it.alias, it.usageContext,
+        it.isSimpleColumn, it.dataType, it.functionType,
+        it.mapToSchema, it.mapToTable, it.mapToColumn)
+    }.toDF("sql_source_id", "target", "name", "definition", "alias",
+        "usage_context", "is_simple_column", "data_type", "function_type",
+        "map_to_schema", "map_to_table", "map_to_column")
+      .withColumn("id", idOf(col("sql_source_id"), col("target"), col("name"),
+        col("definition"), col("usage_context")))
+      .dropDuplicates("id")
+
     val source = Seq((sourceId, sourceLocator, "SPARK"))
       .toDF("id", "source_locator", "sql_dialect")
 
@@ -45,8 +56,12 @@ object LineageStore {
     datasets.write.mode(SaveMode.Overwrite).parquet(s"$path/dataset")
     edges.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item_rel")
     inserts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_insert")
+    items.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item")
   }
 
   def readEdges(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/select_item_rel")
+
+  def readItems(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/select_item")
 }

@@ -190,6 +190,94 @@ object LineageWalker {
     (selectEdges ++ whereEdges ++ joinEdges).distinct
   }
 
+  /** select_item rows of one statement's top SELECT block (reference
+    * SelectItem semantics, persistable/SelectItem.java:10-29): one item
+    * per output column with definition/alias/data_type/is_simple_column/
+    * function_type, plus one item per WHERE and JOIN predicate
+    * (SqlMetaDataExtractor.java:302-360). data_type and map_to_* are
+    * populated only for direct column references, matching
+    * DatasetPool.java:149-155. */
+  def selectItems(plan: LogicalPlan): Seq[SelectItemNode] = {
+    import org.apache.spark.sql.catalyst.expressions.{GetStructField, Literal, WindowExpression}
+    val query = unwrapCommand(plan)
+    val env = origins(query)
+
+    def defText(e: Expression): String = (e match {
+      case a: AttributeReference => a.name
+      case Alias(c, _) => defText(c)
+      case g: GetStructField =>
+        s"${defText(g.child)}.${g.extractFieldName}"
+      case other => other.sql.replace("`", "")
+    }).take(1024) // reference CONS_COL_DEF_MAXLEN, SqlMetaDataExtractor.java:59
+
+    def stripAlias(e: Expression): Expression = e match {
+      case Alias(c, _) => stripAlias(c)
+      case o => o
+    }
+
+    def fnType(e: Expression): String = {
+      val inner = stripAlias(e)
+      if (inner.exists(_.isInstanceOf[WindowExpression])) "WINDOW"
+      else if (inner.exists(_.isInstanceOf[AggregateExpression])) "AGGREGATION"
+      else inner match {
+        case _: AttributeReference | _: GetStructField | _: Literal => ""
+        case _ => "SCALAR"
+      }
+    }
+
+    def itemOf(ne: NamedExpression): SelectItemNode = {
+      val inner = stripAlias(ne)
+      val simple = inner.isInstanceOf[AttributeReference]
+      val origin = if (simple) {
+        env.getOrElse(inner.asInstanceOf[AttributeReference].exprId, Set.empty).toSeq match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      } else None
+      SelectItemNode(
+        name = ne.name,
+        definition = defText(ne),
+        alias = ne match { case _: Alias => ne.name; case _ => "" },
+        usageContext = "SELECT",
+        isSimpleColumn = simple,
+        dataType = if (simple) ne.dataType.sql else "",
+        functionType = fnType(ne),
+        mapToSchema = origin.map(_._1).getOrElse(""),
+        mapToTable = origin.map(_._2).getOrElse(""),
+        mapToColumn = origin.map(_._3).getOrElse(""))
+    }
+
+    // Top SELECT list: the first Project/Aggregate under the statement's
+    // ordering/limit/alias wrappers (for UNION, positionally the first
+    // branch, like the reference's isUnionBase dataset).
+    @scala.annotation.tailrec
+    def topList(p: LogicalPlan): Seq[NamedExpression] = p match {
+      case pj: Project => pj.projectList
+      case ag: Aggregate => ag.aggregateExpressions
+      case w: WithCTE => topList(w.plan)
+      case u: Union => topList(u.children.head)
+      case d: Distinct => topList(d.child)
+      case s: Sort => topList(s.child)
+      case l: GlobalLimit => topList(l.child)
+      case l: LocalLimit => topList(l.child)
+      case f: Filter => topList(f.child)
+      case sa: SubqueryAlias => topList(sa.child)
+      case other => other.output
+    }
+
+    def predicateItem(cond: Expression, ctx: String): SelectItemNode =
+      SelectItemNode("", defText(cond), "", ctx,
+        isSimpleColumn = false, dataType = "", functionType = "",
+        mapToSchema = "", mapToTable = "", mapToColumn = "")
+
+    val selectRows = topList(query).map(itemOf)
+    val whereRows = query.collect { case f: Filter => predicateItem(f.condition, "WHERE") }
+    val joinRows = query.collect {
+      case j: Join if j.condition.isDefined => predicateItem(j.condition.get, "JOIN")
+    }
+    selectRows ++ whereRows ++ joinRows
+  }
+
   /** Dataset nodes of one statement (reference DatasetType semantics,
     * SURVEY §1.1): TABLE per base relation, CTE per cteDef,
     * LATERAL_VIEW per Generate, SUBQUERY per SELECT block. */

@@ -22,6 +22,26 @@ final case class ColumnEdge(
     parentColumn: String,
     context: String)
 
+/** One select_item row (reference persistable/SelectItem.java:10-29,
+  * DDL db_setup_ddl.sql:65-88): per-column `definition` (≤1024 ch),
+  * `alias`, `data_type` (propagated only for simple column refs,
+  * DatasetPool.java:149-155), `is_simple_column`, and `function_type`
+  * (SCALAR/AGGREGATION/WINDOW — derived from the Catalyst expression
+  * class; the reference declares the enum but never populates it,
+  * FunctionAssesser.java:11-14). WHERE/JOIN predicates are items too,
+  * with the whole condition as `definition`. */
+final case class SelectItemNode(
+    name: String,
+    definition: String,
+    alias: String,
+    usageContext: String,
+    isSimpleColumn: Boolean,
+    dataType: String,
+    functionType: String,
+    mapToSchema: String,
+    mapToTable: String,
+    mapToColumn: String)
+
 /** A dataset node (reference DatasetType: SUBQUERY, CTE, TABLE,
   * LATERAL_VIEW, TEMPORARY_TABLE — persistable/DatasetType.java:3-9). */
 final case class DatasetNode(

@@ -204,6 +204,42 @@ object LineageQueries {
     n.unionByName(e).orderBy("kind", "name", "detail")
   }
 
+  /** select_item node detail (reference select_item table,
+    * db_setup_ddl.sql:65-88): definition/alias/data_type/is_simple/
+    * function_type per output column — validate_0001's name/definition/
+    * data_type pass-through, plus 0002's function + alias items and
+    * 0004's aggregate. */
+  private val q103 = Q("q103_select_items", OracleValues.q103) { (s, _) =>
+    import s.implicits._
+    Seq("0001", "0002", "0004").flatMap { c =>
+      LineageRunner.run(s, scripts(c)).items.map { case (tgt, it) =>
+        (c, it.name, it.definition, it.alias, it.usageContext,
+          it.isSimpleColumn, it.dataType, it.functionType,
+          it.mapToSchema, it.mapToTable, it.mapToColumn)
+      }
+    }.toDF("case_id", "name", "definition", "alias", "usage_context",
+        "is_simple_column", "data_type", "function_type",
+        "map_to_schema", "map_to_table", "map_to_column")
+      .orderBy("case_id", "usage_context", "name", "definition")
+  }
+
+  /** column_lineage summary with distance (reference
+    * db_setup_ddl.sql:178-190): transitive closure over case 0010's
+    * column-level edges — conforming_case_1.col_dummy reaches
+    * dw.tab10.col100l at distance 2 through base_user_team.user_id,
+    * the validate_0002-style multi-hop walk as a persisted summary. */
+  private val q104 = Q("q104_column_lineage", OracleValues.q104) { (s, _) =>
+    import s.implicits._
+    val res = LineageRunner.run(s, scripts("0010"))
+    val colEdges = res.edges.collect {
+      case (tgt, e) if tgt.nonEmpty =>
+        (s"$tgt.${e.outColumn}",
+          s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}")
+    }.distinct.toDF("child", "parent")
+    Closure.close(colEdges)
+      .orderBy("child", "parent", "distance")
+  }
+
   val defs: Seq[Q] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103, q104)
 }

@@ -56,6 +56,54 @@ class LineageSpec extends AnyFunSuite {
     assert(proxies.forall(e => e.parentTable == "tab40")) // not the outer tab10
   }
 
+  test("0001: select_item name/definition/data_type pass-through (validate_0001:2-12)") {
+    val items = LineageRunner.run(spark,
+      graft.operators.LineageQueries.scripts("0001")).items.map(_._2)
+    val sel = items.filter(_.usageContext == "SELECT")
+    assert(sel.size == 4) // si_cnt_match
+    // col_type_match: name = definition, data_type propagated per column
+    val expect = Map("col100l" -> "BIGINT", "col101s" -> "STRING",
+      "col102b" -> "BOOLEAN", "col103i" -> "INT")
+    expect.foreach { case (name, dt) =>
+      assert(sel.exists(i => i.name == name && i.definition == name &&
+        i.dataType == dt && i.isSimpleColumn &&
+        i.mapToSchema == "dw" && i.mapToTable == "tab10" && i.mapToColumn == name),
+        s"missing pass-through item $name:$dt")
+    }
+  }
+
+  test("0002: select_item aliases, function_type and predicate items (validate_0002)") {
+    val items = LineageRunner.run(spark,
+      graft.operators.LineageQueries.scripts("0002")).items.map(_._2)
+    val maxItem = items.find(_.name == "max_int").get
+    assert(maxItem.functionType == "SCALAR" && !maxItem.isSimpleColumn &&
+      maxItem.alias == "max_int")
+    val ynFlag = items.find(_.name == "yn_flag").get
+    assert(ynFlag.isSimpleColumn && ynFlag.definition == "col102b" &&
+      ynFlag.dataType == "BOOLEAN" && ynFlag.mapToColumn == "col102b")
+    assert(items.count(_.usageContext == "JOIN") == 3)
+    assert(items.count(_.usageContext == "WHERE") == 2)
+  }
+
+  test("0004: count(1) is an AGGREGATION select_item") {
+    val items = LineageRunner.run(spark,
+      graft.operators.LineageQueries.scripts("0004")).items.map(_._2)
+    assert(items.exists(i => i.name == "cnt" && i.functionType == "AGGREGATION"))
+  }
+
+  test("column closure: col_dummy reaches dw.tab10.col100l at distance 2 (validate_0002-style)") {
+    import spark.implicits._
+    val res = LineageRunner.run(spark, graft.operators.LineageQueries.scripts("0010"))
+    val colEdges = res.edges.collect {
+      case (tgt, e) if tgt.nonEmpty =>
+        (s"$tgt.${e.outColumn}", s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}")
+    }.distinct.toDF("child", "parent")
+    val closed = Closure.close(colEdges).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(closed.contains(
+      ("default.conforming_case_1.col_dummy", "dw.tab10.col100l", 2)))
+  }
+
   test("preprocessor: hiveconf substitution and statement handling") {
     val out = SqlPreprocessor.preprocess(
       """set hiveconf:tbl=dw.tab10;
