@@ -20,10 +20,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          failed += name
+          false
+        }
+      // A crashed query reports the negative of its wall time so it can't
+      // masquerade as a fast success in the JSON line.
+      val dt = (System.nanoTime() - t0) / 1e9 * (if (ok) 1 else -1)
       // Drop cached relations + let the ContextCleaner reap broadcasts so
       // one query's residue doesn't bill the next (local-mode GC noise).
       // The explicit GC drives the weak-reference ContextCleaner promptly;
@@ -35,8 +43,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
+    val errs = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,21 @@ object LineageRunner {
       datasets: Seq[DatasetNode],
       items: Seq[(String, SelectItemNode)] = Seq.empty) // (targetTable or "", item)
 
-  def run(spark: SparkSession, script: String): Result = {
+  /** Registered physical columns of a created table become TABLE-dataset
+    * select_item rows (reference visitCreate_table_columns,
+    * SqlMetaDataExtractor.java:754-792) — the rows the local metastore
+    * fallback later reconstructs schemas from. */
+  private def tableItems(
+      db: String, tbl: String, cols: Seq[(String, String)]): Seq[(String, SelectItemNode)] =
+    cols.map { case (name, dt) =>
+      s"$db.$tbl" -> SelectItemNode(name, name, "", "SELECT",
+        isSimpleColumn = true, dataType = dt, functionType = "",
+        mapToSchema = db, mapToTable = tbl, mapToColumn = name,
+        datasetType = "TABLE")
+    }
+
+  def run(spark: SparkSession, script: String,
+      metaStore: Option[MetaStore] = None): Result = {
     FixtureCatalog.register(spark)
     spark.sql("USE default")
     val edges = Seq.newBuilder[(String, ColumnEdge)]
@@ -50,13 +64,16 @@ object LineageRunner {
           val (db, tbl) = identOf(spark, ct.name)
           registerParsedTable(spark, db, tbl, ct)
           dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+          items ++= tableItems(db, tbl, ct.columns.map(c => c.name -> c.dataType.sql))
 
         case ctas: CreateTableAsSelect =>
           val (db, tbl) = identOf(spark, ctas.name)
           inserts += TableInsert(db, tbl, "CREATE TABLE AS")
-          val analyzed = analyzePermissive(spark, ctas.query)
+          val analyzed = analyzePermissive(spark, ctas.query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
           items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
+          items ++= tableItems(db, tbl,
+            analyzed.output.map(a => a.name -> a.dataType.sql))
           // Register the created table so later statements resolve it.
           val cols = analyzed.output
             .map(a => s"`${a.name}` ${a.dataType.sql}").mkString(", ")
@@ -71,7 +88,7 @@ object LineageRunner {
             val (db, tbl) = insertTarget(spark, ins)
             inserts += TableInsert(db, tbl, insertType(ins))
             val branch = w.copy(child = ins.query)
-            val analyzed = analyzePermissive(spark, branch)
+            val analyzed = analyzePermissive(spark, branch, metaStore)
             edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
             items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
           }
@@ -79,7 +96,7 @@ object LineageRunner {
         case ins: InsertIntoStatement =>
           val (db, tbl) = insertTarget(spark, ins)
           inserts += TableInsert(db, tbl, insertType(ins))
-          val analyzed = analyzePermissive(spark, ins.query)
+          val analyzed = analyzePermissive(spark, ins.query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
           items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
 
@@ -87,7 +104,7 @@ object LineageRunner {
           () // session/bookkeeping; no lineage (SETs die in the preprocessor)
 
         case query =>
-          val analyzed = analyzePermissive(spark, query)
+          val analyzed = analyzePermissive(spark, query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => "" -> e)
           items ++= LineageWalker.selectItems(analyzed).map(it => "" -> it)
       }
@@ -144,7 +161,8 @@ object LineageRunner {
     * Bingql.g4:1436-1442, README.md:80) are shimmed with a pass-through
     * preserving argument references, then resolution is retried.
     */
-  def analyzePermissive(spark: SparkSession, plan: LogicalPlan): LogicalPlan = {
+  def analyzePermissive(spark: SparkSession, plan: LogicalPlan,
+      metaStore: Option[MetaStore] = None): LogicalPlan = {
     // LookupFunctions throws from a RESOLUTION batch (not CheckAnalysis),
     // so unknown functions surface as exceptions even under
     // analyzer.execute — catch, shim, retry.
@@ -152,7 +170,32 @@ object LineageRunner {
     var attempt = 0
     while (true) {
       try {
-        return spark.sessionState.analyzer.execute(plan)
+        // Re-analysis of the SAME plan object after a failed relation
+        // lookup stays unresolved (a per-node memo survives the first
+        // execute); clone() yields a fresh tree the analyzer fully
+        // re-resolves, so catalog changes between attempts take effect.
+        val analyzed = spark.sessionState.analyzer.execute(plan.clone())
+        // Missing relations do NOT throw from analyzer.execute (only
+        // CheckAnalysis reports them) — the node just stays unresolved.
+        // Resolve its schema from the pluggable metastore, register, and
+        // re-analyze (reference lookup-then-cache flow,
+        // SqlMetaDataExtractor.java:898-929).
+        val missing = analyzed.collectFirst { case u: UnresolvedRelation => u }
+        missing match {
+          case Some(u) if metaStore.isDefined && attempt < 8 =>
+            val parts = u.multipartIdentifier
+            val (db, tbl) =
+              if (parts.length >= 2) (parts.dropRight(1).mkString("."), parts.last)
+              else (spark.catalog.currentDatabase, parts.last)
+            metaStore.get.lookup(db, tbl) match {
+              case Some(cols) =>
+                FixtureCatalog.ensureTable(spark, db, tbl,
+                  cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+                attempt += 1
+              case None => return analyzed // permissive: leave unresolved
+            }
+          case _ => return analyzed
+        }
       } catch {
         case e: org.apache.spark.sql.AnalysisException
           if attempt < 8 && e.getMessage != null &&

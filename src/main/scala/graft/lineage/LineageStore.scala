@@ -41,12 +41,12 @@ object LineageStore {
     val items = result.items.map { case (tgt, it) =>
       (sourceId, tgt, it.name, it.definition, it.alias, it.usageContext,
         it.isSimpleColumn, it.dataType, it.functionType,
-        it.mapToSchema, it.mapToTable, it.mapToColumn)
+        it.mapToSchema, it.mapToTable, it.mapToColumn, it.datasetType)
     }.toDF("sql_source_id", "target", "name", "definition", "alias",
         "usage_context", "is_simple_column", "data_type", "function_type",
-        "map_to_schema", "map_to_table", "map_to_column")
+        "map_to_schema", "map_to_table", "map_to_column", "ds_type")
       .withColumn("id", idOf(col("sql_source_id"), col("target"), col("name"),
-        col("definition"), col("usage_context")))
+        col("definition"), col("usage_context"), col("ds_type")))
       .dropDuplicates("id")
 
     val source = Seq((sourceId, sourceLocator, "SPARK"))

@@ -40,7 +40,12 @@ final case class SelectItemNode(
     functionType: String,
     mapToSchema: String,
     mapToTable: String,
-    mapToColumn: String)
+    mapToColumn: String,
+    /** Type of the owning dataset: SUBQUERY for query select lists,
+      * TABLE for registered physical columns (created tables) — the
+      * reference joins select_item to dataset for exactly this
+      * distinction (LocalHiveMetaStore.java:35-38). */
+    datasetType: String = "SUBQUERY")
 
 /** A dataset node (reference DatasetType: SUBQUERY, CTE, TABLE,
   * LATERAL_VIEW, TEMPORARY_TABLE — persistable/DatasetType.java:3-9). */

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Q
-import graft.lineage.{Closure, LineageRunner}
+import graft.lineage.{Closure, ExternalParquetMetaStore, LineageRunner, LineageStore, LocalLineageMetaStore, MetaStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -240,6 +240,41 @@ object LineageQueries {
       .orderBy("child", "parent", "distance")
   }
 
+  /** Pluggable schema sources (reference metastore services): a table
+    * unknown to the session catalog is resolved on demand — from parquet
+    * footers (ExternalHiveMetaStore's JDBC metastore scan re-expressed
+    * file-first) or from previously-persisted select_item rows of TABLE
+    * datasets (LocalHiveMetaStore) — then cached in the catalog
+    * (lookup-then-cache, SqlMetaDataExtractor.java:898-929). */
+  private val q105 = Q("q105_metastore_schemas", OracleValues.q105) { (s, dir) =>
+    import s.implicits._
+    // Persist case 0006's lineage: the CTAS registers adhoc.test_tab101
+    // as TABLE-dataset select_items (col103i INT, base_cnt BIGINT).
+    val store = "/tmp/graft_metastore_q105"
+    val res6 = LineageRunner.run(s, scripts("0006"))
+    LineageStore.write(s, "0006.sql", res6, s"$store/0006")
+    // Drop both targets so their schemas exist ONLY in the stores.
+    s.sql("DROP TABLE IF EXISTS adhoc.test_tab101")
+    s.sql("CREATE DATABASE IF NOT EXISTS main LOCATION 'file:///tmp/graft_wh/main.db'")
+    s.sql("DROP TABLE IF EXISTS main.documents")
+    val ms = MetaStore.chain(
+      new ExternalParquetMetaStore(s, dir),
+      new LocalLineageMetaStore(s, s"$store/0006/select_item"))
+    val eLocal = LineageRunner.run(s,
+      "SELECT col103i, base_cnt FROM adhoc.test_tab101 WHERE base_cnt > 0;",
+      Some(ms)).edges
+    val eExt = LineageRunner.run(s,
+      "SELECT doc_id, lang FROM main.documents WHERE doc_id < 5;",
+      Some(ms)).edges
+    (eLocal.map(e => "local" -> e._2) ++ eExt.map(e => "external" -> e._2)).map {
+      case (src, e) =>
+        (src, e.outColumn, e.parentSchema, e.parentTable, e.parentColumn, e.context)
+    }.toDF("resolved_via", "out_column", "parent_schema", "parent_table",
+        "parent_column", "context")
+      .orderBy("resolved_via", "out_column", "parent_schema", "parent_table",
+        "parent_column", "context")
+  }
+
   val defs: Seq[Q] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103, q104)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103, q104, q105)
 }

@@ -64,23 +64,34 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyB.eval(lRow)
         val lt = lTimeB.eval(lRow)
-        // Advance the right side while its (key, time) <= (lk, lt).
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head)
-          val rt = rTimeB.eval(head)
-          val cmpK = keyOrd.compare(rk, lk)
-          if (cmpK < 0 || (cmpK == 0 && timeOrd.compare(rt, lt) <= 0)) {
-            if (cmpK == 0) {
-              lastKey = rk; lastTime = rt; lastRow = head.copy()
+        if (lk == null || lt == null) {
+          // SQL join null semantics: a null key/time never matches —
+          // emit unmatched without consulting the (null-intolerant)
+          // orderings or disturbing the merge cursor.
+          outProj(joined(lRow, rightNulls))
+        } else {
+          // Advance the right side while its (key, time) <= (lk, lt).
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKeyB.eval(head)
+            val rt = rTimeB.eval(head)
+            if (rk == null || rt == null) {
+              rBuf.next() // null-keyed right rows can never match anyone
+            } else {
+              val cmpK = keyOrd.compare(rk, lk)
+              if (cmpK < 0 || (cmpK == 0 && timeOrd.compare(rt, lt) <= 0)) {
+                if (cmpK == 0) {
+                  lastKey = rk; lastTime = rt; lastRow = head.copy()
+                }
+                rBuf.next()
+              } else advancing = false
             }
-            rBuf.next()
-          } else advancing = false
+          }
+          val matched = lastRow != null && keyOrd.compare(lastKey, lk) == 0 &&
+            timeOrd.compare(lastTime, lt) <= 0
+          outProj(joined(lRow, if (matched) lastRow else rightNulls))
         }
-        val matched = lastRow != null && keyOrd.compare(lastKey, lk) == 0 &&
-          timeOrd.compare(lastTime, lt) <= 0
-        outProj(joined(lRow, if (matched) lastRow else rightNulls))
       }
     }
   }

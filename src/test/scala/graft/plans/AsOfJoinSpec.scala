@@ -26,6 +26,26 @@ class AsOfJoinSpec extends AnyFunSuite {
       (3L, 5L, "l4", "-")))   // no right key -> null
   }
 
+  test("asof join treats null keys/times as unmatched, not a crash") {
+    val left = Seq(
+      (Option(1L), Option(10L), "ok"),
+      (Option.empty[Long], Option(10L), "nullkey"),
+      (Option(1L), Option.empty[Long], "nulltime"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(5L), "r-a"),
+      (Option.empty[Long], Option(1L), "r-nullk"),
+      (Option(1L), Option.empty[Long], "r-nullt"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOfJoinApi.asofJoin(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rtag")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"))).toSet
+    assert(got == Set(
+      ("ok", "r-a"),        // normal match survives the null traffic
+      ("nullkey", "-"),     // null left key -> unmatched row, not an NPE
+      ("nulltime", "-")))   // null left time -> unmatched row
+  }
+
   test("asof join handles many left rows per key monotonically") {
     val left = (1L to 100L).map(i => (7L, i)).toDF("k", "t")
     val right = Seq((7L, 10L, "early"), (7L, 50L, "late")).toDF("rk", "rt", "rtag")
