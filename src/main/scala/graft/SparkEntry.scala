@@ -16,7 +16,7 @@ object SparkEntry {
       operators.Relational3.defs ++ operators.TextOps.defs ++
       operators.VectorOps.defs ++ operators.LineageQueries.defs ++
       operators.MultimodalOps.defs ++ operators.AsOfOps.defs ++
-      operators.SketchOps.defs ++
+      operators.SketchOps.defs ++ operators.SourceOps.defs ++
       streaming.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

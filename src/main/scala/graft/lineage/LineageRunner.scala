@@ -1,9 +1,11 @@
 package graft.lineage
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier, UnresolvedPartitionSpec, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Expression}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.CreateTableLikeCommand
 import org.apache.spark.sql.types.StringType
 
 /** Script-level lineage extraction — the Spark-first equivalent of the
@@ -30,7 +32,9 @@ object LineageRunner {
       edges: Seq[(String, ColumnEdge)], // (targetTable or "", edge)
       inserts: Seq[TableInsert],
       datasets: Seq[DatasetNode],
-      items: Seq[(String, SelectItemNode)] = Seq.empty) // (targetTable or "", item)
+      items: Seq[(String, SelectItemNode)] = Seq.empty, // (targetTable or "", item)
+      addPartitions: Seq[AddPartitionEvent] = Seq.empty,
+      drops: Seq[TableDrop] = Seq.empty)
 
   /** Registered physical columns of a created table become TABLE-dataset
     * select_item rows (reference visitCreate_table_columns,
@@ -50,9 +54,16 @@ object LineageRunner {
     FixtureCatalog.register(spark)
     spark.sql("USE default")
     val edges = Seq.newBuilder[(String, ColumnEdge)]
-    val inserts = Seq.newBuilder[TableInsert]
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[TableInsert]
     val dsNodes = Seq.newBuilder[DatasetNode]
     val items = Seq.newBuilder[(String, SelectItemNode)]
+    val addParts = Seq.newBuilder[AddPartitionEvent]
+    val drops = Seq.newBuilder[TableDrop]
+    // Same-script DROP bookkeeping (reference droppedTables,
+    // SqlMetaDataExtractor.java:46,637,894) + CREATE ... LOCATION capture
+    // for later ALTER ADD PARTITION default locations.
+    val droppedTables = scala.collection.mutable.HashSet.empty[String]
+    val storageLocs = scala.collection.mutable.HashMap.empty[String, String]
 
     SqlPreprocessor.preprocess(script).foreach { stmt =>
       val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
@@ -63,11 +74,19 @@ object LineageRunner {
         case ct: CreateTable =>
           val (db, tbl) = identOf(spark, ct.name)
           registerParsedTable(spark, db, tbl, ct)
-          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+          val loc = ct.tableSpec match {
+            case u: UnresolvedTableSpec => u.location.getOrElse("")
+            case t: TableSpec => t.location.getOrElse("")
+            case _ => ""
+          }
+          if (loc.nonEmpty) storageLocs(s"$db.$tbl") = loc
+          droppedTables -= s"$db.$tbl"
+          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl, storageLoc = loc)
           items ++= tableItems(db, tbl, ct.columns.map(c => c.name -> c.dataType.sql))
 
         case ctas: CreateTableAsSelect =>
           val (db, tbl) = identOf(spark, ctas.name)
+          droppedTables -= s"$db.$tbl"
           inserts += TableInsert(db, tbl, "CREATE TABLE AS")
           val analyzed = analyzePermissive(spark, ctas.query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
@@ -100,8 +119,73 @@ object LineageRunner {
           edges ++= LineageWalker.edgesOf(analyzed).map(e => s"$db.$tbl" -> e)
           items ++= LineageWalker.selectItems(analyzed).map(it => s"$db.$tbl" -> it)
 
-        case _: DropTable =>
-          () // session/bookkeeping; no lineage (SETs die in the preprocessor)
+        case d: DropTable =>
+          // Reference removeTable (LineageDbService.java:274-287): purge
+          // this job's table_insert rows for the table and remember the
+          // drop so a later same-script CREATE sees it gone.
+          val (db, tbl) = d.child match {
+            case u: UnresolvedTableOrView => qualify(spark, u.multipartIdentifier)
+            case u: UnresolvedIdentifier => qualify(spark, u.nameParts)
+            case other => ("", other.nodeName)
+          }
+          inserts.filterInPlace(t => !(t.dbSchema == db && t.dbTable == tbl))
+          droppedTables += s"$db.$tbl"
+          drops += TableDrop(db, tbl)
+          spark.sql(s"DROP TABLE IF EXISTS `$db`.`$tbl`")
+
+        case ap: AddPartitions =>
+          // Reference visitAlter_table_stmt (SqlMetaDataExtractor.java:
+          // 848-869): only ADD PARTITION matters — record a
+          // table_add_partition event carrying the partition LOCATION,
+          // falling back to the table's storage location.
+          val (db, tbl) = ap.table match {
+            case u: UnresolvedTable => qualify(spark, u.multipartIdentifier)
+            case other => ("", other.nodeName)
+          }
+          val tableLoc = storageLocs.getOrElse(s"$db.$tbl",
+            try spark.sessionState.catalog
+              .getTableMetadata(TableIdentifier(tbl, Some(db)))
+              .storage.locationUri.map(_.toString).getOrElse("")
+            catch { case _: Exception => "" })
+          ap.parts.foreach {
+            case p: UnresolvedPartitionSpec =>
+              addParts += AddPartitionEvent(db, tbl, p.location.getOrElse(tableLoc))
+            case _ =>
+              addParts += AddPartitionEvent(db, tbl, tableLoc)
+          }
+
+        case like: CreateTableLikeCommand =>
+          // CREATE TABLE ... LIKE: clone the source schema
+          // (reference create_table_like_clause, Bingql.g4; the clone is
+          // a TABLE dataset whose columns map to itself, not the source —
+          // LIKE copies structure, not data lineage).
+          val (db, tbl) = (like.targetTable.database
+            .getOrElse(spark.catalog.currentDatabase), like.targetTable.table)
+          val srcDf = spark.table(like.sourceTable.quotedString)
+          val cols = srcDf.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+          FixtureCatalog.ensureTable(spark, db, tbl,
+            cols.map { case (n, t) => s"`$n` $t" }.mkString(", "))
+          droppedTables -= s"$db.$tbl"
+          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+          items ++= tableItems(db, tbl, cols)
+
+        case dir: InsertIntoDir =>
+          // INSERT OVERWRITE [LOCAL] DIRECTORY '<path>': lineage lands on
+          // the directory as the write target (reference grammar
+          // Bingql.g4:695-697; parse-only there, executed here).
+          val path = dir.storage.locationUri.map(_.toString).getOrElse("")
+          val tgt = s"dir:$path"
+          inserts += TableInsert("", tgt,
+            if (dir.isLocal) "INSERT OVERWRITE LOCAL DIRECTORY"
+            else "INSERT OVERWRITE DIRECTORY")
+          val analyzed = analyzePermissive(spark, dir.child, metaStore)
+          edges ++= LineageWalker.edgesOf(analyzed).map(e => tgt -> e)
+          items ++= LineageWalker.selectItems(analyzed).map(it => tgt -> it)
+
+        case _: ShowTables | _: DescribeRelation | _: ShowPartitions |
+            _: TruncateTable | _: ShowColumns =>
+          () // introspection/maintenance: routed, no lineage (reference
+             // parses and skips these, BatchProcessor skip-routing)
 
         case query =>
           val analyzed = analyzePermissive(spark, query, metaStore)
@@ -109,7 +193,8 @@ object LineageRunner {
           items ++= LineageWalker.selectItems(analyzed).map(it => "" -> it)
       }
     }
-    Result(edges.result(), inserts.result(), dsNodes.result(), items.result())
+    Result(edges.result(), inserts.toSeq, dsNodes.result(), items.result(),
+      addParts.result(), drops.result())
   }
 
   /** Multi-insert branches under a shared FROM (Union of inserts). */

@@ -34,9 +34,21 @@ object LineageStore {
     val inserts = result.inserts.map(t => (sourceId, t.dbSchema, t.dbTable, t.insertType))
       .toDF("sql_source_id", "db_schema", "db_table", "type")
 
-    val datasets = result.datasets.map(d => (sourceId, d.name, d.dsType, d.schema, d.table))
-      .toDF("sql_source_id", "defined_name", "type", "map_to_schema", "map_to_table")
+    val datasets = result.datasets.map(d =>
+      (sourceId, d.name, d.dsType, d.schema, d.table, d.isAggregated, d.storageLoc))
+      .toDF("sql_source_id", "defined_name", "type", "map_to_schema",
+        "map_to_table", "is_aggregated", "storage_loc")
       .dropDuplicates()
+
+    // ALTER TABLE ADD PARTITION events (reference table_add_partition,
+    // LineageDbService.recordAlter :242-258; INSERT IGNORE → content id +
+    // dropDuplicates).
+    val addParts = result.addPartitions.map(p =>
+      (sourceId, p.dbSchema, p.dbTable, p.location))
+      .toDF("sql_source_id", "db_schema", "db_table", "location")
+      .withColumn("id", idOf(col("sql_source_id"), col("db_schema"),
+        col("db_table"), col("location")))
+      .dropDuplicates("id")
 
     val items = result.items.map { case (tgt, it) =>
       (sourceId, tgt, it.name, it.definition, it.alias, it.usageContext,
@@ -53,6 +65,7 @@ object LineageStore {
       .toDF("id", "source_locator", "sql_dialect")
 
     source.write.mode(SaveMode.Overwrite).parquet(s"$path/sql_source")
+    addParts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_add_partition")
     datasets.write.mode(SaveMode.Overwrite).parquet(s"$path/dataset")
     edges.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item_rel")
     inserts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_insert")

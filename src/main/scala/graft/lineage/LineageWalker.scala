@@ -314,6 +314,16 @@ object LineageWalker {
     val nodes = Seq.newBuilder[DatasetNode]
     val edges = Seq.newBuilder[(String, String)]
 
+    /** Does this scope aggregate? True iff an Aggregate appears before
+      * the next scope boundary (SubqueryAlias/CTE ref) — sets the
+      * reference's declared-but-never-populated is_aggregated flag
+      * (TODO at SqlMetaDataExtractor.java:942). */
+    def hasAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case _: SubqueryAlias | _: CTERelationRef => false
+      case other => other.children.exists(hasAgg)
+    }
+
     /** Returns the dataset name this subtree presents to its consumer. */
     def walk(p: LogicalPlan, scopeName: String): Seq[String] = p match {
       case lr: LogicalRelation =>
@@ -336,7 +346,8 @@ object LineageWalker {
               case _: CTERelationRef => "CTE"
               case _ => "SUBQUERY"
             }
-            nodes += DatasetNode(sa.alias, dsType, "", "")
+            nodes += DatasetNode(sa.alias, dsType, "", "",
+              isAggregated = hasAgg(sa.child))
             walk(sa.child, sa.alias).foreach(par => edges += sa.alias -> par)
             Seq(sa.alias)
         }
@@ -344,7 +355,8 @@ object LineageWalker {
         w.cteDefs.foreach { d =>
           val name = d.child.collectFirst { case s: SubqueryAlias => s.alias }
             .getOrElse(s"cte_${d.id}")
-          nodes += DatasetNode(name, "CTE", "", "")
+          nodes += DatasetNode(name, "CTE", "", "",
+            isAggregated = hasAgg(d.child))
           walk(d.child match {
             case s: SubqueryAlias => s.child
             case other => other
@@ -363,7 +375,7 @@ object LineageWalker {
     }
 
     val rootName = "_root_"
-    nodes += DatasetNode(rootName, "SUBQUERY", "", "")
+    nodes += DatasetNode(rootName, "SUBQUERY", "", "", isAggregated = hasAgg(query))
     walk(query, rootName).foreach(par => edges += rootName -> par)
     (nodes.result().distinct, edges.result().distinct)
   }

@@ -48,12 +48,36 @@ final case class SelectItemNode(
     datasetType: String = "SUBQUERY")
 
 /** A dataset node (reference DatasetType: SUBQUERY, CTE, TABLE,
-  * LATERAL_VIEW, TEMPORARY_TABLE — persistable/DatasetType.java:3-9). */
+  * LATERAL_VIEW, TEMPORARY_TABLE — persistable/DatasetType.java:3-9).
+  *
+  * `isAggregated` closes a declared-but-never-set reference field (TODO
+  * at SqlMetaDataExtractor.java:942) — trivially known here because the
+  * scope's Catalyst subtree either contains an `Aggregate` or it
+  * doesn't. `storageLoc` mirrors Dataset.storage_loc
+  * (persistable/Dataset.java:18-38), captured from CREATE/ALTER
+  * LOCATION clauses. */
 final case class DatasetNode(
     name: String,
     dsType: String,
     schema: String,
-    table: String)
+    table: String,
+    isAggregated: Boolean = false,
+    storageLoc: String = "")
+
+/** An ALTER TABLE ADD PARTITION event (reference table_add_partition,
+  * LineageDbService.recordAlter, LineageDbService.java:242-258): links
+  * tables via storage location. */
+final case class AddPartitionEvent(
+    dbSchema: String,
+    dbTable: String,
+    location: String)
+
+/** A DROP TABLE event. The reference deletes the job's table_insert
+  * rows and remembers the name so a same-script CREATE sees it gone
+  * (SqlMetaDataExtractor.java:888-896, droppedTables at :46). */
+final case class TableDrop(
+    dbSchema: String,
+    dbTable: String)
 
 /** A recorded INSERT/CTAS target (reference table_insert,
   * LineageDbService.java:185-198). */

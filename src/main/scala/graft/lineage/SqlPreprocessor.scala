@@ -74,13 +74,26 @@ object SqlPreprocessor {
     cur
   }
 
-  /** Token-level dialect rewrites (SURVEY §7.3). */
+  /** Token-level dialect rewrites (SURVEY §7.3): the reference's grammar
+    * accepts Teradata/T-SQL spellings (`SEL`, `TOP n` — Bingql.g4:967-969)
+    * that Spark's parser doesn't; rewrite them to ANSI before parsing. */
   def rewriteDialect(sql: String): String = {
     // 2-arg max/min → greatest/least. A light regex is enough for the
     // reference corpus: max(ident, ident) with simple args.
     val twoArgMax = """(?i)\bmax\s*\(\s*([\w.`]+)\s*,\s*([\w.`]+)\s*\)""".r
     val twoArgMin = """(?i)\bmin\s*\(\s*([\w.`]+)\s*,\s*([\w.`]+)\s*\)""".r
     val s1 = twoArgMax.replaceAllIn(sql, m => s"greatest(${m.group(1)}, ${m.group(2)})")
-    twoArgMin.replaceAllIn(s1, m => s"least(${m.group(1)}, ${m.group(2)})")
+    val s2 = twoArgMin.replaceAllIn(s1, m => s"least(${m.group(1)}, ${m.group(2)})")
+    // Teradata SEL → SELECT (statement-leading only).
+    val s3 = """(?is)^\s*sel\b""".r.replaceAllIn(s2, "SELECT")
+    // T-SQL `SELECT TOP n ...` → `SELECT ... LIMIT n` (no existing LIMIT;
+    // TOP binds to the outermost select, which is all the reference
+    // grammar accepts at that position).
+    val topRe = """(?is)^(\s*select\s+)top\s+(\d+)\s+(.*)$""".r
+    s3 match {
+      case topRe(head, n, rest) if !rest.toLowerCase.contains("limit") =>
+        s"$head$rest LIMIT $n"
+      case other => other
+    }
   }
 }

@@ -275,6 +275,165 @@ object LineageQueries {
         "parent_column", "context")
   }
 
+  /** DDL bookkeeping end-to-end (reference visitAlter_table_stmt /
+    * visitDrop_table / recordAlter / removeTable,
+    * SqlMetaDataExtractor.java:848-896, LineageDbService.java:242-287):
+    * CREATE ... LOCATION captures storage_loc; ALTER TABLE ADD PARTITION
+    * records a table_add_partition event (explicit LOCATION or the
+    * table's); CREATE TABLE LIKE clones a schema; DROP TABLE purges the
+    * script's prior table_insert rows and a later CREATE re-registers;
+    * SHOW/DESCRIBE route as no-lineage introspection. The result is
+    * persisted to the parquet store and read back, verifying the
+    * bookkeeping survives the round trip. */
+  private val q106 = Q("q106_ddl_bookkeeping", OracleValues.q106) { (s, _) =>
+    import s.implicits._
+    val script =
+      """use dw;
+        |create table part_tab (a int, b string) partitioned by (dt string) stored as parquet location 's3://warehouse/part_tab';
+        |alter table part_tab add partition (dt='2020-01-01') location 's3://warehouse/part_tab/dt=2020-01-01';
+        |alter table part_tab add if not exists partition (dt='2020-01-02');
+        |create table clone_tab like dw.tab10;
+        |show tables;
+        |describe dw.tab10;
+        |create table tmp_del as select col100l from dw.tab10;
+        |insert into table tmp_del select col200l as col100l from dw.tab20;
+        |drop table tmp_del;
+        |create table tmp_del as select col300l as col100l from stage.tab30;""".stripMargin
+    val res = LineageRunner.run(s, script)
+    val store = "/tmp/graft_ddl_store"
+    LineageStore.write(s, "ddl.sql", res, store)
+    val inserts = s.read.parquet(s"$store/table_insert")
+      .select(lit("insert").as("kind"),
+        concat_ws(".", col("db_schema"), col("db_table")).as("name"),
+        col("type").as("detail"), lit("").as("extra"))
+    val parts = s.read.parquet(s"$store/table_add_partition")
+      .select(lit("add_partition").as("kind"),
+        concat_ws(".", col("db_schema"), col("db_table")).as("name"),
+        col("location").as("detail"), lit("").as("extra"))
+    val datasets = s.read.parquet(s"$store/dataset")
+      .select(lit("dataset").as("kind"), col("defined_name").as("name"),
+        col("type").as("detail"), col("storage_loc").as("extra"))
+    val dropRows = res.drops.map(d => ("drop", s"${d.dbSchema}.${d.dbTable}", "", ""))
+      .toDF("kind", "name", "detail", "extra")
+    inserts.unionByName(parts).unionByName(datasets).unionByName(dropRows)
+      .orderBy("kind", "name", "detail", "extra")
+  }
+
+  /** INSERT OVERWRITE [LOCAL] DIRECTORY: lineage lands on the directory
+    * path as the write target (reference insert_directory_stmt,
+    * Bingql.g4:695-697 — parse-only there, extracted here). */
+  private val q107 = Q("q107_insert_overwrite_dir", OracleValues.q107) { (s, _) =>
+    import s.implicits._
+    val res = LineageRunner.run(s,
+      """insert overwrite directory '/tmp/graft_iod'
+        |select col100l, col101s from dw.tab10 where col103i > 0;""".stripMargin)
+    val ins = res.inserts.map(t => ("insert", t.dbTable, t.insertType, "", ""))
+    val edg = res.edges.map { case (tgt, e) =>
+      ("edge", tgt, e.outColumn, s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}",
+        e.context)
+    }
+    (ins ++ edg).toDF("kind", "target", "a", "b", "c")
+      .orderBy("kind", "target", "a", "b", "c")
+  }
+
+  /** is_aggregated per dataset scope (closing the reference's
+    * declared-but-never-set flag, TODO at SqlMetaDataExtractor.java:942):
+    * an Aggregate in the scope's Catalyst subtree marks the dataset. */
+  private val q108 = Q("q108_dataset_aggregated", OracleValues.q108) { (s, _) =>
+    import s.implicits._
+    Seq("0002", "0006", "0008").flatMap { c =>
+      graft.lineage.FixtureCatalog.register(s)
+      s.sql("USE default")
+      val stmts = graft.lineage.SqlPreprocessor.preprocess(scripts(c))
+      stmts.init.foreach(s.sql(_)) // any leading USE statements
+      val plan = LineageRunner.analyzePermissive(
+        s, s.sessionState.sqlParser.parsePlan(stmts.last))
+      val (nodes, _) = graft.lineage.LineageWalker.datasetGraph(plan)
+      nodes.map(d => (c, d.name, d.dsType, d.isAggregated))
+    }.toDF("case_id", "name", "ds_type", "is_aggregated")
+      .orderBy("case_id", "name", "ds_type", "is_aggregated")
+  }
+
+  /** Teradata/T-SQL dialect rewrites (reference grammar accepts SEL and
+    * TOP n, Bingql.g4:967-969; Spark's parser doesn't): the preprocessor
+    * rewrites them to ANSI (`SEL`→`SELECT`, `SELECT TOP n ...`→
+    * `SELECT ... LIMIT n`), then lineage extraction proceeds normally. */
+  private val q109 = Q("q109_dialect_topsel", OracleValues.q109) { (s, _) =>
+    import s.implicits._
+    val res = LineageRunner.run(s,
+      "SEL TOP 5 col100l, col101s FROM dw.tab10 WHERE col103i > 0;")
+    val rewritten = graft.lineage.SqlPreprocessor.preprocess(
+      "SEL TOP 5 col100l FROM dw.tab10;").head
+    res.edges.map { case (_, e) =>
+      ("edge", e.outColumn, s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}",
+        e.context)
+    }.:+(("rewrite", rewritten, "", ""))
+      .toDF("kind", "a", "b", "c")
+      .orderBy("kind", "a", "b", "c")
+  }
+
+  /** Airflow operational-info routing (reference OperationalInfoStore +
+    * BatchProcessor.inferContext, BatchProcessor.java:300-322): a
+    * task_property store resolves each script file's provenance — hive
+    * tasks via `bingql_sql_fn`, spark tasks via the `--class` inside
+    * `command_prefix` (latest `updated` wins), dashboards via URL. */
+  private val q113 = Q("q113_airflow_ops", OracleValues.q113) { (s, _) =>
+    import s.implicits._
+    val path = "/tmp/graft_task_property"
+    Seq(
+      ("etl_dag", "load_users", "bingql_sql_fn", "dags/sql/load_users.sql", 1L),
+      ("etl_dag", "load_users", "bingql_sql_fn", "dags/sql/load_users_v2.sql", 2L),
+      ("etl_dag", "agg_daily", "command_prefix",
+        "spark-submit --deploy-mode cluster --class com.example.AggDaily app.jar", 1L),
+      ("etl_dag", "agg_daily", "other_prop", "noise", 9L))
+      .toDF("dag_id", "task_id", "name", "value", "updated")
+      .write.mode("overwrite").parquet(path)
+    val ops = Some(new graft.lineage.AirflowOpsStore(s, path))
+    val rows = Seq(
+      ("airflow", "hive", "etl_dag.load_users.sql"),
+      ("airflow", "spark", "etl_dag.agg_daily.sql"),
+      ("dashboard", "hive", "4242.sql")).map { case (sys, lang, fn) =>
+      val inf = graft.lineage.SourceContext.infer(sys, lang, fn, ".sql", ops)
+      (sys, fn, inf.lockKey, inf.locator)
+    }
+    rows.toDF("system", "file", "lock_key", "locator")
+      .orderBy("system", "file", "lock_key", "locator")
+  }
+
+  /** Partition-introspection functions (reference MAX_PART_xxx,
+    * PART_COUNT, PART_LOC — Bingql.g4:1415-1434): catalog-metadata lookups — no data
+    * scan — plus pre-parse SQL substitution so `WHERE dt =
+    * MAX_PART_STRING(...)` becomes a constant Catalyst can prune with. */
+  private val q114 = Q("q114_partition_introspect", OracleValues.q114) { (s, _) =>
+    import s.implicits._
+    import graft.lineage.PartitionIntrospect
+    s.sql("CREATE DATABASE IF NOT EXISTS dw LOCATION 'file:///tmp/graft_wh/dw.db'")
+    s.sql("DROP TABLE IF EXISTS dw.events_part")
+    s.sql(
+      """CREATE TABLE dw.events_part (v INT) USING parquet
+        |PARTITIONED BY (dt STRING, shard INT)
+        |LOCATION 'file:///tmp/graft_wh/dw/events_part'""".stripMargin)
+    Seq("2020-01-01" -> 1, "2020-01-02" -> 2, "2020-01-03" -> 1).foreach {
+      case (dt, sh) =>
+        s.sql(s"ALTER TABLE dw.events_part ADD PARTITION (dt='$dt', shard=$sh)")
+    }
+    val expanded = PartitionIntrospect.expand(s,
+      "SELECT * FROM dw.events_part WHERE dt = max_part_string('dw.events_part', 'dt') " +
+        "AND shard >= min_part_int('dw.events_part', 'shard')")
+    Seq(
+      ("max_part_string", PartitionIntrospect.maxPartString(s, "dw.events_part", "dt").getOrElse("")),
+      ("min_part_date", PartitionIntrospect.minPartDate(s, "dw.events_part", "dt").getOrElse("")),
+      ("max_part_int", PartitionIntrospect.maxPartInt(s, "dw.events_part", "shard").fold("")(_.toString)),
+      ("part_count", PartitionIntrospect.partCount(s, "dw.events_part").toString),
+      ("part_loc_suffix", PartitionIntrospect
+        .partLoc(s, "dw.events_part", Map("dt" -> "2020-01-02", "shard" -> "2"))
+        .map(_.replaceFirst(".*(/dt=)", "$1")).getOrElse("")),
+      ("expanded_sql", expanded))
+      .toDF("fn", "value")
+      .orderBy("fn", "value")
+  }
+
   val defs: Seq[Q] =
-    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103, q104, q105)
+    Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103,
+      q104, q105, q106, q107, q108, q109, q113, q114)
 }

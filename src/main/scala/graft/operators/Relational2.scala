@@ -188,5 +188,38 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[Q] = Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+  /** DISTRIBUTE BY + SORT BY (reference distribute_clause,
+    * Bingql.g4:700-703): hash-repartition by key, partition-local sort —
+    * the write-side clustering pattern (co-locate without a global sort).
+    * At 100 TB this is the cheap way to bucket output for downstream
+    * co-located joins: one shuffle, no range-partition sampling pass.
+    * The trailing total ORDER BY exists only for the deterministic
+    * cross-engine compare. */
+  private val q110 = Q(
+    "q110_distribute_sort_by",
+    """SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity AS qty
+      |FROM lineitem WHERE l_orderkey < 200 ORDER BY ok, ln, qty""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity AS qty
+        |FROM lineitem WHERE l_orderkey < 200
+        |DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""".stripMargin)
+      .orderBy("ok", "ln", "qty")
+  }
+
+  /** CLUSTER BY = DISTRIBUTE BY + SORT BY on the same keys
+    * (Bingql.g4:700-703). */
+  private val q111 = Q(
+    "q111_cluster_by",
+    """SELECT s_nationkey AS nk, s_suppkey AS sk FROM supplier
+      |ORDER BY nk, sk""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_nationkey AS nk, s_suppkey AS sk FROM supplier
+        |CLUSTER BY s_nationkey""".stripMargin)
+      .orderBy("nk", "sk")
+  }
+
+  val defs: Seq[Q] = Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81,
+    q82, q83, q110, q111)
 }
