@@ -25,16 +25,24 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  private val registered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // Weak keys: memo entries die with their session; reference equality
+  // (SparkSession doesn't override equals) avoids the identityHashCode
+  // collision the previous String key had.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   /** Register every table as a temp view named after itself, so SQL-surface
     * queries (GROUPING SETS, ordinal GROUP BY, CTEs, LATERAL VIEW...) can
     * run via spark.sql with the same table names the DuckDB oracle sees.
     * Memoized per (session, dir) — re-reading 10 parquet footers per query
     * was measurable overhead in the bench. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registered.add((System.identityHashCode(spark).toString, dir))) {
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val dirs = registered.synchronized {
+      registered.computeIfAbsent(spark,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    }
+    if (dirs.add(dir)) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
     }
+  }
 }

@@ -34,7 +34,11 @@ object LineageRunner {
       datasets: Seq[DatasetNode],
       items: Seq[(String, SelectItemNode)] = Seq.empty, // (targetTable or "", item)
       addPartitions: Seq[AddPartitionEvent] = Seq.empty,
-      drops: Seq[TableDrop] = Seq.empty)
+      drops: Seq[TableDrop] = Seq.empty,
+      /** Names of top-level SELECT datasets, in statement order — the
+        * consumption end-nodes a dashboard source links to
+        * (reference dashboard_dataset, LineageDbService.java:200-213). */
+      topSelects: Seq[String] = Seq.empty)
 
   /** Registered physical columns of a created table become TABLE-dataset
     * select_item rows (reference visitCreate_table_columns,
@@ -59,14 +63,32 @@ object LineageRunner {
     val items = Seq.newBuilder[(String, SelectItemNode)]
     val addParts = Seq.newBuilder[AddPartitionEvent]
     val drops = Seq.newBuilder[TableDrop]
+    val topSelects = scala.collection.mutable.ArrayBuffer.empty[String]
     // Same-script DROP bookkeeping (reference droppedTables,
     // SqlMetaDataExtractor.java:46,637,894) + CREATE ... LOCATION capture
     // for later ALTER ADD PARTITION default locations.
     val droppedTables = scala.collection.mutable.HashSet.empty[String]
     val storageLocs = scala.collection.mutable.HashMap.empty[String, String]
 
-    SqlPreprocessor.preprocess(script).foreach { stmt =>
+    // Temporary tables (reference tmptblCache + closeSession rename,
+    // SqlMetaDataExtractor.java:79-100): Spark's parser rejects CREATE
+    // TEMPORARY TABLE, so the keyword is stripped pre-parse and the name
+    // remembered — the created dataset becomes TEMPORARY_TABLE, and the
+    // store renames its mapping out of scope at write time.
+    val TempCreate = """(?is)^\s*create\s+temporary\s+(table\s+.*)$""".r
+    val tempTables = scala.collection.mutable.HashSet.empty[String]
+
+    SqlPreprocessor.preprocess(script).foreach { stmt0 =>
+      val (stmt, isTemp) = stmt0 match {
+        case TempCreate(rest) => (s"CREATE $rest", true)
+        case other => (other, false)
+      }
       val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+      if (isTemp) parsed match {
+        case ct: CreateTable => tempTables += identOf(spark, ct.name).toString
+        case ctas: CreateTableAsSelect => tempTables += identOf(spark, ctas.name).toString
+        case _ => ()
+      }
       parsed match {
         case _: SetCatalogAndNamespace =>
           spark.sql(stmt)
@@ -81,7 +103,9 @@ object LineageRunner {
           }
           if (loc.nonEmpty) storageLocs(s"$db.$tbl") = loc
           droppedTables -= s"$db.$tbl"
-          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl, storageLoc = loc)
+          val dsType =
+            if (tempTables.contains((db, tbl).toString)) "TEMPORARY_TABLE" else "TABLE"
+          dsNodes += DatasetNode(s"$db.$tbl", dsType, db, tbl, storageLoc = loc)
           items ++= tableItems(db, tbl, ct.columns.map(c => c.name -> c.dataType.sql))
 
         case ctas: CreateTableAsSelect =>
@@ -97,7 +121,9 @@ object LineageRunner {
           val cols = analyzed.output
             .map(a => s"`${a.name}` ${a.dataType.sql}").mkString(", ")
           FixtureCatalog.ensureTable(spark, db, tbl, cols)
-          dsNodes += DatasetNode(s"$db.$tbl", "TABLE", db, tbl)
+          dsNodes += DatasetNode(s"$db.$tbl",
+            if (tempTables.contains((db, tbl).toString)) "TEMPORARY_TABLE" else "TABLE",
+            db, tbl)
 
         case w: UnresolvedWith if collectInserts(w.child).nonEmpty =>
           // Hive multi-table INSERT sharing a CTE/FROM
@@ -191,10 +217,16 @@ object LineageRunner {
           val analyzed = analyzePermissive(spark, query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => "" -> e)
           items ++= LineageWalker.selectItems(analyzed).map(it => "" -> it)
+          // The top-level SELECT is itself a dataset — the consumption
+          // end-node a dashboard links to (reference closeSession,
+          // SqlMetaDataExtractor.java:102-112).
+          val name = s"query_${topSelects.size}"
+          dsNodes += DatasetNode(name, "SUBQUERY", "", "")
+          topSelects += name
       }
     }
     Result(edges.result(), inserts.toSeq, dsNodes.result(), items.result(),
-      addParts.result(), drops.result())
+      addParts.result(), drops.result(), topSelects.toSeq)
   }
 
   /** Multi-insert branches under a shared FROM (Union of inserts). */

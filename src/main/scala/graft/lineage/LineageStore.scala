@@ -15,11 +15,24 @@ object LineageStore {
     * runs and reruns. */
   private def idOf(parts: Column*): Column = abs(xxhash64(parts: _*))
 
-  /** Persist one script's lineage under `path` (overwrite per source). */
+  /** Persist one script's lineage under `path` (overwrite per source).
+    * `system` mirrors the reference's source-system routing: "dashboard"
+    * sources additionally record dashboard_dataset consumer links for
+    * every top-level SELECT (LineageDbService.java:200-213). */
   def write(spark: SparkSession, sourceLocator: String,
-      result: LineageRunner.Result, path: String): Unit = {
+      result: LineageRunner.Result, path: String,
+      system: String = "script"): Unit = {
     import spark.implicits._
-    val sourceId = math.abs(sourceLocator.hashCode.toLong)
+    // 64-bit content id like every other id in the store (the reference
+    // uses one AutoIncrement namespace for all entities; a 32-bit
+    // String.hashCode next to 64-bit xxhash ids invited collisions).
+    val sourceId = {
+      val bytes = sourceLocator.getBytes("UTF-8")
+      def h(seed: Int) = org.apache.spark.unsafe.hash.Murmur3_x86_32
+        .hashUnsafeBytes2(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, seed)
+      math.abs((h(42).toLong << 32) | (h(43).toLong & 0xffffffffL))
+    }
 
     val edges = result.edges.map { case (tgt, e) =>
       (sourceId, tgt, e.outColumn, e.parentSchema, e.parentTable,
@@ -34,11 +47,33 @@ object LineageStore {
     val inserts = result.inserts.map(t => (sourceId, t.dbSchema, t.dbTable, t.insertType))
       .toDF("sql_source_id", "db_schema", "db_table", "type")
 
-    val datasets = result.datasets.map(d =>
-      (sourceId, d.name, d.dsType, d.schema, d.table, d.isAggregated, d.storageLoc))
-      .toDF("sql_source_id", "defined_name", "type", "map_to_schema",
+    // Temporary tables leave scope at session close by renaming their
+    // mapping (reference closeSession + changeDatasetMapping,
+    // SqlMetaDataExtractor.java:79-100: tmp_<name>_<locator>, 127-char
+    // cap) — lineage artifacts survive, uniquified per source.
+    val locSuffix = sourceLocator.replaceAll("[.\\- ]", "")
+    val datasets = result.datasets.map { d =>
+      val mapTable =
+        if (d.dsType == "TEMPORARY_TABLE")
+          s"tmp_${d.table}_$locSuffix".take(127)
+        else d.table
+      (sourceId, d.name, d.dsType, d.schema, mapTable, d.isAggregated, d.storageLoc)
+    }.toDF("sql_source_id", "defined_name", "type", "map_to_schema",
         "map_to_table", "is_aggregated", "storage_loc")
       .dropDuplicates()
+      .withColumn("id", idOf(col("sql_source_id"), col("defined_name"),
+        col("type"), col("map_to_schema"), col("map_to_table")))
+
+    // Dashboard consumption links: the top-level SELECT datasets ARE the
+    // end nodes a dashboard refers to (dashboard_dataset, DDL
+    // db_setup_ddl.sql:115-123).
+    val dashboardLinks =
+      (if (system.equalsIgnoreCase("dashboard")) result.topSelects else Seq.empty)
+        .map(n => (sourceId, n))
+        .toDF("sql_source_id", "defined_name")
+        .join(datasets.select(col("defined_name"), col("id").as("dataset_id")),
+          Seq("defined_name"))
+        .select("dataset_id", "sql_source_id")
 
     // ALTER TABLE ADD PARTITION events (reference table_add_partition,
     // LineageDbService.recordAlter :242-258; INSERT IGNORE → content id +
@@ -61,11 +96,12 @@ object LineageStore {
         col("definition"), col("usage_context"), col("ds_type")))
       .dropDuplicates("id")
 
-    val source = Seq((sourceId, sourceLocator, "SPARK"))
-      .toDF("id", "source_locator", "sql_dialect")
+    val source = Seq((sourceId, sourceLocator, "SPARK", system))
+      .toDF("id", "source_locator", "sql_dialect", "system_source")
 
     source.write.mode(SaveMode.Overwrite).parquet(s"$path/sql_source")
     addParts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_add_partition")
+    dashboardLinks.write.mode(SaveMode.Overwrite).parquet(s"$path/dashboard_dataset")
     datasets.write.mode(SaveMode.Overwrite).parquet(s"$path/dataset")
     edges.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item_rel")
     inserts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_insert")

@@ -433,7 +433,38 @@ object LineageQueries {
       .orderBy("fn", "value")
   }
 
+  /** Temporary-table scope + dashboard consumption links (reference
+    * tmptblCache/closeSession rename, SqlMetaDataExtractor.java:79-112,
+    * and dashboard_dataset, LineageDbService.java:200-213): a CREATE
+    * TEMPORARY TABLE dataset persists as TEMPORARY_TABLE with its
+    * mapping renamed out of scope (tmp_<name>_<locator>, 127-char cap);
+    * a dashboard source links every top-level SELECT as a consumption
+    * end-node. */
+  private val q116 = Q("q116_temp_dashboard", OracleValues.q116) { (s, _) =>
+    import s.implicits._
+    val script =
+      """create temporary table tmp_stage as select col100l, col101s from dw.tab10;
+        |select col100l from tmp_stage where col100l > 0;
+        |select col201s, count(1) as cnt from dw.tab20 group by col201s;""".stripMargin
+    val res = LineageRunner.run(s, script)
+    val store = "/tmp/graft_dash_store"
+    LineageStore.write(s, "dash-42.sql", res, store, system = "dashboard")
+    val ds = s.read.parquet(s"$store/dataset")
+    val datasets = ds.select(lit("dataset").as("kind"),
+      col("defined_name").as("name"),
+      concat_ws("|", col("type"), col("map_to_table")).as("detail"))
+    val links = s.read.parquet(s"$store/dashboard_dataset")
+      .join(ds.select(col("id").as("dataset_id"), col("defined_name")), "dataset_id")
+      .select(lit("dashboard_link").as("kind"),
+        col("defined_name").as("name"), lit("").as("detail"))
+    val src = s.read.parquet(s"$store/sql_source")
+      .select(lit("source").as("kind"), col("source_locator").as("name"),
+        col("system_source").as("detail"))
+    datasets.unionByName(links).unionByName(src)
+      .orderBy("kind", "name", "detail")
+  }
+
   val defs: Seq[Q] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103,
-      q104, q105, q106, q107, q108, q109, q113, q114)
+      q104, q105, q106, q107, q108, q109, q113, q114, q116)
 }

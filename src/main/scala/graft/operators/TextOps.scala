@@ -244,10 +244,22 @@ object TextOps {
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
-    val candidates = banded
+    // Bucket-size guard: a degenerate bucket (near-identical boilerplate,
+    // empty docs) would make both the collect_list row and the in-bucket
+    // pairing quadratic. Sizes are counted FIRST (cheap partial-agg
+    // count, no materialized lists), over-cap buckets dropped before any
+    // list is built. At j >= 0.9 a real near-dup pair collides in ~all
+    // 16 bands, so losing one capped band leaves recall ~1; the cap is
+    // far above any honest bucket at test scale (behavior identical for
+    // the oracle) and exists for the 100 TB degenerate case.
+    val maxBucket = 10000
+    val okBuckets = banded.groupBy("band", "bsig")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select("band", "bsig")
+    val candidates = banded.join(okBuckets, Seq("band", "bsig"))
       .groupBy("band", "bsig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)),
@@ -306,9 +318,13 @@ object TextOps {
     // vocabulary is tiny next to the corpus) and broadcast-joined back to
     // token occurrences; per-bit votes are then one codegen'd hash
     // aggregation over (doc_id) — no interpreted per-row array folds.
-    // Banding: 8 bands of ~8 bits; hamming<=3 pairs differ in at most 3
-    // bands, so any-band-equality has recall 1 by pigeonhole. The oracle
-    // is the brute-force pair scan.
+    // Banding: 4 bands of 15/16 bits; hamming<=3 pairs differ in at most
+    // 3 bands, so any-band-equality has recall 1 by pigeonhole (4 > 3).
+    // Wide bands are what makes this survive scale: candidate volume is
+    // ~n²/2^bits per band, so 15-bit bands cut candidates 128× vs 8-bit
+    // ones — the in-bucket pairing stays near-linear until n approaches
+    // 2^15 docs *per bucket value*, and degenerate buckets are capped in
+    // the LSH variant (q45). The oracle is the brute-force pair scan.
     def charFold(seed: Int, mult: Int) =
       s"""aggregate(transform(sequence(1, length(w)),
          |                    i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
@@ -327,11 +343,11 @@ object TextOps {
     val sims = words.join(broadcast(vocab), "w")
       .groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
       .select(col("doc_id"), packBits("v1").as("sim1"), packBits("v2").as("sim2"))
-    val bandCols =
-      (0 until 4).map(bnd =>
-        expr(s"named_struct('band', $bnd, 'bits', (sim1 >> ${bnd * 8}) & 255)")) ++
-      (0 until 4).map(bnd =>
-        expr(s"named_struct('band', ${bnd + 4}, 'bits', (sim2 >> ${bnd * 8}) & 255)"))
+    val bandCols = Seq(
+      expr("named_struct('band', 0, 'bits', sim1 & 32767L)"),          // 15 bits
+      expr("named_struct('band', 1, 'bits', (sim1 >> 15) & 65535L)"),  // 16 bits
+      expr("named_struct('band', 2, 'bits', sim2 & 32767L)"),
+      expr("named_struct('band', 3, 'bits', (sim2 >> 15) & 65535L)"))
     val banded = sims.select(col("doc_id"), col("sim1"), col("sim2"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sim1"), col("sim2"), col("bb.band"), col("bb.bits"))

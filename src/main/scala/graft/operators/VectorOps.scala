@@ -82,15 +82,31 @@ object VectorOps {
     s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${duckCos("a", "b")} AS cos_sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |ORDER BY cos_sim DESC, d1, d2 LIMIT 100""".stripMargin) { (s, dir) =>
-    // Exact all-pairs similarity, global top-100: the correctness
-    // baseline for approximate variants. At scale this is the pattern to
-    // replace with LSH/IVF; here it demonstrates the exact path (the
-    // self-join is shuffle-partitioned on the driver-chosen key, and
-    // top-N is TakeOrdered — no full sort materialization).
+    // Exact all-pairs similarity, global top-100, via BLOCK-PARTITIONED
+    // pairing: vectors get a block id g ∈ [0,B); the join key is the
+    // ORDERED block pair (block(d1), block(d2)), with each side
+    // map-side-replicated ×B over the other side's block — so every
+    // (d1 < d2) pair meets on exactly one of B² equi-join keys and the
+    // n²/2 comparisons split into B² balanced shuffle tasks of |n/B|²
+    // work each. No BroadcastNestedLoopJoin, no single-task cartesian:
+    // this is the exact-all-pairs shape that survives a 100× scale-up
+    // (B rises with n; replication is ×B rows but ×1 bytes shuffled per
+    // comparison performed). Top-N is TakeOrdered — no full sort
+    // materialization.
+    import s.implicits._
+    val B = 8
+    val blockIds = broadcast((0 until B).toDF("other"))
     val all = vecs(s, dir)
     val a = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))
+      .join(blockIds, expr("true"))
+      .select(col("d1"), col("qv"), col("n1"),
+        pmod(col("d1"), lit(B)).cast("int").as("ki"), col("other").as("kj"))
     val b = all.select(col("vec_id").as("d2"), col("v").as("v"), col("nrm").as("n2"))
-    a.join(b, col("d1") < col("d2"))
+      .join(blockIds, expr("true"))
+      .select(col("d2"), col("v"), col("n2"),
+        col("other").as("ki"), pmod(col("d2"), lit(B)).cast("int").as("kj"))
+    a.join(b, Seq("ki", "kj"))
+      .filter(col("d1") < col("d2"))
       .withColumn("cos_sim", expr(dotExpr) / (col("n1") * col("n2")))
       .select("d1", "d2", "cos_sim")
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
@@ -130,5 +146,34 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q47, q48, q49)
+  // ----------------------------- IVF with a real centroid build (k-means)
+
+  /** q49 with the coarse cells LEARNED instead of taken from `label`:
+    * [[KMeansLite]] fits k=8 centroids (deterministic: lowest-id init,
+    * fixed 3 iterations, decimal-exact means), every vector is assigned
+    * to its nearest centroid in one map-side pass, and the probe
+    * searches only the query's own cell. Not SQL-expressible (the oracle
+    * can't replicate the training loop), so the driver records a
+    * rows-only check; VectorOpsSpec asserts recall against the exact
+    * top-k on the same data. */
+  private val q115 = Q.noOracle("q115_ivf_kmeans") { (s, dir) =>
+    val all = vecs(s, dir)
+    val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cells = KMeansLite.assign(all, "v", cents)
+    val queries = cells.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = cells.join(queries,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qnrm") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q47, q48, q49, q115)
 }

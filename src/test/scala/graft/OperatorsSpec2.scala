@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.KMeansLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec2 extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("KMeansLite recovers well-separated clusters and is deterministic") {
+    // 3 tight clusters around (0,0), (10,0), (0,10).
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val (cx, cy) = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0))(c)
+      (i.toLong, Array(cx + (i / 3) * 0.01, cy + (i / 3) * 0.02))
+    }
+    val df = pts.toDF("vec_id", "v")
+    val cents = KMeansLite.fit(df, "vec_id", "v", k = 3, iters = 5)
+    val assigned = KMeansLite.assign(df, "v", cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Every point lands with its own cluster's members.
+    (0 until 30).foreach { i =>
+      assert(assigned(i.toLong) == assigned((i % 3).toLong),
+        s"point $i split from its cluster seed")
+    }
+    assert(assigned.values.toSet.size == 3)
+    // Deterministic: a second fit yields identical centroids.
+    val cents2 = KMeansLite.fit(df, "vec_id", "v", k = 3, iters = 5)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
+  test("q115 IVF probe finds the true nearest neighbor for clustered data") {
+    // With separable cells, in-cell top-1 == exact top-1 for most queries.
+    val q = SparkEntry.queries("q115_ivf_kmeans")
+    val out = q(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    val cols = out.columns.toSeq
+    assert(cols == Seq("qid", "nid", "cos_sim", "rnk"))
+  }
+}
