@@ -38,7 +38,13 @@ object LineageRunner {
       /** Names of top-level SELECT datasets, in statement order — the
         * consumption end-nodes a dashboard source links to
         * (reference dashboard_dataset, LineageDbService.java:200-213). */
-      topSelects: Seq[String] = Seq.empty)
+      topSelects: Seq[String] = Seq.empty,
+      /** Statements skipped as non-lineage residue — unparseable
+        * (GRANT, transactions, HPL-SQL procedural leftovers) or
+        * parse-only DML (MERGE/UPDATE/DELETE). The reference's grammar
+        * swallows these with no visitor (90%-coverage stance); we
+        * record them instead of aborting the script. */
+      skippedStatements: Seq[String] = Seq.empty)
 
   /** Registered physical columns of a created table become TABLE-dataset
     * select_item rows (reference visitCreate_table_columns,
@@ -78,12 +84,24 @@ object LineageRunner {
     val TempCreate = """(?is)^\s*create\s+temporary\s+(table\s+.*)$""".r
     val tempTables = scala.collection.mutable.HashSet.empty[String]
 
+    val skippedStmts = Seq.newBuilder[String]
+
     SqlPreprocessor.preprocess(script).foreach { stmt0 =>
       val (stmt, isTemp) = stmt0 match {
         case TempCreate(rest) => (s"CREATE $rest", true)
         case other => (other, false)
       }
-      val parsed = spark.sessionState.sqlParser.parsePlan(stmt)
+      // Statements Spark can't parse (GRANT, BEGIN/COMMIT, HPL-SQL
+      // residue) are skip-routed, not fatal — the reference accepts them
+      // grammar-side and ignores them visitor-side.
+      val parsedOpt =
+        try Some(spark.sessionState.sqlParser.parsePlan(stmt))
+        catch {
+          case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+            skippedStmts += stmt
+            None
+        }
+      parsedOpt.foreach { parsed =>
       if (isTemp) parsed match {
         case ct: CreateTable => tempTables += identOf(spark, ct.name).toString
         case ctas: CreateTableAsSelect => tempTables += identOf(spark, ctas.name).toString
@@ -213,6 +231,22 @@ object LineageRunner {
           () // introspection/maintenance: routed, no lineage (reference
              // parses and skips these, BatchProcessor skip-routing)
 
+        case _: MergeIntoTable | _: UpdateTable | _: DeleteFromTable =>
+          // Parse-only DML parity (reference grammar accepts
+          // MERGE/UPDATE/DELETE with no visitor, Bingql.g4 merge_stmt
+          // etc.): recorded as skipped, never fatal.
+          skippedStmts += stmt
+
+        case fn: org.apache.spark.sql.execution.command.CreateFunctionCommand =>
+          // CREATE TEMPORARY FUNCTION name AS 'cls' (reference accepts
+          // any ident(args) call, Bingql.g4:1436-1442): register the
+          // pass-through shim up front so later calls resolve without
+          // the analyze-retry loop.
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            fn.identifier.funcName,
+            (exprs: Seq[Expression]) => Concat(exprs.map(Cast(_, StringType))),
+            "scala_udf")
+
         case query =>
           val analyzed = analyzePermissive(spark, query, metaStore)
           edges ++= LineageWalker.edgesOf(analyzed).map(e => "" -> e)
@@ -224,9 +258,10 @@ object LineageRunner {
           dsNodes += DatasetNode(name, "SUBQUERY", "", "")
           topSelects += name
       }
+      }
     }
     Result(edges.result(), inserts.toSeq, dsNodes.result(), items.result(),
-      addParts.result(), drops.result(), topSelects.toSeq)
+      addParts.result(), drops.result(), topSelects.toSeq, skippedStmts.result())
   }
 
   /** Multi-insert branches under a shared FROM (Union of inserts). */

@@ -117,6 +117,27 @@ class LineageSpec extends AnyFunSuite {
       == "select greatest(a, b), max(x) from t")
   }
 
+  test("runner: GRANT/transactions/DML residue skip-routes, SELECT still extracts") {
+    val res = LineageRunner.run(spark,
+      """GRANT SELECT ON TABLE dw.tab10 TO ROLE analyst;
+        |BEGIN TRANSACTION;
+        |MERGE INTO dw.tab10 t USING dw.tab20 s ON t.col100l = s.col200l
+        |  WHEN MATCHED THEN UPDATE SET col101s = s.col201s;
+        |DELETE FROM dw.tab10 WHERE col100l = 1;
+        |SELECT col100l FROM dw.tab10;""".stripMargin)
+    assert(res.skippedStatements.size == 4)
+    assert(res.edges.exists { case (_, e) =>
+      e.outColumn == "col100l" && e.parentTable == "tab10" })
+  }
+
+  test("runner: CREATE TEMPORARY FUNCTION registers a shim for later calls") {
+    val res = LineageRunner.run(spark,
+      """CREATE TEMPORARY FUNCTION my_fn AS 'com.example.MyUdf';
+        |SELECT my_fn(col101s) AS fx FROM dw.tab10;""".stripMargin)
+    assert(res.edges.exists { case (_, e) =>
+      e.outColumn == "fx" && e.parentColumn == "col101s" })
+  }
+
   test("closure: distance-2 lineage through a created table (case 0010)") {
     import spark.implicits._
     val res = LineageRunner.run(spark, graft.operators.LineageQueries.scripts("0010"))
