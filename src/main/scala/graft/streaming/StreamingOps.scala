@@ -149,5 +149,94 @@ object StreamingOps {
       .orderBy("user_id", "session_start_us")
   }
 
-  val defs: Seq[Q] = Seq(q70, q71, q72s)
+  /** Streaming deduplication (the LLM-pipeline ingest guard): duplicated
+    * input (each event emitted twice) is deduped on event_id with
+    * `dropDuplicates` + watermark — state expires with event time, so
+    * memory is bounded at 100 TB/day ingest. Verified against the batch
+    * per-type counts of the original (un-duplicated) table. */
+  private val q117 = Q(
+    "q117_stream_dedup",
+    """SELECT event_type, COUNT(*) AS n FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_q117_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("copy", explode(array(lit(1), lit(2)))) // inject dups
+        .drop("copy")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val query = stream.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName).orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  /** flatMapGroupsWithState: per-user threshold-crossing alerts — emit a
+    * row each time the running value total crosses a multiple of 100
+    * (0..n rows per group per batch, the shape mapGroupsWithState can't
+    * express). Events are folded in (ts, event_id) order with exact
+    * cent arithmetic, so the crossing set is deterministic; the oracle
+    * is the batch cumulative-sum crossing scan. */
+  private val q118 = Q(
+    "q118_stream_threshold_alerts",
+    """WITH c AS (
+      |  SELECT user_id, event_id,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents,
+      |    SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+      |  FROM events)
+      |SELECT user_id, event_id, CAST(cum_cents // 10000 AS BIGINT) AS level
+      |FROM c
+      |WHERE cum_cents // 10000 > (cum_cents - cents) // 10000
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_q118_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Long, (Long, Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          case (uid, evs, state: GroupState[Long]) =>
+            var cum = state.getOption.getOrElse(0L)
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            // Deterministic fold order within the batch: (ts, event_id).
+            evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, eid, _, v) =>
+              val cents = math.round(v * 100)
+              val before = cum / 10000
+              cum += cents
+              if (cum / 10000 > before) out += ((uid, eid, cum / 10000))
+            }
+            state.update(cum)
+            out.result().iterator
+        }
+      val query = stream.toDF("user_id", "event_id", "level").writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName).orderBy("user_id", "event_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118)
 }
