@@ -94,5 +94,85 @@ object MultimodalOps {
       .orderBy("format")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51)
+  case class FrameStats(doc_id: Long, n_frames: Int, n_sampled: Int, sampled_checksum: Long)
+
+  /** STUB frame extractor (video/audio frame-sampling shape): payload
+    * split into fixed 32-byte frames, every 4th frame kept. Replace the
+    * chunking with a real demuxer at deployment; the batch plumbing and
+    * bounded expansion (n/4 frames per record, never the full payload
+    * exploded) is the part that matters at 100 TB. */
+  def sampleFrames(m: MediaIn): FrameStats = {
+    val frameSize = 32
+    val nFrames = (m.payload.length + frameSize - 1) / frameSize
+    var sum = 0L
+    var sampled = 0
+    var f = 0
+    while (f < nFrames) {
+      if (f % 4 == 0) {
+        sampled += 1
+        var i = f * frameSize
+        val end = math.min(i + frameSize, m.payload.length)
+        while (i < end) { sum += (m.payload(i) & 0xff); i += 1 }
+      }
+      f += 1
+    }
+    FrameStats(m.doc_id, nFrames, sampled, sum % 997)
+  }
+
+  /** Frame sampling over binary payloads: every 4th 32-byte frame,
+    * checksummed — the video keyframe-sampling pipeline shape. */
+  private val q119 = Q(
+    "q119_multimodal_frames",
+    """WITH f AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    CAST((length(text) + 31) // 32 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT f.doc_id, n_frames,
+      |  CAST((n_frames + 3) // 4 AS INT) AS n_sampled,
+      |  CAST(list_sum(list_transform(
+      |    flatten(list_transform(range(0, (n_frames + 3) // 4),
+      |      s -> list_transform(range(s * 128 + 1,
+      |             CAST(least(s * 128 + 32, len) AS BIGINT) + 1), i -> i))),
+      |    i -> CAST(ord(substring(d.text, CAST(i AS INT), 1)) AS BIGINT))) % 997
+      |    AS BIGINT) AS sampled_checksum
+      |FROM f JOIN documents d ON f.doc_id = d.doc_id
+      |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.grouped(64).flatMap(_.map(sampleFrames)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** "Resize" metadata op: fit the stub dimensions into a 64x64 box with
+    * integer aspect-preserving arithmetic (exact on both engines) —
+    * the thumbnail-generation pipeline shape, metadata side. */
+  private val q120 = Q(
+    "q120_multimodal_resize",
+    """WITH meta AS (
+      |  SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+      |    CAST(length(text) % 640 + 1 AS INT) AS w,
+      |    CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |         i -> CAST(ord(substring(text, i, 1)) AS BIGINT))) % 997 % 480 AS INT) + 1 AS INT) AS h
+      |  FROM documents)
+      |SELECT doc_id, w, h,
+      |  CAST(CASE WHEN w <= 64 THEN w ELSE 64 END AS INT) AS out_w,
+      |  CAST(greatest(1, (h * (CASE WHEN w <= 64 THEN w ELSE 64 END)) // w) AS INT) AS out_h
+      |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+      .select(col("doc_id"), col("fake_width").as("w"), col("fake_height").as("h"))
+      .withColumn("out_w", least(col("w"), lit(64)))
+      // integer `div`, not `/`: double division truncated can be off by
+      // one ulp vs the oracle's floor division on exact multiples
+      .withColumn("out_h", greatest(lit(1), expr("(h * out_w) div w").cast("int")))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q50, q51, q119, q120)
 }
