@@ -220,6 +220,20 @@ object Relational2 {
       .orderBy("nk", "sk")
   }
 
+  /** Native TABLESAMPLE (reference Bingql.g4:1023-1033). The engine RNG
+    * isn't oracle-comparable across engines (q76's deterministic hash
+    * sample is the verified equivalent), so this is a rows-only check:
+    * REPEATABLE seed makes it stable within Spark, and the sample rate
+    * is asserted loosely downstream. At scale TABLESAMPLE pushes into
+    * the scan (per-partition Bernoulli sampling, no shuffle). */
+  private val q121 = Q.noOracle("q121_tablesample") { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
   val defs: Seq[Q] = Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q110, q111)
+    q82, q83, q110, q111, q121)
 }
