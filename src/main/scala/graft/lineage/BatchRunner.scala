@@ -26,30 +26,43 @@ object BatchRunner {
     spark.stop()
   }
 
-  /** Returns (processed files, (file, error) skipped). Files process
-    * sequentially — each mutates session catalog state (USE, CTAS), like
-    * the reference's per-thread sessions; scale-out shape is one Spark
-    * session per executor task over a file list. */
+  /** Returns (processed files, (file, error) skipped). EXTRACTION runs
+    * sequentially — each file mutates session catalog state (USE, CTAS),
+    * like the reference's per-thread sessions; scale-out shape is one
+    * Spark session per executor task over a file list. STORE WRITES are
+    * catalog-independent, so each file's write is submitted async and
+    * overlaps the next file's extraction — the dominant cost here is
+    * per-job latency on ~60 tiny parquet writes, not data volume. */
   def run(spark: SparkSession, sqlDir: String, storeDir: String)
       : (Seq[String], Seq[(String, String)]) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val files = new java.io.File(sqlDir).listFiles()
       .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
     val ok = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[(String, String)]
+    val writes = Seq.newBuilder[(String, Future[Unit])]
     files.foreach { f =>
       try {
         val script = new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
         val res = LineageRunner.run(spark, script)
         val name = new java.io.File(f).getName.stripSuffix(".sql")
-        LineageStore.write(spark, name, res, s"$storeDir/$name")
+        writes += f -> Future(LineageStore.write(spark, name, res, s"$storeDir/$name"))
         ok += f
       } catch {
         case e: Throwable =>
           skipped += f -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
       }
     }
-    (ok.result(), skipped.result())
+    val (written, failed) = writes.result().partition { case (_, fut) =>
+      try { Await.result(fut, Duration.Inf); true }
+      catch { case _: Throwable => false }
+    }
+    failed.foreach { case (f, _) => skipped += f -> "store write failed" }
+    val okFiles = ok.result().filterNot(failed.map(_._1).toSet)
+    (okFiles, skipped.result())
   }
 }
 
