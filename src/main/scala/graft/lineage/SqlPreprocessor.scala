@@ -90,8 +90,12 @@ object SqlPreprocessor {
     // TOP binds to the outermost select, which is all the reference
     // grammar accepts at that position).
     val topRe = """(?is)^(\s*select\s+)top\s+(\d+)\s+(.*)$""".r
+    // Only an actual LIMIT <n> clause suppresses the rewrite — a bare
+    // substring test would mis-fire on e.g. a `limit_price` column or a
+    // string literal, leaving unparseable TOP syntax that skip-routes.
+    val limitClause = """(?is)\blimit\s+\d+\b""".r
     s3 match {
-      case topRe(head, n, rest) if !rest.toLowerCase.contains("limit") =>
+      case topRe(head, n, rest) if limitClause.findFirstIn(rest).isEmpty =>
         s"$head$rest LIMIT $n"
       case other => other
     }

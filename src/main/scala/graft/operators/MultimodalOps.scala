@@ -39,22 +39,38 @@ object MultimodalOps {
       m.payload.length % 640 + 1, (checksum % 480).toInt + 1, fmt)
   }
 
+  // The Spark side operates on UTF-8 BYTES (text cast to binary); the
+  // DuckDB oracles must too, or any non-ASCII document diverges. DuckDB
+  // has no direct blob-byte accessor, so bytes are read out of
+  // hex(encode(text)): byte i = 16*hv(2i-1) + hv(2i) where hv maps a hex
+  // digit via strpos('123456789ABCDEF', d) — '0' correctly yields 0.
+  private def byteListCte(table: String = "documents"): String =
+    s"""WITH hb AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx,
+       |    CAST(octet_length(encode(text)) AS INT) AS len
+       |  FROM $table),
+       |bytes AS (
+       |  SELECT doc_id, len,
+       |    list_transform(range(1, len + 1),
+       |      i -> CAST(strpos('123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) * 16
+       |             + strpos('123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) AS BIGINT)) AS bl
+       |  FROM hb)""".stripMargin
+
   private val q50 = Q(
     "q50_multimodal_meta",
-    """WITH meta AS (
-      |  SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
-      |    CAST(list_sum(list_transform(range(1, length(text) + 1),
-      |             i -> CAST(ord(substring(text, i, 1)) AS BIGINT))) % 997 AS BIGINT) AS checksum,
-      |    ord(substring(text, 1, 1)) % 3 AS fb
-      |  FROM documents)
+    s"""${byteListCte()},
+      |meta AS (
+      |  SELECT doc_id, len AS n_bytes,
+      |    CAST(COALESCE(list_sum(bl), 0) % 997 AS BIGINT) AS checksum,
+      |    COALESCE(bl[1], 0) % 3 AS fb
+      |  FROM bytes)
       |SELECT doc_id, n_bytes, checksum,
       |  CAST(n_bytes % 640 + 1 AS INT) AS fake_width,
       |  CAST(checksum % 480 AS INT) + 1 AS fake_height,
       |  CASE fb WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
       |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // documents.text stands in for the media payload (ASCII, so the byte
-    // checksum equals DuckDB's codepoint sum). Batched typed pipeline:
-    // binary column in, metadata record out.
+    // documents.text stands in for the media payload. Batched typed
+    // pipeline: binary column in, metadata record out.
     import s.implicits._
     val media = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -73,11 +89,12 @@ object MultimodalOps {
     * decode once, aggregate metadata columns relationally. */
   private val q51 = Q(
     "q51_multimodal_stats",
-    """WITH meta AS (
-      |  SELECT CASE ord(substring(text, 1, 1)) % 3
+    s"""${byteListCte()},
+      |meta AS (
+      |  SELECT CASE COALESCE(bl[1], 0) % 3
       |           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-      |         length(text) AS n_bytes
-      |  FROM documents)
+      |         len AS n_bytes
+      |  FROM bytes)
       |SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
       |  CAST(MIN(n_bytes) AS INT) AS min_bytes, CAST(MAX(n_bytes) AS INT) AS max_bytes
       |FROM meta GROUP BY format ORDER BY format""".stripMargin) { (s, dir) =>
@@ -123,20 +140,20 @@ object MultimodalOps {
     * checksummed — the video keyframe-sampling pipeline shape. */
   private val q119 = Q(
     "q119_multimodal_frames",
-    """WITH f AS (
-      |  SELECT doc_id, length(text) AS len,
-      |    CAST((length(text) + 31) // 32 AS INT) AS n_frames
-      |  FROM documents)
-      |SELECT f.doc_id, n_frames,
+    s"""${byteListCte()},
+      |f AS (
+      |  SELECT doc_id, len, bl,
+      |    CAST((len + 31) // 32 AS INT) AS n_frames
+      |  FROM bytes)
+      |SELECT doc_id, n_frames,
       |  CAST((n_frames + 3) // 4 AS INT) AS n_sampled,
-      |  CAST(list_sum(list_transform(
+      |  CAST(COALESCE(list_sum(list_transform(
       |    flatten(list_transform(range(0, (n_frames + 3) // 4),
       |      s -> list_transform(range(s * 128 + 1,
       |             CAST(least(s * 128 + 32, len) AS BIGINT) + 1), i -> i))),
-      |    i -> CAST(ord(substring(d.text, CAST(i AS INT), 1)) AS BIGINT))) % 997
+      |    i -> bl[CAST(i AS INT)])), 0) % 997
       |    AS BIGINT) AS sampled_checksum
-      |FROM f JOIN documents d ON f.doc_id = d.doc_id
-      |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -151,12 +168,12 @@ object MultimodalOps {
     * the thumbnail-generation pipeline shape, metadata side. */
   private val q120 = Q(
     "q120_multimodal_resize",
-    """WITH meta AS (
-      |  SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
-      |    CAST(length(text) % 640 + 1 AS INT) AS w,
-      |    CAST(CAST(list_sum(list_transform(range(1, length(text) + 1),
-      |         i -> CAST(ord(substring(text, i, 1)) AS BIGINT))) % 997 % 480 AS INT) + 1 AS INT) AS h
-      |  FROM documents)
+    s"""${byteListCte()},
+      |meta AS (
+      |  SELECT doc_id, len AS n_bytes,
+      |    CAST(len % 640 + 1 AS INT) AS w,
+      |    CAST(CAST(COALESCE(list_sum(bl), 0) % 997 % 480 AS INT) + 1 AS INT) AS h
+      |  FROM bytes)
       |SELECT doc_id, w, h,
       |  CAST(CASE WHEN w <= 64 THEN w ELSE 64 END AS INT) AS out_w,
       |  CAST(greatest(1, (h * (CASE WHEN w <= 64 THEN w ELSE 64 END)) // w) AS INT) AS out_h

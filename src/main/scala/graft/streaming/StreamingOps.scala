@@ -182,10 +182,29 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  /** q118 per-group fold: events (user_id, event_id, ts_nanos, value)
+    * are folded in (µs-truncated ts, event_id) order — matching the
+    * oracle's `ORDER BY date_trunc('microseconds', ts), event_id` — so
+    * two same-user events landing in the same microsecond tie-break
+    * identically on both engines. Returns (alerts, new cumulative cents). */
+  def thresholdFold(
+      uid: Long, evs: Seq[(Long, Long, Long, Double)], cum0: Long)
+      : (Seq[(Long, Long, Long)], Long) = {
+    var cum = cum0
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    evs.sortBy(e => (e._3 / 1000, e._2)).foreach { case (_, eid, _, v) =>
+      val cents = math.round(v * 100)
+      val before = cum / 10000
+      cum += cents
+      if (cum / 10000 > before) out += ((uid, eid, cum / 10000))
+    }
+    (out.result(), cum)
+  }
+
   /** flatMapGroupsWithState: per-user threshold-crossing alerts — emit a
     * row each time the running value total crosses a multiple of 100
     * (0..n rows per group per batch, the shape mapGroupsWithState can't
-    * express). Events are folded in (ts, event_id) order with exact
+    * express). Events are folded in (µs ts, event_id) order with exact
     * cent arithmetic, so the crossing set is deterministic; the oracle
     * is the batch cumulative-sum crossing scan. */
   private val q118 = Q(
@@ -218,17 +237,10 @@ object StreamingOps {
         .flatMapGroupsWithState[Long, (Long, Long, Long)](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
           case (uid, evs, state: GroupState[Long]) =>
-            var cum = state.getOption.getOrElse(0L)
-            val out = Seq.newBuilder[(Long, Long, Long)]
-            // Deterministic fold order within the batch: (ts, event_id).
-            evs.toSeq.sortBy(e => (e._3, e._2)).foreach { case (_, eid, _, v) =>
-              val cents = math.round(v * 100)
-              val before = cum / 10000
-              cum += cents
-              if (cum / 10000 > before) out += ((uid, eid, cum / 10000))
-            }
+            val (alerts, cum) =
+              thresholdFold(uid, evs.toSeq, state.getOption.getOrElse(0L))
             state.update(cum)
-            out.result().iterator
+            alerts.iterator
         }
       val query = stream.toDF("user_id", "event_id", "level").writeStream
         .format("memory").queryName(sinkName)

@@ -1,0 +1,60 @@
+package graft
+
+import graft.lineage.SqlPreprocessor
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaIn
+import graft.streaming.StreamingOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the fixes for the round-2/3 ADVICE defects with inputs the
+  * driver fixtures don't exercise (non-ASCII payloads, same-microsecond
+  * event ties, limit-like identifiers). Expected values are hardcoded
+  * from an independent byte-level computation, not derived from the
+  * code under test.
+  */
+class AdviceFixSpec extends AnyFunSuite {
+
+  test("q50 decodeStub is UTF-8 byte-based, not codepoint-based") {
+    // 'héllo wörld ✓' = 17 UTF-8 bytes (13 codepoints); byte sum % 997 = 212.
+    val m = MultimodalOps.decodeStub(
+      MediaIn(1L, "héllo wörld ✓".getBytes("UTF-8")))
+    assert(m.n_bytes == 17)
+    assert(m.checksum == 212L)
+    assert(m.fake_width == 18)
+    assert(m.fake_height == 213)
+    assert(m.format == "webp") // first byte 'h'=104, 104 % 3 = 2
+  }
+
+  test("q119 sampleFrames frames over UTF-8 bytes incl multi-byte spans") {
+    // 'abcé' * 40 = 200 bytes -> 7 frames of 32, frames {0,4} sampled,
+    // sampled byte sum % 997 = 479 (é straddles frame boundaries).
+    val payload = ("abcé" * 40).getBytes("UTF-8")
+    assert(payload.length == 200)
+    val f = MultimodalOps.sampleFrames(MediaIn(9L, payload))
+    assert(f.n_frames == 7)
+    assert(f.n_sampled == 2)
+    assert(f.sampled_checksum == 479L)
+  }
+
+  test("q118 fold tie-breaks same-microsecond events by event_id") {
+    // Two events in the same microsecond (2_000_000 us) whose nano order
+    // (eid 9 first) differs from event_id order (eid 3 first). The
+    // oracle orders by (date_trunc microseconds, event_id), so the
+    // crossing of 100 must be attributed to eid 9 (folded second).
+    val evs = Seq(
+      (7L, 9L, 2_000_000_100L, 60.0),
+      (7L, 3L, 2_000_000_900L, 50.0))
+    val (alerts, cum) = StreamingOps.thresholdFold(7L, evs, 0L)
+    assert(cum == 11000L) // exact cents * 100
+    assert(alerts == Seq((7L, 9L, 1L)))
+    // Nano-order fold would have attributed it to eid 3 instead.
+  }
+
+  test("TOP rewrite fires despite limit-like identifiers") {
+    assert(SqlPreprocessor.rewriteDialect("SELECT TOP 5 limit_price FROM t")
+      == "SELECT limit_price FROM t LIMIT 5")
+    // A real LIMIT clause still suppresses the rewrite.
+    val keep = "SELECT TOP 5 a FROM t LIMIT 3"
+    assert(SqlPreprocessor.rewriteDialect(keep) == keep)
+  }
+}
