@@ -16,10 +16,17 @@ import org.apache.spark.sql.functions._
   *    shuffle volume is k × dim per partition, independent of n;
   *  - determinism: init = the k lowest-id vectors, fixed iteration
   *    count, argmin ties broken by lowest cell id, and per-dimension
-  *    means are computed as exact DECIMAL sums before the final double
-  *    divide (FP addition order can't change the result).
+  *    means are computed as exact integer sums of 2^30-quantized values
+  *    before one double multiply + divide — addition order can't change
+  *    the result, and (unlike a double->decimal cast, whose rounding is
+  *    engine-specific) `round(x * 2^30)` is bit-identical across Spark
+  *    and DuckDB, so the whole fit is SQL-replicable by an oracle.
   */
 object KMeansLite {
+
+  /** Quantization scale for centroid means: 2^30 (~9.3e-10 granularity,
+    * below float input precision for |x| < 0.5). */
+  val MeanScale: Double = 1073741824.0
 
   /** Fit k centroids over `df(idCol, vCol: array<double>)`. */
   def fit(df: DataFrame, idCol: String, vCol: String, k: Int, iters: Int): Array[Array[Double]] = {
@@ -31,17 +38,19 @@ object KMeansLite {
       .map(_.getSeq[Double](0).toArray)
     for (_ <- 0 until iters) {
       val assigned = assign(df, vCol, cents)
-      // Exact per-(cell, dim) means: decimal sums are order-independent,
-      // so the new centroids are bit-identical run to run.
+      // Exact per-(cell, dim) means: integer sums of quantized values are
+      // order-independent, so the new centroids are bit-identical run to
+      // run (and engine to engine — the q115 oracle replays this).
       val sums = assigned
         .select(col("cell"), posexplode(col(vCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(sum(col("x").cast("decimal(30,15)")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(expr(s"CAST(round(x * $MeanScale) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = Array.tabulate(cents.length)(i => cents(i).clone())
       sums.foreach { r =>
         val (cell, pos) = (r.getInt(0), r.getInt(1))
-        next(cell)(pos) = (r.getDecimal(2).doubleValue() / r.getLong(3))
+        next(cell)(pos) = r.getLong(2).toDouble / (r.getLong(3).toDouble * MeanScale)
       }
       cents = next
     }
@@ -49,23 +58,14 @@ object KMeansLite {
   }
 
   /** Add a `cell` column: argmin squared-L2 to the broadcast centroids
-    * (ties -> lowest cell id). One codegen'd projection, no shuffle. */
+    * (ties -> lowest cell id), via the codegen'd
+    * [[graft.functions.NearestCell]] expression — one primitive-loop
+    * distance evaluation per centroid inside WholeStageCodegen (the
+    * interpreted `aggregate(zip_with(...))` HOF argmin it replaces
+    * evaluated each distance fold twice per centroid). No shuffle. */
   def assign(df: DataFrame, vCol: String, cents: Array[Array[Double]]): DataFrame = {
-    val centArr = cents.zipWithIndex
-      .map { case (c, i) => s"struct($i AS cid, array(${c.mkString(",")}) AS cv)" }
-      .mkString("array(", ",", ")")
-    // argmin via aggregate over the centroid array: carry (best_d2, best_cid).
-    val cellExpr =
-      s"""aggregate($centArr,
-         |  struct(CAST('Infinity' AS DOUBLE) AS d2, -1 AS cid),
-         |  (best, c) -> CASE WHEN
-         |      aggregate(zip_with($vCol, c.cv, (a, b) -> (a - b) * (a - b)),
-         |                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) < best.d2
-         |    THEN struct(
-         |      aggregate(zip_with($vCol, c.cv, (a, b) -> (a - b) * (a - b)),
-         |                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2,
-         |      c.cid AS cid)
-         |    ELSE best END).cid""".stripMargin
-    df.withColumn("cell", expr(cellExpr))
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.withColumn("cell", Bridge.column(
+      graft.functions.NearestCell(Bridge.expr(col(vCol)), cents)))
   }
 }

@@ -148,15 +148,84 @@ object VectorOps {
 
   // ----------------------------- IVF with a real centroid build (k-means)
 
+  /** DuckDB replay of [[KMeansLite]]: the fit is fully deterministic
+    * (lowest-id init, fixed iteration count, first-strict-min argmin,
+    * 2^30-quantized integer-sum means), so `iters` unrolled
+    * assign+re-center rounds reproduce the Spark centroids BIT-EXACTLY
+    * in SQL — every FP step (one multiply, round-half-away, integer sum,
+    * one multiply + divide) is engine-identical. */
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+    val S = "1073741824.0" // KMeansLite.MeanScale
+    def d2(v: String, cv: String) =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         |      i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+         |         * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+    // assign to the nearest centroid of `cents`: first strict minimum ==
+    // lowest cid among minima == ORDER BY (d2, cid).
+    def assignCte(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT vec_id, v, cid AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT vec_id, v, cid, ${d2("v", "cv")} AS d2
+         |          FROM vv CROSS JOIN $cents)) WHERE rn = 1)""".stripMargin
+    // re-center: per-(cell, dim) mean of 2^30-quantized values; cells
+    // with no members keep the previous centroid.
+    def centerCte(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM (
+         |      SELECT cell, pos,
+         |        CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * $S) AS m
+         |      FROM (SELECT cell, i AS pos,
+         |              CAST(round(v[CAST(i AS INT)] * $S) AS BIGINT) AS q
+         |            FROM $assigned CROSS JOIN range(1, ${dim + 1}) t(i))
+         |      GROUP BY cell, pos) GROUP BY cell) u ON p.cid = u.cid)""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      assignCte(s"a$t", s"c${t - 1}") + ",\n" +
+        centerCte(s"c$t", s"a$t", s"c${t - 1}")
+    }.mkString(",\n")
+    s"""WITH vv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT $k)),
+       |$iterCtes,
+       |af AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM (SELECT vec_id, v, cid, ${d2("v", "cv")} AS d2
+       |          FROM vv CROSS JOIN c$iters)) WHERE rn = 1),
+       |nn AS (
+       |  SELECT vec_id, v, cell,
+       |    sqrt(list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> v[CAST(i AS INT)] * v[CAST(i AS INT)]))) AS nrm
+       |  FROM af)""".stripMargin
+  }
+
   /** q49 with the coarse cells LEARNED instead of taken from `label`:
-    * [[KMeansLite]] fits k=8 centroids (deterministic: lowest-id init,
-    * fixed 3 iterations, decimal-exact means), every vector is assigned
-    * to its nearest centroid in one map-side pass, and the probe
-    * searches only the query's own cell. Not SQL-expressible (the oracle
-    * can't replicate the training loop), so the driver records a
-    * rows-only check; VectorOpsSpec asserts recall against the exact
-    * top-k on the same data. */
-  private val q115 = Q.noOracle("q115_ivf_kmeans") { (s, dir) =>
+    * [[KMeansLite]] fits k=8 centroids, every vector is assigned to its
+    * nearest centroid in one codegen map-side pass, and the probe
+    * searches only the query's own cell. The oracle replays the
+    * deterministic fit as $iters unrolled SQL rounds (bit-exact, see
+    * [[kmeansOracleCtes]]) and the probe as a cell equi-join. */
+  private val q115 = Q(
+    "q115_ivf_kmeans",
+    s"""${kmeansOracleCtes(k = 8, iters = 3, dim = 64)}
+       |SELECT qid, nid, cos_sim, rnk FROM (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> q.v[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.nrm * n.nrm) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> q.v[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.nrm * n.nrm) DESC,
+       |        n.vec_id) AS rnk
+       |  FROM nn q JOIN nn n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < 50) r
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
     val all = vecs(s, dir)
     val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
     val cells = KMeansLite.assign(all, "v", cents)

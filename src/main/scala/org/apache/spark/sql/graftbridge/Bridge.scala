@@ -16,6 +16,8 @@ object Bridge {
 
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
   def addStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(s)) {

@@ -60,4 +60,45 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(5L, 100L, 999999L).map(x => Math.floorMod(ai * x + bi, p)).min
     assert(sig.toSeq == Seq(mh(3, 11), mh(7, 13)))
   }
+
+  test("graft_nearest_cell: codegen argmin matches HOF formulation, no interpreted HOF in plan") {
+    import graft.operators.KMeansLite
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(1.0, 1.0))
+    val df = Seq(
+      (1L, Array(0.1, 0.2)),
+      (2L, Array(0.9, 1.1)),
+      (3L, Array(0.5, 0.5)), // equidistant: first strict min -> cell 0
+      (4L, Array(0.500000001, 0.5))
+    ).toDF("vec_id", "v")
+    val assigned = KMeansLite.assign(df, "v", cents)
+    // HOF reference: first strict minimum over (d2, cid).
+    val centArr = cents.zipWithIndex
+      .map { case (c, i) => s"struct($i AS cid, array(${c.mkString(",")}) AS cv)" }
+      .mkString("array(", ",", ")")
+    val hof = df.withColumn("cell", expr(
+      s"""aggregate($centArr, struct(CAST('Infinity' AS DOUBLE) AS d2, -1 AS cid),
+         |  (best, c) -> CASE WHEN
+         |      aggregate(zip_with(v, c.cv, (a, b) -> (a - b) * (a - b)),
+         |                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) < best.d2
+         |    THEN struct(
+         |      aggregate(zip_with(v, c.cv, (a, b) -> (a - b) * (a - b)),
+         |                CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d2, c.cid AS cid)
+         |    ELSE best END).cid""".stripMargin))
+    val got = assigned.select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    val ref = hof.select("vec_id", "cell").as[(Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == ref.toSeq)
+    assert(got.map(_._2).toSeq == Seq(0, 1, 0, 1))
+    // The whole point: no interpreted aggregate/zip_with HOF in the plan.
+    // (Analyzed plan: the optimizer folds this LocalRelation input whole;
+    // on a parquet source the expression runs inside WholeStageCodegen.)
+    val plan = assigned.queryExecution.analyzed.toString
+    assert(!plan.contains("aggregate("), "assign plan still uses interpreted HOF")
+    assert(plan.contains("graft_nearest_cell"))
+    // Interpreted eval path agrees too (codegen fallback safety).
+    val e = functions.NearestCell(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.9, 1.1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)), cents)
+    assert(e.eval(null) == 1)
+  }
 }
