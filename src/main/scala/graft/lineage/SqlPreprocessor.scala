@@ -94,10 +94,158 @@ object SqlPreprocessor {
     // substring test would mis-fire on e.g. a `limit_price` column or a
     // string literal, leaving unparseable TOP syntax that skip-routes.
     val limitClause = """(?is)\blimit\s+\d+\b""".r
-    s3 match {
+    val s4 = s3 match {
       case topRe(head, n, rest) if limitClause.findFirstIn(rest).isEmpty =>
         s"$head$rest LIMIT $n"
       case other => other
     }
+    rewriteQualify(rewriteUnnest(rewriteArrayCtor(s4)))
+  }
+
+  /** Presto `ARRAY[…]` constructor (Bingql.g4:526) → Spark `array(…)`.
+    * Bracket-matched (nested `ARRAY[ARRAY[…]]` and indexing brackets
+    * inside the body are handled), quote-aware. */
+  private[lineage] def rewriteArrayCtor(sql: String): String = {
+    val re = """(?i)\barray\s*\[""".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        var inS = false; var inD = false
+        while (i < sql.length && depth > 0) {
+          val c = sql.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else if (inD) { if (c == '"') inD = false }
+          else c match {
+            case '\'' => inS = true
+            case '"' => inD = true
+            case '[' => depth += 1
+            case ']' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) sql
+        else sql.substring(0, m.start) + "array(" +
+          rewriteArrayCtor(sql.substring(m.end, i - 1)) + ")" +
+          rewriteArrayCtor(sql.substring(i))
+    }
+  }
+
+  /** Presto `CROSS JOIN UNNEST(arr) [AS] t (c)` (Bingql.g4:1046-1047) →
+    * Hive/Spark `LATERAL VIEW explode(arr) t AS c` — same FROM-clause
+    * position, so an in-place textual swap parses. Multi-column and
+    * WITH ORDINALITY forms are left untouched (absent from the
+    * reference corpus). */
+  private[lineage] def rewriteUnnest(sql: String): String = {
+    val re = """(?is)\bcross\s+join\s+unnest\s*\(""".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        var inS = false; var inD = false
+        while (i < sql.length && depth > 0) {
+          val c = sql.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else if (inD) { if (c == '"') inD = false }
+          else c match {
+            case '\'' => inS = true
+            case '"' => inD = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) return sql
+        val arrExpr = sql.substring(m.end, i - 1)
+        val after = sql.substring(i)
+        val aliasRe = """(?is)^\s*(?:as\s+)?([\w`]+)\s*\(\s*([\w`]+)\s*\)""".r
+        aliasRe.findFirstMatchIn(after) match {
+          case Some(a) =>
+            sql.substring(0, m.start) +
+              s"LATERAL VIEW explode($arrExpr) ${a.group(1)} AS ${a.group(2)}" +
+              rewriteUnnest(after.substring(a.end))
+          case None => sql
+        }
+    }
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '$'
+
+  /** First top-level occurrence of `word` — paren depth 0, outside
+    * quotes/backticks/line comments, whole-word — at or after `from`;
+    * -1 if absent. */
+  private[lineage] def findTopLevel(sql: String, word: String, from: Int = 0): Int = {
+    var i = from; var depth = 0
+    var inS = false; var inD = false; var inB = false; var inC = false
+    val n = sql.length; val wl = word.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inC) { if (c == '\n') inC = false }
+      else if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (inB) { if (c == '`') inB = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '`' => inB = true
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' => inC = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && i + wl <= n &&
+            sql.regionMatches(true, i, word, 0, wl) &&
+            (i == 0 || !isIdentChar(sql.charAt(i - 1))) &&
+            (i + wl == n || !isIdentChar(sql.charAt(i + wl))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Teradata `QUALIFY pred` (Bingql.g4:1110-1111) → an ANSI
+    * window-subquery form Spark parses. Two shapes:
+    *
+    *  - predicate references select-list aliases (`QUALIFY rn = 1`):
+    *    wrap the whole select and filter above it —
+    *    `SELECT * FROM (SELECT <sel> FROM <rest>) __qualify_t
+    *     WHERE (<pred>) [tail]`;
+    *  - predicate contains inline window functions
+    *    (`QUALIFY ROW_NUMBER() OVER (…) = 1`): compute it alongside the
+    *    select list (window fns are legal there, illegal in WHERE) —
+    *    `SELECT * EXCEPT (__qualify__) FROM (SELECT <sel>, (<pred>) AS
+    *     __qualify__ FROM <rest>) __qualify_t WHERE __qualify__ [tail]`.
+    *
+    * Only a top-level QUALIFY is rewritten (the reference corpus never
+    * nests it); the scan is quote/paren-aware so identifiers or
+    * literals containing "qualify" don't trigger it. */
+  private[lineage] def rewriteQualify(sql: String): String = {
+    val qIdx = findTopLevel(sql, "qualify")
+    if (qIdx < 0) return sql
+    val selIdx = findTopLevel(sql, "select")
+    val fromIdx = if (selIdx < 0) -1 else findTopLevel(sql, "from", selIdx)
+    if (selIdx < 0 || fromIdx < 0 || fromIdx > qIdx) return sql
+    val rest = sql.substring(qIdx + "qualify".length)
+    // The predicate runs to the next top-level ORDER BY / LIMIT (or end).
+    val tailIdx = Seq(findTopLevel(rest, "order"), findTopLevel(rest, "limit"))
+      .filter(_ >= 0).minOption.getOrElse(rest.length)
+    val pred = rest.substring(0, tailIdx).trim
+    val tail = rest.substring(tailIdx).trim
+    if (pred.isEmpty) return sql
+    val prefix = sql.substring(0, selIdx) // e.g. INSERT OVERWRITE TABLE t
+    val selectList = sql.substring(selIdx + "select".length, fromIdx).trim
+    val fromPart = sql.substring(fromIdx, qIdx).trim
+    val tailStr = if (tail.isEmpty) "" else " " + tail
+    if ("""(?i)\bover\s*\(""".r.findFirstIn(pred).isDefined)
+      s"""${prefix}SELECT * EXCEPT (__qualify__) FROM (
+         |SELECT $selectList, ($pred) AS __qualify__ $fromPart
+         |) __qualify_t WHERE __qualify__$tailStr""".stripMargin
+    else
+      s"""${prefix}SELECT * FROM (
+         |SELECT $selectList $fromPart
+         |) __qualify_t WHERE ($pred)$tailStr""".stripMargin
   }
 }

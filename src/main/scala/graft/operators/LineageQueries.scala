@@ -464,7 +464,52 @@ object LineageQueries {
       .orderBy("kind", "name", "detail")
   }
 
+  /** Presto-form variant of case 0004 — `CROSS JOIN UNNEST` spelling of
+    * the same lateral explode (Bingql.g4:1046-1047). Must extract
+    * byte-identical lineage to the Hive `LATERAL VIEW` form. */
+  val prestoScript0004: String =
+    """use adhoc;
+      |SELECT row_alias.user.id, count(1) as cnt
+      |FROM tab40
+      |CROSS JOIN UNNEST(col402x) AS ds_alias (row_alias)
+      |GROUP BY 1;""".stripMargin
+
+  /** Teradata QUALIFY-form script (Bingql.g4:1110-1111): alias form and
+    * inline-window form, both of which the reference grammar accepts. */
+  val qualifyScript: String =
+    """SELECT col100l, col101s,
+      |       ROW_NUMBER() OVER (PARTITION BY col103i ORDER BY col100l) AS rn
+      |FROM dw.tab10
+      |QUALIFY rn = 1;
+      |SELECT col201s
+      |FROM dw.tab20
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY col202b ORDER BY col200l) = 1;""".stripMargin
+
+  /** Dialect-surface closure for the last reference spellings that used
+    * to skip-route (VERDICT r3 items 3-4): Teradata `QUALIFY` and Presto
+    * `CROSS JOIN UNNEST(...)` / `ARRAY[...]` (Bingql.g4:1110-1111,
+    * 1046-1047, 526). Each form's column lineage is extracted after the
+    * preprocessor's ANSI rewrite; the Presto 0004 rows must equal the
+    * Hive 0004 rows (also pinned structurally by LineageSpec). */
+  private val q122 = Q("q122_qualify_unnest", OracleValues.q122) { (s, _) =>
+    import s.implicits._
+    val arrayUnnest =
+      "SELECT x FROM dw.tab10 CROSS JOIN UNNEST(ARRAY[col100l, col103i]) AS t (x);"
+    val runs = Seq(
+      "hive_0004" -> scripts("0004"),
+      "presto_0004" -> prestoScript0004,
+      "qualify" -> qualifyScript,
+      "array_unnest" -> arrayUnnest)
+    runs.flatMap { case (form, sql) =>
+      LineageRunner.run(s, sql).edges.map { case (_, e) =>
+        (form, e.outColumn,
+          s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}", e.context)
+      }
+    }.toDF("form", "out_column", "parent", "context")
+      .orderBy("form", "out_column", "parent", "context")
+  }
+
   val defs: Seq[Q] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103,
-      q104, q105, q106, q107, q108, q109, q113, q114, q116)
+      q104, q105, q106, q107, q108, q109, q113, q114, q116, q122)
 }

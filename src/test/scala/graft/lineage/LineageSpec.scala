@@ -117,6 +117,70 @@ class LineageSpec extends AnyFunSuite {
       == "select greatest(a, b), max(x) from t")
   }
 
+  test("preprocessor: QUALIFY alias form wraps into subquery + WHERE") {
+    val out = SqlPreprocessor.rewriteDialect(
+      "SELECT a, ROW_NUMBER() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1 ORDER BY a")
+    assert(out.toLowerCase.startsWith("select * from ("))
+    assert(out.contains("WHERE (rn = 1) ORDER BY a"))
+    assert(!out.toLowerCase.replace("__qualify_t", "").contains("qualify"))
+  }
+
+  test("preprocessor: QUALIFY inline-window form computes the predicate in the select") {
+    val out = SqlPreprocessor.rewriteDialect(
+      "SELECT a FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1")
+    assert(out.contains("EXCEPT (__qualify__)"))
+    assert(out.contains("AS __qualify__"))
+    assert(out.contains("WHERE __qualify__"))
+  }
+
+  test("preprocessor: qualify-like identifiers and literals do not trigger the rewrite") {
+    val sql = "SELECT qualify_flag, 'qualify this' AS s FROM disqualify_t"
+    assert(SqlPreprocessor.rewriteDialect(sql) == sql)
+  }
+
+  test("preprocessor: ARRAY[...] rewrites to array(...), nested and indexed") {
+    assert(SqlPreprocessor.rewriteArrayCtor("SELECT ARRAY[1, 2, x[3]] AS a")
+      == "SELECT array(1, 2, x[3]) AS a")
+    assert(SqlPreprocessor.rewriteArrayCtor("SELECT ARRAY[ARRAY[1], ARRAY[2]]")
+      == "SELECT array(array(1), array(2))")
+    // plain subscript untouched
+    assert(SqlPreprocessor.rewriteArrayCtor("SELECT arr[1] FROM t")
+      == "SELECT arr[1] FROM t")
+  }
+
+  test("preprocessor: CROSS JOIN UNNEST rewrites to LATERAL VIEW explode") {
+    val out = SqlPreprocessor.rewriteUnnest(
+      "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u (x) WHERE x > 0")
+    assert(out == "SELECT x FROM t LATERAL VIEW explode(arr) u AS x WHERE x > 0")
+    // ordinary cross join untouched
+    val cj = "SELECT * FROM a CROSS JOIN b"
+    assert(SqlPreprocessor.rewriteUnnest(cj) == cj)
+  }
+
+  test("presto CROSS JOIN UNNEST form of 0004 extracts identical lineage to the Hive form") {
+    val hive = edges("0004").map { case (t, e) =>
+      (t, e.outColumn, e.parentSchema, e.parentTable, e.parentColumn, e.context)
+    }.sorted
+    val presto = LineageRunner.run(
+      spark, graft.operators.LineageQueries.prestoScript0004).edges.map { case (t, e) =>
+      (t, e.outColumn, e.parentSchema, e.parentTable, e.parentColumn, e.context)
+    }.sorted
+    assert(presto.nonEmpty && presto == hive)
+  }
+
+  test("QUALIFY script extracts lineage without skip-routing") {
+    val res = LineageRunner.run(spark, graft.operators.LineageQueries.qualifyScript)
+    assert(res.skippedStatements.isEmpty)
+    val rnParents = res.edges.collect {
+      case (_, e) if e.outColumn == "rn" && e.context == "SELECT" =>
+        s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}"
+    }.toSet
+    assert(rnParents == Set("dw.tab10.col100l", "dw.tab10.col103i"))
+    // the inline-window statement's output column survives the rewrite
+    assert(res.edges.exists { case (_, e) =>
+      e.outColumn == "col201s" && e.parentColumn == "col201s" })
+  }
+
   test("runner: GRANT/transactions/DML residue skip-routes, SELECT still extracts") {
     val res = LineageRunner.run(spark,
       """GRANT SELECT ON TABLE dw.tab10 TO ROLE analyst;
