@@ -23,7 +23,13 @@ object Closure {
 
   /** Above this many distinct edges, use the distributed fixpoint
     * instead of collecting to the driver. */
-  val DriverBfsMaxEdges = 2000000L
+  val DriverBfsMaxEdges = 100000L
+
+  /** The edge cap alone doesn't bound the OUTPUT: a long chain or dense
+    * DAG under the cap can close to O(V²) rows. The driver BFS aborts
+    * once it has emitted this many rows and the caller falls back to
+    * the distributed fixpoint (~48 MB of (child,parent,dist) rows). */
+  val DriverBfsMaxClosureRows = 2000000
 
   private val outSchema = StructType(Seq(
     StructField("child", StringType),
@@ -31,29 +37,44 @@ object Closure {
     StructField("distance", IntegerType)))
 
   /** edges: (child, parent) one-hop pairs.
-    * Returns (child, parent, distance) with minimal distance, all hops. */
-  def close(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    * Returns (child, parent, distance) with minimal distance, all hops.
+    * Caps are parameters only so tests can force the fallback path. */
+  def close(
+      edges: DataFrame,
+      maxIters: Int = 20,
+      maxDriverEdges: Long = DriverBfsMaxEdges,
+      maxClosureRows: Int = DriverBfsMaxClosureRows): DataFrame = {
     val spark = edges.sparkSession
     val base = edges.select(col("child").cast("string"), col("parent").cast("string"))
       .na.drop().distinct()
-    val pairs = base.limit((DriverBfsMaxEdges + 1).toInt).collect()
-    if (pairs.length <= DriverBfsMaxEdges) closeOnDriver(spark, pairs, maxIters)
-    else closeDistributed(base, maxIters)
+    val pairs = base.limit((maxDriverEdges + 1).toInt).collect()
+    val onDriver =
+      if (pairs.length <= maxDriverEdges)
+        closeOnDriver(spark, pairs, maxIters, maxClosureRows)
+      else None
+    onDriver.getOrElse(closeDistributed(base, maxIters))
   }
 
+  /** Driver BFS; None if the closure outgrows `maxClosureRows`
+    * (the caller then reruns distributed — correctness never depends on
+    * the driver having enough memory). */
   private def closeOnDriver(
-      spark: SparkSession, pairs: Array[Row], maxIters: Int): DataFrame = {
+      spark: SparkSession, pairs: Array[Row], maxIters: Int,
+      maxClosureRows: Int): Option[DataFrame] = {
     val adj = mutable.HashMap.empty[String, mutable.ArrayBuffer[String]]
     pairs.foreach { r =>
       adj.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) += r.getString(1)
     }
     val out = mutable.ArrayBuffer.empty[Row]
-    adj.keysIterator.foreach { start =>
+    val starts = adj.keysIterator
+    var overflow = false
+    while (starts.hasNext && !overflow) {
+      val start = starts.next()
       // BFS from each child: first visit = minimal distance.
       val dist = mutable.HashMap.empty[String, Int]
       var frontier = List(start)
       var d = 0
-      while (frontier.nonEmpty && d < maxIters) {
+      while (frontier.nonEmpty && d < maxIters && !overflow) {
         d += 1
         frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
           .filter(p => !dist.contains(p))
@@ -62,10 +83,12 @@ object Closure {
           dist(p) = d
           out += Row(start, p, d)
         }
+        overflow = out.length > maxClosureRows
       }
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
+    if (overflow) None
+    else Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), outSchema))
   }
 
   /** Iterative self-join fixpoint for edge sets too large to collect.

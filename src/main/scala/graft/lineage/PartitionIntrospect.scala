@@ -59,22 +59,31 @@ object PartitionIntrospect {
   private val CallRe =
     """(?i)\b(max_part_string|min_part_string|max_part_int|min_part_int|max_part_date|min_part_date|part_count)\s*\(\s*'([\w.]+)'\s*(?:,\s*'(\w+)'\s*)?\)""".r
 
+  /** A partition value as a safe single-quoted SQL literal for Spark's
+    * parser: backslashes and quotes backslash-escaped. */
+  private def sqlStringLit(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Replace partition-introspection calls in SQL text with literal
     * values resolved from the catalog (pre-parse substitution — the
-    * constant is what lets Catalyst prune partitions statically). */
+    * constant is what lets Catalyst prune partitions statically).
+    * Replacements go through `Regex.quoteReplacement` and quote/backslash
+    * escaping, so partition values containing `$`, `\` or `'` neither
+    * throw group-reference errors nor corrupt the rewritten statement. */
   def expand(spark: SparkSession, sql: String): String =
     CallRe.replaceAllIn(sql, m => {
       val (fn, table, col) = (m.group(1).toLowerCase, m.group(2), Option(m.group(3)))
       def c = col.getOrElse(throw new IllegalArgumentException(
         s"$fn('$table') needs a partition-column argument"))
-      fn match {
+      val lit = fn match {
         case "max_part_string" | "max_part_date" =>
-          maxPartString(spark, table, c).map(v => s"'$v'").getOrElse("NULL")
+          maxPartString(spark, table, c).map(sqlStringLit).getOrElse("NULL")
         case "min_part_string" | "min_part_date" =>
-          minPartString(spark, table, c).map(v => s"'$v'").getOrElse("NULL")
+          minPartString(spark, table, c).map(sqlStringLit).getOrElse("NULL")
         case "max_part_int" => maxPartInt(spark, table, c).map(_.toString).getOrElse("NULL")
         case "min_part_int" => minPartInt(spark, table, c).map(_.toString).getOrElse("NULL")
         case "part_count" => partCount(spark, table).toString
       }
+      scala.util.matching.Regex.quoteReplacement(lit)
     })
 }

@@ -117,6 +117,43 @@ class LineageSpec extends AnyFunSuite {
       == "select greatest(a, b), max(x) from t")
   }
 
+  test("closure: driver-BFS overflow falls back to distributed, same result") {
+    import spark.implicits._
+    // 60-node chain: closure is 59+58+…+1 = 1770 rows.
+    val chain = (0 until 59).map(i => (s"n$i", s"n${i + 1}")).toDF("child", "parent")
+    val full = Closure.close(chain, maxIters = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(full.size == 1770 && full.contains(("n0", "n59", 59)))
+    // Cap the driver output at 100 rows: BFS aborts, distributed fixpoint
+    // must produce the identical closure.
+    val fellBack = Closure.close(chain, maxIters = 100, maxClosureRows = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(fellBack == full)
+  }
+
+  test("partition introspection: values with $, quote, backslash substitute safely") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS dw LOCATION 'file:///tmp/graft_wh/dw.db'")
+    spark.sql("DROP TABLE IF EXISTS dw.part_esc")
+    spark.sql(
+      """CREATE TABLE dw.part_esc (v INT) USING parquet PARTITIONED BY (dt STRING)
+        |LOCATION 'file:///tmp/graft_wh/dw/part_esc'""".stripMargin)
+    val tricky = "z$1\\'s" // $-group ref, backslash, quote
+    spark.sql("ALTER TABLE dw.part_esc ADD PARTITION (dt='a')")
+    // Add the tricky partition through the catalog API to avoid DDL escaping.
+    val cat = spark.sessionState.catalog
+    val ti = org.apache.spark.sql.catalyst.TableIdentifier("part_esc", Some("dw"))
+    cat.createPartitions(ti, Seq(
+      org.apache.spark.sql.catalyst.catalog.CatalogTablePartition(
+        Map("dt" -> tricky),
+        cat.getTableMetadata(ti).storage)), ignoreIfExists = true)
+    val out = PartitionIntrospect.expand(
+      spark, "SELECT * FROM dw.part_esc WHERE dt = MAX_PART_STRING('dw.part_esc', 'dt')")
+    // 'z$1\'s' > 'a' lexically, so the tricky value is the max.
+    assert(out.contains("\\$1") == false) // no stray group-reference mangling
+    val lit = out.split("= ", 2)(1)
+    assert(spark.sql(s"SELECT $lit AS x").head.getString(0) == tricky)
+  }
+
   test("preprocessor: QUALIFY alias form wraps into subquery + WHERE") {
     val out = SqlPreprocessor.rewriteDialect(
       "SELECT a, ROW_NUMBER() OVER (ORDER BY b) AS rn FROM t QUALIFY rn = 1 ORDER BY a")
