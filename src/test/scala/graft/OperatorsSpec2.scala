@@ -39,4 +39,16 @@ class OperatorsSpec2 extends AnyFunSuite {
     val cols = out.columns.toSeq
     assert(cols == Seq("qid", "nid", "cos_sim", "rnk"))
   }
+
+  test("q121 native TABLESAMPLE: ~10% rate and REPEATABLE(42) run-to-run stability") {
+    val dir = "/root/testdata/sf0.01"
+    val q = SparkEntry.queries("q121_tablesample")
+    val total = graft.Tables.load(spark, dir, "lineitem").count().toDouble
+    val first = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // Bernoulli 10% at sf0.01 (~60k rows): [8%, 12%] is > 6 sigma.
+    assert(first.size / total > 0.08 && first.size / total < 0.12,
+      s"sample rate ${first.size / total} outside [0.08, 0.12]")
+    val second = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(first == second, "REPEATABLE(42) sample differed between runs")
+  }
 }

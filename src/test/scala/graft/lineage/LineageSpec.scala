@@ -117,6 +117,49 @@ class LineageSpec extends AnyFunSuite {
       == "select greatest(a, b), max(x) from t")
   }
 
+  test("0003: create+insert — single insert, trace col401s→tab40_str, 5 TABLE datasets (validate_0003)") {
+    val res = LineageRunner.run(spark, graft.operators.LineageQueries.scripts("0003"))
+    // validate_0003: `count(1)=1 fnd_table_create from table_insert`
+    assert(res.inserts.size == 1)
+    assert(res.inserts.head.dbSchema == "adhoc" &&
+      res.inserts.head.dbTable == "created_tab_0")
+    // validate_0003 lineage_ok: the 3-level select_item_rel trace from
+    // physical col401s through intermediate tab40_str to the top level —
+    // in our flattened edge model: the insert target's tab40_str output
+    // resolves to exactly adhoc.tab40.col401s in SELECT context.
+    val tgt = res.edges.filter(_._1 == "adhoc.created_tab_0").map(_._2)
+    assert(tgt.filter(e => e.outColumn == "tab40_str" && e.context == "SELECT")
+      .map(e => s"${e.parentSchema}.${e.parentTable}.${e.parentColumn}").toSet ==
+      Set("adhoc.tab40.col401s"))
+    // validate_0003 confirm_insert: max_int / yn_flag / col101s select
+    // items attached to the insert's dataset.
+    val insertItems = res.items.filter(_._1 == "adhoc.created_tab_0").map(_._2.name).toSet
+    assert(Set("max_int", "yn_flag", "col101s").subsetOf(insertItems))
+    // validate_0003 ds_cnt_match: 5 TABLE datasets in the store — the 4
+    // physical sources plus the created target.
+    val srcTables = res.edges.map(e => s"${e._2.parentSchema}.${e._2.parentTable}").toSet
+    assert((srcTables + "adhoc.created_tab_0").size == 5)
+  }
+
+  test("0007: fv_col has exactly 2 JOIN + 2 SELECT + 2 WHERE parents (validate_0007)") {
+    val byCtx = edges("0007").map(_._2)
+      .filter(_.outColumn == "fv_col")
+      .groupBy(_.context).view.mapValues(_.size).toMap
+    assert(byCtx == Map("JOIN" -> 2, "SELECT" -> 2, "WHERE" -> 2))
+  }
+
+  test("0008: tc1 parents are col100l, col101s, col200l (validate_0008; contexts per SURVEY §7.4.2)") {
+    // The reference's group-by fan-out records all three with
+    // usage_context SELECT (join keys leak into SELECT context); we
+    // deliberately keep join keys in JOIN context (SURVEY §7.4.2) —
+    // same parent set, honest contexts.
+    val tc1 = edges("0008").map(_._2).filter(_.outColumn == "tc1")
+    assert(tc1.map(e => (e.parentTable, e.parentColumn, e.context)).toSet == Set(
+      ("tab10", "col101s", "SELECT"),
+      ("tab10", "col100l", "JOIN"),
+      ("tab20", "col200l", "JOIN")))
+  }
+
   test("closure: driver-BFS overflow falls back to distributed, same result") {
     import spark.implicits._
     // 60-node chain: closure is 59+58+…+1 = 1770 rows.
