@@ -8,11 +8,12 @@ import org.apache.spark.sql.SparkSession
   * route failures to a skip report instead of aborting (the reference's
   * --skip-to behavior, :267-277).
   *
-  * Usage: graft.lineage.BatchRunner <sqlDir> <storeDir>
+  * Usage: graft.lineage.BatchRunner <sqlDir> <storeDir> [numParallel]
   */
 object BatchRunner {
   def main(args: Array[String]): Unit = {
     val Array(sqlDir, storeDir) = args.take(2)
+    val numParallel = args.drop(2).headOption.flatMap(_.toIntOption).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -20,26 +21,62 @@ object BatchRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val (ok, skipped) = run(spark, sqlDir, storeDir)
+    val (ok, skipped) = run(spark, sqlDir, storeDir, numParallel)
     println(s"[batch] ok=${ok.size} skipped=${skipped.size}")
     skipped.foreach { case (f, err) => println(s"[batch] SKIP $f: $err") }
     spark.stop()
   }
 
-  /** Returns (processed files, (file, error) skipped). EXTRACTION runs
-    * sequentially — each file mutates session catalog state (USE, CTAS),
-    * like the reference's per-thread sessions; scale-out shape is one
-    * Spark session per executor task over a file list. STORE WRITES are
-    * catalog-independent, so each file's write is submitted async and
-    * overlaps the next file's extraction — the dominant cost here is
-    * per-job latency on ~60 tiny parquet writes, not data volume. */
-  def run(spark: SparkSession, sqlDir: String, storeDir: String)
+  /** Returns (processed files, (file, error) skipped), both sorted.
+    *
+    * `numParallel > 1` mirrors the reference's thread-per-chunk shape
+    * (`--num-parallel`, BatchProcessor.java:151-163: contiguous
+    * even-sized chunks, one worker each). Each worker gets its own
+    * `spark.newSession()` — isolated session state (current database
+    * from USE, temp-function shims, temp views) over the shared
+    * SparkContext and external catalog, the Spark analogue of the
+    * reference's per-thread metastore/db-service connections. Per-file
+    * store outputs land in disjoint `storeDir/<name>` dirs and the
+    * store's ids are content-hashes, so the store is byte-identical to
+    * a sequential run (pinned by LineageSpec).
+    *
+    * Within a worker, EXTRACTION runs sequentially — each file mutates
+    * its session's catalog state (USE, CTAS) — while STORE WRITES are
+    * catalog-independent and submitted async, overlapping the next
+    * file's extraction: the dominant cost is per-job latency on ~60
+    * tiny parquet writes, not data volume. */
+  def run(spark: SparkSession, sqlDir: String, storeDir: String,
+      numParallel: Int = 1): (Seq[String], Seq[(String, String)]) = {
+    val files = new java.io.File(sqlDir).listFiles()
+      .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
+    if (numParallel <= 1) runChunk(spark, files, storeDir)
+    else {
+      // Even flow like the reference: round(remaining / remainingThreads).
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var start = 0; var remainCnt = numParallel
+      while (remainCnt > 0 && start < files.length) {
+        val chunk = math.round((files.length - start).toDouble / remainCnt).toInt
+        if (chunk > 0) { chunks += files.slice(start, start + chunk); start += chunk }
+        remainCnt -= 1
+      }
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(chunks.length)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val results = chunks.toSeq.map { chunk =>
+          Future(runChunk(spark.newSession(), chunk, storeDir))
+        }.map(Await.result(_, Duration.Inf))
+        (results.flatMap(_._1).sorted, results.flatMap(_._2).sortBy(_._1))
+      } finally pool.shutdown()
+    }
+  }
+
+  private def runChunk(spark: SparkSession, files: Seq[String], storeDir: String)
       : (Seq[String], Seq[(String, String)]) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val files = new java.io.File(sqlDir).listFiles()
-      .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
     val ok = Seq.newBuilder[String]
     val skipped = Seq.newBuilder[(String, String)]
     val writes = Seq.newBuilder[(String, Future[Unit])]
@@ -56,7 +93,7 @@ object BatchRunner {
           skipped += f -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next()}"
       }
     }
-    val (written, failed) = writes.result().partition { case (_, fut) =>
+    val (_, failed) = writes.result().partition { case (_, fut) =>
       try { Await.result(fut, Duration.Inf); true }
       catch { case _: Throwable => false }
     }

@@ -205,7 +205,7 @@ object LineageQueries {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$sqlDir/$id.sql"), sql)
     }
-    val (ok, skipped) = BatchRunner.run(s, sqlDir, storeDir)
+    val (ok, skipped) = BatchRunner.run(s, sqlDir, storeDir, numParallel = 4)
     require(skipped.isEmpty, s"batch skipped: $skipped")
     ok.map { f =>
       val name = new java.io.File(f).getName.stripSuffix(".sql")

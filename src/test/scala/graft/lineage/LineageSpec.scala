@@ -160,6 +160,35 @@ class LineageSpec extends AnyFunSuite {
       ("tab20", "col200l", "JOIN")))
   }
 
+  test("parallel batch extraction produces a byte-identical store vs sequential") {
+    val sqlDir = "/tmp/graft_batch_par_sql"
+    val seqStore = "/tmp/graft_batch_par_seq"
+    val parStore = "/tmp/graft_batch_par_par"
+    val d = new java.io.File(sqlDir)
+    d.mkdirs()
+    d.listFiles().foreach(_.delete())
+    graft.operators.LineageQueries.scripts.foreach { case (id, sql) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$sqlDir/$id.sql"), sql)
+    }
+    val (okSeq, skipSeq) = BatchRunner.run(spark, sqlDir, seqStore)
+    val (okPar, skipPar) = BatchRunner.run(spark, sqlDir, parStore, numParallel = 3)
+    assert(skipSeq.isEmpty && skipPar.isEmpty)
+    assert(okSeq.map(new java.io.File(_).getName) == okPar.map(new java.io.File(_).getName))
+    val tables = Seq("sql_source", "dataset", "select_item", "select_item_rel",
+      "table_insert", "table_add_partition", "dashboard_dataset")
+    okSeq.foreach { f =>
+      val name = new java.io.File(f).getName.stripSuffix(".sql")
+      tables.foreach { t =>
+        val a = spark.read.parquet(s"$seqStore/$name/$t")
+        val b = spark.read.parquet(s"$parStore/$name/$t")
+        val rows = (df: org.apache.spark.sql.DataFrame) =>
+          df.collect().map(_.toString).sorted.toSeq
+        assert(rows(a) == rows(b), s"$name/$t differs between sequential and parallel")
+      }
+    }
+  }
+
   test("closure: driver-BFS overflow falls back to distributed, same result") {
     import spark.implicits._
     // 60-node chain: closure is 59+58+…+1 = 1770 rows.
