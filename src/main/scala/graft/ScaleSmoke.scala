@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale smoke: time a list of registered queries at two data dirs and
+  * report the wall-clock ratio — the check that no query goes
+  * super-linear when the data scales (BASELINE.md records the results;
+  * VERDICT r3 item 10).
+  *
+  * Usage: graft.ScaleSmoke <dirA> <dirB> <q1,q2,...>
+  * Prints one JSON line: {"queries":{name:{"a":s,"b":s,"ratio":r}},...}.
+  * Each query runs once untimed at dirA (warmup: codegen + JIT + footer
+  * reads), then timed at dirA and dirB.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val Array(dirA, dirB, qlist) = args.take(3)
+    val names = qlist.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      dt
+    }
+    val rows = names.map { n =>
+      time(n, dirA) // warmup
+      val a = time(n, dirA)
+      val b = time(n, dirB)
+      System.err.println(f"[smoke] $n: a=$a%.2f b=$b%.2f ratio=${b / a}%.2f")
+      f""""$n":{"a":$a%.3f,"b":$b%.3f,"ratio":${b / a}%.2f}"""
+    }
+    println(s"""{"dirA":"$dirA","dirB":"$dirB","queries":${rows.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}
