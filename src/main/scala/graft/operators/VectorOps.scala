@@ -77,26 +77,19 @@ object VectorOps {
 
   // ------------------------------------ exact all-pairs top-N similar
 
-  private val q48 = Q(
-    "q48_embedding_top_pairs",
-    s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${duckCos("a", "b")} AS cos_sim
-       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       |ORDER BY cos_sim DESC, d1, d2 LIMIT 100""".stripMargin) { (s, dir) =>
-    // Exact all-pairs similarity, global top-100, via BLOCK-PARTITIONED
-    // pairing: vectors get a block id g ∈ [0,B); the join key is the
-    // ORDERED block pair (block(d1), block(d2)), with each side
-    // map-side-replicated ×B over the other side's block — so every
-    // (d1 < d2) pair meets on exactly one of B² equi-join keys and the
-    // n²/2 comparisons split into B² balanced shuffle tasks of |n/B|²
-    // work each. No BroadcastNestedLoopJoin, no single-task cartesian:
-    // this is the exact-all-pairs shape that survives a 100× scale-up
-    // (B rises with n; replication is ×B rows but ×1 bytes shuffled per
-    // comparison performed). Top-N is TakeOrdered — no full sort
-    // materialization.
+  /** All ordered pairs (d1 < d2) with cosine, via BLOCK-PARTITIONED
+    * pairing: vectors get a block id g ∈ [0,B); the join key is the
+    * ORDERED block pair (block(d1), block(d2)), with each side
+    * map-side-replicated ×B over the other side's block — so every
+    * (d1 < d2) pair meets on exactly one of B² equi-join keys and the
+    * n²/2 comparisons split into B² balanced shuffle tasks of |n/B|²
+    * work each. No BroadcastNestedLoopJoin, no single-task cartesian:
+    * this is the exact-all-pairs shape that survives a 100× scale-up
+    * (B rises with n; replication is ×B rows but ×1 bytes shuffled per
+    * comparison performed). */
+  private def blockPairs(s: SparkSession, all: DataFrame, B: Int): DataFrame = {
     import s.implicits._
-    val B = 8
     val blockIds = broadcast((0 until B).toDF("other"))
-    val all = vecs(s, dir)
     val a = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))
       .join(blockIds, expr("true"))
       .select(col("d1"), col("qv"), col("n1"),
@@ -109,8 +102,47 @@ object VectorOps {
       .filter(col("d1") < col("d2"))
       .withColumn("cos_sim", expr(dotExpr) / (col("n1") * col("n2")))
       .select("d1", "d2", "cos_sim")
+  }
+
+  private val q48 = Q(
+    "q48_embedding_top_pairs",
+    s"""SELECT a.vec_id AS d1, b.vec_id AS d2, ${duckCos("a", "b")} AS cos_sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY cos_sim DESC, d1, d2 LIMIT 100""".stripMargin) { (s, dir) =>
+    // Exact all-pairs similarity, global top-100 over the block-pair
+    // equi-join; top-N is TakeOrdered — no full sort materialization.
+    blockPairs(s, vecs(s, dir), B = 8)
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
       .limit(100)
+  }
+
+  // ------------------------------------- embedding-cosine near-dup dedup
+
+  /** Near-duplicate threshold. The synthetic embeddings corpus has no
+    * true near-dups (max pairwise cosine ≈ 0.51 at sf0.01), so the
+    * threshold sits inside the observed similarity tail to keep the
+    * drop set non-trivial at every SF; real corpora would run 0.95+. */
+  val NearDupTau = 0.35
+
+  private val q123 = Q(
+    "q123_embedding_neardup",
+    s"""SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${duckCos("a", "b")} >= $NearDupTau
+       |GROUP BY b.vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // Embedding-cosine near-dup dedup (single-pass, leader = lowest id):
+    // a vector is a duplicate iff ANY lower-id vector is within the
+    // cosine threshold; `dup_of` is the lowest such id. Exact via the
+    // same block-pair equi-join as q48 (this is the declared-oracle
+    // baseline; at 100 TB the production path prefilters candidates with
+    // LSH buckets, q49-style, before the exact verify). The threshold
+    // compare and the min-aggregation are order-independent, so the
+    // result is bit-identical across engines.
+    blockPairs(s, vecs(s, dir), B = 8)
+      .filter(col("cos_sim") >= NearDupTau)
+      .groupBy(col("d2").as("vec_id"))
+      .agg(min(col("d1")).as("dup_of"))
+      .orderBy("vec_id")
   }
 
   // ------------------------------------- IVF-style bucketed ANN probe
@@ -244,5 +276,5 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q47, q48, q49, q115)
+  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123)
 }
