@@ -539,7 +539,58 @@ object LineageQueries {
       .orderBy("form", "out_column", "parent", "context")
   }
 
+  /** Operational side tables (db_setup_ddl.sql:125-133, 148-163,
+    * 202-213): symlink registry + symlink-traversing table closure,
+    * dashboard registry, and ts_dboard_lineage derived from the parse
+    * store (the reference populates these externally — here the
+    * used-columns summary falls out of parsing). */
+  private val q124 = Q("q124_side_tables", OracleValues.q124) { (s, _) =>
+    import s.implicits._
+    import graft.lineage.SideTables
+    // Dashboard store: the q116 dashboard script persisted under a
+    // numeric-locator name, so native_id inference has something real.
+    val script =
+      """select col100l from dw.tab10 where col100l > 0;
+        |select col201s, count(1) as cnt from dw.tab20 group by col201s;""".stripMargin
+    val store = "/tmp/graft_side_store"
+    LineageStore.write(s, "777.sql", LineageRunner.run(s, script), store,
+      system = "dashboard")
+    SideTables.writeDashboards(s,
+      Seq((777L, "Daily teams", 1500000000L, 1600000000L, "ana.lyst")),
+      "/tmp/graft_side_dboard")
+    SideTables.writeSymlinks(s,
+      Seq(("dw", "tab10", "dw", "tab10_latest", "LatestOperator",
+        "s3://bucket/dw/tab10/latest", "etl_dag.link_latest")),
+      "/tmp/graft_side_symlink")
+    // Symlink-aware closure over case 0010's table edges: the _latest
+    // alias reaches everything dw.tab10 reaches (and its consumers).
+    val res = LineageRunner.run(s, scripts("0010"))
+    val tableEdges = res.edges.collect {
+      case (tgt, e) if tgt.nonEmpty && e.parentTable != tgt =>
+        (tgt, s"${e.parentSchema}.${e.parentTable}")
+    }.distinct.toDF("child", "parent")
+    val closed = SideTables.closeWithSymlinks(
+        tableEdges, s.read.parquet("/tmp/graft_side_symlink"))
+      .select(lit("closure").as("kind"), col("child").as("a"),
+        col("parent").as("b"), col("distance").cast("string").as("c"))
+    val boards = s.read.parquet("/tmp/graft_side_dboard")
+      .select(lit("dboard").as("kind"), col("native_id").cast("string").as("a"),
+        col("title").as("b"), col("author").as("c"))
+    val cols = SideTables.dashboardLineage(s, Seq(store))
+      .select(lit("dboard_col").as("kind"),
+        col("ts_dboard_native_id").cast("string").as("a"),
+        concat_ws(".", col("src_db_schema"), col("src_db_table")).as("b"),
+        col("src_db_column").as("c"))
+    val links = s.read.parquet("/tmp/graft_side_symlink")
+      .select(lit("symlink").as("kind"),
+        concat_ws(".", col("src_schema"), col("src_table")).as("a"),
+        concat_ws(".", col("dst_schema"), col("dst_table")).as("b"),
+        col("linkage_src_key").as("c"))
+    closed.unionByName(boards).unionByName(cols).unionByName(links)
+      .orderBy("kind", "a", "b", "c")
+  }
+
   val defs: Seq[Q] =
     Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q94, q96, q103,
-      q104, q105, q106, q107, q108, q109, q113, q114, q116, q122)
+      q104, q105, q106, q107, q108, q109, q113, q114, q116, q122, q124)
 }

@@ -189,6 +189,26 @@ class LineageSpec extends AnyFunSuite {
     }
   }
 
+  test("side tables: symlink-aware closure reaches the alias, dashboard columns derived") {
+    import spark.implicits._
+    val edges = Seq(("a.t1", "b.t2"), ("b.t2", "c.t3")).toDF("child", "parent")
+    SideTables.writeSymlinks(spark,
+      Seq(("c", "t3", "c", "t3_latest", "LatestOperator", "s3://x", "")),
+      "/tmp/graft_sidespec_sym")
+    val closed = SideTables.closeWithSymlinks(
+        edges, spark.read.parquet("/tmp/graft_sidespec_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(closed.contains(("a.t1", "c.t3", 2)))
+    assert(closed.contains(("a.t1", "c.t3_latest", 3))) // through the symlink
+    assert(!closed.exists { case (c, p, _) => c == p }) // no self-lineage
+    val res = LineageRunner.run(spark, "SELECT col100l FROM dw.tab10;")
+    LineageStore.write(spark, "4242.sql", res, "/tmp/graft_sidespec_store",
+      system = "dashboard")
+    val cols = SideTables.dashboardLineage(spark, Seq("/tmp/graft_sidespec_store"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(cols.toSet == Set((4242L, "dw", "tab10", "col100l")))
+  }
+
   test("closure: driver-BFS overflow falls back to distributed, same result") {
     import spark.implicits._
     // 60-node chain: closure is 59+58+…+1 = 1770 rows.
