@@ -54,4 +54,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "custom as-of operator not planned")
     assert(!p.contains("BroadcastNestedLoopJoin"), "as-of fell back to BNLJ")
   }
+
+  test("q115 IVF assign runs the codegen NearestCell, no interpreted HOF argmin") {
+    // Audit the assign projection itself (the per-row hot loop at scale):
+    // the k-means fit phase collects only k×dim aggregates.
+    val all = graft.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val cents = graft.operators.KMeansLite.fit(all, "vec_id", "v", k = 4, iters = 1)
+    val assigned = graft.operators.KMeansLite.assign(all, "v", cents)
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(p.contains("graft_nearest_cell"), "assign not using NearestCell")
+    assert(!p.contains("aggregate("), "interpreted HOF argmin back in the plan")
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, "assign outside codegen")
+  }
+
+  test("q123 near-dup pair join is an equi-join, not a cartesian") {
+    val p = planOf("q123_embedding_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "pair join is not an equi-join")
+    assert(!p.contains("CartesianProduct"), "near-dup planned a cartesian")
+  }
 }
