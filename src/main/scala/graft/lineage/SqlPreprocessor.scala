@@ -99,7 +99,81 @@ object SqlPreprocessor {
         s"$head$rest LIMIT $n"
       case other => other
     }
-    rewriteQualify(rewriteUnnest(rewriteArrayCtor(s4)))
+    rewriteQualify(rewriteUnnest(rewriteArrayCtor(rewritePrestoTypes(s4))))
+  }
+
+  /** Split on top-level commas (not inside parens or angle brackets). */
+  private def splitTopLevelCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('(' | '<') => depth += 1; sb.append(c)
+      case c @ (')' | '>') => depth -= 1; sb.append(c)
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb.append(c)
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** One Presto type term → Spark: `ROW(name type, …)` → `STRUCT<name:
+    * type, …>` (anonymous fields get col1..colN), `ARRAY(t)` →
+    * `ARRAY<t>`, bare `VARCHAR` → `STRING`; recursive. */
+  private def convertPrestoType(t0: String): String = {
+    val t = t0.trim
+    val rowRe = """(?is)^row\s*\((.*)\)$""".r
+    val arrRe = """(?is)^array\s*\((.*)\)$""".r
+    t match {
+      case rowRe(inner) =>
+        val fields = splitTopLevelCommas(inner).zipWithIndex.map { case (f, i) =>
+          // "[name] type" — name is the leading identifier iff more follows
+          // at top level; a bare type (e.g. BIGINT, ARRAY(…)) is anonymous.
+          val m = """^([A-Za-z_][\w]*)\s+(.+)$""".r.findFirstMatchIn(f)
+          m match {
+            case Some(g) if !g.group(1).matches("(?i)row|array|map") =>
+              s"${g.group(1)}: ${convertPrestoType(g.group(2))}"
+            case _ => s"col${i + 1}: ${convertPrestoType(f)}"
+          }
+        }
+        s"STRUCT<${fields.mkString(", ")}>"
+      case arrRe(inner) => s"ARRAY<${convertPrestoType(inner)}>"
+      case _ if t.equalsIgnoreCase("varchar") => "STRING"
+      case other => other
+    }
+  }
+
+  /** Presto type spellings in CAST targets (`ROW(...)` / `ARRAY(...)`,
+    * Bingql.g4:526 array_dtypes "The Presto definition") → Spark
+    * `STRUCT<…>` / `ARRAY<…>`. Only `AS ROW(`/`AS ARRAY(` cast positions
+    * are rewritten — a value-level `array(…)` constructor call stays. */
+  private[lineage] def rewritePrestoTypes(sql: String): String = {
+    val re = """(?i)\bas\s+(row|array)\s*\(""".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        var inS = false; var inD = false
+        while (i < sql.length && depth > 0) {
+          val c = sql.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else if (inD) { if (c == '"') inD = false }
+          else c match {
+            case '\'' => inS = true
+            case '"' => inD = true
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth != 0) sql
+        else {
+          val typ = convertPrestoType(
+            s"${m.group(1)}(${sql.substring(m.end, i - 1)})")
+          sql.substring(0, m.start) + "AS " + typ + rewritePrestoTypes(sql.substring(i))
+        }
+    }
   }
 
   /** Presto `ARRAY[…]` constructor (Bingql.g4:526) → Spark `array(…)`.

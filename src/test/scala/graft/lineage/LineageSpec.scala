@@ -277,6 +277,22 @@ class LineageSpec extends AnyFunSuite {
       == "SELECT arr[1] FROM t")
   }
 
+  test("preprocessor: Presto ROW/ARRAY cast types rewrite to STRUCT<>/ARRAY<>") {
+    val out = SqlPreprocessor.rewriteDialect(
+      "SELECT CAST(j AS ROW(id BIGINT, tags ARRAY(VARCHAR))) AS s FROM dw.tab10")
+    assert(out.contains("AS STRUCT<id: BIGINT, tags: ARRAY<STRING>>"))
+    // the rewritten statement parses and analyzes
+    val res = LineageRunner.run(spark,
+      "SELECT CAST(named_struct('id', col100l, 'tags', array(col101s)) " +
+        "AS ROW(id BIGINT, tags ARRAY(VARCHAR))).id AS rid FROM dw.tab10;")
+    assert(res.skippedStatements.isEmpty)
+    assert(res.edges.exists { case (_, e) =>
+      e.outColumn == "rid" && e.parentColumn == "col100l" })
+    // value-level array(...) constructor untouched
+    val keep = "SELECT array(1, 2) AS a FROM t"
+    assert(SqlPreprocessor.rewritePrestoTypes(keep) == keep)
+  }
+
   test("preprocessor: CROSS JOIN UNNEST rewrites to LATERAL VIEW explode") {
     val out = SqlPreprocessor.rewriteUnnest(
       "SELECT x FROM t CROSS JOIN UNNEST(arr) AS u (x) WHERE x > 0")
