@@ -75,4 +75,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair join is not an equi-join")
     assert(!p.contains("CartesianProduct"), "near-dup planned a cartesian")
   }
+
+  test("every query has a DuckDB oracle unless whitelisted with a property test") {
+    // Guard against zero-check entries (VERDICT r3 item 8): a query with
+    // no oracle MUST be on this list, and each listed query must have a
+    // ScalaTest property pinning it (q121: rate+stability in
+    // OperatorsSpec2 — REPEATABLE sampling is engine-RNG-specific and
+    // cannot hash-match DuckDB).
+    val allowedNoOracle = Set("q121_tablesample")
+    val noOracle = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(noOracle == allowedNoOracle,
+      s"unexpected zero-oracle queries: ${noOracle -- allowedNoOracle}")
+  }
 }
