@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions attaches the library through the standard
+  * `spark.sql.extensions` hook: the as-of planner strategy and the
+  * codegen function surface must work on a session that nothing
+  * registered on at runtime. Builds a separate SparkSession over the
+  * shared SparkContext (never stops it — other suites use it). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions wires functions and as-of strategy") {
+    TestSpark.spark // ensure the shared context exists first
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // spark.sql.extensions is a STATIC conf — it only applies when the
+      // SparkContext is created, and the suite shares one; withExtensions
+      // exercises the identical injection path on a reused context.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import spark.implicits._
+      // codegen function registered by the injected resolution rule
+      val dot = spark.sql(
+        "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .as[Double].head()
+      assert(dot == 1.0 * 3.0 + 2.0 * 4.0)
+      // as-of join planned by the INJECTED strategy: build the logical
+      // node directly — no AsOfJoinApi.register fallback to mask it.
+      val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+      val right = Seq((1L, 5L, "a"), (1L, 15L, "b")).toDF("rk", "rt", "v")
+      import org.apache.spark.sql.graftbridge.Bridge
+      val plan = plans.AsOfJoin(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        Bridge.expr(left.col("k")), Bridge.expr(right.col("rk")),
+        Bridge.expr(left.col("t")), Bridge.expr(right.col("rt")))
+      val joined = Bridge.ofRows(spark, plan)
+      val rows = joined.orderBy("t").collect().map(r => (r.getLong(1), r.getString(4)))
+      assert(rows.toSeq == Seq((10L, "a"), (20L, "b")))
+      assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
