@@ -250,5 +250,54 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118)
+  /** Watermarked stream-stream interval join (the remaining canonical
+    * Structured Streaming shape): attribute each purchase to every view
+    * by the same user in the preceding hour. Both sides carry event-time
+    * watermarks and the join condition bounds the time range, so state
+    * for either side expires once the other side's watermark passes —
+    * per-key state is bounded at any corpus size. Inner-join matches
+    * emit per micro-batch (no watermark wait); the compact per-user
+    * summary is aggregated batch-side from the emitted pairs. */
+  private val q125 = Q(
+    "q125_stream_stream_join",
+    """SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_q125_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def src = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        expr("""v_user = p_user AND
+               |p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
+      val query = joined.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double")
+            .as("purchase_value"))
+        .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125)
 }
