@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: graft.ScaleSmoke <dirA> <dirB> <q1,q2,...>
   * Prints one JSON line: {"queries":{name:{"a":s,"b":s,"ratio":r}},...}.
-  * Each query runs once untimed at dirA (warmup: codegen + JIT + footer
-  * reads), then timed at dirA and dirB.
+  * Each query runs once untimed at BOTH dirs (warmup: codegen + JIT +
+  * file listing + footer reads per dir), then timed at dirA and dirB —
+  * a cold dirB read otherwise reports IO/JIT noise as super-linearity.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -34,7 +35,7 @@ object ScaleSmoke {
       dt
     }
     val rows = names.map { n =>
-      time(n, dirA) // warmup
+      time(n, dirA); time(n, dirB) // warmup both dirs
       val a = time(n, dirA)
       val b = time(n, dirB)
       System.err.println(f"[smoke] $n: a=$a%.2f b=$b%.2f ratio=${b / a}%.2f")
