@@ -276,5 +276,67 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123)
+  /** q115 with MULTI-PROBE: each query searches its 2 nearest cells
+    * instead of 1 — the standard IVF recall fix for vectors near cell
+    * boundaries, at 2× probe cost and unchanged build cost. Probe-cell
+    * selection uses the same sequential (a-b)² fold as the assignment
+    * (bit-exact vs the oracle's list_sum replay); each corpus vector
+    * lives in exactly one cell, so the two probes never duplicate a
+    * candidate. At 100 TB this stays the cell equi-join shape — the
+    * probe list is a 2-row expansion of the bounded query set. */
+  private val q126 = Q(
+    "q126_ivf_multiprobe",
+    s"""${kmeansOracleCtes(k = 8, iters = 3, dim = 64)},
+       |qp AS (
+       |  SELECT qid, qv, qnrm, pcell FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, c.cid AS pcell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (q.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+       |             * (q.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), c.cid) AS prn
+       |    FROM nn q CROSS JOIN c3 c
+       |    WHERE q.vec_id < 50) WHERE prn <= 2)
+       |SELECT qid, nid, cos_sim, rnk FROM (
+       |  SELECT p.qid, n.vec_id AS nid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> p.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (p.qnrm * n.nrm) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> p.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (p.qnrm * n.nrm) DESC,
+       |        n.vec_id) AS rnk
+       |  FROM qp p JOIN nn n ON n.cell = p.pcell AND n.vec_id <> p.qid) r
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val all = vecs(s, dir)
+    val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cells = KMeansLite.assign(all, "v", cents)
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cid", "cv"))
+    // Top-2 probe cells per query: same sequential squared-distance fold
+    // as NearestCell (50×8 rows — interpreted HOF is off the hot path).
+    val d2 = expr(
+      """aggregate(zip_with(qv, cv, (a, b) -> (a - b) * (a - b)),
+        |CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2"), col("cid"))
+    val probes = cells.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(centDf, expr("true"))
+      .withColumn("d2", d2)
+      .withColumn("prn", row_number().over(pw))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qv"), col("qnrm"), col("cid").as("pcell"))
+    val scored = cells.join(probes,
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr(dotExpr) / (col("qnrm") * col("nrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123, q126)
 }

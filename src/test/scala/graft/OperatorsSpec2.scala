@@ -40,6 +40,21 @@ class OperatorsSpec2 extends AnyFunSuite {
     assert(cols == Seq("qid", "nid", "cos_sim", "rnk"))
   }
 
+  test("q126 multi-probe IVF never finds a worse best-neighbor than single-probe q115") {
+    val dir = "/root/testdata/sf0.001"
+    def best(q: String): Map[Long, Double] =
+      SparkEntry.queries(q)(spark, dir).filter("rnk = 1").collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = best("q115_ivf_kmeans")
+    val multi = best("q126_ivf_multiprobe")
+    // The multi-probe candidate set is a superset per query, so its top
+    // cosine can only match or improve.
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (qid, c) =>
+      assert(multi(qid) >= c, s"query $qid: multi-probe best ${multi(qid)} < $c")
+    }
+  }
+
   test("q121 native TABLESAMPLE: ~10% rate and REPEATABLE(42) run-to-run stability") {
     val dir = "/root/testdata/sf0.01"
     val q = SparkEntry.queries("q121_tablesample")
