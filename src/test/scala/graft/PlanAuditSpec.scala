@@ -76,6 +76,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "near-dup planned a cartesian")
   }
 
+  test("q127 bucketed join has no shuffle exchange on either side") {
+    // Broadcast would also be exchange-free at sf0.001 but proves
+    // nothing about buckets — force the sort-merge path.
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q127_bucketed_join")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "bucketed join did not sort-merge")
+      // No exchange on either JOIN key — bucket layout satisfies the
+      // join's distribution; the aggregation's exchange (on
+      // o_orderpriority) is the only one allowed.
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+        !p.contains("Exchange hashpartitioning(l_orderkey"),
+        "bucketed join still shuffles a side:\n" + p)
+      assert(p.contains("Bucketed: true"), "scan did not use bucket metadata")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("q128 partition pruning reaches the scan") {
+    val df = SparkEntry.queries("q128_partition_pruning")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") &&
+      p.contains("event_type") && p.contains("purchase"),
+      "no partition filter on the scan:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
