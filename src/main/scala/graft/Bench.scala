@@ -20,6 +20,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // Warm the lineage path too (fixture-catalog DDL + analyzer/walker
+    // JIT): without this the alphabetically-first lineage query bills
+    // several seconds of one-time session setup as query time.
+    try lineage.LineageRunner.run(spark, "SELECT * FROM dw.tab10;")
+    catch { case _: Throwable => }
     val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

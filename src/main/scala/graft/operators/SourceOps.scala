@@ -111,5 +111,42 @@ object SourceOps {
     s.read.parquet(out)
   }
 
-  val defs: Seq[Q] = Seq(q112, q127, q128)
+  /** JSON-lines source round trip: export `supplier` to newline-JSON,
+    * read it back with the explicit schema (no inference pass — at
+    * 100 TB schema inference is a full extra scan), aggregate. Value
+    * equality vs the parquet-reading oracle proves the codec faithful
+    * (timestamps/doubles/strings survive). */
+  private val q129 = Q(
+    "q129_json_roundtrip",
+    """SELECT s_nationkey, count(*) AS n_sup,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val sup = Tables.load(s, dir, "supplier")
+    val out = "/tmp/graft_json_supplier"
+    sup.write.mode("overwrite").json(out)
+    s.read.schema(sup.schema).json(out)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_sup"),
+        sum(col("s_acctbal").cast("decimal(12,2)")).cast("double").as("total_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  /** ORC source round trip (same contract as q129 for the other columnar
+    * format Spark ships a vectorized reader for). */
+  private val q130 = Q(
+    "q130_orc_roundtrip",
+    """SELECT p_brand, count(*) AS n_parts, min(p_name) AS first_name
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val part = Tables.load(s, dir, "part")
+    val out = "/tmp/graft_orc_part"
+    part.write.mode("overwrite").orc(out)
+    s.read.schema(part.schema).orc(out)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), min("p_name").as("first_name"))
+      .orderBy("p_brand")
+  }
+
+  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130)
 }
