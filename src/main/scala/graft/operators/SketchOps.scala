@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.DecimalType
   */
 object SketchOps {
 
-  private val Depth = 4
-  private val Width = 1024
-  private val P = 2038074743L
-  private val (cmsA, cmsB) = {
+  private[graft] val Depth = 4
+  private[graft] val Width = 1024
+  private[graft] val P = 2038074743L
+  private[graft] val (cmsA, cmsB) = {
     val rnd = new scala.util.Random(99)
     (Array.fill(Depth)(1L + rnd.nextInt((P - 1).toInt)),
       Array.fill(Depth)(rnd.nextInt(P.toInt).toLong))

@@ -84,11 +84,19 @@ object VectorOps {
     * (d1 < d2) pair meets on exactly one of B² equi-join keys and the
     * n²/2 comparisons split into B² balanced shuffle tasks of |n/B|²
     * work each. No BroadcastNestedLoopJoin, no single-task cartesian:
-    * this is the exact-all-pairs shape that survives a 100× scale-up
-    * (B rises with n; replication is ×B rows but ×1 bytes shuffled per
-    * comparison performed). */
-  private def blockPairs(s: SparkSession, all: DataFrame, B: Int): DataFrame = {
+    * this is the exact-all-pairs shape that survives a 100× scale-up —
+    * B RISES WITH n (one cheap count) to hold per-task work ≈ (n/B)²
+    * constant; replication is ×B rows but ×1 bytes shuffled per
+    * comparison performed. Results are B-independent (B only partitions
+    * the pair space), so the oracle never sees it. */
+  private def blockPairs(s: SparkSession, all: DataFrame, B0: Int = 0): DataFrame = {
     import s.implicits._
+    val B = if (B0 > 0) B0 else {
+      // ~4k vectors per block → ≤16M comparisons per task; cap keeps the
+      // ×B row replication bounded.
+      val n = all.count()
+      math.min(128, math.max(8, math.ceil(n / 4000.0).toInt))
+    }
     val blockIds = broadcast((0 until B).toDF("other"))
     val a = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))
       .join(blockIds, expr("true"))
@@ -111,7 +119,7 @@ object VectorOps {
        |ORDER BY cos_sim DESC, d1, d2 LIMIT 100""".stripMargin) { (s, dir) =>
     // Exact all-pairs similarity, global top-100 over the block-pair
     // equi-join; top-N is TakeOrdered — no full sort materialization.
-    blockPairs(s, vecs(s, dir), B = 8)
+    blockPairs(s, vecs(s, dir))
       .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
       .limit(100)
   }
@@ -138,7 +146,7 @@ object VectorOps {
     // LSH buckets, q49-style, before the exact verify). The threshold
     // compare and the min-aggregation are order-independent, so the
     // result is bit-identical across engines.
-    blockPairs(s, vecs(s, dir), B = 8)
+    blockPairs(s, vecs(s, dir))
       .filter(col("cos_sim") >= NearDupTau)
       .groupBy(col("d2").as("vec_id"))
       .agg(min(col("d1")).as("dup_of"))

@@ -61,6 +61,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sig.toSeq == Seq(mh(3, 11), mh(7, 13)))
   }
 
+  test("graft_cms sketch is merge-order independent (1 vs 32 partitions, shuffled)") {
+    import graft.operators.SketchOps
+    functions.GraftFunctions.register(spark)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cms_t",
+      exprs => functions.CountMinSketchAgg(
+        exprs.head, SketchOps.Depth, SketchOps.Width,
+        SketchOps.cmsA, SketchOps.cmsB, SketchOps.P).toAggregateExpression(),
+      "scala_udf")
+    val keys = (1L to 5000L).map(i => i % 97) // heavy collisions
+    def sketch(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      df.createOrReplaceTempView("cms_in")
+      spark.sql("SELECT graft_cms_t(k) AS cms FROM cms_in")
+        .head().getSeq[Long](0)
+    }
+    val one = sketch(keys.toDF("k").repartition(1))
+    val many = sketch(scala.util.Random.shuffle(keys).toDF("k").repartition(32))
+    assert(one == many, "CMS differs across partitioning / input order")
+    assert(one.sum > 0)
+  }
+
   test("graft_nearest_cell: codegen argmin matches HOF formulation, no interpreted HOF in plan") {
     import graft.operators.KMeansLite
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(1.0, 1.0))
