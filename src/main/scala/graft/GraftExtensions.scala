@@ -12,10 +12,10 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   *
   * or `.withExtensions(new GraftExtensions)`. Injects the as-of-join
-  * planner strategy ([[graft.plans.AsOfJoinStrategy]]) and the custom
-  * codegen function surface (graft_dot / graft_shingles3 /
-  * graft_minhash / graft_simhash sig / CMS agg — whatever
-  * [[graft.functions.GraftFunctions]] exposes) at session build time.
+  * planner strategy ([[graft.plans.AsOfJoinStrategy]]) and EVERY custom
+  * function [[graft.functions.GraftFunctions]] exposes (graft_dot,
+  * graft_shingles3, graft_minhash, graft_cms) — the two routes share
+  * one builder list, so they can't drift apart.
   *
   * Inside this repo the driver owns the SparkSession, so the query
   * surface registers the same pieces at runtime
@@ -29,13 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[functions.DotProduct].getName, "graft_dot"),
-      exprs => functions.DotProduct(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_shingles3"),
-      new ExpressionInfo(classOf[functions.WordShingles].getName, "graft_shingles3"),
-      exprs => functions.WordShingles(exprs.head, 3)))
+    functions.GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), b))
+    }
   }
 }

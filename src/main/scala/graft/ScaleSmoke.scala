@@ -34,14 +34,21 @@ object ScaleSmoke {
       System.gc()
       dt
     }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would emit unparseable JSON.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
+    def jstr(s0: String): String =
+      "\"" + s0.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val rows = names.map { n =>
       time(n, dirA); time(n, dirB) // warmup both dirs
       val a = time(n, dirA)
       val b = time(n, dirB)
-      System.err.println(f"[smoke] $n: a=$a%.2f b=$b%.2f ratio=${b / a}%.2f")
-      f""""$n":{"a":$a%.3f,"b":$b%.3f,"ratio":${b / a}%.2f}"""
+      System.err.println(
+        s"[smoke] $n: a=${num(a, 2)} b=${num(b, 2)} ratio=${num(b / a, 2)}")
+      s"""${jstr(n)}:{"a":${num(a, 3)},"b":${num(b, 3)},"ratio":${num(b / a, 2)}}"""
     }
-    println(s"""{"dirA":"$dirA","dirB":"$dirB","queries":${rows.mkString("{", ",", "}")}}""")
+    println(s"""{"dirA":${jstr(dirA)},"dirB":${jstr(dirB)},"queries":${rows.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

@@ -67,11 +67,26 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+
+  /** The full custom-function surface as (name, builder) — single source
+    * for runtime registration AND [[graft.GraftExtensions]] injection. */
+  def builders: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_shingles3" -> (exprs => WordShingles(exprs.head, 3)),
+    "graft_minhash" -> (exprs => MinHashSig(exprs.head,
+      graft.operators.TextOps.hashA, graft.operators.TextOps.hashB,
+      graft.operators.TextOps.MinhashP)),
+    "graft_cms" -> (exprs => CountMinSketchAgg(exprs.head,
+      graft.operators.SketchOps.Depth, graft.operators.SketchOps.Width,
+      graft.operators.SketchOps.cmsA, graft.operators.SketchOps.cmsB,
+      graft.operators.SketchOps.P).toAggregateExpression()))
+
   /** Register graft SQL functions on the session (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles3", exprs => WordShingles(exprs.head, 3), "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
 }

@@ -49,7 +49,7 @@ object BatchRunner {
       numParallel: Int = 1): (Seq[String], Seq[(String, String)]) = {
     val files = new java.io.File(sqlDir).listFiles()
       .filter(_.getName.endsWith(".sql")).map(_.getPath).sorted.toSeq
-    if (numParallel <= 1) runChunk(spark, files, storeDir)
+    if (numParallel <= 1 || files.isEmpty) runChunk(spark, files, storeDir)
     else {
       // Even flow like the reference: round(remaining / remainingThreads).
       val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]

@@ -26,8 +26,14 @@ object FixtureCatalog {
     }
   }
 
-  /** Drop-and-recreate a target table some test SQL writes into. */
-  def ensureTable(spark: SparkSession, db: String, tbl: String, cols: String): Unit = {
+  /** Drop-and-recreate a target table some test SQL writes into.
+    * Synchronized: parallel BatchRunner workers share the external
+    * catalog, and an unsynchronized DROP+CREATE pair racing on the same
+    * name throws TableAlreadyExists in one worker. (Two FILES creating
+    * the same table still last-write-win semantically — same as the
+    * reference's thread-per-chunk batch; keep shared staging-table
+    * names out of a parallel corpus.) */
+  def ensureTable(spark: SparkSession, db: String, tbl: String, cols: String): Unit = synchronized {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION 'file:///tmp/graft_wh/$db.db'")
     spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
     spark.sql(

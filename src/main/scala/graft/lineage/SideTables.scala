@@ -49,10 +49,15 @@ object SideTables {
       concat_ws(".", col("src_schema"), col("src_table")).as("child"),
       concat_ws(".", col("dst_schema"), col("dst_table")).as("parent"))
     val s2 = s1.select(col("parent").as("child"), col("child").as("parent"))
-    Closure.close(edges.select("child", "parent").union(s1).union(s2))
-      // The symlink round trip closes every aliased table onto itself;
-      // a table is not its own lineage parent.
-      .filter(col("child") =!= col("parent"))
+    val closed = Closure.close(edges.select("child", "parent").union(s1).union(s2))
+    // The symlink round trip closes every ALIASED table onto itself; a
+    // table is not its own lineage parent through its alias. Genuine
+    // self-lineage on non-aliased tables (self-referencing ETL) stays.
+    val aliased = s1.select(col("child").as("al"))
+      .union(s1.select(col("parent").as("al"))).distinct()
+    closed.join(aliased, closed("child") === aliased("al"), "left")
+      .filter(!(col("child") === col("parent") && col("al").isNotNull))
+      .select("child", "parent", "distance")
   }
 
   /** Derive ts_dboard_lineage — every physical (schema, table, column) a

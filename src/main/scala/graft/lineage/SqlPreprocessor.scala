@@ -152,28 +152,32 @@ object SqlPreprocessor {
     re.findFirstMatchIn(sql) match {
       case None => sql
       case Some(m) =>
-        var depth = 1; var i = m.end
-        var inS = false; var inD = false
-        while (i < sql.length && depth > 0) {
-          val c = sql.charAt(i)
-          if (inS) { if (c == '\'') inS = false }
-          else if (inD) { if (c == '"') inD = false }
-          else c match {
-            case '\'' => inS = true
-            case '"' => inD = true
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
-        if (depth != 0) sql
+        val i = matchBalanced(sql, m.end, '(', ')')
+        if (i < 0) sql
         else {
           val typ = convertPrestoType(
             s"${m.group(1)}(${sql.substring(m.end, i - 1)})")
           sql.substring(0, m.start) + "AS " + typ + rewritePrestoTypes(sql.substring(i))
         }
     }
+  }
+
+  /** Index just past the bracket balancing the already-consumed `open`
+    * (scan starts at depth 1), quote-aware; -1 if unbalanced. */
+  private def matchBalanced(sql: String, from: Int, open: Char, close: Char): Int = {
+    var depth = 1; var i = from
+    var inS = false; var inD = false
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else if (c == '\'') inS = true
+      else if (c == '"') inD = true
+      else if (c == open) depth += 1
+      else if (c == close) depth -= 1
+      i += 1
+    }
+    if (depth == 0) i else -1
   }
 
   /** Presto `ARRAY[…]` constructor (Bingql.g4:526) → Spark `array(…)`.
@@ -184,22 +188,8 @@ object SqlPreprocessor {
     re.findFirstMatchIn(sql) match {
       case None => sql
       case Some(m) =>
-        var depth = 1; var i = m.end
-        var inS = false; var inD = false
-        while (i < sql.length && depth > 0) {
-          val c = sql.charAt(i)
-          if (inS) { if (c == '\'') inS = false }
-          else if (inD) { if (c == '"') inD = false }
-          else c match {
-            case '\'' => inS = true
-            case '"' => inD = true
-            case '[' => depth += 1
-            case ']' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
-        if (depth != 0) sql
+        val i = matchBalanced(sql, m.end, '[', ']')
+        if (i < 0) sql
         else sql.substring(0, m.start) + "array(" +
           rewriteArrayCtor(sql.substring(m.end, i - 1)) + ")" +
           rewriteArrayCtor(sql.substring(i))
@@ -216,22 +206,8 @@ object SqlPreprocessor {
     re.findFirstMatchIn(sql) match {
       case None => sql
       case Some(m) =>
-        var depth = 1; var i = m.end
-        var inS = false; var inD = false
-        while (i < sql.length && depth > 0) {
-          val c = sql.charAt(i)
-          if (inS) { if (c == '\'') inS = false }
-          else if (inD) { if (c == '"') inD = false }
-          else c match {
-            case '\'' => inS = true
-            case '"' => inD = true
-            case '(' => depth += 1
-            case ')' => depth -= 1
-            case _ =>
-          }
-          i += 1
-        }
-        if (depth != 0) return sql
+        val i = matchBalanced(sql, m.end, '(', ')')
+        if (i < 0) return sql
         val arrExpr = sql.substring(m.end, i - 1)
         val after = sql.substring(i)
         val aliasRe = """(?is)^\s*(?:as\s+)?([\w`]+)\s*\(\s*([\w`]+)\s*\)""".r

@@ -43,9 +43,9 @@ object SourceOps {
       |WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions._
-    bucketedPair(s, dir)
-    val o = s.table("graft_bkt.orders_b").filter(col("o_orderstatus") === "F")
-    val li = s.table("graft_bkt.lineitem_b")
+    val (ordersT, lineitemT) = bucketedPair(s, dir)
+    val o = s.table(ordersT).filter(col("o_orderstatus") === "F")
+    val li = s.table(lineitemT)
     o.join(li, li("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
@@ -53,29 +53,33 @@ object SourceOps {
       .orderBy("o_orderpriority")
   }
 
-  /** (Re)create the bucketed pair for `dir` — memoized per (session,
-    * dir) via a marker view so repeated queries/tests skip the write. */
-  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val marker = s"graft_bkt_ready_${math.abs(dir.hashCode)}"
-    if (s.catalog.tableExists(s"graft_bkt.$marker")) return
+  /** (Re)create the bucketed pair for `dir`, returning the two table
+    * names. Table names are keyed by the dir (hash suffix) so different
+    * data dirs never share or clobber each other's bucketed tables —
+    * existence of the dir's own tables is the memo. */
+  def bucketedPair(s: org.apache.spark.sql.SparkSession, dir: String): (String, String) = {
+    val suffix = math.abs(dir.hashCode).toString
+    val names = Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey")
+      .map { case (t, key) => (s"graft_bkt.${t}_b_$suffix", t, key) }
+    if (names.forall(n => s.catalog.tableExists(n._1)))
+      return (names(0)._1, names(1)._1)
     s.sql("CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION 'file:///tmp/graft_wh/graft_bkt.db'")
-    Seq("orders" -> "o_orderkey", "lineitem" -> "l_orderkey").foreach {
-      case (t, key) =>
-        s.sql(s"DROP TABLE IF EXISTS graft_bkt.${t}_b")
-        // A previous JVM's managed-table dir survives its catalog; the
-        // DROP above can't see it, so clear the location too.
-        val loc = new java.io.File(s"/tmp/graft_wh/graft_bkt.db/${t}_b")
-        if (loc.exists()) {
-          java.nio.file.Files.walk(loc.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
-        }
-        Tables.load(s, dir, t).write
-          .bucketBy(8, key).sortBy(key)
-          .format("parquet")
-          .saveAsTable(s"graft_bkt.${t}_b")
+    names.foreach { case (full, t, key) =>
+      s.sql(s"DROP TABLE IF EXISTS $full")
+      // A previous JVM's managed-table dir survives its catalog; the
+      // DROP above can't see it, so clear the location too.
+      val loc = new java.io.File(s"/tmp/graft_wh/graft_bkt.db/${t}_b_$suffix")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      Tables.load(s, dir, t).write
+        .bucketBy(8, key).sortBy(key)
+        .format("parquet")
+        .saveAsTable(full)
     }
-    s.sql(s"CREATE TABLE graft_bkt.$marker (x INT) USING parquet")
+    (names(0)._1, names(1)._1)
   }
 
   /** Partition-pruned scan (SURVEY scale design: partition pruning is

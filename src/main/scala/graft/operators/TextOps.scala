@@ -205,10 +205,10 @@ object TextOps {
 
   // --------------------------------------------------- MinHash + LSH
 
-  private val MinhashP = 2038074743L // prime < 2^31
-  private val NumHashes = 64
+  private[graft] val MinhashP = 2038074743L // prime < 2^31
+  private[graft] val NumHashes = 64
   private val BandRows = 4 // 16 bands x 4 rows
-  private val (hashA, hashB) = {
+  private[graft] val (hashA, hashB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(NumHashes)(1L + rnd.nextInt((MinhashP - 1).toInt)),
       Array.fill(NumHashes)(rnd.nextInt(MinhashP.toInt).toLong))

@@ -260,12 +260,17 @@ object StreamingOps {
     * summary is aggregated batch-side from the emitted pairs. */
   private val q125 = Q(
     "q125_stream_stream_join",
+    // ts truncated to µs on BOTH sides (Spark reads nanos div 1000; a
+    // nanosecond-precision oracle would disagree at exact-boundary
+    // pairs — the q118 divergence class).
     """SELECT v.user_id AS user_id, COUNT(*) AS n_pairs,
       |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value
       |FROM events v JOIN events p
       |  ON v.user_id = p.user_id
       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
-      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |  AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', v.ts)
+      |  AND date_trunc('microseconds', p.ts)
+      |      <= date_trunc('microseconds', v.ts) + INTERVAL 1 HOUR
       |GROUP BY v.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sinkName = "graft_q125_sink"

@@ -32,6 +32,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .as[Double].head()
       assert(dot == 1.0 * 3.0 + 2.0 * 4.0)
+      // the WHOLE function surface is injected, not just graft_dot
+      assert(spark.sql("SELECT size(graft_minhash(array(1L, 2L))) AS n")
+        .as[Int].head() == 64)
+      assert(spark.sql("SELECT size(graft_cms(x)) AS n FROM VALUES (1L), (2L) t(x)")
+        .as[Int].head() > 0)
       // as-of join planned by the INJECTED strategy: build the logical
       // node directly — no AsOfJoinApi.register fallback to mask it.
       val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")

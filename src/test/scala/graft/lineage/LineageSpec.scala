@@ -200,7 +200,13 @@ class LineageSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(closed.contains(("a.t1", "c.t3", 2)))
     assert(closed.contains(("a.t1", "c.t3_latest", 3))) // through the symlink
-    assert(!closed.exists { case (c, p, _) => c == p }) // no self-lineage
+    assert(!closed.exists { case (c, p, _) => c == p }) // no alias self-lineage
+    // but GENUINE self-lineage on a non-aliased table survives
+    val selfLoop = Seq(("x.t", "x.t"), ("x.t", "b.t2")).toDF("child", "parent")
+    val closed2 = SideTables.closeWithSymlinks(
+        selfLoop, spark.read.parquet("/tmp/graft_sidespec_sym"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(closed2.contains(("x.t", "x.t", 1)), "real self-loop was dropped")
     val res = LineageRunner.run(spark, "SELECT col100l FROM dw.tab10;")
     LineageStore.write(spark, "4242.sql", res, "/tmp/graft_sidespec_store",
       system = "dashboard")
