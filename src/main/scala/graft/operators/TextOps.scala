@@ -325,15 +325,18 @@ object TextOps {
     // ones — the in-bucket pairing stays near-linear until n approaches
     // 2^15 docs *per bucket value*, and degenerate buckets are capped in
     // the LSH variant (q45). The oracle is the brute-force pair scan.
-    def charFold(seed: Int, mult: Int) =
-      s"""aggregate(transform(sequence(1, length(w)),
-         |                    i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
-         |  ${seed}L, (acc, c) -> (acc * $mult + c) % 2147483647)""".stripMargin
+    // Codegen'd [[graft.functions.PolyHash]] — bit-identical to the SQL
+    // fold `aggregate(transform(sequence(1,length(w)), i ->
+    // ascii(substring(w,i,1))), seed, (acc,c) -> (acc*mult+c) % p)` the
+    // oracle still uses, minus the interpreted HOF per distinct token.
+    import org.apache.spark.sql.graftbridge.Bridge
+    def charFold(seed: Int, mult: Int) = Bridge.column(
+      graft.functions.PolyHash(Bridge.expr(col("w")), seed, mult, 2147483647L))
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val vocab = words.select("w").distinct()
-      .withColumn("h1", expr(charFold(17, 31)))
-      .withColumn("h2", expr(charFold(91, 37)))
+      .withColumn("h1", charFold(17, 31))
+      .withColumn("h2", charFold(91, 37))
     val voteAggs =
       (0 until 31).map(j => sum(expr(s"2 * ((h1 >> $j) & 1) - 1")).as(s"v1_$j")) ++
       (0 until 31).map(j => sum(expr(s"2 * ((h2 >> $j) & 1) - 1")).as(s"v2_$j"))

@@ -82,6 +82,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one.sum > 0)
   }
 
+  test("graft_polyhash matches the SQL codepoint fold; empty string matches the ORACLE") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def poly(df: org.apache.spark.sql.DataFrame) = df.withColumn("h",
+        Bridge.column(functions.PolyHash(Bridge.expr(col("w")), 17, 31, 2147483647L)))
+      .select("h").as[Long].collect().toSeq
+    // Non-empty: bit-identical to the SQL HOF fold it replaced.
+    val inputs = Seq("hello", "a", "héllo wörld", "日本語テスト", "emoji 😀 pair")
+    val df = inputs.toDF("w")
+    val ref = df.selectExpr(
+      """aggregate(transform(sequence(1, length(w)),
+        |          i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+        |  17L, (acc, c) -> (acc * 31 + c) % 2147483647) AS h""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(poly(df) == ref)
+    // Empty token: the old SQL fold hit Spark's descending sequence(1,0)
+    // = [1,0] quirk and produced 16337, DIVERGING from the DuckDB
+    // oracle's range(1,1) = [] -> seed. PolyHash folds zero codepoints
+    // and returns the seed — matching the oracle (latent divergence on
+    // any document with consecutive spaces, fixed by this expression).
+    assert(poly(Seq("").toDF("w")) == Seq(17L))
+  }
+
   test("graft_nearest_cell: codegen argmin matches HOF formulation, no interpreted HOF in plan") {
     import graft.operators.KMeansLite
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(1.0, 1.0))
