@@ -130,17 +130,21 @@ object TextOps {
   private val q53 = Q(
     "q53_fingerprint",
     """SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(string_split(text, ' ')[:20],
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+      |    list_filter(string_split(text, ' '), w -> w <> '')[:20],
       |    w -> CAST(length(w) * 31 + ord(w) AS BIGINT))),
       |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // Rolling polynomial fingerprint over the first 20 tokens. Word atoms
-    // are (len*31 + first-char-code) so the fold is expressible identically
-    // in DuckDB; mod at each step keeps every intermediate < 2^52.
+    // Rolling polynomial fingerprint over the first 20 NON-EMPTY tokens.
+    // Word atoms are (len*31 + first-char-code) so the fold is expressible
+    // identically in DuckDB; mod at each step keeps every intermediate
+    // < 2^52. Empty tokens (consecutive spaces) are filtered on BOTH
+    // sides: Spark ascii('') = 0 but DuckDB ord('') = -1, the same
+    // engine-divergence class PolyHash closes for q46.
     docs(s, dir).select(
       col("doc_id"),
       expr("""aggregate(
-              |  transform(slice(split(text, ' '), 1, 20),
+              |  transform(slice(filter(split(text, ' '), w -> w <> ''), 1, 20),
               |            w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
               |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin)
         .as("fp"))

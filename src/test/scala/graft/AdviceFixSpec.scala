@@ -57,4 +57,19 @@ class AdviceFixSpec extends AnyFunSuite {
     val keep = "SELECT TOP 5 a FROM t LIMIT 3"
     assert(SqlPreprocessor.rewriteDialect(keep) == keep)
   }
+
+  test("q53 fingerprint matches the oracle on documents with consecutive spaces") {
+    // Spark ascii('') = 0 but DuckDB ord('') = -1 — empty tokens are
+    // filtered on both sides; 1551795128 is the DuckDB value for this doc.
+    val session = TestSpark.spark
+    import session.implicits._
+    val fp = Seq("ab  cd").toDF("text")
+      .selectExpr(
+        """aggregate(
+          |  transform(slice(filter(split(text, ' '), w -> w <> ''), 1, 20),
+          |            w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
+          |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp""".stripMargin)
+      .as[Long].head()
+    assert(fp == 1551795128L)
+  }
 }
