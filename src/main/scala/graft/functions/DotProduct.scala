@@ -75,6 +75,15 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
     "graft_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_shingles3" -> (exprs => WordShingles(exprs.head, 3)),
+    // Round-5 pipeline-op variants: empty tokens filtered; words/bigrams
+    // keep multiplicity (repetition metrics), 5-gram shingles are a set
+    // (decontamination).
+    "graft_words" -> (exprs =>
+      WordShingles(exprs.head, 1, dedup = false, filterEmpty = true)),
+    "graft_bigrams" -> (exprs =>
+      WordShingles(exprs.head, 2, dedup = false, filterEmpty = true)),
+    "graft_shingles5" -> (exprs =>
+      WordShingles(exprs.head, 5, dedup = true, filterEmpty = true)),
     "graft_minhash" -> (exprs => MinHashSig(exprs.head,
       graft.operators.TextOps.hashA, graft.operators.TextOps.hashB,
       graft.operators.TextOps.MinhashP)),

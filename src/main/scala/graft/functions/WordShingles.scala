@@ -7,18 +7,27 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles of a space-separated string, one pass.
+/** Word n-gram shingles of a space-separated string, one pass.
   *
   * The HOF formulation
   * `array_distinct(transform(sequence(...), i -> concat(ws[i-1], ...)))`
   * with `ws = split(text)` gets inlined by Catalyst so `split` re-executes
   * for every subscript — O(words²) regex splits per row (measured hot in
   * jstack on the dedup bench). This expression is one split + one pass.
-  * Shingle SET semantics are unchanged, so the DuckDB oracles still match.
+  *
+  * `dedup=true, filterEmpty=false` is the original q44/q45 shingle-SET
+  * semantics (frozen — its DuckDB oracles split without filtering).
+  * The round-5 pipeline ops use `filterEmpty=true` (consecutive spaces
+  * produce no empty tokens, the engine-divergence class PolyHash closed)
+  * and `dedup=false` where multiplicity matters (repetition metrics).
   *
   * CodegenFallback: one virtual call per row is noise next to the work.
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(
+    child: Expression,
+    n: Int,
+    dedup: Boolean = true,
+    filterEmpty: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1)
@@ -33,9 +42,14 @@ case class WordShingles(child: Expression, n: Int)
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[UTF8String].toString.split(' ')
+    val raw = v.asInstanceOf[UTF8String].toString.split(' ')
+    val words = if (filterEmpty) raw.filter(_.nonEmpty) else raw
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet preserves first-occurrence order for the dedup case;
+    // plain insertion order otherwise.
+    val seen: java.util.Collection[String] =
+      if (dedup) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String](words.length - n + 1)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i <= words.length - n) {

@@ -220,18 +220,49 @@ object Relational2 {
       .orderBy("nk", "sk")
   }
 
-  /** Native TABLESAMPLE (reference Bingql.g4:1023-1033). The engine RNG
-    * isn't oracle-comparable across engines (q76's deterministic hash
-    * sample is the verified equivalent), so this is a rows-only check:
-    * REPEATABLE seed makes it stable within Spark, and the sample rate
-    * is asserted loosely downstream. At scale TABLESAMPLE pushes into
-    * the scan (per-partition Bernoulli sampling, no shuffle). */
-  private val q121 = Q.noOracle("q121_tablesample") { (s, dir) =>
+  /** Native TABLESAMPLE (reference Bingql.g4:1023-1033). The sampled
+    * row SET is engine-RNG-specific (q76's deterministic hash sample is
+    * the row-exact verified equivalent), so this query verifies the
+    * sample's PROPERTIES instead, all computed in-Spark from the actual
+    * sample and emitted as booleans the oracle can state: the rate lands
+    * inside 0.10*n +/- (0.03*n + 6*sqrt(0.10*n)) (>6 sigma for Bernoulli
+    * at any table size), sampling is without replacement (per-key sample
+    * multiplicity never exceeds the base table's — (orderkey, linenumber)
+    * is NOT unique in this corpus, so the check compares counts, not
+    * distinctness), and every sampled row exists in the base table.
+    * REPEATABLE(42) run-to-run stability is pinned in
+    * OperatorsSpec2. At scale TABLESAMPLE pushes into the scan
+    * (per-partition Bernoulli sampling, no shuffle — the property
+    * aggregation here is test scaffolding, not the operator). */
+  private val q121 = Q(
+    "q121_tablesample",
+    """SELECT true AS rate_in_bounds, true AS without_replacement,
+      |       true AS subset_of_base""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
-      """SELECT l_orderkey, l_linenumber FROM lineitem
-        |TABLESAMPLE (10 PERCENT) REPEATABLE (42)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      """WITH samp AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln FROM lineitem
+        |  TABLESAMPLE (10 PERCENT) REPEATABLE (42)
+        |),
+        |base AS (SELECT CAST(count(*) AS DOUBLE) AS n_base FROM lineitem),
+        |agg AS (SELECT count(*) AS n_samp FROM samp),
+        |samp_cnt AS (SELECT ok, ln, count(*) AS c FROM samp GROUP BY ok, ln),
+        |base_cnt AS (
+        |  SELECT l_orderkey AS ok, l_linenumber AS ln, count(*) AS c
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber
+        |),
+        |viol AS (
+        |  SELECT
+        |    count_if(b.c IS NULL) AS n_foreign,
+        |    count_if(b.c IS NOT NULL AND s.c > b.c) AS n_over
+        |  FROM samp_cnt s LEFT JOIN base_cnt b ON s.ok = b.ok AND s.ln = b.ln
+        |)
+        |SELECT
+        |  abs(n_samp - 0.10 * n_base) <= 0.03 * n_base + 6.0 * sqrt(0.10 * n_base)
+        |    AS rate_in_bounds,
+        |  n_over = 0 AS without_replacement,
+        |  n_foreign = 0 AS subset_of_base
+        |FROM agg, base, viol""".stripMargin)
   }
 
   val defs: Seq[Q] = Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81,

@@ -22,6 +22,23 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** q53's rolling polynomial fingerprint over the first 20 non-empty
+    * tokens, as a Spark SQL fragment and its DuckDB twin — shared with
+    * the round-5 shard-assignment op (PipelineOps q133). Word atoms are
+    * (len*31 + first-codepoint); mod at each step keeps intermediates
+    * < 2^52 so the fold is bit-identical across engines. */
+  private[operators] val FingerprintSpark =
+    """aggregate(
+      |  transform(slice(filter(split(text, ' '), w -> w <> ''), 1, 20),
+      |            w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
+      |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin
+
+  private[operators] val FingerprintOracle =
+    """list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
+      |    list_filter(string_split(text, ' '), w -> w <> '')[:20],
+      |    w -> CAST(length(w) * 31 + ord(w) AS BIGINT))),
+      |    (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin
+
   // -------------------------------------------------------- exact dedup
 
   private val q40 = Q(
@@ -129,25 +146,16 @@ object TextOps {
 
   private val q53 = Q(
     "q53_fingerprint",
-    """SELECT doc_id,
-      |  list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(
-      |    list_filter(string_split(text, ' '), w -> w <> '')[:20],
-      |    w -> CAST(length(w) * 31 + ord(w) AS BIGINT))),
-      |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // Rolling polynomial fingerprint over the first 20 NON-EMPTY tokens.
-    // Word atoms are (len*31 + first-char-code) so the fold is expressible
-    // identically in DuckDB; mod at each step keeps every intermediate
-    // < 2^52. Empty tokens (consecutive spaces) are filtered on BOTH
+    s"SELECT doc_id, $FingerprintOracle AS fp FROM documents ORDER BY doc_id") {
+    (s, dir) =>
+    // Rolling polynomial fingerprint over the first 20 NON-EMPTY tokens
+    // (fragments shared with q133 shard assignment — see FingerprintSpark
+    // scaladoc). Empty tokens (consecutive spaces) are filtered on BOTH
     // sides: Spark ascii('') = 0 but DuckDB ord('') = -1, the same
     // engine-divergence class PolyHash closes for q46.
     docs(s, dir).select(
       col("doc_id"),
-      expr("""aggregate(
-              |  transform(slice(filter(split(text, ' '), w -> w <> ''), 1, 20),
-              |            w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
-              |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647)""".stripMargin)
-        .as("fp"))
+      expr(FingerprintSpark).as("fp"))
       .orderBy("doc_id")
   }
 

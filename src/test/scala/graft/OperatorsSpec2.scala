@@ -57,13 +57,22 @@ class OperatorsSpec2 extends AnyFunSuite {
 
   test("q121 native TABLESAMPLE: ~10% rate and REPEATABLE(42) run-to-run stability") {
     val dir = "/root/testdata/sf0.01"
-    val q = SparkEntry.queries("q121_tablesample")
+    // The oracle-facing query asserts its own properties; all three
+    // booleans must come back true on real data.
+    val props = SparkEntry.queries("q121_tablesample")(spark, dir).collect()
+    assert(props.length == 1 && (0 to 2).forall(props(0).getBoolean),
+      s"q121 property row not all-true: ${props.mkString}")
+    // REPEATABLE(42) stability + tight rate bounds on the raw sample.
+    graft.Tables.registerAll(spark, dir)
+    val rawSql =
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |TABLESAMPLE (10 PERCENT) REPEATABLE (42)""".stripMargin
     val total = graft.Tables.load(spark, dir, "lineitem").count().toDouble
-    val first = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val first = spark.sql(rawSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     // Bernoulli 10% at sf0.01 (~60k rows): [8%, 12%] is > 6 sigma.
     assert(first.size / total > 0.08 && first.size / total < 0.12,
       s"sample rate ${first.size / total} outside [0.08, 0.12]")
-    val second = q(spark, dir).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val second = spark.sql(rawSql).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(first == second, "REPEATABLE(42) sample differed between runs")
   }
 }

@@ -107,10 +107,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
-    // ScalaTest property pinning it (q121: rate+stability in
-    // OperatorsSpec2 — REPEATABLE sampling is engine-RNG-specific and
-    // cannot hash-match DuckDB).
-    val allowedNoOracle = Set("q121_tablesample")
+    // ScalaTest property pinning it. Currently empty — q121 was converted
+    // to an oracle-green property query in round 5.
+    val allowedNoOracle = Set.empty[String]
     val noOracle = SparkEntry.defs.filter(_.oracle.isEmpty).map(_.name).toSet
     assert(noOracle == allowedNoOracle,
       s"unexpected zero-oracle queries: ${noOracle -- allowedNoOracle}")
