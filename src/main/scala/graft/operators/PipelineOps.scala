@@ -273,5 +273,59 @@ object PipelineOps {
           col("exact_parts") <= 0.15).as("hll_ok"))
   }
 
-  val defs: Seq[Q] = Seq(q131, q132, q133, q134, q135, q136)
+  // ------------------------------- interval join via bin-and-refine
+
+  /** Bin width = window length (10 min in µs): every window overlaps at
+    * most 2 bins, every event exactly 1. */
+  private val WinUs = 600000000L
+
+  private val q137 = Q(
+    "q137_interval_bin_join",
+    s"""WITH e AS (
+      |  SELECT event_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         user_id, event_type, value
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id AS win_id, us AS w_start, us + $WinUs AS w_end
+      |  FROM e WHERE event_type = 'error' AND value > 90)
+      |SELECT win_id, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM w JOIN e
+      |  ON e.us >= w.w_start AND e.us < w.w_end AND e.event_id <> w.win_id
+      |GROUP BY win_id ORDER BY win_id""".stripMargin) { (s, dir) =>
+    // Interval join Spark lacks natively: joining events into time
+    // windows with only range predicates plans as a BroadcastNestedLoop
+    // join — O(|e| * |w|) at scale. The bin-and-refine rewrite turns it
+    // into an EQUI-join: windows explode into the (<= 2) coarse bins
+    // they overlap, events map to exactly 1 bin, the join key is the
+    // bin, and the range predicate becomes a cheap residual filter.
+    // Shuffle is bounded by data size, never by the pair count. Here the
+    // windows are 10-minute incident windows opened by high-value error
+    // events; the probe side is every event.
+    val ev = Tables.load(s, dir, "events").select(
+      col("event_id"), unix_micros(col("ts")).as("us"),
+      col("user_id"), col("event_type"), col("value"))
+    val windows = ev
+      .filter(col("event_type") === "error" && col("value") > 90)
+      .select(col("event_id").as("win_id"), col("us").as("w_start"),
+        (col("us") + WinUs).as("w_end"))
+      .withColumn("bin", explode(array_distinct(array(
+        expr(s"w_start div $WinUs"), expr(s"(w_end - 1) div $WinUs")))))
+    val probe = ev.withColumn("bin", expr(s"us div $WinUs"))
+    probe.join(windows,
+        probe("bin") === windows("bin") &&
+          probe("us") >= windows("w_start") &&
+          probe("us") < windows("w_end") &&
+          probe("event_id") =!= windows("win_id"))
+      .groupBy("win_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("total_value"))
+      .orderBy("win_id")
+  }
+
+  val defs: Seq[Q] = Seq(q131, q132, q133, q134, q135, q136, q137)
 }

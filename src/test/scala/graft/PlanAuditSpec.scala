@@ -104,6 +104,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "no partition filter on the scan:\n" + p)
   }
 
+  test("q137 interval join is an equi-join on the bin, not a nested loop") {
+    val p = planOf("q137_interval_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "bin-and-refine did not remove the nested-loop interval join:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "no hash/merge join on the bin key")
+  }
+
+  test("q131 decontamination broadcasts the benchmark shingles") {
+    val p = planOf("q131_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark side not broadcast — the corpus would shuffle at scale:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
