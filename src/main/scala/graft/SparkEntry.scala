@@ -17,7 +17,8 @@ object SparkEntry {
       operators.VectorOps.defs ++ operators.LineageQueries.defs ++
       operators.MultimodalOps.defs ++ operators.AsOfOps.defs ++
       operators.SketchOps.defs ++ operators.SourceOps.defs ++
-      operators.PipelineOps.defs ++ streaming.StreamingOps.defs
+      operators.PipelineOps.defs ++ operators.PipelineOps2.defs ++
+      streaming.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

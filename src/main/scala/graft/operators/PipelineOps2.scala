@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline operators, part 2: the cluster-and-keep half of
+  * dedup (connected components over the near-dup pair graph), the
+  * second ANN scale path (signed-random-projection LSH buckets,
+  * complementing the IVF cell family of q49/q115/q126), batch CDC
+  * upsert compaction, range-partitioned sorted export, and TF-IDF
+  * term scoring.
+  *
+  * Scale design:
+  *  - q138: pair-level dedup (q123) keeps "dup of lowest direct
+  *    neighbor", but production dedup needs the TRANSITIVE cluster
+  *    (a~b, b~c => one keeper for {a,b,c}). Connected components run
+  *    as iterative min-label propagation with pointer jumping —
+  *    O(log n) rounds of shuffle-on-key joins, each bounded by
+  *    |E|+|V|, never materializing anything quadratic. The loop is
+  *    cut with localCheckpoint so plans don't grow per round.
+  *  - q139: SRP-LSH buckets vectors by the sign pattern of 16 fixed
+  *    random-hyperplane projections (4 bands x 4 bits). Candidate
+  *    generation is a band+key EQUI-join (shuffle partitioned by
+  *    bucket), exact cosine re-ranks candidates only. Hyperplanes are
+  *    deterministic (LCG-derived), so the DuckDB oracle replays the
+  *    whole probe bit-for-bit.
+  *  - q140: CDC compaction = latest-version-wins per key + delete
+  *    tombstones. One shuffle on the key (window row_number), no
+  *    global sort — the MERGE pattern at snapshot-rebuild scale.
+  *  - q141: training-export writes must be range-sharded and sorted;
+  *    uses Spark's real repartitionByRange + sortWithinPartitions
+  *    (sampled boundaries, binary-search per row) and verifies the
+  *    invariants (rows conserved, shard ranges disjoint+ordered) as
+  *    oracle-checkable booleans — the q135/q136 property pattern.
+  *  - q142: TF-IDF needs one corpus-wide DF table (vocabulary-sized,
+  *    broadcast) and per-doc counts (one shuffle on (doc, term));
+  *    the idf factor is kept rational ((N+1)/(df+1), no log) so both
+  *    engines compute bit-identical doubles with exact int inputs.
+  */
+object PipelineOps2 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // --------------------- connected-component duplicate clusters
+
+  private val q138 = Q(
+    "q138_dup_clusters",
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE ${VectorOps.duckCos("a", "b")} >= ${VectorOps.NearDupTau}),
+       |e AS (SELECT d1 AS u, d2 AS w FROM pairs
+       |      UNION ALL SELECT d2, d1 FROM pairs),
+       |reach AS (
+       |  SELECT u, w FROM e
+       |  UNION
+       |  SELECT r.u, e2.w FROM reach r JOIN e e2 ON r.w = e2.u),
+       |comp AS (SELECT u AS vec_id, min(w) AS mn FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT emb.vec_id AS vec_id,
+       |    CASE WHEN comp.mn IS NULL OR emb.vec_id < comp.mn
+       |         THEN emb.vec_id ELSE comp.mn END AS cluster
+       |  FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vec_id)
+       |SELECT l.vec_id AS vec_id, l.cluster AS cluster,
+       |  s.cluster_size AS cluster_size, l.vec_id = l.cluster AS is_rep
+       |FROM lab l JOIN (SELECT cluster, count(*) AS cluster_size
+       |                 FROM lab GROUP BY 1) s USING (cluster)
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // Transitive duplicate clusters over the embedding near-dup pair
+    // graph (same edge set as q123): every vector gets the minimum
+    // vec_id of its connected component as cluster id; the component
+    // minimum is the keeper. Min-label propagation: each round a
+    // vertex takes the min label among itself and its neighbors, then
+    // jumps to its label's label (path compression) — converges in
+    // O(log n) rounds on any graph, checked by an exact changed-count.
+    val edges0 = VectorOps.blockPairs(s, VectorOps.vecs(s, dir))
+      .filter(col("cos_sim") >= VectorOps.NearDupTau)
+      .select(col("d1"), col("d2"))
+      .persist()
+    val edges = edges0.select(col("d1").as("u"), col("d2").as("w"))
+      .union(edges0.select(col("d2").as("u"), col("d1").as("w")))
+    var labels = VectorOps.vecs(s, dir)
+      .select(col("vec_id").as("vid"), col("vec_id").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val nbrMin = edges.join(labels, edges("w") === labels("vid"))
+        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+      val updated = labels.join(nbrMin, labels("vid") === nbrMin("u"), "left")
+        .select(col("vid"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+      val ptr = updated.select(col("vid").as("jv"), col("lbl").as("jl"))
+      val jumped = updated.join(ptr, updated("lbl") === ptr("jv"), "left")
+        .select(col("vid"),
+          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val prev = labels.select(col("vid").as("pvid"), col("lbl").as("plbl"))
+      val changed = jumped.join(prev, jumped("vid") === prev("pvid"))
+        .filter(col("lbl") =!= col("plbl")).limit(1).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    edges0.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("vid").as("vec_id"), col("lbl").as("cluster"),
+        col("cluster_size"), (col("vid") === col("lbl")).as("is_rep"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------- SRP-LSH bucketed ANN (second scale path)
+
+  private val Dim = 64
+  private val Planes = 16
+  private val BandBits = 4
+  private val Bands = Planes / BandBits
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): LCG
+    * over the flat (plane, dim) index — trivially replayable in SQL. */
+  private def coef(idx: Int): Double = {
+    val x = (1103515245L * idx + 12345L) % 2147483648L
+    x.toDouble / 2147483648.0 * 2.0 - 1.0
+  }
+
+  private val planes: Seq[Seq[Double]] =
+    (0 until Planes).map(p => (0 until Dim).map(i => coef(p * Dim + i)))
+
+  /** DuckDB bit expression for plane p over `embedding`. */
+  private def duckBit(p: Int): String = {
+    val lits = planes(p).mkString(", ")
+    s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+       |  i -> CAST(embedding[i] AS DOUBLE) * CAST(([$lits])[i] AS DOUBLE))) >= 0
+       |THEN 1 ELSE 0 END""".stripMargin
+  }
+
+  private def duckBandKey(b: Int, pfx: String): String =
+    (0 until BandBits)
+      .map(j => s"$pfx${b * BandBits + j} * ${1 << (BandBits - 1 - j)}")
+      .mkString(" + ")
+
+  private val q139 = Q(
+    "q139_srp_lsh_ann",
+    s"""WITH bits AS (
+       |  SELECT vec_id,
+       |    ${(0 until Planes).map(p => s"(${duckBit(p)}) AS b$p").mkString(",\n    ")}
+       |  FROM embeddings),
+       |keys AS (
+       |  ${(0 until Bands)
+            .map(b => s"SELECT vec_id, $b AS band, ${duckBandKey(b, "b")} AS key FROM bits")
+            .mkString("\n  UNION ALL ")}),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
+       |  FROM keys q JOIN keys n ON q.band = n.band AND q.key = n.key
+       |  WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT c.qid, c.nid, ${VectorOps.duckCos("a", "b")} AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY c.qid
+       |      ORDER BY ${VectorOps.duckCos("a", "b")} DESC, c.nid) AS rnk
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.qid
+       |              JOIN embeddings b ON b.vec_id = c.nid)
+       |SELECT qid, nid, cos_sim, rnk FROM scored
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    // The LSH-bucket ANN path: 16 signed random projections (codegen
+    // graft_dot against literal hyperplanes), 4 bands of 4 bits; two
+    // vectors are candidates iff they share any band key. Bucketing is
+    // an equi-join on (band, key) — both sides shuffle-partition by
+    // bucket, no n² pass anywhere; exact cosine re-ranks candidates.
+    val all = VectorOps.vecs(s, dir)
+    val withBits = (0 until Planes).foldLeft(all) { (df, p) =>
+      // `D` suffix: a bare decimal literal parses as DECIMAL in Spark SQL
+      val lits = planes(p).map(d => s"${d}D").mkString(", ")
+      df.withColumn(s"b$p",
+        (expr(s"graft_dot(v, array($lits))") >= 0).cast("int"))
+    }
+    val bandKeys = (0 until Bands).map { b =>
+      (0 until BandBits)
+        .map(j => col(s"b${b * BandBits + j}") * (1 << (BandBits - 1 - j)))
+        .reduce(_ + _).as(s"k$b")
+    }
+    val sig = withBits.select(
+      (Seq(col("vec_id"), col("v"), col("nrm")) ++ bandKeys): _*)
+    val exploded = sig.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val qexp = exploded.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("band"), col("key"))
+    val cand = exploded.join(qexp, Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("vec_id"), col("v"), col("nrm"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand
+      .withColumn("cos_sim", expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  // ----------------------------------- batch CDC upsert compaction
+
+  private val q140 = Q(
+    "q140_cdc_compaction",
+    """WITH log AS (
+      |  SELECT o_orderkey AS k,
+      |    unnest(generate_series(1, CAST(o_orderkey % 3 + 1 AS BIGINT))) AS v,
+      |    o_totalprice AS base
+      |  FROM orders),
+      |ops AS (
+      |  SELECT k, v,
+      |    CASE WHEN k % 7 = 0 AND v = k % 3 + 1 THEN 'D' ELSE 'U' END AS op,
+      |    'S' || CAST((k + v) % 5 AS VARCHAR) AS status,
+      |    base + v AS amount
+      |  FROM log),
+      |latest AS (
+      |  SELECT k, v, op, status, amount,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+      |  FROM ops)
+      |SELECT k AS o_orderkey, CAST(v AS BIGINT) AS final_version, status, amount
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    // Batch CDC compaction (the snapshot-rebuild half of MERGE, which
+    // the reference parses but never executes): a synthetic changelog
+    // derives 1-3 versioned events per order key, with a delete
+    // tombstone as the last event for every 7th key. Compaction is
+    // latest-version-wins per key then tombstone drop — exactly one
+    // shuffle (window on the key), no global sort, no driver state.
+    val log = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("base"))
+      .withColumn("v",
+        explode(sequence(lit(1L), pmod(col("k"), lit(3)) + 1)))
+    val ops = log.select(
+      col("k"), col("v"),
+      when(pmod(col("k"), lit(7)) === 0 && col("v") === pmod(col("k"), lit(3)) + 1,
+        lit("D")).otherwise(lit("U")).as("op"),
+      concat(lit("S"), pmod(col("k") + col("v"), lit(5)).cast("string")).as("status"),
+      (col("base") + col("v")).as("amount"))
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    ops.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("v").cast("long").as("final_version"),
+        col("status"), col("amount"))
+      .orderBy("o_orderkey")
+  }
+
+  // ------------------------- range-partitioned sorted export (manifest)
+
+  private val q141 = Q(
+    "q141_range_export",
+    """SELECT count(*) AS total_rows,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+      |  true AS sharded_ok, true AS shards_ordered
+      |FROM lineitem""".stripMargin) { (s, dir) =>
+    // Sorted-shard training export: repartitionByRange samples key
+    // boundaries and binary-searches each row into its shard (Spark's
+    // real 100 TB total-order machinery), sortWithinPartitions orders
+    // each shard file. Boundaries are engine-internal, so the oracle
+    // checks INVARIANTS (q135/q136 property pattern): row conservation,
+    // global min/max, 2..8 non-empty shards, and shard key ranges
+    // pairwise disjoint and ordered.
+    val sharded = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .select(col("l_orderkey"), spark_partition_id().as("pid"))
+    val manifest = sharded.groupBy("pid").agg(
+      count(lit(1)).as("n_rows"),
+      min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+    val wOrd = Window.orderBy("lo")
+    manifest.withColumn("prev_hi", lag("hi", 1).over(wOrd))
+      .agg(
+        sum("n_rows").as("total_rows"),
+        min("lo").as("min_key"), max("hi").as("max_key"),
+        (count(lit(1)).between(2, 8)).as("sharded_ok"),
+        expr("bool_and(coalesce(prev_hi <= lo, true))").as("shards_ordered"))
+  }
+
+  // ------------------------------------------ TF-IDF term scoring
+
+  private val q142 = Q(
+    "q142_tfidf_terms",
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |n AS (SELECT doc_id, len(ws) AS n_tokens FROM tok),
+      |t AS (SELECT doc_id, unnest(ws) AS w FROM tok),
+      |tf AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2),
+      |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w, tf.c, dfc.df,
+      |    (CAST(tf.c AS DOUBLE) / n.n_tokens) *
+      |    ((CAST(nd.n_docs AS DOUBLE) + 1.0) / (CAST(dfc.df AS DOUBLE) + 1.0))
+      |      AS score
+      |  FROM tf JOIN dfc USING (w) JOIN n USING (doc_id) CROSS JOIN nd
+      |  WHERE tf.doc_id < 20),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, w) AS rnk FROM scored)
+      |SELECT doc_id, w AS term, c AS tf, df, score, rnk
+      |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    // Top TF-IDF terms per document: term frequencies are one shuffle
+    // on (doc, term); document frequencies aggregate that result by
+    // term into a vocabulary-sized table, which BROADCASTS back onto
+    // the per-doc counts (the corpus side is never re-shuffled). The
+    // idf factor stays rational — (N+1)/(df+1), no log — so both
+    // engines compute bit-identical doubles from exact integers.
+    graft.functions.GraftFunctions.register(s)
+    val tok = docs(s, dir).select(col("doc_id"), expr("graft_words(text)").as("ws"))
+    val nTok = tok.select(col("doc_id"), size(col("ws")).as("n_tokens"))
+    val tf = tok.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 20)
+      .join(broadcast(dfc), "w")
+      .join(nTok, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("c").cast("double") / col("n_tokens")) *
+          ((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("w").as("term"), col("c").as("tf"),
+        col("df"), col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142)
+}

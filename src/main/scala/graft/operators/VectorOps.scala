@@ -23,7 +23,7 @@ object VectorOps {
   /** vec_id + embedding as double[] + precomputed L2 norm. Dot products go
     * through the codegen'd [[graft.functions.DotProduct]] expression — the
     * interpreted `aggregate(zip_with(...))` HOF was the bench bottleneck. */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -34,7 +34,7 @@ object VectorOps {
   private val dotExpr = "graft_dot(qv, v)"
 
   /** DuckDB-side cosine between embeddings of rows a and b. */
-  private def duckCos(a: String, b: String): String =
+  private[operators] def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, len($a.embedding) + 1),
        |   i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, len($a.embedding) + 1),
@@ -89,7 +89,7 @@ object VectorOps {
     * constant; replication is ×B rows but ×1 bytes shuffled per
     * comparison performed. Results are B-independent (B only partitions
     * the pair space), so the oracle never sees it. */
-  private def blockPairs(s: SparkSession, all: DataFrame, B0: Int = 0): DataFrame = {
+  private[operators] def blockPairs(s: SparkSession, all: DataFrame, B0: Int = 0): DataFrame = {
     import s.implicits._
     val B = if (B0 > 0) B0 else {
       // ~4k vectors per block → ≤16M comparisons per task; cap keeps the

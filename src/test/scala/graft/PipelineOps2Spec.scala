@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 pipeline operators, part 2 (q138-q142): independent
+  * plain-Scala recomputations at sf0.001 so the DuckDB oracles aren't
+  * the only line of defense. */
+class PipelineOps2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def vectors(): Array[(Long, Array[Double])] =
+    Tables.load(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q138 dup clusters equal a brute-force union-find over exact pairs") {
+    val vs = vectors()
+    val parent = scala.collection.mutable.Map(vs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = { val p = parent(x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    for (i <- vs.indices; j <- (i + 1) until vs.length)
+      if (cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau)
+        union(vs(i)._1, vs(j)._1)
+    val expected = vs.map(v => v._1 -> find(v._1)).toMap
+    val sizes = expected.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+    val got = SparkEntry.queries("q138_dup_clusters")(spark, dir).collect()
+    assert(got.length == vs.length)
+    got.foreach { r =>
+      val (vid, cl, sz, rep) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(cl == expected(vid), s"vec $vid: cluster $cl != ${expected(vid)}")
+      assert(sz == sizes(cl), s"cluster $cl size")
+      assert(rep == (vid == cl))
+    }
+    // the graph is non-trivial at this SF: at least one multi-member cluster
+    assert(sizes.values.exists(_ > 1), "fixture has no near-dup cluster")
+  }
+
+  test("q139 SRP-LSH equals a plain-Scala replay of the bucketed probe") {
+    val vs = vectors()
+    // same LCG hyperplanes as the operator (independent re-derivation)
+    def coef(idx: Int): Double = {
+      val x = (1103515245L * idx + 12345L) % 2147483648L
+      x.toDouble / 2147483648.0 * 2.0 - 1.0
+    }
+    val planes = Array.tabulate(16, 64)((p, i) => coef(p * 64 + i))
+    def bandKeys(v: Array[Double]): Array[Int] = {
+      val bits = planes.map { pl =>
+        var d = 0.0; var i = 0
+        while (i < 64) { d += v(i) * pl(i); i += 1 }
+        if (d >= 0) 1 else 0
+      }
+      Array.tabulate(4)(b => bits(4 * b) * 8 + bits(4 * b + 1) * 4 + bits(4 * b + 2) * 2 + bits(4 * b + 3))
+    }
+    val keys = vs.map { case (id, v) => id -> bandKeys(v) }.toMap
+    val byId = vs.toMap
+    val expected = vs.filter(_._1 < 50).flatMap { case (qid, qv) =>
+      val qk = keys(qid)
+      val cands = vs.filter { case (nid, _) =>
+        nid != qid && keys(nid).zip(qk).exists { case (a, b) => a == b }
+      }
+      cands.map { case (nid, nv) => (qid, nid, cos(qv, nv)) }
+        .sortBy { case (_, nid, c) => (-c, nid) }.take(3).zipWithIndex
+        .map { case ((q, n, c), i) => (q, n) -> ((c, i + 1L)) }
+    }.toMap
+    val got = SparkEntry.queries("q139_srp_lsh_ann")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      val (c, rnk) = expected(k)
+      assert(math.abs(r.getDouble(2) - c) < 1e-12, s"$k cos")
+      assert(r.getLong(3) == rnk, s"$k rank")
+    }
+  }
+
+  test("q140 CDC compaction: tombstoned keys absent, survivors at last version") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = SparkEntry.queries("q140_cdc_compaction")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+    val expectedKeys = orders.keySet.filter(_ % 7 != 0)
+    assert(got.keySet == expectedKeys, "survivor key set")
+    got.foreach { case (k, (v, st, amt)) =>
+      assert(v == k % 3 + 1, s"key $k final version")
+      assert(st == s"S${(k + v) % 5}", s"key $k status")
+      assert(amt == orders(k) + v, s"key $k amount")
+    }
+  }
+
+  test("q141 range export invariants hold") {
+    val n = Tables.load(spark, dir, "lineitem").count()
+    val r = SparkEntry.queries("q141_range_export")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n, "rows conserved")
+    assert(r(0).getBoolean(3), "2..8 shards")
+    assert(r(0).getBoolean(4), "shard ranges ordered")
+  }
+
+  test("q142 tf-idf top terms match a plain-Scala recomputation") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = texts.map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty) }
+    val df = toks.flatMap(_._2.distinct).groupBy(identity).map { case (w, g) => w -> g.length }
+    val nDocs = texts.length
+    val expected = toks.filter(_._1 < 20).flatMap { case (id, ws) =>
+      val counts = ws.groupBy(identity).map { case (w, g) => w -> g.length }
+      counts.toSeq.map { case (w, c) =>
+        (w, c, df(w), (c.toDouble / ws.length) * ((nDocs + 1.0) / (df(w) + 1.0)))
+      }.sortBy { case (w, _, _, s) => (-s, w) }.take(5).zipWithIndex
+        .map { case ((w, c, d, s), i) => (id, w) -> ((c.toLong, d.toLong, s, i + 1L)) }
+    }.toMap
+    val got = SparkEntry.queries("q142_tfidf_terms")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      val (c, d, s, rnk) = expected(k)
+      assert(r.getLong(2) == c && r.getLong(3) == d && r.getLong(5) == rnk, s"$k")
+      assert(math.abs(r.getDouble(4) - s) < 1e-12, s"$k score")
+    }
+  }
+}
