@@ -119,6 +119,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "benchmark side not broadcast — the corpus would shuffle at scale:\n" + p)
   }
 
+  test("q139 SRP-LSH candidate generation is a bucket equi-join") {
+    val p = planOf("q139_srp_lsh_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "LSH candidate join degenerated to a pair scan:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "no equi-join on (band, key)")
+  }
+
+  test("q141 range export plans a range partitioning exchange") {
+    val p = planOf("q141_range_export")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      "repartitionByRange did not plan a range exchange:\n" + p)
+  }
+
+  test("q142 TF-IDF broadcasts the vocabulary-sized DF table") {
+    val p = planOf("q142_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      "document-frequency side not broadcast — corpus would re-shuffle:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
