@@ -82,8 +82,11 @@ object PipelineOps2 {
       .persist()
     val edges = edges0.select(col("d1").as("u"), col("d2").as("w"))
       .union(edges0.select(col("d2").as("u"), col("d1").as("w")))
-    var labels = VectorOps.vecs(s, dir)
-      .select(col("vec_id").as("vid"), col("vec_id").as("lbl"))
+    // Only vertices with degree > 0 iterate; singletons (the vast
+    // majority of a deduped corpus) never change labels and rejoin at
+    // the end — the rounds shuffle |E|, not |V|.
+    var labels = edges.select(col("u").as("vid")).distinct()
+      .withColumn("lbl", col("vid"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -106,8 +109,11 @@ object PipelineOps2 {
       iter += 1
     }
     edges0.unpersist(blocking = false)
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
+    val full = VectorOps.vecs(s, dir).select(col("vec_id").as("vid"))
+      .join(labels, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("lbl"), col("vid")).as("lbl"))
+    val sizes = full.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "lbl")
       .select(col("vid").as("vec_id"), col("lbl").as("cluster"),
         col("cluster_size"), (col("vid") === col("lbl")).as("is_rep"))
       .orderBy("vec_id")
