@@ -339,5 +339,179 @@ object PipelineOps2 {
       .orderBy("doc_id", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142)
+  // -------------------------------- fixed-stride token windows (chunking)
+
+  private val WinTok = 50
+  private val StrideTok = 40
+
+  private val q143 = Q(
+    "q143_token_windows",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |st AS (
+       |  SELECT doc_id, ws, len(ws) AS n,
+       |    unnest(generate_series(1, len(ws), $StrideTok)) AS start
+       |  FROM tok WHERE len(ws) > 0)
+       |SELECT doc_id,
+       |  CAST((start - 1) / $StrideTok AS BIGINT) AS win_id,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(least($WinTok, n - start + 1) AS BIGINT) AS n_in_window,
+       |  ws[CAST(start AS INT)] AS first_token,
+       |  ws[CAST(start + least($WinTok, n - start + 1) - 1 AS INT)] AS last_token
+       |FROM st ORDER BY doc_id, win_id""".stripMargin) { (s, dir) =>
+    // Training-window chunking: fixed ${WinTok}-token windows at stride
+    // ${StrideTok} (10-token overlap). Pure projection + bounded explode
+    // (≤ n/stride + 1 windows per doc) — no shuffle until a downstream
+    // consumer asks for one; the window content itself is never
+    // re-materialized, only sliced on demand (here: count + boundary
+    // tokens, so the oracle compare stays small).
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir)
+      .select(col("doc_id"), expr("graft_words(text)").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      .withColumn("start",
+        explode(sequence(lit(1), col("n"), lit(StrideTok))))
+      .withColumn("n_in", least(lit(WinTok), col("n") - col("start") + 1))
+      .select(
+        col("doc_id"),
+        ((col("start") - 1) / StrideTok).cast("long").as("win_id"),
+        col("start").cast("long").as("start_tok"),
+        col("n_in").cast("long").as("n_in_window"),
+        element_at(col("ws"), col("start")).as("first_token"),
+        element_at(col("ws"), col("start") + col("n_in") - 1).as("last_token"))
+      .orderBy("doc_id", "win_id")
+  }
+
+  // ------------------------- temperature-weighted domain-mix sampling
+
+  private val MixTarget = 200 // target sample size across all sources
+
+  private val q144 = Q(
+    "q144_domain_mix_sample",
+    s"""WITH sizes AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS sw FROM sizes),
+       |rates AS (
+       |  SELECT source, n_docs,
+       |    CAST(least(10000.0, floor(
+       |      10000.0 * $MixTarget * (sqrt(CAST(n_docs AS DOUBLE)) / tot.sw)
+       |        / n_docs)) AS BIGINT) AS rate_bp
+       |  FROM sizes, tot),
+       |picked AS (
+       |  SELECT d.source, count(*) AS n_sampled
+       |  FROM documents d JOIN rates r ON d.source = r.source
+       |  WHERE ${TextOps.FingerprintOracle} % 10000 < r.rate_bp
+       |  GROUP BY 1)
+       |SELECT r.source AS source, r.n_docs, r.rate_bp,
+       |  coalesce(p.n_sampled, 0) AS n_sampled
+       |FROM rates r LEFT JOIN picked p ON p.source = r.source
+       |ORDER BY source""".stripMargin) { (s, dir) =>
+    // Domain-mix resampling for training sets: per-source acceptance
+    // rates follow a temperature-flattened share (alpha = 0.5 — sqrt is
+    // IEEE-correctly-rounded, unlike pow/log, so both engines compute
+    // the same rate), quantized to basis points so the accept decision
+    // is integer-exact: accept iff content-fingerprint % 10000 < bp.
+    // Rates are a source-count-sized table (broadcast); the corpus is
+    // scanned once, no shuffle before the final per-source rollup.
+    val d = docs(s, dir)
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(sum(sqrt(col("n_docs").cast("double"))).as("sw"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("rate_bp",
+        least(lit(10000.0), floor(
+          lit(10000.0) * MixTarget * (sqrt(col("n_docs").cast("double")) / col("sw"))
+            / col("n_docs"))).cast("long"))
+      .select("source", "n_docs", "rate_bp")
+    val picked = d
+      .withColumn("fp", expr(TextOps.FingerprintSpark))
+      .join(broadcast(rates.select("source", "rate_bp")), "source")
+      .filter(col("fp") % 10000 < col("rate_bp"))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    rates.join(picked, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("source")
+  }
+
+  // --------------------------- incremental ingest dedup gate (vs corpus)
+
+  private val q146 = Q(
+    "q146_incremental_dedup",
+    s"""WITH ${TextOps.Sh3OracleCte},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |cross_pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS e, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.g = b.g
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 < 4
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT i AS doc_id, min(e) AS near_src
+       |  FROM cross_pairs
+       |  JOIN sizes si ON si.doc_id = i
+       |  JOIN sizes se ON se.doc_id = e
+       |  WHERE CAST(inter AS DOUBLE) / (si.n + se.n - inter) >= 0.9
+       |  GROUP BY 1),
+       |keys AS (
+       |  SELECT doc_id,
+       |    array_to_string((string_split(text, ' '))[:5], ' ') AS k
+       |  FROM documents),
+       |exact AS (
+       |  SELECT ki.doc_id AS doc_id, min(ke.doc_id) AS exact_src
+       |  FROM keys ki JOIN keys ke ON ki.k = ke.k
+       |  WHERE ki.doc_id % 5 = 4 AND ke.doc_id % 5 < 4
+       |  GROUP BY 1)
+       |SELECT d.doc_id AS doc_id,
+       |  (x.exact_src IS NOT NULL OR n.near_src IS NOT NULL) AS is_dup,
+       |  CASE WHEN x.exact_src IS NOT NULL THEN 'exact'
+       |       WHEN n.near_src IS NOT NULL THEN 'near' END AS reason,
+       |  coalesce(x.exact_src, n.near_src) AS dup_src
+       |FROM documents d
+       |LEFT JOIN exact x ON x.doc_id = d.doc_id
+       |LEFT JOIN near n ON n.doc_id = d.doc_id
+       |WHERE d.doc_id % 5 = 4
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // The production ingest shape: a new batch (doc_id % 5 = 4 stands in
+    // for today's crawl) is gated against the frozen corpus — exact
+    // normalization-key match plus MinHash-band near-dup (same 16x4
+    // banding as q45; at j >= 0.9 band recall ≈ 1, so the gate equals
+    // the exact-Jaccard oracle). Both checks are equi-joins keyed by
+    // norm-key / (band, bsig): the corpus side is scanned once, and
+    // only band-colliding candidates are exactly verified.
+    val d = docs(s, dir)
+    val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+    val isInc = col("doc_id") % 5 === 4
+    val exKeys = d.filter(!isInc)
+      .select(col("doc_id").as("eid"), key.as("k"))
+      .groupBy("k").agg(min("eid").as("exact_src"))
+    val base = d.filter(isInc).select(col("doc_id"), key.as("k"))
+      .join(exKeys, Seq("k"), "left")
+      .select("doc_id", "exact_src")
+    val sets = TextOps.docShingleSets(s, dir)
+    val banded = TextOps.bandedSigs(s, sets)
+    val bi = banded.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id").as("i"), col("band"), col("bsig"))
+    val be = banded.filter(col("doc_id") % 5 < 4)
+      .select(col("doc_id").as("e"), col("band"), col("bsig"))
+    val cand = bi.join(be, Seq("band", "bsig")).select("i", "e").distinct()
+    val si = sets.select(col("doc_id").as("i"), col("gs").as("gi"))
+    val se = sets.select(col("doc_id").as("e"), col("gs").as("ge"))
+    val near = cand.join(si, "i").join(se, "e")
+      .withColumn("inter", size(array_intersect(col("gi"), col("ge"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("gi")) + size(col("ge")) - col("inter")))
+      .filter(col("j") >= 0.9)
+      .groupBy(col("i").as("doc_id")).agg(min(col("e")).as("near_src"))
+    base.join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        (col("exact_src").isNotNull || col("near_src").isNotNull).as("is_dup"),
+        when(col("exact_src").isNotNull, "exact")
+          .when(col("near_src").isNotNull, "near").as("reason"),
+        coalesce(col("exact_src"), col("near_src")).as("dup_src"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144, q146)
 }

@@ -300,6 +300,30 @@ object Relational3 {
       |      AND l3.l_shipdate > l1.l_shipdate)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
 
+  /** Recursive CTE (Spark 4's UnionLoopExec): ancestor closure with
+    * distance over the implicit binary-tree hierarchy parent(k) = k/2 —
+    * the SQL-surface twin of the lineage closure job
+    * (graft.lineage.Closure), run natively by both engines. */
+  private val q145 = Q(
+    "q145_recursive_cte",
+    """WITH RECURSIVE anc AS (
+      |  SELECT o_orderkey AS c, o_orderkey // 2 AS p, CAST(1 AS BIGINT) AS dist
+      |  FROM orders WHERE o_orderkey >= 2 AND o_orderkey < 2000
+      |  UNION ALL
+      |  SELECT c, p // 2, dist + 1 FROM anc WHERE p >= 2)
+      |SELECT c, p AS anc, dist FROM anc ORDER BY c, dist""".stripMargin) {
+    (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT o_orderkey AS c, o_orderkey DIV 2 AS p, CAST(1 AS BIGINT) AS dist
+          |  FROM orders WHERE o_orderkey >= 2 AND o_orderkey < 2000
+          |  UNION ALL
+          |  SELECT c, p DIV 2, dist + 1 FROM anc WHERE p >= 2)
+          |SELECT c, p AS anc, dist FROM anc ORDER BY c, dist""".stripMargin)
+  }
+
   val defs: Seq[Q] =
-    Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102)
+    Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
+      q145)
 }

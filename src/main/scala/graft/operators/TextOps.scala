@@ -164,7 +164,7 @@ object TextOps {
   /** doc_id → distinct word-3-gram shingle array (the shared building
     * block of q44/q45), via the one-pass [[graft.functions.WordShingles]]
     * expression. */
-  private def docShingleSets(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def docShingleSets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     docs(s, dir)
       .select(col("doc_id"), expr("graft_shingles3(text)").as("gs"))
@@ -175,12 +175,17 @@ object TextOps {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docShingleSets(s, dir).select(col("doc_id"), explode(col("gs")).as("g"))
 
-  private val jaccardOracle =
-    """WITH sh AS (
+  /** The DuckDB twin of [[docShingleSets]] as a CTE body (shared with
+    * the q146 incremental ingest gate). */
+  private[operators] val Sh3OracleCte =
+    """sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(ws) - 1, 1)),
       |                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $Sh3OracleCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
@@ -226,6 +231,25 @@ object TextOps {
       Array.fill(NumHashes)(rnd.nextInt(MinhashP.toInt).toLong))
   }
 
+  /** doc_id → (band, bsig) bucket keys: one fused codegen MinHash pass
+    * (64 perms) per document, 16 bands x 4 rows each hashed to a single
+    * bucket key. Shared by q45 and the q146 incremental ingest gate. */
+  private[operators] def bandedSigs(s: SparkSession, docsets: DataFrame): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.functions.MinHashSig(exprs.head, hashA, hashB, MinhashP),
+      "scala_udf")
+    val sig = docsets.select(col("doc_id"), expr(
+      s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
+    val bandCols = (0 until NumHashes / BandRows).map { bnd =>
+      val elems = (0 until BandRows)
+        .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
+      expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
+    }
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
+  }
+
   private val q45 = Q(
     "q45_minhash_lsh",
     jaccardOracle.replace("%THRESH%", "0.9")) { (s, dir) =>
@@ -241,21 +265,8 @@ object TextOps {
     // in-bucket combinations (no self-join, so no second signature pass);
     // verification joins the (tiny) candidate list back to the doc
     // shingle-sets and intersects arrays per pair.
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => graft.functions.MinHashSig(exprs.head, hashA, hashB, MinhashP),
-      "scala_udf")
     val docsets = docShingleSets(s, dir)
-    val sig = docsets.select(col("doc_id"), expr(
-      s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
-    val bandCols = (0 until NumHashes / BandRows).map { bnd =>
-      val elems = (0 until BandRows)
-        .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
-      expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
-    }
-    val banded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bsig"))
+    val banded = bandedSigs(s, docsets)
     // Bucket-size guard: a degenerate bucket (near-identical boilerplate,
     // empty docs) would make both the collect_list row and the in-bucket
     // pairing quadratic. Sizes are counted FIRST (cheap partial-agg

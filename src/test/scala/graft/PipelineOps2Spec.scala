@@ -109,6 +109,92 @@ class PipelineOps2Spec extends AnyFunSuite {
     assert(r(0).getBoolean(4), "shard ranges ordered")
   }
 
+  test("q143 token windows match a plain-Scala chunker") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = texts.flatMap { case (id, t) =>
+      val ws = t.split(' ').filter(_.nonEmpty)
+      if (ws.isEmpty) Seq.empty
+      else (1 to ws.length by 40).zipWithIndex.map { case (start, wi) =>
+        val nIn = math.min(50, ws.length - start + 1)
+        (id, wi.toLong) -> ((start.toLong, nIn.toLong, ws(start - 1), ws(start + nIn - 2)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q143_token_windows")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(expected(k) == ((r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))), s"$k")
+    }
+  }
+
+  test("q144 domain-mix sample: rates follow sqrt weights, counts match") {
+    val rows = SparkEntry.queries("q144_domain_mix_sample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sizes = rows.map { case (src, n, _, _) => src -> n }.toMap
+    val sw = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    rows.foreach { case (src, n, bp, sampled) =>
+      val expBp = math.min(10000.0,
+        math.floor(10000.0 * 200 * (math.sqrt(n.toDouble) / sw) / n)).toLong
+      assert(bp == expBp, s"$src rate")
+      assert(sampled <= n && (bp == 0 || sampled >= 0))
+      // the realized rate is within 5pp of target (fingerprints ~uniform)
+      if (n >= 50)
+        assert(math.abs(sampled.toDouble / n - bp / 10000.0) < 0.05, s"$src realized")
+    }
+  }
+
+  test("q145 recursive CTE equals an iterative ancestor walk") {
+    val keys = Tables.load(spark, dir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .filter(k => k >= 2 && k < 2000)
+    val expected = keys.flatMap { k =>
+      Iterator.iterate(k / 2)(_ / 2).takeWhile(_ >= 1).zipWithIndex
+        .map { case (p, i) => (k, p, i + 1L) }
+    }.toSet
+    val got = SparkEntry.queries("q145_recursive_cte")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q146 incremental dedup equals an exact cross-batch check") {
+    val texts = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def sh3(t: String): Set[String] = {
+      val ws = t.split(' ')
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def key5(t: String): String = t.split(' ').take(5).mkString(" ")
+    val existing = texts.filter(_._1 % 5 < 4)
+    val incoming = texts.filter(_._1 % 5 == 4)
+    val expected = incoming.map { case (id, t) =>
+      val exact = existing.filter { case (_, et) => key5(et) == key5(t) }
+        .map(_._1).sorted.headOption
+      val g = sh3(t)
+      val near = existing.filter { case (_, et) =>
+        val ge = sh3(et)
+        val inter = g.intersect(ge).size
+        g.nonEmpty && ge.nonEmpty &&
+          inter.toDouble / (g.size + ge.size - inter) >= 0.9
+      }.map(_._1).sorted.headOption
+      id -> ((exact.orElse(near), if (exact.isDefined) "exact"
+              else if (near.isDefined) "near" else null))
+    }.toMap
+    val got = SparkEntry.queries("q146_incremental_dedup")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (src, reason) = expected(id)
+      assert(r.getBoolean(1) == src.isDefined, s"doc $id is_dup")
+      assert(Option(r.getString(2)).orNull == reason, s"doc $id reason")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == src, s"doc $id src")
+    }
+    assert(expected.values.exists(_._1.isDefined), "fixture has no cross-batch dup")
+  }
+
   test("q142 tf-idf top terms match a plain-Scala recomputation") {
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
