@@ -87,6 +87,7 @@ object GraftFunctions {
     "graft_minhash" -> (exprs => MinHashSig(exprs.head,
       graft.operators.TextOps.hashA, graft.operators.TextOps.hashB,
       graft.operators.TextOps.MinhashP)),
+    "graft_quant_stats" -> (exprs => QuantStats(exprs.head)),
     "graft_cms" -> (exprs => CountMinSketchAgg(exprs.head,
       graft.operators.SketchOps.Depth, graft.operators.SketchOps.Width,
       graft.operators.SketchOps.cmsA, graft.operators.SketchOps.cmsB,

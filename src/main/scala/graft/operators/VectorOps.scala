@@ -132,6 +132,48 @@ object VectorOps {
     * drop set non-trivial at every SF; real corpora would run 0.95+. */
   val NearDupTau = 0.35
 
+  // ------------------------- int8 embedding quantization (storage path)
+
+  private val q147 = Q(
+    "q147_embedding_quantize",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id < 100),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+      |  FROM (SELECT vec_id, v,
+      |          list_max(list_transform(v, x -> abs(x))) AS m FROM v)),
+      |d AS (
+      |  SELECT vec_id, scale,
+      |    list_max(list_transform(range(1, 65),
+      |      i -> abs(v[i] - floor(v[i] / scale + 0.5) * scale))) AS max_abs_err,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> v[i] * (floor(v[i] / scale + 0.5) * scale))) AS dot,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> v[i] * v[i])) AS n2v,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> (floor(v[i] / scale + 0.5) * scale) *
+      |           (floor(v[i] / scale + 0.5) * scale))) AS n2d
+      |  FROM s)
+      |SELECT vec_id, scale, max_abs_err,
+      |  CASE WHEN n2v = 0 OR n2d = 0 THEN NULL
+      |       ELSE dot / (sqrt(n2v) * sqrt(n2d)) END AS cos_sim
+      |FROM d ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // Embedding storage at 100 TB is the int8 path: symmetric per-vector
+    // quantization (scale = max|v|/127) cuts the corpus 4x; what matters
+    // is that the ANN ranking survives, so the op emits the quantization
+    // error AND the original-vs-dequantized cosine per vector. One pass
+    // per row through the codegen-fallback [[graft.functions.QuantStats]]
+    // (primitive loop; no interpreted HOF re-evaluation), no shuffle.
+    vecs(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id"), expr("graft_quant_stats(v)").as("qs"))
+      .select(col("vec_id"), col("qs.scale").as("scale"),
+        col("qs.max_abs_err").as("max_abs_err"),
+        col("qs.cos_sim").as("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   private val q123 = Q(
     "q123_embedding_neardup",
     s"""SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
@@ -346,5 +388,5 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123, q126)
+  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123, q126, q147)
 }

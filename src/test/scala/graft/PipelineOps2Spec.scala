@@ -195,6 +195,31 @@ class PipelineOps2Spec extends AnyFunSuite {
     assert(expected.values.exists(_._1.isDefined), "fixture has no cross-batch dup")
   }
 
+  test("q147 int8 quantization stats match a plain-Scala pass, cosine preserved") {
+    val vs = vectors().filter(_._1 < 100)
+    val got = SparkEntry.queries("q147_embedding_quantize")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.size == vs.length)
+    vs.foreach { case (id, v) =>
+      val m = v.map(math.abs).max
+      val scale = if (m == 0) 1.0 else m / 127.0
+      val dq = v.map(x => math.floor(x / scale + 0.5) * scale)
+      val maxErr = v.zip(dq).map { case (a, b) => math.abs(a - b) }.max
+      val (s1, e1, c1) = got(id)
+      assert(s1 == scale, s"vec $id scale")
+      assert(e1 == maxErr, s"vec $id err")
+      assert(math.abs(c1 - cos2(v, dq)) < 1e-15 && c1 > 0.99,
+        s"vec $id cosine $c1 not preserved")
+      assert(maxErr <= scale / 2 + 1e-15, s"vec $id err bound")
+    }
+  }
+
+  private def cos2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   test("q142 tf-idf top terms match a plain-Scala recomputation") {
     val texts = Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()

@@ -140,6 +140,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "document-frequency side not broadcast — corpus would re-shuffle:\n" + p)
   }
 
+  test("q146 ingest gate joins are equi-joins, no pair scan") {
+    val p = planOf("q146_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "incremental dedup degenerated to a cross-batch pair scan:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
