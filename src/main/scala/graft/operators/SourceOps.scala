@@ -152,5 +152,45 @@ object SourceOps {
       .orderBy("p_brand")
   }
 
-  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130)
+  /** Dynamic partition overwrite — the incremental WRITE path at 100 TB
+    * (q128 is the read side): a refresh touching one partition must
+    * replace only that directory, never the whole table. Base load
+    * writes all partitions (value <= 50); the incremental write carries
+    * only 'click' rows (value > 50) in dynamic mode, so the final state
+    * is incr-for-click + base-for-others — which the oracle states
+    * directly as a predicate over the raw events. */
+  private val q148 = Q(
+    "q148_dynamic_partition_overwrite",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM events
+      |WHERE (event_type = 'click' AND value > 50)
+      |   OR (event_type <> 'click' AND value <= 50)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    val out = s"/tmp/graft_events_dynpart_${math.abs(dir.hashCode)}"
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    ev.filter(col("value") <= 50)
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      ev.filter(col("event_type") === "click" && col("value") > 50)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130, q148)
 }
