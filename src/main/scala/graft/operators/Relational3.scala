@@ -323,7 +323,87 @@ object Relational3 {
           |SELECT c, p AS anc, dist FROM anc ORDER BY c, dist""".stripMargin)
   }
 
+  /** Distribution window functions (§2.5 completion): NTILE buckets,
+    * PERCENT_RANK, CUME_DIST. The window order carries a unique
+    * tie-break (c_custkey) — NTILE assigns by row position, so without
+    * it equal acctbals would bucket nondeterministically. All three are
+    * rational arithmetic over ranks (no libm), hence hash-exact. */
+  private val q149 = Q(
+    "q149_window_distribution",
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** UNPIVOT (the inverse of q80's PIVOT): wide per-status counts back
+    * to rows. NULL combinations are coalesced to 0 first — UNPIVOT
+    * drops NULL cells by default on both engines, which would silently
+    * change the row count. */
+  private val q150 = Q(
+    "q150_unpivot",
+    """SELECT o_orderpriority, status, cnt FROM (
+      |  SELECT o_orderpriority,
+      |    coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS f,
+      |    coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS o,
+      |    coalesce(max(CASE WHEN o_orderstatus = 'P' THEN n END), 0) AS p
+      |  FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |        FROM orders GROUP BY 1, 2)
+      |  GROUP BY o_orderpriority)
+      |UNPIVOT (cnt FOR status IN (f, o, p))
+      |ORDER BY o_orderpriority, status""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, status, cnt FROM (
+        |  SELECT o_orderpriority,
+        |    coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0L) AS f,
+        |    coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0L) AS o,
+        |    coalesce(max(CASE WHEN o_orderstatus = 'P' THEN n END), 0L) AS p
+        |  FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |        FROM orders GROUP BY 1, 2)
+        |  GROUP BY o_orderpriority)
+        |UNPIVOT (cnt FOR status IN (f, o, p))
+        |ORDER BY o_orderpriority, status""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery join with per-row LIMIT (top-2
+    * lineitems per order) — the lateral-subquery surface beyond
+    * LATERAL VIEW explode (q31). Spark plans it as a rewritten
+    * window/join, DuckDB executes it natively; results must agree. */
+  private val q151 = Q(
+    "q151_lateral_join",
+    """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+      |FROM orders o JOIN LATERAL (
+      |  SELECT l_linenumber, l_extendedprice FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t ON true
+      |WHERE o.o_orderkey < 100
+      |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin) {
+    (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+          |FROM orders o JOIN LATERAL (
+          |  SELECT l_linenumber, l_extendedprice FROM lineitem l
+          |  WHERE l.l_orderkey = o.o_orderkey
+          |  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+          |WHERE o.o_orderkey < 100
+          |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)
+  }
+
   val defs: Seq[Q] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
-      q145)
+      q145, q149, q150, q151)
 }
