@@ -513,5 +513,44 @@ object PipelineOps2 {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144, q146)
+  // --------------------- per-source IQR outlier gate (length curation)
+
+  private val q152 = Q(
+    "q152_iqr_outlier_gate",
+    """WITH b AS (
+      |  SELECT source,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS p25,
+      |    quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS p75
+      |  FROM documents GROUP BY 1)
+      |SELECT d.source AS source, b.p25, b.p75,
+      |  count(*) AS n_docs,
+      |  count(*) FILTER (WHERE CAST(n_chars AS DOUBLE)
+      |    < b.p25 - 1.5 * (b.p75 - b.p25)) AS n_low,
+      |  count(*) FILTER (WHERE CAST(n_chars AS DOUBLE)
+      |    > b.p75 + 1.5 * (b.p75 - b.p25)) AS n_high
+      |FROM documents d JOIN b ON d.source = b.source
+      |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin) { (s, dir) =>
+    // Length-outlier curation per source: exact p25/p75 per group (the
+    // q97-verified interpolation, identical in both engines), Tukey
+    // 1.5*IQR fences, per-source outlier counts. The boundary table is
+    // group-count-sized and broadcasts back onto the corpus scan — at
+    // 100 TB the exact grouped percentile would switch to
+    // approx_percentile (q135's verified sketch) with the same shape.
+    val d = docs(s, dir)
+    val bounds = d.groupBy("source").agg(
+      percentile(col("n_chars").cast("double"), lit(0.25)).as("p25"),
+      percentile(col("n_chars").cast("double"), lit(0.75)).as("p75"))
+    d.join(broadcast(bounds), "source")
+      .groupBy("source", "p25", "p75")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("n_chars").cast("double") <
+          col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("n_low"),
+        count_if(col("n_chars").cast("double") >
+          col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("n_high"))
+      .select("source", "p25", "p75", "n_docs", "n_low", "n_high")
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144, q146, q152)
 }

@@ -99,22 +99,33 @@ print(f"events: {sum(t.num_rows for t in reps)} rows")
 
 con.execute(f"CREATE VIEW d0 AS SELECT * FROM '{SRC}/documents.parquet'")
 db = con.execute("SELECT max(doc_id) + 1 FROM d0").fetchone()[0]
+# PER-WORD salt: replica i rewrites every token w -> w.si, so replicas
+# share zero shingles (the dup RATE stays constant; an end-of-doc salt
+# leaves replicas sharing ~all shingles and the exact-Jaccard pair join
+# blows up ~100x — measured 124x before this fix). Intra-replica dup
+# structure is preserved exactly (same transform on both sides).
 gen("documents", f"""
   SELECT doc_id + i*{db} AS doc_id,
          CASE WHEN i = 0 THEN text
-              ELSE text || ' salt' || CAST(i AS VARCHAR) || 'x' ||
-                   CAST(doc_id % 97 AS VARCHAR) END AS text,
+              ELSE array_to_string(list_transform(string_split(text, ' '),
+                w -> CASE WHEN w = '' THEN w
+                          ELSE w || '.s' || CAST(i AS VARCHAR) END), ' ')
+         END AS text,
          lang, source, n_chars
   FROM d0, r""")
 
 con.execute(f"CREATE VIEW v0 AS SELECT * FROM '{SRC}/embeddings.parquet'")
 vb = con.execute("SELECT max(vec_id) + 1 FROM v0").fetchone()[0]
+# CIRCULAR ROTATION by 6*i positions: rotating both vectors of a pair
+# preserves their dot product, so intra-replica near-dup structure is
+# EXACT; cross-replica cosines decorrelate to noise (a small additive
+# perturbation instead leaves cross-replica cosine ~1 and the near-dup
+# pair count grows quadratically).
 gen("embeddings", f"""
   SELECT vec_id + i*{vb} AS vec_id, label,
          CASE WHEN i = 0 THEN embedding
-              ELSE list_transform(embedding, (x, j) ->
-                CASE WHEN j = 1 + (i % 64)
-                     THEN CAST(x + 0.01 * i AS FLOAT) ELSE x END)
+              ELSE list_concat(embedding[(6*i + 1):64],
+                               embedding[1:(6*i)])
          END AS embedding
   FROM v0, r""")
 print("done:", OUT)
