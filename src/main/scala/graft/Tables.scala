@@ -29,20 +29,21 @@ object Tables {
   // (SparkSession doesn't override equals) avoids the identityHashCode
   // collision the previous String key had.
   private val registered = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every table as a temp view named after itself, so SQL-surface
     * queries (GROUPING SETS, ordinal GROUP BY, CTEs, LATERAL VIEW...) can
     * run via spark.sql with the same table names the DuckDB oracle sees.
-    * Memoized per (session, dir) — re-reading 10 parquet footers per query
-    * was measurable overhead in the bench. */
-  def registerAll(spark: SparkSession, dir: String): Unit = {
-    val dirs = registered.synchronized {
-      registered.computeIfAbsent(spark,
-        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    * Memoized on the session's CURRENT dir — re-reading 10 parquet footers
+    * per query was measurable bench overhead, but the memo must track the
+    * latest dir, not the set of dirs ever seen: view names are shared, so
+    * a set-membership memo left the views pointing at whichever dir
+    * registered last (mis-measured alternating-dir runs like ScaleSmoke). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    registered.synchronized {
+      if (registered.get(spark) != dir) {
+        names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
     }
-    if (dirs.add(dir)) {
-      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-    }
-  }
 }
