@@ -44,7 +44,7 @@ object MultimodalOps {
   // has no direct blob-byte accessor, so bytes are read out of
   // hex(encode(text)): byte i = 16*hv(2i-1) + hv(2i) where hv maps a hex
   // digit via strpos('123456789ABCDEF', d) — '0' correctly yields 0.
-  private def byteListCte(table: String = "documents"): String =
+  private[operators] def byteListCte(table: String = "documents"): String =
     s"""WITH hb AS (
        |  SELECT doc_id, hex(encode(text)) AS hx,
        |    CAST(octet_length(encode(text)) AS INT) AS len
@@ -191,5 +191,80 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51, q119, q120)
+  /** Deterministic pseudo-random centroid component (the q139 LCG). */
+  private def coef(idx: Int): Double = {
+    val x = (1103515245L * idx + 12345L) % 2147483648L
+    x.toDouble / 2147483648.0 * 2.0 - 1.0
+  }
+
+  private val FeatDim = 8
+  private val FeatCells = 4
+  private val featCents: Array[Array[Double]] =
+    Array.tabulate(FeatCells, FeatDim)((c, j) => coef(2048 + c * FeatDim + j))
+
+  /** STUB feature extractor (the embedding half of the codec stub):
+    * 8 byte-stride sums scaled by 1/255 — stands in for an image/audio
+    * embedding model; integer sums then one division keep it
+    * bit-identical cross-engine. */
+  def featureStub(m: MediaIn): (Long, Array[Double]) = {
+    val s = new Array[Long](FeatDim)
+    var i = 0
+    while (i < m.payload.length) {
+      s(i % FeatDim) += (m.payload(i) & 0xff); i += 1
+    }
+    (m.doc_id, s.map(_.toDouble / 255.0))
+  }
+
+  private def duckDist(c: Int): String = {
+    val lits = featCents(c).mkString(", ")
+    s"""list_sum(list_transform(range(1, ${FeatDim + 1}),
+       |  j -> (fv[j] - CAST(([$lits])[j] AS DOUBLE)) *
+       |       (fv[j] - CAST(([$lits])[j] AS DOUBLE))))""".stripMargin
+  }
+
+  /** Multimodal → vector-index integration: batch feature extraction
+    * (stub codec, real plumbing) straight into the IVF cell assignment
+    * ([[graft.functions.NearestCell]], codegen) — the ingest shape that
+    * turns a media corpus into an ANN-indexable table in one pass, no
+    * shuffle. The oracle replays bytes → stride sums → argmin (ties to
+    * the lowest cell index, NearestCell's contract). */
+  private val q154 = Q(
+    "q154_multimodal_features",
+    s"""${byteListCte()},
+      |f AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, $FeatDim), j ->
+      |      CAST(COALESCE(list_sum(list_transform(range(1, len + 1),
+      |        i -> CASE WHEN (i - 1) % $FeatDim = j THEN bl[i] ELSE 0 END)), 0)
+      |        AS DOUBLE) / 255.0) AS fv
+      |  FROM bytes),
+      |d AS (
+      |  SELECT doc_id, fv,
+      |    ${(0 until FeatCells).map(c => s"(${duckDist(c)}) AS d$c").mkString(",\n    ")}
+      |  FROM f)
+      |SELECT doc_id,
+      |  ${(1 to FeatDim).map(j => s"fv[$j] AS f${j - 1}").mkString(", ")},
+      |  CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+      |            WHEN d1 <= d2 AND d1 <= d3 THEN 1
+      |            WHEN d2 <= d3 THEN 2 ELSE 3 END AS INT) AS cell
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val media = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+    val feats = media.mapPartitions { it =>
+      it.grouped(64).flatMap(batch => batch.map(featureStub))
+    }.toDF("doc_id", "fv")
+    feats
+      .withColumn("cell", Bridge.column(
+        graft.functions.NearestCell(Bridge.expr(col("fv")), featCents)))
+      .select(
+        (col("doc_id") +:
+          (0 until FeatDim).map(j => element_at(col("fv"), j + 1).as(s"f$j"))) :+
+          col("cell"): _*)
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154)
 }

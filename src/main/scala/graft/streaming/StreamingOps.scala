@@ -304,5 +304,60 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125)
+  /** Sliding event-time windows (q70 covers tumbling): 6-hour windows
+    * sliding every 3 hours, so each event lands in exactly 2 windows.
+    * Spark aligns sliding windows to the epoch in multiples of the
+    * slide; the oracle replays that arithmetic directly ((us div 3h)*3h
+    * and the preceding start). Window starts are emitted as epoch
+    * microseconds — BIGINT on both engines, no timestamp-encoding
+    * drift. */
+  private val q153 = Q(
+    "q153_stream_sliding_window",
+    """WITH e AS (
+      |  SELECT epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         event_type, value
+      |  FROM events),
+      |w AS (
+      |  SELECT unnest([
+      |      (us // 10800000000) * 10800000000 - 10800000000,
+      |      (us // 10800000000) * 10800000000]) AS win_start,
+      |    event_type, value
+      |  FROM e)
+      |SELECT win_start, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val sinkName = "graft_q153_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).as("total_dec"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .start()
+      try {
+        query.processAllAvailable()
+      } finally {
+        query.stop()
+      }
+      s.table(sinkName)
+        .select(unix_micros(col("window.start")).as("win_start"),
+          col("event_type"), col("n"),
+          col("total_dec").cast("double").as("total_value"))
+        .orderBy("win_start", "event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125, q153)
 }
