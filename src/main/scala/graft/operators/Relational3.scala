@@ -403,7 +403,70 @@ object Relational3 {
           |ORDER BY o_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin)
   }
 
+  /** The remaining Generator surface (§2.9 names explode/posexplode/
+    * inline/json_tuple/stack; the first two are q31/q81): json_tuple
+    * parses the props JSON as a UDTF, stack and inline pivot an
+    * aggregate row into tall metric rows. The oracle recomputes with
+    * regexp (the driver's DuckDB may lack the json extension) and a
+    * plain UNION ALL. */
+  private val q155 = Q(
+    "q155_generators",
+    """WITH agg AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT))
+      |      AS BIGINT) AS sum_k
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, metric, val FROM (
+      |  SELECT event_type, 'n_events' AS metric, n_events AS val FROM agg
+      |  UNION ALL
+      |  SELECT event_type, 'sum_k', sum_k FROM agg
+      |  UNION ALL
+      |  SELECT event_type, 'double_n', n_events * 2 FROM agg)
+      |ORDER BY event_type, metric""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH jt AS (
+        |  SELECT event_type, CAST(k AS BIGINT) AS k
+        |  FROM events LATERAL VIEW json_tuple(props, 'k') j AS k),
+        |agg AS (
+        |  SELECT event_type, count(*) AS n_events, sum(k) AS sum_k
+        |  FROM jt GROUP BY 1)
+        |SELECT event_type, metric, val FROM (
+        |  SELECT event_type, metric, val
+        |  FROM agg
+        |  LATERAL VIEW stack(2, 'n_events', n_events, 'sum_k', sum_k) s
+        |    AS metric, val
+        |  UNION ALL
+        |  SELECT event_type, metric, val
+        |  FROM agg
+        |  LATERAL VIEW inline(array(
+        |    named_struct('metric', 'double_n', 'val', n_events * 2L))) i)
+        |ORDER BY event_type, metric""".stripMargin)
+  }
+
+  /** GROUPING__ID (§2.2's special-function list): the grouping bitmask
+    * over a CUBE — Spark grouping_id() and DuckDB GROUPING() share
+    * Postgres bit order (first argument most significant); the hash
+    * compare pins that. */
+  private val q156 = Q(
+    "q156_grouping_id",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   val defs: Seq[Q] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
-      q145, q149, q150, q151)
+      q145, q149, q150, q151, q155, q156)
 }
