@@ -552,5 +552,64 @@ object PipelineOps2 {
       .orderBy("source")
   }
 
-  val defs: Seq[Q] = Seq(q138, q139, q140, q141, q142, q143, q144, q146, q152)
+  // --------------- flagship: end-to-end curation pipeline composition
+
+  private val q157 = Q(
+    "q157_pipeline_e2e",
+    s"""WITH keep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM documents
+       |  GROUP BY array_to_string((string_split(text, ' '))[:5], ' ')),
+       |toks AS (
+       |  SELECT d.doc_id, d.source, d.n_chars,
+       |    list_filter(string_split(d.text, ' '), w -> w <> '') AS ws,
+       |    ${TextOps.FingerprintOracle} AS fp
+       |  FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+       |q AS (
+       |  SELECT doc_id, source, n_chars, fp,
+       |    CASE WHEN len(ws) > 0
+       |      THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+       |      ELSE 1.0 END AS dup_frac
+       |  FROM toks)
+       |SELECT CAST(fp % 8 AS BIGINT) AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  count(DISTINCT source) AS n_sources
+       |FROM q WHERE dup_frac < 0.7
+       |GROUP BY 1 ORDER BY shard""".stripMargin) { (s, dir) =>
+    // The whole curation pipeline as ONE composed plan — exact dedup
+    // (norm-key keeper) -> repetition quality gate (q132's dup-token
+    // fraction) -> deterministic shard assignment (q133's fingerprint)
+    // -> per-shard export manifest. Everything stays declarative, so
+    // Catalyst pipelines the gates into the dedup shuffle's output
+    // without re-scanning the corpus; at 100 TB this is one shuffle
+    // (the dedup groupBy) plus map-side everything else.
+    graft.functions.GraftFunctions.register(s)
+    val d = docs(s, dir)
+    val keep = d
+      .groupBy(concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("k"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val gated = d.join(keep, "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("graft_words(text)").as("ws"),
+        expr(TextOps.FingerprintSpark).as("fp"))
+      .withColumn("dup_frac",
+        when(size(col("ws")) > 0,
+          lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+            size(col("ws")))
+          .otherwise(1.0))
+      .filter(col("dup_frac") < 0.7)
+    gated
+      .withColumn("shard", col("fp") % 8)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("shard")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q138, q139, q140, q141, q142, q143, q144, q146, q152, q157)
 }
