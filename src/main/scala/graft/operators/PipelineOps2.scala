@@ -580,10 +580,11 @@ object PipelineOps2 {
     // The whole curation pipeline as ONE composed plan — exact dedup
     // (norm-key keeper) -> repetition quality gate (q132's dup-token
     // fraction) -> deterministic shard assignment (q133's fingerprint)
-    // -> per-shard export manifest. Everything stays declarative, so
-    // Catalyst pipelines the gates into the dedup shuffle's output
-    // without re-scanning the corpus; at 100 TB this is one shuffle
-    // (the dedup groupBy) plus map-side everything else.
+    // -> per-shard export manifest. Everything stays declarative:
+    // three linear shuffles (dedup groupBy, keeper join on doc_id,
+    // shard rollup with map-side partial agg), quality gate and
+    // fingerprint both map-side — nothing quadratic, no second corpus
+    // scan, no driver round trips between stages.
     graft.functions.GraftFunctions.register(s)
     val d = docs(s, dir)
     val keep = d
