@@ -265,6 +265,59 @@ object Relational2 {
         |FROM agg, base, viol""".stripMargin)
   }
 
+  /** Observed metrics (`df.observe`): accumulator-style aggregates
+    * collected DURING the main pass — at 100 TB the row-count /
+    * total-value audit metrics a pipeline must log would otherwise cost
+    * a second full scan. The observed values are emitted as the result
+    * (via the query-execution listener payload), so the oracle verifies
+    * the metrics themselves. */
+  private val q158 = Q(
+    "q158_observe_metrics",
+    """SELECT count(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty,
+      |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+      |FROM lineitem WHERE l_discount > 0.05""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.Observation
+    val obs = Observation("graft_audit")
+    val main = Tables.load(s, dir, "lineitem")
+      .filter(col("l_discount") > 0.05)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double")
+          .as("total_qty"),
+        min("l_orderkey").as("min_key"), max("l_orderkey").as("max_key"))
+    // drive the pass (a real pipeline would write here); the metrics
+    // piggyback on it — no second scan
+    main.write.mode("overwrite")
+      .parquet(s"/tmp/graft_observe_${math.abs(dir.hashCode)}")
+    val row = obs.get
+    import s.implicits._
+    Seq((row("n_rows").asInstanceOf[Long],
+      row("total_qty").asInstanceOf[Double],
+      row("min_key").asInstanceOf[Long],
+      row("max_key").asInstanceOf[Long]))
+      .toDF("n_rows", "total_qty", "min_key", "max_key")
+  }
+
+  /** The explicit UDF-registration surface (§2.9: the reference accepts
+    * any `ident(args)` as a function). A Scala UDF is the SLOW path —
+    * no codegen, boxing per row — kept off hot paths; this query pins
+    * the registration/behavior surface itself against a pure-SQL oracle. */
+  private val q159 = Q(
+    "q159_udf_surface",
+    """SELECT s_nationkey,
+      |  count(*) FILTER (WHERE length(s_name) % 2 = 0) AS n_even,
+      |  count(*) AS n
+      |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.udf.register("graft_even_len", (name: String) => name.length % 2 == 0)
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT s_nationkey,
+        |  count(*) FILTER (WHERE graft_even_len(s_name)) AS n_even,
+        |  count(*) AS n
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val defs: Seq[Q] = Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81,
-    q82, q83, q110, q111, q121)
+    q82, q83, q110, q111, q121, q158, q159)
 }

@@ -359,5 +359,52 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125, q153)
+  /** foreachBatch sink — the production streaming WRITE path (the other
+    * streaming queries use the memory sink): each micro-batch appends
+    * parquet with its batch id, the final state is read back and
+    * aggregated. Append-only over a finite source, so the result is
+    * batching-independent and equals the batch oracle. */
+  private val q160 = Q(
+    "q160_stream_foreach_batch",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE value > 10
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val out = s"/tmp/graft_q160_sink_${math.abs(dir.hashCode)}"
+    val outDir = new java.io.File(out)
+    if (outDir.exists()) {
+      java.nio.file.Files.walk(outDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .filter(col("value") > 10)
+      .select(col("event_type"), col("value"))
+    val query = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", s"$out.ckpt_${System.nanoTime()}")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+    }
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125, q153, q160)
 }
