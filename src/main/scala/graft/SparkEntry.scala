@@ -18,6 +18,7 @@ object SparkEntry {
       operators.MultimodalOps.defs ++ operators.AsOfOps.defs ++
       operators.SketchOps.defs ++ operators.SourceOps.defs ++
       operators.PipelineOps.defs ++ operators.PipelineOps2.defs ++
+      operators.PipelineOps3.defs ++ operators.AnalyticsOps.defs ++
       streaming.StreamingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

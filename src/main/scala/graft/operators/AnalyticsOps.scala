@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product-analytics operators over the events stream plus two join
+  * patterns every large warehouse needs: fuzzy (edit-distance) entity
+  * matching and the salted shuffle join for skewed keys.
+  *
+  * Scale design:
+  *  - q163 (retention cohorts): the user->cohort map is built by one
+  *    groupBy(user_id); the activity join re-uses the same user_id
+  *    hash partitioning (AQE exchange reuse), then reduces to a
+  *    week x week matrix — output is tiny regardless of input size.
+  *  - q164 (funnel): each stage is a min-aggregate per user joined to
+  *    the previous stage's timestamps; all three joins share the
+  *    user_id key, so the plan is a chain of co-partitioned
+  *    shuffle joins, never a cross-user comparison.
+  *  - q165 (gap-fill): the day spine comes from sequence() over a
+  *    1-row global min/max aggregate — a broadcast-sized dimension
+  *    joined to the (already reduced) daily aggregate. No per-row
+  *    calendar explode over the fact table.
+  *  - q166 (profiling): every column's null/distinct/min/max stats
+  *    come from ONE aggregate pass over the scan (Spark expands
+  *    multiple COUNT(DISTINCT) internally); rows are produced by
+  *    stack() from the single aggregate row. At 100 TB swap the exact
+  *    distinct counts for approx_count_distinct and the pass stays one
+  *    scan with no Expand blow-up.
+  *  - q168 (fuzzy match): levenshtein is quadratic per pair, so the
+  *    candidate space is cut by a banding equi-join (same trailing
+  *    token) before any distance evaluation — the q44/q45 shape
+  *    applied to entity resolution.
+  *  - q169 (salted join): a hot build key makes one reducer take the
+  *    whole probe side; salting replicates each build row R ways and
+  *    spreads probe rows by a hash salt, turning one straggler into R
+  *    even tasks. Exactness is unaffected: every probe row still meets
+  *    its matching build row exactly once (same key, same salt).
+  */
+object AnalyticsOps {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // --------------------- weekly retention cohorts
+
+  private val q163 = Q(
+    "q163_retention_cohorts",
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY 1)
+      |SELECT f.cohort_week AS cohort_week,
+      |  CAST(date_trunc('week', e.ts) AS DATE) AS activity_week,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // Cohort = ISO week of a user's first event; the matrix counts how
+    // many of each cohort were active in each later week.
+    val e = ev(s, dir)
+    val first = e.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_week"),
+        date_trunc("week", col("ts")).cast("date").as("activity_week"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
+  // --------------------- ordered conversion funnel
+
+  private val q164 = Q(
+    "q164_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id AS user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id AS user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT stage, users FROM (
+      |  SELECT '1_view' AS stage, count(*) AS users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    // Strictly-ordered conversion funnel with a 24-hour window per
+    // stage: stage k counts only if it happens AFTER stage k-1 and
+    // within the conversion window (timestamp arithmetic is integer
+    // microseconds — exact on both engines). Each stage is one
+    // min-aggregate + one co-partitioned join on user_id.
+    val e = ev(s, dir)
+    val win = expr("INTERVAL 24 HOURS")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + win)
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    stage("1_view", v).unionAll(stage("2_click", c))
+      .unionAll(stage("3_purchase", p))
+      .orderBy("stage")
+  }
+
+  // --------------------- calendar gap-fill
+
+  private val q165 = Q(
+    "q165_gapfill_daily",
+    """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS d0,
+      |                       CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |         FROM bounds),
+      |actual AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS tv
+      |  FROM events WHERE event_type = 'purchase' AND value > 190
+      |  GROUP BY 1)
+      |SELECT d.day AS day, coalesce(a.n, 0) AS n,
+      |  CAST(coalesce(a.tv, 0) AS DOUBLE) AS total_value
+      |FROM days d LEFT JOIN actual a ON d.day = a.day
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    // Zero-fill missing days: the day spine spans the WHOLE event
+    // range (global min/max, a 1-row aggregate), the sparse series is
+    // high-value purchases — days with no such purchase emit (0, 0.0)
+    // instead of vanishing. Spine join is broadcast-sized by design.
+    val e = ev(s, dir)
+    val days = e.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val actual = e.filter(col("event_type") === "purchase" && col("value") > 190)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("tv"))
+    days.join(actual, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("tv"), lit(0)).cast("double").as("total_value"))
+      .orderBy("day")
+  }
+
+  // --------------------- one-pass column profiling
+
+  /** (name, kind) for the profiled lineitem columns; kind drives the
+    * min/max string rendering (numeric -> DECIMAL(20,2), ts -> DATE). */
+  private val ProfileCols: Seq[(String, String)] = Seq(
+    "l_orderkey" -> "num", "l_quantity" -> "num", "l_extendedprice" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  private def renderDuck(c: String, kind: String, fn: String): String = kind match {
+    case "num" => s"CAST(CAST($fn($c) AS DECIMAL(20,2)) AS VARCHAR)"
+    case "ts"  => s"CAST(CAST($fn($c) AS DATE) AS VARCHAR)"
+    case _     => s"$fn($c)"
+  }
+
+  private val q166 = Q(
+    "q166_column_profile",
+    ProfileCols.map { case (c, kind) =>
+      s"""SELECT '$c' AS col_name, count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  ${renderDuck(c, kind, "min")} AS min_s,
+         |  ${renderDuck(c, kind, "max")} AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (s, dir) =>
+    // ANALYZE-style profile: null count, exact distinct count, min/max
+    // (rendered to engine-agnostic strings) for a column set — computed
+    // in a SINGLE aggregate pass, then pivoted to rows with stack().
+    val li = Tables.load(s, dir, "lineitem")
+    def render(c: String, kind: String, agg: org.apache.spark.sql.Column) = kind match {
+      case "num" => agg.cast(DecimalType(20, 2)).cast("string")
+      case "ts"  => agg.cast("date").cast("string")
+      case _     => agg
+    }
+    val aggs = ProfileCols.flatMap { case (c, kind) => Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}__null"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      render(c, kind, min(col(c))).as(s"${c}__min"),
+      render(c, kind, max(col(c))).as(s"${c}__max"))
+    }
+    val stackArgs = ProfileCols.map { case (c, _) =>
+      s"'$c', `${c}__null`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_null, n_distinct, min_s, max_s)")
+      .orderBy("col_name")
+  }
+
+  // --------------------- banded fuzzy (edit-distance) matching
+
+  private val q168 = Q(
+    "q168_fuzzy_name_match",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |banded AS (SELECT p_name,
+      |  (string_split(p_name, ' '))[-1] AS noun FROM names)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS dist
+      |FROM banded a JOIN banded b
+      |  ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4
+      |ORDER BY name_a, name_b""".stripMargin) { (s, dir) =>
+    // Entity resolution: near-identical product names (edit distance
+    // <= 4). The banding key (trailing token) turns the quadratic
+    // all-pairs comparison into an equi-join; levenshtein runs only on
+    // in-band candidates.
+    val names = Tables.load(s, dir, "part").select("p_name").distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("noun"))
+    val b = names.select(col("p_name").as("name_b"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  // --------------------- salted shuffle join (skew mitigation)
+
+  private val SaltFactor = 8
+
+  private val q169 = Q(
+    "q169_salted_skew_join",
+    """SELECT p.p_brand AS p_brand, count(*) AS n,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Skew-resilient join: the build side (part) is replicated
+    // SaltFactor ways, the probe side (lineitem) is spread by a hash
+    // salt; the join key becomes (p_partkey, salt) so one hot part key
+    // lands on SaltFactor reducers instead of one. The merge hint pins
+    // the shuffle-join shape (a broadcast would hide the salting under
+    // test-scale data). Result is byte-identical to the unsalted join.
+    val li = Tables.load(s, dir, "lineitem")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SaltFactor)))
+    val p = Tables.load(s, dir, "part")
+      .withColumn("salt", explode(sequence(lit(0), lit(SaltFactor - 1))))
+    li.hint("merge")
+      .join(p, li("l_partkey") === p("p_partkey") && li("salt") === p("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val defs: Seq[Q] = Seq(q163, q164, q165, q166, q168, q169)
+}

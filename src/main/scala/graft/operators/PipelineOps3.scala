@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 pipeline operators, part 3: corpus boilerplate removal,
+  * bloom-prefiltered incremental dedup, and space-filling-curve
+  * (z-order) clustering with a data-skipping manifest.
+  *
+  * Scale design:
+  *  - q161: boilerplate stripping is CCNet/Dolma-style frequent-LINE
+  *    removal, re-expressed over fixed word segments (this corpus has
+  *    no newlines). Cost is two shuffles — segment-DF (groupBy seg)
+  *    and doc reassembly (groupBy doc_id) — both linear in corpus
+  *    size; nothing quadratic, no driver state.
+  *  - q162: incremental-ingest dedup at 100 TB must NOT shuffle the
+  *    frozen corpus per batch. A bloom filter over corpus keys is
+  *    built once (one corpus scan, mergeable sketch), broadcast, and
+  *    prefilters the new batch to the rare might-match rows; only
+  *    those candidates (broadcast-sized by construction) touch the
+  *    corpus again, as a broadcast semi-join probed BY the corpus
+  *    scan. False positives cost one extra lookup; false negatives
+  *    are impossible, so the emitted is_dup flags are exact.
+  *  - q167: multi-dimensional clustering for data skipping. Rows are
+  *    bucketed by the prefix of a bit-interleaved z-value; each
+  *    bucket's manifest row (min/max per dimension + count) is what a
+  *    lakehouse file-skipping index stores. Because z-order preserves
+  *    locality in BOTH dimensions, a 2-D probe box prunes most
+  *    buckets — sorting by one column alone cannot (verified in the
+  *    spec). The pipeline is one projection + one groupBy(bucket).
+  */
+object PipelineOps3 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** First-5-token normalization key — the q40 exact-dedup key. */
+  private val KeyExprSpark = "concat_ws(' ', slice(split(text, ' '), 1, 5))"
+  private val KeyExprDuck = "array_to_string((string_split(text, ' '))[:5], ' ')"
+
+  // --------------------- boilerplate segment removal
+
+  private val SegWords = 10
+  private val BoilerplateDf = 2 // segment in >= 2 distinct docs => boilerplate
+
+  private val q161 = Q(
+    "q161_boilerplate_strip",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |segs AS (
+       |  SELECT doc_id, i AS seg_idx,
+       |    array_to_string(words[i*$SegWords+1 : i*$SegWords+$SegWords], ' ') AS seg
+       |  FROM w, unnest(generate_series(0,
+       |    CAST((len(words) + ${SegWords - 1}) // $SegWords AS INT) - 1)) AS t(i)),
+       |df AS (SELECT seg, count(DISTINCT doc_id) AS ndocs FROM segs GROUP BY 1),
+       |kept AS (SELECT s.doc_id AS doc_id, s.seg_idx AS seg_idx, s.seg AS seg
+       |         FROM segs s JOIN df USING (seg) WHERE df.ndocs < $BoilerplateDf),
+       |re AS (SELECT doc_id, count(*) AS kept_segs,
+       |         string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+       |       FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS total_segs FROM segs GROUP BY 1)
+       |SELECT d.doc_id AS doc_id, tot.total_segs AS total_segs,
+       |  coalesce(re.kept_segs, 0) AS kept_segs,
+       |  coalesce(re.clean_text, '') AS clean_text
+       |FROM documents d JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Split each doc into fixed 10-word segments (the "lines" of this
+    // corpus), drop segments that occur in >= BoilerplateDf distinct
+    // docs (headers/footers/duplicated passages), reassemble the rest
+    // in original order. Exact-duplicate docs lose ALL segments and
+    // come out empty — the degenerate case the LEFT JOIN keeps visible.
+    val segs = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0L, (size(words) + ${SegWords - 1}) div $SegWords - 1),
+           |  i -> array_join(slice(words, cast(i*$SegWords+1 as int), $SegWords), ' '))""".stripMargin)))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val segDf = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+    val kept = segs.join(segDf, "seg").filter(col("ndocs") < BoilerplateDf)
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("kept_segs"),
+      array_join(expr("transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg)"),
+        " ").as("clean_text"))
+    val tot = segs.groupBy("doc_id").agg(count(lit(1)).as("total_segs"))
+    docs(s, dir).select("doc_id")
+      .join(tot, "doc_id")
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_segs"),
+        coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------- bloom-prefiltered incremental dedup
+
+  private val q162 = Q(
+    "q162_bloom_incremental_dedup",
+    s"""WITH corpus AS (
+       |  SELECT DISTINCT $KeyExprDuck AS k
+       |  FROM documents WHERE doc_id % 10 < 8),
+       |batch AS (
+       |  SELECT doc_id, $KeyExprDuck AS k
+       |  FROM documents WHERE doc_id % 10 >= 8)
+       |SELECT b.doc_id AS doc_id, b.k AS dup_key,
+       |  c.k IS NOT NULL AS is_dup
+       |FROM batch b LEFT JOIN corpus c ON b.k = c.k
+       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    // Corpus = 80% of docs (frozen), batch = the rest (new ingest).
+    // Exactness never depends on the bloom: it only shrinks the
+    // candidate set (no false negatives), the verify join decides.
+    val all = docs(s, dir).withColumn("k", expr(KeyExprSpark))
+    val corpus = all.filter(col("doc_id") % 10 < 8)
+    val batch = all.filter(col("doc_id") % 10 >= 8)
+    val bf = corpus.stat.bloomFilter("k", 1000000L, 0.03)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: String) => k != null && bfB.value.mightContainString(k))
+    val candidates = batch.filter(mightContain(col("k"))).select("k").distinct()
+    // Corpus-side probe: the big side streams, the candidate set rides
+    // along broadcast; output (matched keys) is candidate-sized.
+    val found = corpus.join(broadcast(candidates), "k")
+      .select("k").distinct().withColumn("is_dup", lit(true))
+    batch.join(broadcast(found), Seq("k"), "left")
+      .select(col("doc_id"), col("k").as("dup_key"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------- z-order clustering + skipping manifest
+
+  private val ZBits = 8       // 8 bits per dimension -> 16-bit z-value
+  private val ZBucketShift = 1024 // z div 1024 -> 64 buckets
+  // Fixed 2-D probe box for the prunability flag (a 16x16 tile).
+  private val Bx0 = 32; private val Bx1 = 47
+  private val By0 = 96; private val By1 = 111
+
+  /** Bit-interleave formula, generated for either engine's integer
+    * division spelling (`div` in Spark SQL, `//` in DuckDB). All
+    * arithmetic is integer-exact and identical on both sides. */
+  private def zFormula(x: String, y: String, divOp: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x) $divOp ${1 << i}) % 2) * ${1L << (2 * i)} + " +
+        s"((($y) $divOp ${1 << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  private val q167 = Q(
+    "q167_zorder_manifest",
+    s"""WITH z AS (
+       |  SELECT l_partkey % 256 AS xm, l_suppkey % 256 AS ym,
+       |    ${zFormula("l_partkey % 256", "l_suppkey % 256", "//")} AS zv
+       |  FROM lineitem)
+       |SELECT zv // $ZBucketShift AS bucket, count(*) AS n,
+       |  min(xm) AS min_x, max(xm) AS max_x,
+       |  min(ym) AS min_y, max(ym) AS max_y,
+       |  (max(xm) < $Bx0 OR min(xm) > $Bx1 OR
+       |   max(ym) < $By0 OR min(ym) > $By1) AS prunable
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Z-order the (partkey mod, suppkey mod) plane and emit the
+    // per-bucket skipping manifest: a probe box query can skip every
+    // bucket whose [min,max] envelope misses the box. The prunable
+    // flag is evaluated for the fixed probe tile above.
+    Tables.load(s, dir, "lineitem")
+      .select((col("l_partkey") % 256).as("xm"), (col("l_suppkey") % 256).as("ym"))
+      .withColumn("zv", expr(zFormula("xm", "ym", "div")))
+      .groupBy(expr(s"zv div $ZBucketShift").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xm")).as("min_x"), max(col("xm")).as("max_x"),
+        min(col("ym")).as("min_y"), max(col("ym")).as("max_y"))
+      .withColumn("prunable",
+        col("max_x") < Bx0 || col("min_x") > Bx1 ||
+          col("max_y") < By0 || col("min_y") > By1)
+      .orderBy("bucket")
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167)
+}

@@ -406,5 +406,53 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(q70, q71, q72s, q117, q118, q125, q153, q160)
+  private val q170 = Q(
+    "q170_stream_restart_exactly_once",
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      |  count(DISTINCT user_id) AS users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Checkpointed restart with Trigger.AvailableNow — the production
+    // incremental-ingest shape: run N drains everything new and stops;
+    // run N+1 resumes from the SAME checkpoint and must process only
+    // files that arrived in between. The final aggregate equals the
+    // batch answer over the full table only if the second run neither
+    // reprocesses (counts would double) nor drops the new arrivals —
+    // the oracle comparison IS the exactly-once check.
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val base = new java.io.File(s"/tmp/graft_q170_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = s"$base/stage"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def drainOnce(): Unit = {
+      val q = s.readStream.schema(ev.schema).parquet(stage)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    ev.filter(col("user_id") % 2 === 0).write.mode("append").parquet(stage)
+    drainOnce()
+    ev.filter(col("user_id") % 2 =!= 0).write.mode("append").parquet(stage)
+    drainOnce()
+    s.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double").as("total_value"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170)
 }

@@ -1,0 +1,150 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.{DayOfWeek, LocalDate, ZoneOffset}
+import java.time.temporal.TemporalAdjusters
+
+/** Analytics operators (q163-q166, q168-q169): independent plain-Scala
+  * recomputations at sf0.001 so the DuckDB oracles aren't the only
+  * line of defense. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  /** (event_id, epochMicros, user_id, event_type, value) */
+  private lazy val events: Array[(Long, Long, Long, String, Double)] =
+    Tables.load(spark, dir, "events")
+      .selectExpr("event_id", "unix_micros(ts)", "user_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+
+  private def toDate(micros: Long): LocalDate =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L)).atZone(ZoneOffset.UTC).toLocalDate
+
+  private def weekOf(micros: Long): LocalDate =
+    toDate(micros).`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+
+  test("q163 cohort matrix equals a plain-Scala recomputation") {
+    val cohort = events.groupBy(_._3).map { case (u, es) => u -> weekOf(es.map(_._2).min) }
+    val expected = events
+      .map(e => ((cohort(e._3), weekOf(e._2)), e._3)).distinct
+      .groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val got = SparkEntry.queries("q163_retention_cohorts")(spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+      assert(r.getLong(2) == expected(k), s"cohort cell $k")
+    }
+    // the matrix is lower-triangular: activity never precedes the cohort week
+    got.foreach(r => assert(!r.getDate(1).toLocalDate.isBefore(r.getDate(0).toLocalDate)))
+  }
+
+  test("q164 funnel equals a per-user ordered fold (and discriminates)") {
+    val WinMicros = 24L * 3600 * 1000000
+    val byUser = events.groupBy(_._3)
+    def stageTs(u: Long): (Option[Long], Option[Long], Option[Long]) = {
+      val es = byUser(u)
+      val t1 = es.filter(_._4 == "view").map(_._2).sorted.headOption
+      val t2 = t1.flatMap(t => es.filter(e => e._4 == "click" && e._2 > t && e._2 <= t + WinMicros)
+        .map(_._2).sorted.headOption)
+      val t3 = t2.flatMap(t => es.filter(e => e._4 == "purchase" && e._2 > t && e._2 <= t + WinMicros)
+        .map(_._2).sorted.headOption)
+      (t1, t2, t3)
+    }
+    val stages = byUser.keys.toSeq.map(stageTs)
+    val expected = Map(
+      "1_view" -> stages.count(_._1.isDefined).toLong,
+      "2_click" -> stages.count(_._2.isDefined).toLong,
+      "3_purchase" -> stages.count(_._3.isDefined).toLong)
+    val got = SparkEntry.queries("q164_funnel")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // ordered-with-window semantics must actually bite at this SF
+    assert(got("2_click") < got("1_view"), "funnel stage 2 does not discriminate")
+    assert(got("3_purchase") <= got("2_click"))
+  }
+
+  test("q165 gap-fill: continuous day spine, zeros for missing days") {
+    val sparse = events.filter(e => e._4 == "purchase" && e._5 > 190)
+      .groupBy(e => toDate(e._2))
+    val cents = sparse.map { case (d, es) =>
+      d -> es.map(e => BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+    }
+    val d0 = toDate(events.map(_._2).min)
+    val d1 = toDate(events.map(_._2).max)
+    val got = SparkEntry.queries("q165_gapfill_daily")(spark, dir).collect()
+    val days = got.map(_.getDate(0).toLocalDate)
+    assert(days.head == d0 && days.last == d1)
+    days.sliding(2).foreach { case Array(a, b) => assert(b == a.plusDays(1), s"gap at $a") }
+    got.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) == sparse.get(d).map(_.length).getOrElse(0).toLong, s"count on $d")
+      assert(r.getDouble(2) == cents.get(d).map(_.toDouble).getOrElse(0.0), s"value on $d")
+    }
+    assert(got.exists(_.getLong(1) == 0L), "fixture produced no zero-filled day")
+  }
+
+  test("q166 profile equals per-column recomputation") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate").collect()
+    val got = SparkEntry.queries("q166_column_profile")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))))
+      .toMap
+    assert(got.size == 6)
+    def colVals[T](i: Int): Seq[T] =
+      li.toSeq.filterNot(_.isNullAt(i)).map(_.get(i).asInstanceOf[T])
+    // exhaustive check on one column per kind
+    val rf = colVals[String](3)
+    assert(got("l_returnflag") ==
+      ((li.length - rf.length).toLong, rf.distinct.length.toLong, rf.min, rf.max))
+    val qty = colVals[Double](1)
+    val (qn, qd, qmin, qmax) = got("l_quantity")
+    assert(qn == (li.length - qty.length).toLong && qd == qty.distinct.length.toLong)
+    assert(BigDecimal(qmin) == BigDecimal(qty.min).setScale(2))
+    assert(BigDecimal(qmax) == BigDecimal(qty.max).setScale(2))
+    val ok = colVals[Long](0)
+    assert(got("l_orderkey")._2 == ok.distinct.length.toLong)
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q168 fuzzy match is exactly the in-band pairs with lev <= 4") {
+    val names = Tables.load(spark, dir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && a.split(' ').last == b.split(' ').last && lev(a, b) <= 4
+    } yield (a, b, lev(a, b).toLong)).toSet
+    val got = SparkEntry.queries("q168_fuzzy_name_match")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture produced no fuzzy pairs")
+  }
+
+  test("q169 salted join result is byte-identical to the unsalted join") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brandOf = Tables.load(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li.flatMap { case (pk, price) => brandOf.get(pk).map(_ -> price) }
+      .groupBy(_._1).map { case (b, g) =>
+        b -> ((g.length.toLong,
+          g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+      }
+    val got = SparkEntry.queries("q169_salted_skew_join")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+  }
+}

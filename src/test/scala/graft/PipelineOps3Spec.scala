@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 pipeline operators, part 3 (q161/q162/q167) plus the q170
+  * streaming restart: plain-Scala recomputations at sf0.001. */
+class PipelineOps3Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.sf
+
+  private lazy val docs: Array[(Long, String)] =
+    Tables.load(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+  test("q161 boilerplate strip equals a plain segment-DF recomputation") {
+    val segsOf: Map[Long, Seq[String]] = docs.map { case (id, text) =>
+      id -> text.split(" ", -1).grouped(10).map(_.mkString(" ")).toSeq
+    }.toMap
+    val segDf = segsOf.toSeq.flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (s, g) => s -> g.length }
+    val got = SparkEntry.queries("q161_boilerplate_strip")(spark, dir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (id, total, kept, clean) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val ss = segsOf(id)
+      val keptSegs = ss.filter(s => segDf(s) < 2)
+      assert(total == ss.length.toLong, s"doc $id total")
+      assert(kept == keptSegs.length.toLong, s"doc $id kept")
+      assert(clean == keptSegs.mkString(" "), s"doc $id text")
+    }
+    // the gate must actually strip something at this SF
+    assert(got.exists(r => r.getLong(2) < r.getLong(1)), "nothing stripped")
+  }
+
+  test("q162 dup flags equal the exact corpus-key lookup (bloom is only a prefilter)") {
+    def key(text: String) = text.split(" ", -1).take(5).mkString(" ")
+    val corpusKeys = docs.filter(_._1 % 10 < 8).map(d => key(d._2)).toSet
+    val batch = docs.filter(_._1 % 10 >= 8).sortBy(_._1)
+    val got = SparkEntry.queries("q162_bloom_incremental_dedup")(spark, dir).collect()
+    assert(got.length == batch.length)
+    got.zip(batch).foreach { case (r, (id, text)) =>
+      assert(r.getLong(0) == id)
+      assert(r.getString(1) == key(text))
+      assert(r.getBoolean(2) == corpusKeys.contains(key(text)), s"doc $id is_dup")
+    }
+  }
+
+  private def zval(x: Long, y: Long): Long =
+    (0 until 8).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.sum
+
+  test("q167 manifest equals recomputation; buckets are aligned 32x32 tiles") {
+    val pts = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) % 256, r.getLong(1) % 256))
+    val byBucket = pts.groupBy { case (x, y) => zval(x, y) / 1024 }
+    val got = SparkEntry.queries("q167_zorder_manifest")(spark, dir).collect()
+    assert(got.length == byBucket.size)
+    got.foreach { r =>
+      val b = r.getLong(0); val g = byBucket(b)
+      assert(r.getLong(1) == g.length.toLong)
+      assert(r.getLong(2) == g.map(_._1).min && r.getLong(3) == g.map(_._1).max)
+      assert(r.getLong(4) == g.map(_._2).min && r.getLong(5) == g.map(_._2).max)
+      val prunable = r.getLong(3) < 32 || r.getLong(2) > 47 ||
+        r.getLong(5) < 96 || r.getLong(4) > 111
+      assert(r.getBoolean(6) == prunable)
+    }
+    // The geometric guarantee that makes z-order prunable in BOTH
+    // dimensions: a z-prefix bucket (z div 1024 fixes the top 3 bits of
+    // x AND y) is an axis-aligned 32x32 tile, so every bucket envelope
+    // is bounded in x and y simultaneously — a 1-D sort bounds only its
+    // sort column. Hence at most 4 tiles can touch the 16x16 probe box.
+    byBucket.foreach { case (b, g) =>
+      val (xs, ys) = (g.map(_._1), g.map(_._2))
+      assert(xs.min / 32 == xs.max / 32, s"bucket $b x-envelope crosses a tile")
+      assert(ys.min / 32 == ys.max / 32, s"bucket $b y-envelope crosses a tile")
+    }
+    val nonPrunable = byBucket.values.count { g =>
+      !(g.map(_._1).max < 32 || g.map(_._1).min > 47 ||
+        g.map(_._2).max < 96 || g.map(_._2).min > 111)
+    }
+    assert(nonPrunable <= 4, s"probe box touches $nonPrunable buckets, tile bound is 4")
+    assert(nonPrunable < byBucket.size, "no bucket pruned at all")
+  }
+
+  test("q170 restart processes every event exactly once (no dup event_ids in the sink)") {
+    val res = SparkEntry.queries("q170_stream_restart_exactly_once")(spark, dir).collect()
+    assert(res.map(_.getLong(1)).sum ==
+      Tables.load(spark, dir, "events").count())
+    val sink = s"/tmp/graft_q170_${math.abs(dir.hashCode)}/sink"
+    val ids = spark.read.parquet(sink).select("event_id")
+    assert(ids.count() == ids.distinct().count(), "sink contains reprocessed rows")
+  }
+}

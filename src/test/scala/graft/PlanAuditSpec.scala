@@ -147,6 +147,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "incremental dedup degenerated to a cross-batch pair scan:\n" + p)
   }
 
+  test("q162 bloom-dedup verify joins are broadcast — the corpus never shuffles") {
+    val p = planOf("q162_bloom_incremental_dedup")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate verify join not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a corpus-sized shuffle join crept into the incremental dedup path:\n" + p)
+  }
+
+  test("q167 z-order manifest is one aggregation pass, no join") {
+    val p = planOf("q167_zorder_manifest")
+    assert(!p.contains("Join"), "manifest should be join-free:\n" + p)
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      "no map-side partial aggregation on the bucket groupBy:\n" + p)
+  }
+
+  test("q169 salted join keeps the shuffle-join shape with salt in the keys") {
+    val p = planOf("q169_salted_skew_join")
+    assert(p.contains("SortMergeJoin"),
+      "merge hint not honored — broadcast would hide the salting:\n" + p)
+    assert(p.contains("salt"), "salt column missing from the physical plan:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
