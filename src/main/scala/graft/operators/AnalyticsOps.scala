@@ -249,5 +249,102 @@ object AnalyticsOps {
       .orderBy("p_brand")
   }
 
-  val defs: Seq[Q] = Seq(q163, q164, q165, q166, q168, q169)
+  // --------------------- gap-based sessionization (batch)
+
+  private val SessionGapMicros = 6L * 3600 * 1000000
+
+  private val q173 = Q(
+    "q173_sessionize_gaps",
+    s"""WITH o AS (
+       |  SELECT user_id, ts, event_id,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |f AS (SELECT user_id, ts, event_id,
+       |  CASE WHEN prev IS NULL
+       |         OR epoch_us(ts) - epoch_us(prev) > $SessionGapMicros
+       |       THEN 1 ELSE 0 END AS new_s FROM o),
+       |g AS (SELECT user_id, ts,
+       |  CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       |    AS session_seq FROM f)
+       |SELECT user_id, session_seq, min(ts) AS session_start,
+       |  max(ts) AS session_end, count(*) AS n_events
+       |FROM g GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+    // Gap-based sessions (the batch twin of q72's session_window): a
+    // new session starts when the user's inter-event gap exceeds 6 h.
+    // One window pass (lag + running sum, both over the same
+    // user_id-partitioned sort) + one groupBy — two shuffles on
+    // user_id total, AQE reuses the exchange. Gap math is integer
+    // microseconds; ties break on event_id.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > SessionGapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // --------------------- SCD2 dimension build from a changelog
+
+  private val q174 = Q(
+    "q174_scd2_dimension",
+    """SELECT user_id, event_id AS version_id,
+      |  ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  value AS attr,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY user_id, valid_from, version_id""".stripMargin) { (s, dir) =>
+    // Type-2 slowly-changing dimension: each change event opens a
+    // validity interval that the NEXT change closes (valid_to = next
+    // valid_from, half-open), the last version stays open
+    // (valid_to NULL, is_current). One window pass per key — the
+    // standard warehouse dimension build, and the interval source an
+    // as-of join (q91) would probe. Ties break on event_id.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, dir).filter(col("event_type") === "signup")
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("value").as("attr"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "version_id")
+  }
+
+  // --------------------- time-interval RANGE window frame
+
+  private val q175 = Q(
+    "q175_trailing_hour_frame",
+    """SELECT event_id, user_id, count(*) OVER w AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    // Value-based (time) window frame: each event sees the trailing
+    // hour of its user's activity — RANGE over a timestamp sort key,
+    // which q23's numeric RANGE frame can't express. Frame membership
+    // is value-based, so same-ts peers are included symmetrically and
+    // the result is deterministic without an event_id tie-break.
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id, user_id, count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS v_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  val defs: Seq[Q] =
+    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175)
 }

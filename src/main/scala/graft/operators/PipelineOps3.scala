@@ -172,5 +172,50 @@ object PipelineOps3 {
       .orderBy("bucket")
   }
 
-  val defs: Seq[Q] = Seq(q161, q162, q167)
+  // --------------------- per-source lexical divergence (integer-exact TVD)
+
+  private val q177 = Q(
+    "q177_source_divergence",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |             FROM documents),
+      |g AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |sc AS (SELECT source, w, count(*) AS cs FROM tok GROUP BY 1, 2),
+      |tsrc AS (SELECT source, count(*) AS t_s FROM tok GROUP BY 1),
+      |tot AS (SELECT count(*) AS t FROM tok),
+      |grid AS (SELECT tsrc.source AS source, tsrc.t_s AS t_s, g.w AS w,
+      |           g.c AS c, tot.t AS t
+      |         FROM tsrc CROSS JOIN g CROSS JOIN tot),
+      |num AS (SELECT grid.source AS source, grid.t_s AS t_s, grid.t AS t,
+      |          sum(abs(coalesce(sc.cs, 0) * grid.t - grid.c * grid.t_s)) AS nm
+      |        FROM grid LEFT JOIN sc
+      |          ON grid.source = sc.source AND grid.w = sc.w
+      |        GROUP BY 1, 2, 3)
+      |SELECT source, t_s AS n_tokens,
+      |  CAST(nm AS DOUBLE) / CAST(2 * t * t_s AS DOUBLE) AS tvd
+      |FROM num ORDER BY source""".stripMargin) { (s, dir) =>
+    // Off-distribution source detection: total-variation distance
+    // between each source's unigram distribution and the corpus
+    // distribution. The whole computation stays in INTEGER arithmetic
+    // (|cs*T - c*Ts| summed as longs; sums of counts are
+    // order-independent) with ONE double division at the end — so the
+    // doubles are bit-identical cross-engine. The grid is
+    // sources x vocabulary (vocab-bounded, NOT corpus-bounded); at
+    // 100 TB swap the long products for DECIMAL(38,0) to dodge
+    // overflow past ~3e18 token-count products.
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val g = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+    val tsrc = tok.groupBy("source").agg(count(lit(1)).as("t_s"))
+    val tot = tok.agg(count(lit(1)).as("t"))
+    tsrc.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+      .join(sc, Seq("source", "w"), "left")
+      .groupBy("source", "t_s", "t")
+      .agg(sum(abs(coalesce(col("cs"), lit(0L)) * col("t") - col("c") * col("t_s"))).as("nm"))
+      .select(col("source"), col("t_s").as("n_tokens"),
+        (col("nm").cast("double") / (lit(2) * col("t") * col("t_s")).cast("double")).as("tvd"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167, q177)
 }

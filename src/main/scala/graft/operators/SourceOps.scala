@@ -192,5 +192,51 @@ object SourceOps {
       .orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130, q148)
+  /** CSV source round trip — the text-format contract (header + explicit
+    * schema on read; never inferSchema at scale, it double-scans). */
+  private val q171 = Q(
+    "q171_csv_roundtrip",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(max(CAST(l_shipdate AS DATE)) AS VARCHAR) AS max_day
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+    val out = s"/tmp/graft_csv_lineitem_${math.abs(dir.hashCode)}"
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(li.schema).option("header", "true").csv(out)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        max(col("l_shipdate").cast("date")).cast("string").as("max_day"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Schema evolution: two parquet batches with different column sets
+    * read back as ONE table via mergeSchema — the long-lived-dataset
+    * reality (columns get added over time; old files must stay
+    * readable with NULLs for the columns they predate). */
+  private val q172 = Q(
+    "q172_schema_evolution",
+    """SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+      |  CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(NULL AS VARCHAR), source, n_chars
+      |FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(s, dir, "documents")
+    val out = s"/tmp/graft_evolve_${math.abs(dir.hashCode)}"
+    d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$out/b0")
+    d.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$out/b1")
+    s.read.option("mergeSchema", "true").parquet(s"$out/b0", s"$out/b1")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130, q148, q171, q172)
 }

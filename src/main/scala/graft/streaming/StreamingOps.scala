@@ -453,6 +453,47 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  private val q176 = Q(
+    "q176_stream_static_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Stream-static enrichment — the most common production streaming
+    // join: a fact stream joined to a broadcast dimension snapshot.
+    // Stateless per-row enrichment (no watermark, no join state; only
+    // the downstream aggregation keeps state), so at scale the join
+    // adds zero shuffle to the stream side.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val sinkName = "graft_q176_sink"
+    val cust = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val stream = s.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(org.apache.spark.sql.functions.broadcast(cust),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_dec"))
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+    } finally {
+      query.stop()
+    }
+    s.table(sinkName)
+      .select(col("segment"), col("n"),
+        col("total_dec").cast("double").as("total_value"))
+      .orderBy("segment")
+  }
+
   val defs: Seq[Q] =
-    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170)
+    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170, q176)
 }

@@ -131,6 +131,66 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "fixture produced no fuzzy pairs")
   }
 
+  test("q173 sessions equal a per-user gap fold") {
+    val Gap = 6L * 3600 * 1000000
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._1)).toList
+      val seqs = sorted.scanLeft((0L, Long.MinValue)) { case ((seq, prev), e) =>
+        (if (prev == Long.MinValue || e._2 - prev > Gap) seq + 1 else seq, e._2)
+      }.tail.map(_._1)
+      sorted.zip(seqs).groupBy(_._2).map { case (sq, g) =>
+        (u, sq, g.map(_._1._2).min, g.map(_._1._2).max, g.length.toLong)
+      }
+    }.toSet
+    val got = SparkEntry.queries("q173_sessionize_gaps")(spark, dir)
+      .selectExpr("user_id", "session_seq", "unix_micros(session_start)",
+        "unix_micros(session_end)", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected)
+    assert(got.exists(_._5 > 1), "no multi-event session at this SF")
+  }
+
+  test("q174 SCD2 intervals tile each user's timeline with one open version") {
+    val got = SparkEntry.queries("q174_scd2_dimension")(spark, dir)
+      .selectExpr("user_id", "version_id", "unix_micros(valid_from)",
+        "unix_micros(valid_to)", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    val signups = events.filter(_._4 == "signup")
+    assert(got.length == signups.length)
+    got.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(v => (v._3, v._2))
+      // half-open intervals chain: valid_to == next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $u interval gap")
+        case _ =>
+      }
+      assert(sorted.init.forall(!_._5) && sorted.last._5 && sorted.last._4.isEmpty,
+        s"user $u current-version flags")
+      val expectedFroms = signups.filter(_._3 == u).map(_._2).sorted.toSeq
+      assert(sorted.map(_._3).toSeq == expectedFroms, s"user $u version starts")
+    }
+  }
+
+  test("q175 trailing-hour frame equals a per-user scan") {
+    val Hour = 3600L * 1000000
+    val byUser = events.groupBy(_._3)
+    val got = SparkEntry.queries("q175_trailing_hour_frame")(spark, dir).collect()
+    assert(got.length == events.length)
+    val byId = events.map(e => e._1 -> e).toMap
+    got.foreach { r =>
+      val e = byId(r.getLong(0))
+      // RANGE frame bounds are inclusive on both ends: [ts - 1h, ts]
+      val in = byUser(e._3).filter(x => x._2 >= e._2 - Hour && x._2 <= e._2)
+      assert(r.getLong(2) == in.length.toLong, s"event ${e._1} count")
+      val expectedSum = in.map(x => BigDecimal(x._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      assert(r.getDouble(3) == expectedSum.toDouble, s"event ${e._1} sum")
+    }
+  }
+
   test("q169 salted join result is byte-identical to the unsalted join") {
     val li = Tables.load(spark, dir, "lineitem")
       .select("l_partkey", "l_extendedprice").collect()

@@ -85,6 +85,25 @@ class PipelineOps3Spec extends AnyFunSuite {
     assert(nonPrunable < byBucket.size, "no bucket pruned at all")
   }
 
+  test("q177 source divergence equals an integer-exact plain recomputation") {
+    val srcDocs = Tables.load(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = srcDocs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val g = toks.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    val t = toks.length.toLong
+    val expected = toks.groupBy(_._1).map { case (src, xs) =>
+      val ts = xs.length.toLong
+      val cs = xs.groupBy(_._2).map { case (w, ys) => w -> ys.length.toLong }
+      val nm = g.map { case (w, c) => math.abs(cs.getOrElse(w, 0L) * t - c * ts) }.sum
+      src -> ((ts, nm.toDouble / (2L * t * ts).toDouble))
+    }
+    val got = SparkEntry.queries("q177_source_divergence")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._2 > 0.0), "all sources identical to the corpus?")
+  }
+
   test("q170 restart processes every event exactly once (no dup event_ids in the sink)") {
     val res = SparkEntry.queries("q170_stream_restart_exactly_once")(spark, dir).collect()
     assert(res.map(_.getLong(1)).sum ==

@@ -169,6 +169,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("salt"), "salt column missing from the physical plan:\n" + p)
   }
 
+  test("q177 divergence grid broadcasts the vocab side, no partitioned cartesian") {
+    val p = planOf("q177_source_divergence")
+    assert(!p.contains("CartesianProduct"),
+      "sources x vocab grid planned a partitioned cartesian:\n" + p)
+    assert(p.contains("BroadcastExchange"), "vocab/total side not broadcast:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
