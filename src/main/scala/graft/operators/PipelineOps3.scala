@@ -217,5 +217,38 @@ object PipelineOps3 {
       .orderBy("source")
   }
 
-  val defs: Seq[Q] = Seq(q161, q162, q167, q177)
+  // --------------------- incremental materialized-view refresh
+
+  private val q179 = Q(
+    "q179_incremental_mv_refresh",
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // Algebraic MV maintenance: COUNT/SUM aggregates are self-mergeable,
+    // so a refresh touches ONLY the delta — aggregate the new days,
+    // union with the stored MV, and re-reduce (both inputs are already
+    // day x type sized, so the merge cost is MV-sized, not fact-sized).
+    // The oracle is the full recompute the incremental path must equal.
+    // Sums stay DECIMAL end-to-end through store + merge (exact,
+    // order-independent); the cutoff derives from the data so the MV
+    // split exists at every SF.
+    val e = Tables.load(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    def dayAgg(df: DataFrame): DataFrame =
+      df.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("tv"))
+    val cutoff = e.agg(date_add(to_date(min(col("ts"))), 24).as("c"))
+      .collect()(0).getDate(0)
+    val mvPath = s"/tmp/graft_mv_${math.abs(dir.hashCode)}"
+    dayAgg(e.filter(col("day") <= lit(cutoff)))
+      .write.mode("overwrite").parquet(mvPath)
+    val delta = dayAgg(e.filter(col("day") > lit(cutoff)))
+    s.read.parquet(mvPath).unionByName(delta)
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"), sum(col("tv")).cast("double").as("total_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179)
 }

@@ -76,5 +76,33 @@ object SketchOps {
       .orderBy("l_suppkey")
   }
 
-  val defs: Seq[Q] = Seq(q92, q93)
+  /** Grouped top-k WITHOUT a window sort: TopKAgg keeps a k-bounded
+    * best-first buffer per group, so map-side partial aggregation
+    * prunes to <= k rows per (group, partition) before the shuffle —
+    * `row_number() OVER (...)` shuffles and sorts EVERY row of every
+    * group, which is the difference at 100 TB between moving k rows
+    * per group and moving the corpus. */
+  private val q178 = Q(
+    "q178_grouped_topk",
+    """SELECT o_custkey, CAST(rn AS INT) AS rnk, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => graft.functions.TopKAgg(exprs(0), exprs(1), 3).toAggregateExpression(),
+      "scala_udf")
+    s.sql(
+      """WITH t AS (SELECT o_custkey, graft_topk(o_totalprice, o_orderkey) AS top
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(pos + 1 AS INT) AS rnk,
+        |  elem.id AS o_orderkey, elem.v AS o_totalprice
+        |FROM t LATERAL VIEW posexplode(top) x AS pos, elem
+        |ORDER BY o_custkey, rnk""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q92, q93, q178)
 }

@@ -390,5 +390,32 @@ object TextOps {
       .orderBy("d1", "d2")
   }
 
-  val defs: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q52, q53)
+  /** Unicode canonicalization surface: NFC for dedup keys ("é" ==
+    * "e"+combining-acute after NFC, byte-different before) and accent
+    * folding for fuzzy matching — both codegen expressions
+    * (functions/UnicodeNorm.scala), semantics matched to DuckDB's
+    * nfc_normalize / strip_accents (probed: café/Åström/ñ/Ώ/ß).
+    * The gate corpus is ASCII (identity); the non-ASCII behavior is
+    * pinned by TextNormSpec's fixed-expectation cases. */
+  private val q180 = Q(
+    "q180_unicode_normalize",
+    """SELECT doc_id, text = nfc_normalize(text) AS is_nfc,
+      |  length(strip_accents(text)) AS folded_len,
+      |  strip_accents(text) = text AS accent_free
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.Tables.registerAll(s, dir)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc",
+      exprs => graft.functions.NfcNormalize(exprs.head), "scala_udf")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_strip_accents",
+      exprs => graft.functions.StripAccents(exprs.head), "scala_udf")
+    s.sql(
+      """SELECT doc_id, text = graft_nfc(text) AS is_nfc,
+        |  CAST(length(graft_strip_accents(text)) AS BIGINT) AS folded_len,
+        |  graft_strip_accents(text) = text AS accent_free
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q52, q53, q180)
 }

@@ -144,4 +144,59 @@ class FunctionsSpec extends AnyFunSuite {
           org.apache.spark.sql.types.DoubleType)), cents)
     assert(e.eval(null) == 1)
   }
+
+  test("graft_topk buffer is insert- and merge-order independent with exact ties") {
+    val agg = functions.TopKAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 3)
+    // ties on value (5.0 twice) must resolve by id ASC in every order
+    val items = Seq((5.0, 7L), (5.0, 2L), (9.0, 4L), (1.0, 1L), (3.0, 8L), (9.0, 9L))
+    val expected = Seq((9.0, 4L), (9.0, 9L), (5.0, 2L))
+    val rng = new scala.util.Random(42)
+    (0 until 20).foreach { _ =>
+      val shuffled = rng.shuffle(items)
+      val cut = rng.nextInt(items.length + 1)
+      val (l, r) = shuffled.splitAt(cut)
+      val b1 = agg.createAggregationBuffer()
+      l.foreach(t => agg.merge(b1, scala.collection.mutable.ArrayBuffer(t)))
+      val b2 = agg.createAggregationBuffer()
+      r.foreach(t => agg.merge(b2, scala.collection.mutable.ArrayBuffer(t)))
+      val merged = agg.merge(b1, agg.deserialize(agg.serialize(b2)))
+      assert(merged.toSeq == expected, s"order ${shuffled.mkString(",")}")
+    }
+  }
+
+  test("graft_nfc / graft_strip_accents match the DuckDB-probed unicode semantics") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def nfc(s: String): String =
+      functions.NfcNormalize(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null).toString
+    def strip(s: String): String =
+      functions.StripAccents(Literal(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+        .eval(null).toString
+    // fixed expectations, verified against DuckDB strip_accents/nfc_normalize
+    assert(strip("café") == "cafe")
+    assert(strip("Åström") == "Astrom")
+    assert(strip("naïve") == "naive")
+    assert(strip("ñ") == "n")
+    assert(strip("ß") == "ß")       // sharp s is not an accent
+    assert(strip("Ώ") == "Ω")       // Greek tonos is
+    assert(strip("ASCII only") == "ASCII only")
+    // NFC: combining sequence composes to the precomposed codepoint
+    assert(nfc("é") == "é")
+    assert(nfc("café") == "café")
+    // the dedup-key consequence: byte-different spellings, one key after NFC
+    assert(nfc("café") == nfc("café"))
+    // and the codegen path produces the same thing as interpreted eval
+    import spark.implicits._
+    val df = Seq("café", "Åström", "plain").toDF("s")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => functions.NfcNormalize(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_strip_accents", exprs => functions.StripAccents(exprs.head), "scala_udf")
+    val got = df.selectExpr("graft_nfc(s) AS n", "graft_strip_accents(s) AS f")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("café", "cafe"), ("Åström", "Astrom"), ("plain", "plain")))
+  }
 }

@@ -104,6 +104,40 @@ class PipelineOps3Spec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0.0), "all sources identical to the corpus?")
   }
 
+  test("q178 grouped top-k equals a per-group sort-take") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      os.sortBy(o => (-o._3, o._2)).take(3).zipWithIndex
+        .map { case (o, i) => (ck, i + 1, o._2, o._3) }
+    }.toSet
+    val got = SparkEntry.queries("q178_grouped_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected)
+    assert(got.exists(_._2 == 3), "no group reached k=3 at this SF")
+  }
+
+  test("q179 incremental refresh equals the full recompute, and the MV stores only pre-cutoff days") {
+    val full = Tables.load(spark, dir, "events")
+      .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDouble(2)))
+    val expected = full.groupBy(e => (e._1, e._2)).map { case (k, g) =>
+      k -> ((g.length.toLong,
+        g.map(e => BigDecimal(e._3).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q179_incremental_mv_refresh")(spark, dir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expected)
+    // the materialized base really is partial: only days <= cutoff
+    val cutoff = full.map(_._1).min.plusDays(24)
+    val mv = spark.read.parquet(s"/tmp/graft_mv_${math.abs(dir.hashCode)}")
+    val mvDays = mv.select("day").collect().map(_.getDate(0).toLocalDate)
+    assert(mvDays.max == cutoff && full.map(_._1).max.isAfter(cutoff),
+      "MV/delta split degenerate — cutoff outside the data range")
+  }
+
   test("q170 restart processes every event exactly once (no dup event_ids in the sink)") {
     val res = SparkEntry.queries("q170_stream_restart_exactly_once")(spark, dir).collect()
     assert(res.map(_.getLong(1)).sum ==

@@ -176,6 +176,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "vocab/total side not broadcast:\n" + p)
   }
 
+  test("q178 grouped top-k partial-aggregates before the shuffle, no window sort") {
+    val p = planOf("q178_grouped_topk")
+    assert(p.contains("partial_graft_topk"),
+      "no map-side partial top-k — every row would cross the shuffle:\n" + p)
+    assert(!p.contains("Window"), "top-k fell back to a window sort:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
