@@ -466,7 +466,64 @@ object Relational3 {
         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Map-typed column surface (the third complex type next to struct
+    * q83 and array q88): build per-type day->count maps from entries,
+    * merge disjoint maps with map_concat, rescale with
+    * transform_values, and explode back to rows. The exploded, sorted
+    * output makes map semantics oracle-checkable without a MAP type on
+    * the oracle side. */
+  private val q181 = Q(
+    "q181_map_functions",
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) * 2 AS n2
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def toMap(df: DataFrame) = df
+      .groupBy("event_type")
+      .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("m"))
+    // split on even/odd day-of-month, merge the disjoint maps back
+    val even = toMap(daily.filter(dayofmonth(col("day")) % 2 === 0))
+    val odd = toMap(daily.filter(dayofmonth(col("day")) % 2 === 1))
+    even.join(odd, Seq("event_type"), "full")
+      .select(col("event_type"),
+        map_concat(
+          coalesce(even("m"), map_from_arrays(array(), array())),
+          coalesce(odd("m"), map_from_arrays(array(), array()))).as("m"))
+      .select(col("event_type"),
+        explode(transform_values(col("m"), (_, v) => v * 2)))
+      .withColumnRenamed("key", "day").withColumnRenamed("value", "n2")
+      .orderBy("event_type", "day")
+  }
+
+  /** from_json with an explicit schema (vs q34's get_json_object path
+    * and q155's json_tuple): schema-on-read parsing into a typed
+    * struct, plus a to_json re-serialization roundtrip. The oracle
+    * replays via regexp (the driver's DuckDB may not ship the json
+    * extension — same contract as q34/q69). */
+  private val q182 = Q(
+    "q182_from_json_struct",
+    """SELECT event_type, count(*) AS n_high,
+      |  CAST(SUM(CAST(regexp_extract(props, '([0-9]+)', 1) AS INT)) AS BIGINT)
+      |    AS sum_k
+      |FROM events
+      |WHERE CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) > 50
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    t(s, dir, "events")
+      .withColumn("j", from_json(col("props"), schema))
+      // to_json -> from_json roundtrip must preserve the parsed struct
+      .withColumn("j2", from_json(to_json(col("j")), schema))
+      .filter(col("j2.k") > 50)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_high"),
+        sum(col("j2.k")).cast("long").as("sum_k"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
-      q145, q149, q150, q151, q155, q156)
+      q145, q149, q150, q151, q155, q156, q181, q182)
 }

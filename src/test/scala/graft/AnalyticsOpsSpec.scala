@@ -110,6 +110,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got("l_orderkey")._2 == ok.distinct.length.toLong)
   }
 
+  test("q181 map build/merge/explode roundtrips the daily counts") {
+    val expected = events
+      .map(e => (e._4, toDate(e._2))).groupBy(identity)
+      .map { case (k, g) => k -> g.length.toLong * 2 }
+    val got = SparkEntry.queries("q181_map_functions")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate) -> r.getLong(2)).toMap
+    assert(got == expected)
+  }
+
+  test("q182 from_json/to_json roundtrip equals a plain props parse") {
+    val K = """\d+""".r
+    val expected = events
+      .map(e => e._4 -> K.findFirstIn("%s".format(eventProps(e._1))).map(_.toInt).getOrElse(0))
+      .filter(_._2 > 50)
+      .groupBy(_._1).map { case (t, g) => t -> ((g.length.toLong, g.map(_._2.toLong).sum)) }
+    val got = SparkEntry.queries("q182_from_json_struct")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  private lazy val eventProps: Map[Long, String] =
+    Tables.load(spark, dir, "events").select("event_id", "props").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)

@@ -37,6 +37,9 @@ docs = [
     (13, "   ", "en", "spaces"),                                          # only spaces
     (14, "a b c a b c a b c a b c", "en", "rep"),                         # repeating shingles
     (15, "the quick brown fox jumps over the lazy dog today", "en", "web"),
+    # decomposed combining sequences (NFC must be non-identity here):
+    # café vs café, Greek omega+tonos, A+ring
+    (16, "cafe\u0301 caf\u00e9 \u03a9\u0301 A\u030astro\u0308m", "fr", "web"),
 ]
 rows = [(d[0], d[1], d[2], d[3], len(d[1])) for d in docs]
 con = duckdb.connect()
