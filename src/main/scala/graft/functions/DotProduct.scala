@@ -91,7 +91,28 @@ object GraftFunctions {
     "graft_cms" -> (exprs => CountMinSketchAgg(exprs.head,
       graft.operators.SketchOps.Depth, graft.operators.SketchOps.Width,
       graft.operators.SketchOps.cmsA, graft.operators.SketchOps.cmsB,
-      graft.operators.SketchOps.P).toAggregateExpression()))
+      graft.operators.SketchOps.P).toAggregateExpression()),
+    "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_strip_accents" -> (exprs => StripAccents(exprs.head)),
+    // graft_polyhash(s, seed, mult, mod) — seed/mult/mod literal longs
+    "graft_polyhash" -> (exprs => PolyHash(exprs.head,
+      foldableLong(exprs(1), "seed"), foldableLong(exprs(2), "mult"),
+      foldableLong(exprs(3), "mod"))),
+    // graft_topk(value, id, k) — k a literal int
+    "graft_topk" -> (exprs => TopKAgg(exprs(0), exprs(1),
+      foldableLong(exprs(2), "k").toInt).toAggregateExpression()))
+
+  private def foldableLong(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Long = {
+    require(e.foldable, s"graft function argument '$what' must be a literal")
+    e.eval(null) match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"'$what' must be an integer literal, got $other")
+    }
+  }
 
   /** Register graft SQL functions on the session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -37,6 +37,17 @@ class ExtensionsSpec extends AnyFunSuite {
         .as[Int].head() == 64)
       assert(spark.sql("SELECT size(graft_cms(x)) AS n FROM VALUES (1L), (2L) t(x)")
         .as[Int].head() > 0)
+      assert(spark.sql("SELECT graft_strip_accents(graft_nfc('café')) AS s")
+        .as[String].head() == "cafe")
+      assert(spark.sql(
+        "SELECT graft_polyhash('ab', 7L, 31L, 97L) AS h").as[Long].head() ==
+        ((7L * 31 + 'a') % 97 * 31 + 'b') % 97)
+      // bounded top-k aggregate through the extension route
+      val top = spark.sql(
+        """SELECT graft_topk(v, id, 2) AS t
+          |FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS t(v, id)""".stripMargin)
+        .selectExpr("transform(t, x -> x.id) AS ids").as[Seq[Long]].head()
+      assert(top == Seq(2L, 3L))
       // as-of join planned by the INJECTED strategy: build the logical
       // node directly — no AsOfJoinApi.register fallback to mask it.
       val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
