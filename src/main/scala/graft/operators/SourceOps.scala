@@ -238,5 +238,68 @@ object SourceOps {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q112, q127, q128, q129, q130, q148, q171, q172)
+  /** Dynamic partition pruning: q128 proves STATIC pruning (literal
+    * predicate reaches the scan); here the pruning values are only
+    * known at RUNTIME — they come from the dim side of a join — and
+    * Spark injects a dynamicpruning subquery filter into the
+    * partitioned scan, so at 100 TB the fact table reads only the
+    * joined partitions' files (4 of 7 pruned at this fixture). The
+    * PlanAudit pins the dynamicpruning expression. */
+  private val q183 = Q(
+    "q183_dynamic_partition_pruning",
+    """SELECT CAST(year(l_shipdate) AS INT) AS ship_year, count(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE year(l_shipdate) IN (
+      |  SELECT DISTINCT year(o_orderdate) FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) % 3 = 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val path = s"/tmp/graft_dpp_${math.abs(dir.hashCode)}"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.load(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+        .write.partitionBy("ship_year").mode("overwrite").parquet(path)
+    }
+    val dim = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) % 3 === 0)
+      .select(year(col("o_orderdate")).as("y")).distinct()
+    s.read.parquet(path)
+      .join(broadcast(dim), col("ship_year") === col("y"))
+      .groupBy(col("ship_year").cast("int").as("ship_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("ship_year")
+  }
+
+  /** try_* error-safe arithmetic (ANSI-adjacent surface): division by
+    * zero, overflow-prone casts, and unparseable numbers yield NULL
+    * instead of failing the job — the semantics a 100 TB pipeline
+    * needs when one poisoned row must not kill an 8-hour run. Oracle
+    * replays with guarded CASE/TRY_CAST (DuckDB has no try_divide). */
+  private val q184 = Q(
+    "q184_try_arithmetic",
+    """SELECT l_linenumber,
+      |  count(*) AS n,
+      |  CAST(SUM(CASE WHEN l_discount = 0 THEN NULL
+      |       ELSE CAST(CAST(l_quantity / l_discount AS DECIMAL(18,6)) AS DOUBLE) END)
+      |    IS NOT NULL AS BOOLEAN) AS any_ratio,
+      |  CAST(sum(CASE WHEN TRY_CAST(l_returnflag AS INT) IS NULL
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_unparseable
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_linenumber,
+        |  count(*) AS n,
+        |  SUM(CAST(CAST(try_divide(l_quantity, l_discount) AS DECIMAL(18,6))
+        |      AS DOUBLE)) IS NOT NULL AS any_ratio,
+        |  sum(CASE WHEN try_cast(l_returnflag AS INT) IS NULL THEN 1 ELSE 0 END)
+        |    AS n_unparseable
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val defs: Seq[Q] =
+    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184)
 }

@@ -183,6 +183,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "top-k fell back to a window sort:\n" + p)
   }
 
+  test("q183 runtime dim values prune the partitioned scan (dynamicpruning)") {
+    val p = planOf("q183_dynamic_partition_pruning")
+    assert(p.contains("dynamicpruning"),
+      "no dynamic partition pruning subquery in the fact scan:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a

@@ -36,6 +36,42 @@ class SourceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q183 DPP result equals the plain filtered aggregate") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(year(col("l_shipdate")).as("y"), col("l_extendedprice")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val years = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        year(col("o_orderdate")) % 3 === 0)
+      .select(year(col("o_orderdate"))).collect().map(_.getInt(0)).toSet
+    val expected = li.filter(x => years(x._1)).groupBy(_._1).map { case (y, g) =>
+      y -> ((g.length.toLong,
+        g.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble))
+    }
+    val got = SparkEntry.queries("q183_dynamic_partition_pruning")(spark, dir)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected)
+    // the dim filter must actually prune: strictly fewer years than exist
+    val allYears = li.map(_._1).toSet
+    assert(years.nonEmpty && (allYears -- years).nonEmpty, "DPP fixture degenerate")
+  }
+
+  test("q184 try_* semantics: NULL on bad input, never an exception") {
+    val rows = SparkEntry.queries("q184_try_arithmetic")(spark, dir).collect()
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_linenumber", "l_discount", "l_returnflag").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    rows.foreach { r =>
+      val g = li.filter(_._1 == r.getInt(0))
+      assert(r.getLong(1) == g.length.toLong)
+      // any_ratio is true iff some row has a non-zero divisor
+      assert(r.getBoolean(2) == g.exists(_._2 != 0.0))
+      // R/A/N flags never parse as ints
+      assert(r.getLong(3) == g.length.toLong)
+    }
+  }
+
   test("q176 stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val expected = Tables.load(spark, dir, "events")
