@@ -250,5 +250,37 @@ object PipelineOps3 {
       .orderBy("day", "event_type")
   }
 
-  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179)
+  // --------------------- deterministic per-group k-sample
+
+  private val q185 = Q(
+    "q185_grouped_ksample",
+    """SELECT source, CAST(rn AS INT) AS rnk, doc_id FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+      |  FROM documents) WHERE rn <= 5
+      |ORDER BY source, rnk""".stripMargin) { (s, dir) =>
+    // Reservoir-style k-per-group sampling made deterministic: the
+    // sampling priority is an integer LCG hash of the id (identical
+    // arithmetic cross-engine), and "uniform k-sample" becomes "top-k
+    // by priority" — which TopKAgg computes with map-side k-bounded
+    // buffers, never window-sorting a group. The standard way to cut
+    // a balanced per-domain eval slice from a 100 TB corpus with a
+    // stable, re-runnable selection.
+    graft.Tables.registerAll(s, dir)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_topk",
+      exprs => graft.functions.TopKAgg(exprs(0), exprs(1), 5).toAggregateExpression(),
+      "scala_udf")
+    s.sql(
+      """WITH t AS (SELECT source,
+        |    graft_topk(-CAST((doc_id * 1103515245 + 12345) % 2147483647
+        |               AS DOUBLE), doc_id) AS sample
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(pos + 1 AS INT) AS rnk, elem.id AS doc_id
+        |FROM t LATERAL VIEW posexplode(sample) x AS pos, elem
+        |ORDER BY source, rnk""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179, q185)
 }

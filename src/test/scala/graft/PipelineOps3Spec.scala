@@ -138,6 +138,24 @@ class PipelineOps3Spec extends AnyFunSuite {
       "MV/delta split degenerate — cutoff outside the data range")
   }
 
+  test("q185 deterministic k-sample equals the LCG-priority sort and is stable") {
+    val byPriority = Tables.load(spark, dir, "documents")
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (src, ds) =>
+        src -> ds.map(_._2)
+          .sortBy(id => ((id * 1103515245L + 12345L) % 2147483647L, id))
+          .take(5).toSeq
+      }
+    def run() = SparkEntry.queries("q185_grouped_ksample")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = run()
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.sortBy(_._2).map(_._3).toSeq == byPriority(src), s"source $src")
+    }
+    assert(got.toSeq == run().toSeq, "sample not stable across runs")
+  }
+
   test("q170 restart processes every event exactly once (no dup event_ids in the sink)") {
     val res = SparkEntry.queries("q170_stream_restart_exactly_once")(spark, dir).collect()
     assert(res.map(_.getLong(1)).sum ==
