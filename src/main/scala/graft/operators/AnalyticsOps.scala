@@ -349,6 +349,55 @@ object AnalyticsOps {
         |ORDER BY event_id""".stripMargin)
   }
 
+  // --------------------- fixed-bin histogram + cumulative share
+
+  private val q186 = Q(
+    "q186_value_histogram",
+    """WITH h AS (
+      |  SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM h)
+      |SELECT h.bin AS bin, h.bin * 25 AS bin_lo, h.n AS n,
+      |  CAST(sum(h.n) OVER (ORDER BY h.bin) AS BIGINT) AS cum_n,
+      |  CAST(h.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+      |FROM h CROSS JOIN t ORDER BY bin""".stripMargin) { (s, dir) =>
+    // Equal-width histogram with cumulative counts — the distribution
+    // profile every numeric quality gate starts from. Bin assignment is
+    // floor(x / width) (single correctly-rounded double division, then
+    // floor — bit-identical cross-engine); the window runs over the
+    // BINNED rows (bin-count sized), never the fact table.
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH h AS (
+        |  SELECT CAST(floor(value / 25.0D) AS BIGINT) AS bin, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM h)
+        |SELECT h.bin AS bin, h.bin * 25 AS bin_lo, h.n AS n,
+        |  sum(h.n) OVER (ORDER BY h.bin) AS cum_n,
+        |  CAST(h.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        |FROM h CROSS JOIN t ORDER BY bin""".stripMargin)
+  }
+
+  // --------------------- set-aggregation surface
+
+  private val q187 = Q(
+    "q187_collect_set",
+    """SELECT event_type,
+      |  CAST(len(list_distinct(list(user_id))) AS BIGINT) AS n_users,
+      |  array_to_string(list_sort(list_distinct(list(user_id)))[1:5], ',')
+      |    AS first_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // collect_set is the one collection aggregate with deterministic
+    // CONTENT (a set); emitting it sorted-then-joined keeps the output
+    // comparable cross-engine without relying on array encodings.
+    // (collect_list's ORDER is execution-dependent — never hash it.)
+    ev(s, dir).groupBy("event_type")
+      .agg(size(collect_set(col("user_id"))).cast("long").as("n_users"),
+        concat_ws(",", slice(sort_array(collect_set(col("user_id"))), 1, 5))
+          .as("first_users"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] =
-    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175)
+    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187)
 }

@@ -130,6 +130,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("q186 histogram bins, cumulative counts, and shares recompute exactly") {
+    val bins = events.groupBy(e => math.floor(e._5 / 25.0).toLong)
+    val total = events.length.toLong
+    val got = SparkEntry.queries("q186_value_histogram")(spark, dir).collect()
+    assert(got.length == bins.size)
+    var cum = 0L
+    got.sortBy(_.getLong(0)).foreach { r =>
+      val b = r.getLong(0); val n = bins(b).length.toLong
+      cum += n
+      assert(r.getLong(1) == b * 25 && r.getLong(2) == n)
+      assert(r.getLong(3) == cum, s"bin $b cumulative")
+      assert(r.getDouble(4) == n.toDouble / total.toDouble)
+    }
+    assert(cum == total)
+  }
+
+  test("q187 collect_set emits the sorted distinct users per type") {
+    val byType = events.groupBy(_._4)
+    val got = SparkEntry.queries("q187_collect_set")(spark, dir).collect()
+    got.foreach { r =>
+      val users = byType(r.getString(0)).map(_._3).distinct.sorted
+      assert(r.getLong(1) == users.length.toLong)
+      assert(r.getString(2) == users.take(5).mkString(","))
+    }
+  }
+
   private lazy val eventProps: Map[Long, String] =
     Tables.load(spark, dir, "events").select("event_id", "props").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
