@@ -61,8 +61,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS VARCHAR) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS VARCHAR) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  COUNT(*) AS count_order
@@ -77,16 +77,22 @@ object Relational {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
         sum(dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        // Stage the 3-factor product: an unstaged (12,2)*(13,2)*(13,2)
-        // is precision 40 > 38, and Spark and DuckDB round the capped
-        // intermediate DIFFERENTLY (one-ulp drift first seen at 10x
-        // magnitudes). price*(1-disc) is (26,4), exact; cast to (18,4)
-        // (no rounding — values fit), times (13,2) -> (32,6), exact on
-        // both engines at any corpus scale.
+          .cast("string").as("sum_disc_price"),
+        // Two scale-proofing steps, both learned from 10x-corpus drift:
+        // (1) stage the 3-factor product — unstaged (12,2)*(13,2)*(13,2)
+        // is precision 40 > 38 and the engines round the capped
+        // intermediate differently; price*(1-disc) is (26,4) exact, cast
+        // to (18,4) (no rounding — values fit), times (13,2) -> (32,6),
+        // exact everywhere. (2) emit the exact decimal AS TEXT: past
+        // ~2^53 in scaled units, decimal->double conversion itself is
+        // engine-dependent (double rounding), and decimal->cents
+        // rounding differs too (half-up vs half-even on .xx5 ties) —
+        // the fixed-scale string is the one representation both engines
+        // agree on at every magnitude.
         sum((dec(col("l_extendedprice")) * (oneD - dec(col("l_discount"))))
             .cast(DecimalType(18, 4)) *
-            (oneD + dec(col("l_tax")))).cast("double").as("sum_charge"),
+            (oneD + dec(col("l_tax"))))
+          .cast("string").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
