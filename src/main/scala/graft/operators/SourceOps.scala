@@ -300,6 +300,41 @@ object SourceOps {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** File-level provenance (input_file_name): write `documents`
+    * partitioned by a derived bucket, read the multi-file dataset back,
+    * and recover each row's origin FROM ITS FILE PATH alone — the
+    * trace-rows-to-shards primitive a 100 TB pipeline needs for
+    * quarantining a bad input file or re-deriving one shard. Row-level
+    * gate: the path-derived bucket must equal the column-derived bucket
+    * for every row (path_mismatches = 0 in the output), so provenance
+    * survives the write+read roundtrip exactly. File names themselves
+    * are nondeterministic (part-<uuid>), so the output keys on the
+    * partition value, never the basename. */
+  private val q188 = Q(
+    "q188_file_provenance",
+    """SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+      |  count(*) AS n_docs,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(0 AS BIGINT) AS path_mismatches
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_provenance_${math.abs(dir.hashCode)}"
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", col("doc_id") % 8)
+      .write.mode("overwrite").partitionBy("bucket").parquet(out)
+    val back = s.read.parquet(out)
+      .withColumn("path_bucket",
+        regexp_extract(input_file_name(), "bucket=(\\d+)", 1).cast("bigint"))
+    back.groupBy(col("path_bucket").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        sum("n_chars").as("total_chars"),
+        sum(when(col("path_bucket") =!= col("doc_id") % 8, 1L).otherwise(0L))
+          .as("path_mismatches"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[Q] =
-    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184)
+    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188)
 }

@@ -72,6 +72,23 @@ class SourceOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q188 path-derived provenance matches column-derived truth per row") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q188_file_provenance")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L until 8L), "one row per bucket")
+    assert(rows.forall(_.getLong(5) == 0L), "path/column bucket mismatch")
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.load(spark, dir, "documents").count(), "provenance dropped rows")
+    // the roundtrip dataset really is multi-file: every row's file path
+    // carries a bucket= partition dir, and all 8 dirs appear
+    val out = s"/tmp/graft_provenance_${math.abs(dir.hashCode)}"
+    val paths = spark.read.parquet(out)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    assert(paths.forall(_.contains("bucket=")))
+    assert(paths.map(p => p.substring(p.indexOf("bucket="))
+      .split("/")(0)).distinct.length == 8)
+  }
+
   test("q176 stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val expected = Tables.load(spark, dir, "events")
