@@ -44,6 +44,11 @@ object PipelineOps2 {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Driver union-find cutoff for q138: 2M edges collect as ~32 MB of
+    * (Long, Long) pairs and label memory stays O(connected vertices) —
+    * far below the O(V²) closure-row hazard the q68 BFS path bounds. */
+  private val DriverCcMaxEdges = 2000000L
+
   // --------------------- connected-component duplicate clusters
 
   private val q138 = Q(
@@ -80,33 +85,58 @@ object PipelineOps2 {
       .filter(col("cos_sim") >= VectorOps.NearDupTau)
       .select(col("d1"), col("d2"))
       .persist()
-    val edges = edges0.select(col("d1").as("u"), col("d2").as("w"))
-      .union(edges0.select(col("d2").as("u"), col("d1").as("w")))
-    // Only vertices with degree > 0 iterate; singletons (the vast
-    // majority of a deduped corpus) never change labels and rejoin at
-    // the end — the rounds shuffle |E|, not |V|.
-    var labels = edges.select(col("u").as("vid")).distinct()
-      .withColumn("lbl", col("vid"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val nbrMin = edges.join(labels, edges("w") === labels("vid"))
-        .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
-      val updated = labels.join(nbrMin, labels("vid") === nbrMin("u"), "left")
-        .select(col("vid"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val ptr = updated.select(col("vid").as("jv"), col("lbl").as("jl"))
-      val jumped = updated.join(ptr, updated("lbl") === ptr("jv"), "left")
-        .select(col("vid"),
-          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"))
+    // Near-dup edge sets are metadata-sized relative to the corpus (LSH
+    // already pruned the n² surface): below DriverCcMaxEdges the labels
+    // come from a driver union-find — O(E α(E)) local work, zero shuffle
+    // rounds, O(V_connected) memory (a flat label map, nothing
+    // quadratic — the bound the q68 closure path uses). Above it, the
+    // distributed min-label propagation below is the 100 TB path.
+    val labels: DataFrame = if (edges0.count() <= DriverCcMaxEdges) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges0.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import s.implicits._
+      parent.keys.toSeq.map(v => (v, find(v))).toDF("vid", "lbl")
+    } else {
+      val edges = edges0.select(col("d1").as("u"), col("d2").as("w"))
+        .union(edges0.select(col("d2").as("u"), col("d1").as("w")))
+      // Only vertices with degree > 0 iterate; singletons (the vast
+      // majority of a deduped corpus) never change labels and rejoin at
+      // the end — the rounds shuffle |E|, not |V|.
+      var lbls = edges.select(col("u").as("vid")).distinct()
+        .withColumn("lbl", col("vid"))
         .localCheckpoint()
-      val prev = labels.select(col("vid").as("pvid"), col("lbl").as("plbl"))
-      val changed = jumped.join(prev, jumped("vid") === prev("pvid"))
-        .filter(col("lbl") =!= col("plbl")).limit(1).count()
-      labels = jumped
-      converged = changed == 0
-      iter += 1
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val nbrMin = edges.join(lbls, edges("w") === lbls("vid"))
+          .groupBy(col("u")).agg(min(col("lbl")).as("nlbl"))
+        val updated = lbls.join(nbrMin, lbls("vid") === nbrMin("u"), "left")
+          .select(col("vid"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        val ptr = updated.select(col("vid").as("jv"), col("lbl").as("jl"))
+        val jumped = updated.join(ptr, updated("lbl") === ptr("jv"), "left")
+          .select(col("vid"),
+            least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val prev = lbls.select(col("vid").as("pvid"), col("lbl").as("plbl"))
+        val changed = jumped.join(prev, jumped("vid") === prev("pvid"))
+          .filter(col("lbl") =!= col("plbl")).limit(1).count()
+        lbls = jumped
+        converged = changed == 0
+        iter += 1
+      }
+      lbls
     }
     edges0.unpersist(blocking = false)
     val full = VectorOps.vecs(s, dir).select(col("vec_id").as("vid"))
