@@ -494,6 +494,82 @@ object StreamingOps {
       .orderBy("segment")
   }
 
+  /** Watermark late-data semantics, pinned end to end: rows arriving
+    * after the watermark has passed their window must be DROPPED, not
+    * silently aggregated — the guarantee that bounds streaming state at
+    * 100 TB (without it every straggler shard reopens old windows
+    * forever). Three AvailableNow drains over one checkpoint: (1) the
+    * on-time span (everything >= cutoff) establishes the watermark at
+    * max(ts)-1h; (2) the entire first day arrives LATE — every row sits
+    * below the watermark and must vanish; (3+4) two far-future sentinel
+    * rows advance the watermark past every real window end so append
+    * mode finalizes all real windows deterministically (emission lags
+    * one batch, hence two sentinel drains — the second flushes windows
+    * the first finalized). The oracle is the batch answer over ONLY the
+    * on-time rows: equality proves the late batch contributed nothing
+    * and no on-time window was lost or emitted twice. Sentinel windows
+    * sit past floor_hour(max) and are filtered from the sink read. */
+  private val q189 = Q(
+    "q189_stream_late_data",
+    """WITH c AS (SELECT date_trunc('hour', min(ts)) + INTERVAL 24 HOUR AS cut
+      |           FROM events)
+      |SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events, c WHERE ts >= c.cut
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q189_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val bounds = ev.agg(min("ts"), max("ts")).first()
+      import java.time.temporal.ChronoUnit
+      val minHour = bounds.getTimestamp(0).toInstant.truncatedTo(ChronoUnit.HOURS)
+      val maxTs = bounds.getTimestamp(1).toInstant
+      val cut = java.sql.Timestamp.from(minHour.plus(24, ChronoUnit.HOURS))
+      val lastRealWindowStartUs =
+        maxTs.truncatedTo(ChronoUnit.HOURS).toEpochMilli * 1000L
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema).parquet(stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(12, 2))).as("total_dec"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.filter(col("ts") >= lit(cut)).write.mode("append").parquet(stage)
+      drain()
+      ev.filter(col("ts") < lit(cut)).write.mode("append").parquet(stage)
+      drain()
+      Seq(10, 20).foreach { h =>
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+          .write.mode("append").parquet(stage)
+        drain()
+      }
+      s.read.parquet(sink)
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n"), col("total_dec").cast("double").as("total_value"))
+        .filter(col("window_start_us") <= lastRealWindowStartUs)
+        .orderBy("window_start_us")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   val defs: Seq[Q] =
-    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170, q176)
+    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170, q176, q189)
 }

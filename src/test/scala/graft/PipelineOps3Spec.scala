@@ -164,4 +164,27 @@ class PipelineOps3Spec extends AnyFunSuite {
     val ids = spark.read.parquet(sink).select("event_id")
     assert(ids.count() == ids.distinct().count(), "sink contains reprocessed rows")
   }
+
+  test("q189 drops exactly the late day: counts are on-time-only, once per window") {
+    import org.apache.spark.sql.functions._
+    import java.time.temporal.ChronoUnit
+    val got = SparkEntry.queries("q189_stream_late_data")(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+    val bounds = ev.agg(min("ts"), max("ts")).first()
+    val cut = java.sql.Timestamp.from(
+      bounds.getTimestamp(0).toInstant.truncatedTo(ChronoUnit.HOURS)
+        .plus(24, ChronoUnit.HOURS))
+    val late = ev.filter(col("ts") < lit(cut)).count()
+    val onTime = ev.filter(col("ts") >= lit(cut)).count()
+    assert(late > 0, "fixture must actually contain late rows")
+    // every on-time row counted exactly once, every late row absent
+    assert(got.map(_.getLong(1)).sum == onTime)
+    // one emission per window (append-mode finalization is exactly-once)
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+    // window set == distinct on-time hours (no late-only window leaked in)
+    val hours = ev.filter(col("ts") >= lit(cut))
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(got.map(_.getLong(0)).sorted.sameElements(hours))
+  }
 }
