@@ -26,7 +26,12 @@ object Bench {
     try lineage.LineageRunner.run(spark, "SELECT * FROM dw.tab10;")
     catch { case _: Throwable => }
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional substring filter for local scale experiments; the driver
+    // never sets it, so its full-run contract is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.split(',').exists(name.contains)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
