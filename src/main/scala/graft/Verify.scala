@@ -15,11 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional substring filter for local iteration; the driver never sets
-    // it, so its 2-arg full-dump contract is unchanged.
+    // Optional comma-separated substring filter for local iteration; the
+    // driver never sets it, so its 2-arg full-dump contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) =>
+        only.forall(_.split(',').exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Per-query oracle sweep for big scale corpora (10x/100x), where one
+check.py invocation over everything would serialize behind the slowest
+oracle. Loops tools/check.py one query at a time with a timeout, and
+skips the known-quadratic DuckDB oracles (pair-scan formulations that
+hang at scale — the SPARK side of those queries is benched separately;
+their correctness is pinned at sf0.01/sf0.1 where the oracle is
+feasible).
+
+Usage: python3 tools/sweep_check.py <sfDir> <outDir> [timeoutSec] [out.json]
+<outDir> must already contain a graft.Verify dump for <sfDir>.
+"""
+import json, subprocess, sys
+
+QUADRATIC_ORACLES = {
+    "q44_ngram_jaccard", "q45_minhash_lsh", "q46_simhash",
+    "q48_embedding_top_pairs", "q123_embedding_neardup",
+    "q138_dup_clusters", "q146_incremental_dedup",
+}
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 1800
+    out_json = sys.argv[4] if len(sys.argv) > 4 else None
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    passed, failed, skipped = [], [], []
+    for n in sorted(oracles):
+        if n in QUADRATIC_ORACLES:
+            skipped.append(n)
+            continue
+        try:
+            r = subprocess.run(
+                ["python3", "tools/check.py", sf_dir, out_dir, n],
+                capture_output=True, text=True, timeout=timeout)
+            ok = f"ok    {n}" in r.stdout
+            if not ok:
+                print((r.stdout.strip().splitlines() or [f"FAIL {n}"])[0])
+        except subprocess.TimeoutExpired:
+            ok = False
+            print(f"TIMEOUT {n}")
+        (passed if ok else failed).append(n)
+    print(f"\nsweep: {len(passed)} pass, {len(failed)} fail, "
+          f"{len(skipped)} skipped (quadratic oracles)")
+    if failed:
+        print("failed:", failed)
+    if out_json:
+        json.dump({"sf": sf_dir, "pass": passed, "fail": failed,
+                   "skipped_quadratic_oracles": skipped}, open(out_json, "w"),
+                  indent=1)
+    sys.exit(1 if failed else 0)
+
+if __name__ == "__main__":
+    main()
