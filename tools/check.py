@@ -5,12 +5,20 @@ Reads each query's Spark-written parquet from outDir, runs the oracle SQL
 from oracle_sql.json in DuckDB over the sfDir tables, and compares:
 column names (sorted), row counts, and values (rows sorted, exact compare
 with a report of near-misses for floats).
+
+Outputs past BIG_ROWS rows skip the Python materialization (which is
+O(rows) driver memory and single-threaded sort — minutes per query on the
+100x corpus) and compare entirely inside DuckDB: count equality plus an
+empty symmetric EXCEPT ALL difference. That is exact, multi-threaded, and
+spill-capable; witnesses are printed on mismatch.
 """
 import sys, json, glob, os, math
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
+
+BIG_ROWS = 100_000
 
 def canon(rows):
     def key(r):
@@ -42,41 +50,68 @@ def main():
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
-        got = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
+        got_cnt = con.execute(
+            f"SELECT count(*) FROM '{qdir}/*.parquet'").fetchone()[0]
         if name not in oracles:
-            print(f"----  {name}: no oracle ({len(got_rows)} rows)"); n_noracle += 1
+            print(f"----  {name}: no oracle ({got_cnt} rows)"); n_noracle += 1
             continue
+        # DESCRIBE binds without executing — cheap schema for both sides.
         try:
-            exp = con.execute(oracles[name])
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            gd = con.execute(
+                f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall()
+            ed = con.execute("DESCRIBE " + oracles[name]).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        got_cols = [r[0] for r in gd]
+        exp_cols = [r[0] for r in ed]
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1; continue
         # type-strict: the driver hash-compares typed values, so a
         # HUGEINT/BIGINT-vs-INT oracle mismatch fails there even when the
-        # numeric values are identical. DESCRIBE both sides and compare.
+        # numeric values are identical.
+        gt = dict(r[:2] for r in gd)
+        et = dict(r[:2] for r in ed)
+        tdiff = {c: (gt.get(c), et.get(c)) for c in gt if gt.get(c) != et.get(c)}
+        if tdiff:
+            print(f"FAIL {name}: column types differ (spark vs oracle): {tdiff}")
+            n_fail += 1; continue
+        cols = ", ".join(f'"{c}"' for c in sorted(got_cols))
+        if got_cnt > BIG_ROWS:
+            # DuckDB-side exact compare; types already verified identical.
+            try:
+                con.execute(f"CREATE OR REPLACE TEMP VIEW _got AS "
+                            f"SELECT {cols} FROM '{qdir}/*.parquet'")
+                con.execute(f"CREATE OR REPLACE TEMP VIEW _exp AS "
+                            f"SELECT {cols} FROM ({oracles[name]}) _oracle")
+                exp_cnt = con.execute(
+                    "SELECT count(*) FROM _exp").fetchone()[0]
+                if got_cnt != exp_cnt:
+                    print(f"FAIL {name}: rowcount {got_cnt} != {exp_cnt}")
+                    n_fail += 1; continue
+                diff = con.execute(
+                    "SELECT * FROM ("
+                    "(SELECT * FROM _got EXCEPT ALL SELECT * FROM _exp)"
+                    " UNION ALL "
+                    "(SELECT * FROM _exp EXCEPT ALL SELECT * FROM _got)"
+                    ") LIMIT 3").fetchall()
+            except Exception as e:
+                print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+            if diff:
+                print(f"FAIL {name}: symmetric diff non-empty, e.g. {diff}")
+                n_fail += 1
+            else:
+                print(f"ok    {name} ({got_cnt} rows, duckdb-side)"); n_pass += 1
+            continue
+        got_rows = con.execute(
+            f"SELECT {cols} FROM '{qdir}/*.parquet'").fetchall()
         try:
-            gt = dict(r[:2] for r in con.execute(
-                f"DESCRIBE SELECT * FROM '{qdir}/*.parquet'").fetchall())
-            et = dict(r[:2] for r in con.execute(
-                "DESCRIBE " + oracles[name]).fetchall())
-            tdiff = {c: (gt.get(c), et.get(c)) for c in gt
-                     if gt.get(c) != et.get(c)}
-            if tdiff:
-                print(f"FAIL {name}: column types differ (spark vs oracle): {tdiff}")
-                n_fail += 1; continue
+            exp_rows = con.execute(
+                f"SELECT {cols} FROM ({oracles[name]}) _oracle").fetchall()
         except Exception as e:
-            print(f"      {name}: type-check skipped ({e})")
-        # align column order by sorted name
-        gi = [got_cols.index(c) for c in sorted(got_cols)]
-        ei = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = canon([tuple(norm(r[i]) for i in gi) for r in got_rows])
-        e = canon([tuple(norm(r[i]) for i in ei) for r in exp_rows])
+            print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
+        g = canon([tuple(norm(v) for v in r) for r in got_rows])
+        e = canon([tuple(norm(v) for v in r) for r in exp_rows])
         if len(g) != len(e):
             print(f"FAIL {name}: rowcount {len(g)} != {len(e)}"); n_fail += 1; continue
         bad = None
@@ -100,3 +135,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+
