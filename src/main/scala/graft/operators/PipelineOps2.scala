@@ -421,13 +421,14 @@ object PipelineOps2 {
   private val q144 = Q(
     "q144_domain_mix_sample",
     s"""WITH sizes AS (
-       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-       |tot AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS sw FROM sizes),
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(q) AS BIGINT) AS swq FROM sizes),
        |rates AS (
        |  SELECT source, n_docs,
-       |    CAST(least(10000.0, floor(
-       |      10000.0 * $MixTarget * (sqrt(CAST(n_docs AS DOUBLE)) / tot.sw)
-       |        / n_docs)) AS BIGINT) AS rate_bp
+       |    least(CAST(10000 AS BIGINT),
+       |          (${10000L * MixTarget} * q) // (tot.swq * n_docs)) AS rate_bp
        |  FROM sizes, tot),
        |picked AS (
        |  SELECT d.source, count(*) AS n_sampled
@@ -441,18 +442,26 @@ object PipelineOps2 {
     // Domain-mix resampling for training sets: per-source acceptance
     // rates follow a temperature-flattened share (alpha = 0.5 — sqrt is
     // IEEE-correctly-rounded, unlike pow/log, so both engines compute
-    // the same rate), quantized to basis points so the accept decision
+    // the same weight), quantized to basis points so the accept decision
     // is integer-exact: accept iff content-fingerprint % 10000 < bp.
+    // The sqrt weights are quantized to 2^20 ulps BEFORE summing: a raw
+    // double sum(sqrt(n)) is addition-order-dependent, and at the 100x
+    // corpus the floor() in the rate landed on a boundary where Spark's
+    // partial-agg order and DuckDB's scan order disagreed by 1 ulp →
+    // rate_bp 3 vs 4. Integer sums are order-independent, and the rate
+    // division is integral (div), so every engine computes the same bp
+    // at every corpus magnitude. (Long arithmetic here is safe to ~1e18;
+    // the documented 100 TB swap is DECIMAL(38,0), as in q177.)
     // Rates are a source-count-sized table (broadcast); the corpus is
     // scanned once, no shuffle before the final per-source rollup.
     val d = docs(s, dir)
     val sizes = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
-    val tot = sizes.agg(sum(sqrt(col("n_docs").cast("double"))).as("sw"))
+      .withColumn("q",
+        floor(sqrt(col("n_docs").cast("double")) * 1048576.0).cast("long"))
+    val tot = sizes.agg(sum(col("q")).as("swq"))
     val rates = sizes.crossJoin(broadcast(tot))
       .withColumn("rate_bp",
-        least(lit(10000.0), floor(
-          lit(10000.0) * MixTarget * (sqrt(col("n_docs").cast("double")) / col("sw"))
-            / col("n_docs"))).cast("long"))
+        least(lit(10000L), expr(s"(${10000L * MixTarget}L * q) div (swq * n_docs)")))
       .select("source", "n_docs", "rate_bp")
     val picked = d
       .withColumn("fp", expr(TextOps.FingerprintSpark))

@@ -133,10 +133,13 @@ class PipelineOps2Spec extends AnyFunSuite {
     val rows = SparkEntry.queries("q144_domain_mix_sample")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val sizes = rows.map { case (src, n, _, _) => src -> n }.toMap
-    val sw = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    // mirror the engine: 2^20-quantized sqrt weights, exact integer sum,
+    // integral division for the basis-point rate (order-independent)
+    val qs = sizes.map { case (s2, n) =>
+      s2 -> math.floor(math.sqrt(n.toDouble) * 1048576.0).toLong }
+    val swq = qs.values.sum
     rows.foreach { case (src, n, bp, sampled) =>
-      val expBp = math.min(10000.0,
-        math.floor(10000.0 * 200 * (math.sqrt(n.toDouble) / sw) / n)).toLong
+      val expBp = math.min(10000L, (2000000L * qs(src)) / (swq * n))
       assert(bp == expBp, s"$src rate")
       assert(sampled <= n && (bp == 0 || sampled >= 0))
       // the realized rate is within 5pp of target (fingerprints ~uniform)
