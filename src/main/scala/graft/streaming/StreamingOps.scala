@@ -570,6 +570,85 @@ object StreamingOps {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  /** Watermarked stream-stream LEFT OUTER join (q125 covers inner):
+    * views with no purchase by the same user in the following hour must
+    * be emitted WITH NULLS, exactly once, and only after the watermark
+    * passes the end of their join window — the semantics that let a
+    * 100 TB abandonment/attribution pipeline run as one streaming job
+    * instead of a nightly batch anti-join. Matches emit per micro-batch;
+    * null-side rows wait on the MIN of the two stream watermarks, so the
+    * far-future sentinels advance BOTH sides (a view-only sentinel would
+    * hold back the purchase watermark and nothing would flush). Two
+    * sentinel drains cover the one-batch emission lag (q189 pattern).
+    * The oracle is the batch LEFT JOIN: equality proves every unmatched
+    * view flushed exactly once and no match was lost or duplicated. */
+  private val q190 = Q(
+    "q190_stream_outer_join",
+    """WITH v AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id,
+      |  count(p.user_id) AS n_matched,
+      |  count(*) FILTER (WHERE p.user_id IS NULL) AS n_unmatched
+      |FROM v LEFT JOIN p
+      |  ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q190_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxRealTs = ev.agg(max("ts")).first().getTimestamp(0)
+      def drain(): Unit = {
+        def src = s.readStream.schema(ev.schema).parquet(stage)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val q = views.join(purchases,
+          expr("""v_user = p_user AND
+                 |p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin),
+          "leftOuter")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(stage)
+      drain()
+      Seq(10, 20).foreach { h =>
+        Seq("view", "purchase").foreach { t =>
+          ev.filter(col("event_type") === t)
+            .orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+            .write.mode("append").parquet(stage)
+        }
+        drain()
+      }
+      s.read.parquet(sink)
+        .filter(col("v_ts") <= lit(maxRealTs))
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(col("p_user")).as("n_matched"),
+          count(when(col("p_user").isNull, 1)).as("n_unmatched"))
+        .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   val defs: Seq[Q] =
-    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170, q176, q189)
+    Seq(q70, q71, q72s, q117, q118, q125, q153, q160, q170, q176, q189, q190)
 }

@@ -187,4 +187,33 @@ class PipelineOps3Spec extends AnyFunSuite {
       .distinct().collect().map(_.getLong(0)).sorted
     assert(got.map(_.getLong(0)).sorted.sameElements(hours))
   }
+
+  test("q190 stream outer join equals a brute-force batch left join") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = ev.filter(_._2 == "view")
+    val purchases = ev.filter(_._2 == "purchase")
+    val byUser = purchases.groupBy(_._1)
+    val hourUs = 3600L * 1000000L
+    val expected = views.groupBy(_._1).map { case (u, vs) =>
+      val ps = byUser.getOrElse(u, Array.empty).map(_._3)
+      var matched = 0L; var unmatched = 0L
+      vs.foreach { case (_, _, vus) =>
+        val n = ps.count(p => p >= vus && p <= vus + hourUs)
+        if (n == 0) unmatched += 1 else matched += n
+      }
+      u -> ((matched, unmatched))
+    }
+    val got = SparkEntry.queries("q190_stream_outer_join")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+    // the outer semantics must actually be exercised: some user has an
+    // unmatched view AND some user has a match
+    assert(expected.values.exists(_._2 > 0))
+    assert(expected.values.exists(_._1 > 0))
+  }
 }
