@@ -282,5 +282,72 @@ object PipelineOps3 {
         |ORDER BY source, rnk""".stripMargin)
   }
 
-  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179, q185)
+  // ------------------------------- two-phase heavy hitters (Misra-Gries)
+
+  /** Misra-Gries streaming summary: at most `k` counters regardless of
+    * stream cardinality. Guarantee used below: any key occurring more
+    * than n/k times in the stream survives in the summary. Exposed for
+    * the eviction-path property spec. */
+  private[graft] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { key =>
+      counters.get(key) match {
+        case Some(c) => counters.update(key, c + 1)
+        case None if counters.size < k => counters.update(key, 1L)
+        case None =>
+          // decrement-all; drop zeros (the classic MG step)
+          counters.keys.toArray.foreach { kk =>
+            val v = counters(kk) - 1
+            if (v == 0) counters.remove(kk) else counters.update(kk, v)
+          }
+      }
+    }
+    counters.keysIterator
+  }
+
+  private val HeavyBp = 335L // heavy = frequency > 3.35% of the token stream
+  private val MgK = 30       // ceil(10000/335) counters per partition
+
+  private val q191 = Q(
+    "q191_heavy_hitters",
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+       |t AS (SELECT count(*) AS n_total FROM tk),
+       |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1)
+       |SELECT c.tok AS token, c.cnt AS cnt
+       |FROM c, t WHERE c.cnt * 10000 > t.n_total * $HeavyBp
+       |ORDER BY token""".stripMargin) { (s, dir) =>
+    // Exact heavy hitters over the corpus token stream without ever
+    // shuffling the full key space — the shape that matters when keys
+    // are billions of URLs/shingles, not a 31-word vocabulary:
+    //   1. candidates: per-partition Misra-Gries summaries (k = 30
+    //      counters, O(k) memory per partition regardless of stream
+    //      cardinality). Pigeonhole: a key with global count > s*N is
+    //      locally > s*n_p in at least one partition, and MG with
+    //      k >= 1/s retains every such key — the union of summaries is
+    //      a guaranteed superset of the true heavy hitters, so the
+    //      result is EXACT and partitioning-independent even though
+    //      the candidate set is not deterministic.
+    //   2. verify: only candidate-key rows shuffle (map-side combine
+    //      over <= 32*k keys), then an integer-exact rate test:
+    //      cnt * 10000 > N * bp — no division, no float threshold.
+    // At 3.35% the cut lands mid-band in this corpus's token spectrum,
+    // so the query discriminates (~14 of 31 tokens at sf0.01).
+    import org.apache.spark.sql.Encoders
+    val toks = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val total = toks.count()
+    val cands = toks.as(Encoders.STRING)
+      .mapPartitions(it => misraGries(it, MgK))(Encoders.STRING)
+      .toDF("tok").distinct()
+    toks.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(10000L) > lit(total * HeavyBp))
+      .select(col("tok").as("token"), col("cnt"))
+      .orderBy("token")
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179, q185, q191)
 }

@@ -216,4 +216,31 @@ class PipelineOps3Spec extends AnyFunSuite {
     assert(expected.values.exists(_._2 > 0))
     assert(expected.values.exists(_._1 > 0))
   }
+
+  test("q191 heavy hitters equal the exact token-frequency filter") {
+    val toks = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+    val counts = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val n = toks.length.toLong
+    val expected = counts.filter { case (_, c) => c * 10000L > n * 335L }
+    val got = SparkEntry.queries("q191_heavy_hitters")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // discriminative on the fixture: a strict subset of the vocabulary
+    assert(expected.nonEmpty && expected.size < counts.size)
+  }
+
+  test("q191 Misra-Gries summary: bounded size, heavy keys always survive eviction") {
+    // skewed synthetic stream, cardinality >> k, interleaved so the
+    // decrement-all eviction path runs many times
+    val k = 10
+    val heavy = Seq.fill(500)("HH")
+    val noise = (1 to 3000).map(i => s"u$i")
+    val stream = (heavy ++ noise).sortBy(_.hashCode) // deterministic interleave
+    val summary = graft.operators.PipelineOps3.misraGries(stream.iterator, k).toSet
+    assert(summary.size <= k, "summary must never exceed k counters")
+    // guarantee: count(HH)=500 > n/k = 3500/10 -> HH must survive
+    assert(summary.contains("HH"))
+    // eviction actually happened (cardinality 3001 > k)
+    assert(summary.size < 3001)
+  }
 }

@@ -189,6 +189,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "no dynamic partition pruning subquery in the fact scan:\n" + p)
   }
 
+  test("q191 heavy-hitter verify join is broadcast — the key space never shuffles") {
+    val p = planOf("q191_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate verify join not broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "a full-key-space shuffle join crept into the heavy-hitter path:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
