@@ -398,6 +398,70 @@ object AnalyticsOps {
       .orderBy("event_type")
   }
 
+  // --------------------------- integer-exact PageRank (power iteration)
+
+  /** Iterative graph analytics as repeated joins — the canonical
+    * power-iteration-on-Spark shape. The part<->supplier bipartite graph
+    * (distinct lineitem pairs, both directions) gets 3 PageRank
+    * iterations with damping 0.85, ALL in integer arithmetic: ranks are
+    * 1e12-scaled BIGINT mass, per-neighbor contributions use integral
+    * division (r div deg), and the damping step is (85 * sum) div 100 —
+    * no floating point anywhere, so Spark and DuckDB (3 unrolled CTE
+    * levels; recursive terms can't aggregate) agree bit-for-bit at any
+    * corpus magnitude.
+    *
+    * 100 TB design: edges and degrees are computed once and reused by
+    * every iteration (persist on a cluster); each iteration is one
+    * shuffle — join on src (co-partitioned with deg), aggregate on dst.
+    * Iteration count is fixed ahead of time, which is how production
+    * PageRank actually runs (convergence checks cost a pass each).
+    * Total mass is bounded (~n_nodes * 1e12 ~ 2e15 at sf0.01, far under
+    * the 9.2e18 BIGINT cap; DECIMAL(38,0) is the documented swap past
+    * ~1e6 nodes at this scaling). */
+  private val q192 = Q(
+    "q192_pagerank",
+    """WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      |edges AS (
+      |  SELECT 'P' || p AS src, 'S' || s AS dst FROM e
+      |  UNION ALL SELECT 'S' || s AS src, 'P' || p AS dst FROM e),
+      |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+      |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+      |r1 AS (SELECT ed.dst AS node,
+      |    CAST(150000000000 + (85 * CAST(sum(r0.r // deg.d) AS BIGINT)) // 100
+      |         AS BIGINT) AS r
+      |  FROM edges ed JOIN r0 ON r0.node = ed.src JOIN deg ON deg.src = ed.src
+      |  GROUP BY 1),
+      |r2 AS (SELECT ed.dst AS node,
+      |    CAST(150000000000 + (85 * CAST(sum(r1.r // deg.d) AS BIGINT)) // 100
+      |         AS BIGINT) AS r
+      |  FROM edges ed JOIN r1 ON r1.node = ed.src JOIN deg ON deg.src = ed.src
+      |  GROUP BY 1),
+      |r3 AS (SELECT ed.dst AS node,
+      |    CAST(150000000000 + (85 * CAST(sum(r2.r // deg.d) AS BIGINT)) // 100
+      |         AS BIGINT) AS r
+      |  FROM edges ed JOIN r2 ON r2.node = ed.src JOIN deg ON deg.src = ed.src
+      |  GROUP BY 1)
+      |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin) {
+    (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val e = li.select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+    val edges = e.select(concat(lit("P"), col("p")).as("src"),
+        concat(lit("S"), col("s")).as("dst"))
+      .union(e.select(concat(lit("S"), col("s")).as("src"),
+        concat(lit("P"), col("p")).as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    var r = deg.select(col("src").as("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to 3) {
+      r = edges.join(r, edges("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(150000000000L) + expr("(85 * sc) div 100")).as("r"))
+    }
+    r.orderBy(col("r").desc, col("node")).limit(20)
+  }
+
   val defs: Seq[Q] =
-    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187)
+    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187, q192)
 }

@@ -257,4 +257,28 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == expected)
   }
+
+  test("q192 pagerank equals a plain-Scala integer power iteration") {
+    val pairs = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Array[(String, String)] =
+      pairs.map { case (p, s) => (s"P$p", s"S$s") } ++
+        pairs.map { case (p, s) => (s"S$s", s"P$p") }
+    val deg: Map[String, Long] =
+      edges.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    var r: Map[String, Long] = deg.map { case (n, _) => n -> 1000000000000L }
+    for (_ <- 1 to 3) {
+      val contrib = edges.map { case (src, dst) => dst -> r(src) / deg(src) }
+      r = contrib.groupBy(_._1).map { case (n, g) =>
+        n -> (150000000000L + (85L * g.map(_._2).sum) / 100L)
+      }
+    }
+    val expected = r.toSeq.sortBy { case (n, v) => (-v, n) }.take(20)
+    val got = SparkEntry.queries("q192_pagerank")(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSeq
+    assert(got == expected)
+    // discriminative: the top-20 must contain distinct rank values
+    assert(expected.map(_._2).distinct.length > 1)
+  }
 }
