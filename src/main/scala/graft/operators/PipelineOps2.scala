@@ -650,6 +650,73 @@ object PipelineOps2 {
       .orderBy("shard")
   }
 
+  // ----------------------------------- snapshot diff (table reconciliation)
+
+  /** Snapshot-to-snapshot table diff — the reconciliation primitive
+    * behind replication checks, backfill audits, and CDC validation:
+    * classify every key as added / removed / changed / unchanged
+    * between two snapshots of a table. Snapshot B is derived from
+    * orders deterministically (drop key%97=0, bump price on key%89=0,
+    * add key%101=0 under shifted keys), so both engines build
+    * bit-identical inputs.
+    *
+    * 100 TB design: ONE full outer join co-partitioned on the key —
+    * each snapshot shuffles once (zero shuffles if both are bucketed
+    * by key on storage). Change detection is IS DISTINCT FROM on the
+    * compared columns — exact, null-safe, no float tolerance. In
+    * production the narrow variant precomputes xxhash64(row) at write
+    * time (q188's provenance pattern) so the diff join carries
+    * (key, hash) instead of full rows; the summary here reduces to a
+    * 4-row report regardless of table size. */
+  private val q193 = Q(
+    "q193_snapshot_diff",
+    """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS price,
+      |                  o_orderstatus AS status FROM orders),
+      |b AS (
+      |  SELECT o_orderkey AS k,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS price,
+      |    o_orderstatus AS status
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 101 = 0),
+      |d AS (
+      |  SELECT coalesce(a.k, b.k) AS k,
+      |    CASE WHEN a.k IS NULL THEN 'added'
+      |         WHEN b.k IS NULL THEN 'removed'
+      |         WHEN a.price IS DISTINCT FROM b.price
+      |           OR a.status IS DISTINCT FROM b.status THEN 'changed'
+      |         ELSE 'unchanged' END AS change_type
+      |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+      |SELECT change_type, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.load(s, dir, "orders")
+    val a = o.select(col("o_orderkey").as("k"),
+      col("o_totalprice").as("a_price"), col("o_orderstatus").as("a_status"),
+      lit(true).as("in_a"))
+    val b = o.filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("b_price"),
+        col("o_orderstatus").as("b_status"))
+      .unionAll(o.filter(col("o_orderkey") % 101 === 0)
+        .select((col("o_orderkey") + 100000000L).as("k"),
+          col("o_totalprice").as("b_price"), col("o_orderstatus").as("b_status")))
+      .withColumn("in_b", lit(true))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("in_a").isNull, lit("added"))
+          .when(col("in_b").isNull, lit("removed"))
+          .when(!(col("a_price") <=> col("b_price"))
+            || !(col("a_status") <=> col("b_status")), lit("changed"))
+          .otherwise(lit("unchanged")).as("change_type"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy("change_type")
+  }
+
   val defs: Seq[Q] =
-    Seq(q138, q139, q140, q141, q142, q143, q144, q146, q152, q157)
+    Seq(q138, q139, q140, q141, q142, q143, q144, q146, q152, q157, q193)
 }

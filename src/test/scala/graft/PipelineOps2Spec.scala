@@ -246,4 +246,31 @@ class PipelineOps2Spec extends AnyFunSuite {
       assert(math.abs(r.getDouble(4) - s) < 1e-12, s"$k score")
     }
   }
+
+  test("q193 snapshot diff equals a plain-Scala map reconciliation") {
+    val rows = Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_orderstatus").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val a = rows.map { case (k, p, s2) => k -> ((p, s2)) }.toMap
+    val b = (rows.filter(_._1 % 97 != 0).map { case (k, p, s2) =>
+        k -> ((if (k % 89 == 0) p + 1.0 else p, s2)) } ++
+      rows.filter(_._1 % 101 == 0).map { case (k, p, s2) =>
+        (k + 100000000L) -> ((p, s2)) }).toMap
+    val classes = (a.keySet ++ b.keySet).toSeq.map { k =>
+      val cls = (a.get(k), b.get(k)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(x), Some(y)) => if (x == y) "unchanged" else "changed"
+      }
+      k -> cls
+    }
+    val expected = classes.groupBy(_._2).map { case (cls, g) =>
+      cls -> ((g.length.toLong, g.map(_._1).min, g.map(_._1).max))
+    }
+    val got = SparkEntry.queries("q193_snapshot_diff")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // all four classes must be present for the check to discriminate
+    assert(got.keySet == Set("added", "removed", "changed", "unchanged"))
+  }
 }
