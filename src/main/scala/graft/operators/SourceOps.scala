@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.sources.CopyOps
+import org.apache.spark.sql.functions.{col, md5, regexp_extract}
 
 /** Source/sink operators beyond parquet (SURVEY §2.1): COPY-style
   * delimited bulk load/export round trips.
@@ -335,6 +336,55 @@ object SourceOps {
       .orderBy("bucket")
   }
 
+  // --------------------------------- binaryFile source (media ingest)
+
+  /** The `binaryFile` datasource — how raw media corpora actually enter
+    * Spark (one row per object: path, modificationTime, length,
+    * content). A bounded doc subset (doc_id <= 100, stable at every
+    * corpus size) is staged as real .bin files, read back through the
+    * source, and reconciled byte-for-byte: the length column must equal
+    * the UTF-8 byte count and md5(content) must equal the oracle's
+    * md5(text) (DuckDB's md5(VARCHAR) hashes the UTF-8 encoding — the
+    * same bytes Spark's md5(BINARY) sees).
+    *
+    * 100 TB design: parallelism is per-file (each file one task up to
+    * maxPartitionBytes), pathGlobFilter/recursiveFileLookup prune at
+    * listing time, and the first job against a billion-small-object
+    * corpus should be exactly this shape: binaryFile -> (meta, payload)
+    * parquet, after which everything downstream scans columnar (q50+
+    * operate on that form). Staging here collects only the bounded
+    * 100-doc subset — fixture setup, not the operator. */
+  private val q194 = Q(
+    "q194_binaryfile_source",
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin) {
+    (s, dir) =>
+    val base = new java.io.File(s"/tmp/graft_q194_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    base.mkdirs()
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") <= 100).select("doc_id", "text").collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          new java.io.File(base, s"doc_${r.getLong(0)}.bin").toPath,
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(base.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] =
-    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188)
+    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188, q194)
 }

@@ -103,4 +103,19 @@ class SourceOpsSpec extends AnyFunSuite {
     assert(got.values.sum == Tables.load(spark, dir, "events").count(),
       "enrichment dropped events (user_id outside the dimension?)")
   }
+
+  test("q194 binaryFile read-back matches plain-Scala byte counts and digests") {
+    val expected = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") <= 100)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        r.getLong(0) -> ((bytes.length.toLong, md.map("%02x".format(_)).mkString))
+      }.toMap
+    val got = SparkEntry.queries("q194_binaryfile_source")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }
