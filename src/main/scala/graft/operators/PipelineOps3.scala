@@ -349,5 +349,34 @@ object PipelineOps3 {
       .orderBy("token")
   }
 
-  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179, q185, q191)
+  // ------------------------------- corpus overlap venn (dedup planning)
+
+  /** Source-membership venn over normalized doc keys — the question a
+    * curation team asks BEFORE merging a new crawl: how much of each
+    * source is unique, and which source pairs overlap? Each distinct
+    * (key, source) pair collapses first (one shuffle), then per-key
+    * membership is the sorted source set (collect_set is
+    * order-nondeterministic; array_sort makes the emitted string
+    * deterministic — the q187 rule), then one count per membership
+    * combination. Two linear shuffles, output bounded by 2^|sources|
+    * in theory and by actual co-occurrence in practice (40 rows here).
+    * At 100 TB the same plan holds: keys partition the first shuffle,
+    * membership strings (tiny domain) the second. */
+  private val q195 = Q(
+    "q195_source_overlap",
+    s"""WITH ks AS (
+       |  SELECT DISTINCT $KeyExprDuck AS k, source FROM documents),
+       |m AS (SELECT k, string_agg(source, ',' ORDER BY source) AS membership
+       |      FROM ks GROUP BY k)
+       |SELECT membership, count(*) AS n_keys
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ks = docs(s, dir)
+      .select(expr(KeyExprSpark).as("k"), col("source")).distinct()
+    ks.groupBy("k")
+      .agg(array_join(array_sort(collect_set(col("source"))), ",").as("membership"))
+      .groupBy("membership").agg(count(lit(1)).as("n_keys"))
+      .orderBy("membership")
+  }
+
+  val defs: Seq[Q] = Seq(q161, q162, q167, q177, q179, q185, q191, q195)
 }

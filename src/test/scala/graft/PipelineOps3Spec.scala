@@ -229,6 +229,23 @@ class PipelineOps3Spec extends AnyFunSuite {
     assert(expected.nonEmpty && expected.size < counts.size)
   }
 
+  test("q195 source overlap equals a plain-Scala membership recomputation") {
+    val rows = Tables.load(spark, dir, "documents")
+      .select("text", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = rows
+      .map { case (text, src) =>
+        (text.split(" ", -1).take(5).mkString(" "), src) }
+      .distinct
+      .groupBy(_._1).map { case (_, g) => g.map(_._2).distinct.sorted.mkString(",") }
+      .groupBy(identity).map { case (m, g) => m -> g.size.toLong }
+    val got = SparkEntry.queries("q195_source_overlap")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // overlap must actually exist in the fixture (multi-source memberships)
+    assert(expected.keys.exists(_.contains(",")))
+  }
+
   test("q191 Misra-Gries summary: bounded size, heavy keys always survive eviction") {
     // skewed synthetic stream, cardinality >> k, interleaved so the
     // decrement-all eviction path runs many times
