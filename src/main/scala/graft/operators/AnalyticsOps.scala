@@ -462,6 +462,57 @@ object AnalyticsOps {
     r.orderBy(col("r").desc, col("node")).limit(20)
   }
 
+  // ------------------- time-weighted integration (irregular telemetry)
+
+  /** Trapezoidal time-weighted integration per user over an IRREGULAR
+    * event series — the metrics/telemetry primitive (time-weighted
+    * average sensor value, position-weighted exposure) that plain AVG
+    * gets wrong when samples aren't equally spaced. Per consecutive
+    * pair: (v_i + v_{i+1}) * dt_i with dt in integer microseconds and
+    * values as DECIMAL cents — every product and the running sum are
+    * EXACT decimals, so the emitted numerator (weighted_sum, twice the
+    * integral) and denominator (total_dt_us) are bit-identical across
+    * engines at any magnitude; the final ratio is one division the
+    * consumer performs (emitting it would reintroduce the q01
+    * decimal->double drift class past 2^53).
+    *
+    * One window sort per user (lead over (us, event_id) — unique
+    * event_ids make the order total) plus the final per-user rollup
+    * sharing the same partitioning: two user_id shuffles, AQE reuses
+    * the exchange. */
+  private val q196 = Q(
+    "q196_time_weighted",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us,
+      |    CAST(value AS DECIMAL(12,2)) AS v
+      |  FROM events),
+      |p AS (
+      |  SELECT user_id, v, us,
+      |    lead(v) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nv,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nus
+      |  FROM e)
+      |SELECT user_id, count(*) AS n_segments,
+      |  CAST(sum(nus - us) AS BIGINT) AS total_dt_us,
+      |  CAST(sum((v + nv) * (nus - us)) AS DECIMAL(38,2)) AS weighted_sum
+      |FROM p WHERE nus IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), dec(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("nv", lead(col("v"), 1).over(w))
+      .withColumn("nus", lead(col("us"), 1).over(w))
+      .filter(col("nus").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("nus") - col("us")).as("total_dt_us"),
+        sum((col("v") + col("nv")) * (col("nus") - col("us")))
+          .cast(DecimalType(38, 2)).as("weighted_sum"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[Q] =
-    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187, q192)
+    Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187,
+      q192, q196)
 }

@@ -281,4 +281,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // discriminative: the top-20 must contain distinct rank values
     assert(expected.map(_._2).distinct.length > 1)
   }
+
+  test("q196 time-weighted integration equals a per-user sequential fold") {
+    val expected = events.groupBy(_._3).collect {
+      case (u, evs) if evs.length >= 2 =>
+        // sort by (us, event_id) as the window does; fold consecutive pairs
+        val sorted = evs.sortBy(e => (e._2, e._1))
+        val cents = sorted.map(e =>
+          BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        val segs = sorted.zip(sorted.tail).zipWithIndex.map { case (((_, us1, _, _, _), (_, us2, _, _, _)), i) =>
+          (us2 - us1, (cents(i) + cents(i + 1)) * BigDecimal(us2 - us1))
+        }
+        u -> ((segs.length.toLong, segs.map(_._1).sum, segs.map(_._2).sum))
+    }
+    val got = SparkEntry.queries("q196_time_weighted")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+  }
 }
