@@ -512,7 +512,37 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
+  // ------------------------- join-skew pre-flight diagnostics
+
+  /** The pre-flight you run before a giant join to decide whether to
+    * salt (q169) or split: per-key row counts on BOTH sides, the join
+    * output each key will produce (n_left * n_right — the number a
+    * single reducer must handle under plain hash partitioning), top-10
+    * by that product with a total (product desc, key) order. All
+    * integer arithmetic; the heavy work is two map-side-combined
+    * groupBys, their join is co-partitioned on the key, and TakeOrdered
+    * reduces to 10 rows — nothing corpus-sized crosses the wire after
+    * the counts. */
+  private val q198 = Q(
+    "q198_join_skew_preflight",
+    """WITH l AS (SELECT o_custkey AS k, count(*) AS n_orders
+      |           FROM orders GROUP BY 1),
+      |r AS (SELECT c_custkey AS k, count(*) AS n_cust FROM customer GROUP BY 1)
+      |SELECT l.k AS custkey, l.n_orders, r.n_cust,
+      |  l.n_orders * r.n_cust AS est_join_rows
+      |FROM l JOIN r ON l.k = r.k
+      |ORDER BY est_join_rows DESC, custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val l = Tables.load(s, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_orders"))
+    val r = Tables.load(s, dir, "customer")
+      .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("n_cust"))
+    l.join(r, "k")
+      .select(col("k").as("custkey"), col("n_orders"), col("n_cust"),
+        (col("n_orders") * col("n_cust")).as("est_join_rows"))
+      .orderBy(col("est_join_rows").desc, col("custkey")).limit(10)
+  }
+
   val defs: Seq[Q] =
     Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187,
-      q192, q196)
+      q192, q196, q198)
 }

@@ -417,5 +417,40 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
-  val defs: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q52, q53, q180)
+  // ------------------------------- vocabulary construction (stable ids)
+
+  /** Corpus vocabulary with STABLE integer ids — the dictionary-build
+    * step every tokenizer training run starts from: token -> id where
+    * ids are assigned by (frequency desc, token asc). The total order
+    * makes ids reproducible run-to-run and engine-to-engine (frequency
+    * alone is not total — ties are common in the long tail).
+    *
+    * Scale shape: the corpus-sized work is the token groupBy (one
+    * shuffle, map-side combine); the global rank then runs on the
+    * REDUCED vocabulary table (thousands-to-millions of rows, not the
+    * corpus), so the single-partition window sort is bounded by vocab
+    * size — the same reduction-before-global-sort shape as q26. */
+  private val q197 = Q(
+    "q197_vocab_build",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks WHERE tok <> '' GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS BIGINT)
+      |    AS token_id,
+      |  tok AS token, cnt
+      |FROM c ORDER BY token_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    c.select(
+        (row_number().over(Window.orderBy(col("cnt").desc, col("tok"))) - 1)
+          .cast("long").as("token_id"),
+        col("tok").as("token"), col("cnt"))
+      .orderBy("token_id")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q52, q53, q180, q197)
 }

@@ -52,4 +52,32 @@ class OperatorsSpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("q197 vocab ids follow the (freq desc, token) total order with no gaps") {
+    val dir = TestSpark.sf
+    val toks = Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    val expected = toks.groupBy(identity).map { case (t, g) => (t, g.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, c), i) => (i.toLong, t, c) }
+    val got = SparkEntry.queries("q197_vocab_build")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1) == got.indices.map(_.toLong), "ids must be dense 0..n-1")
+  }
+
+  test("q198 join-skew preflight equals a plain count-product top-10") {
+    val dir = TestSpark.sf
+    val l = Tables.load(spark, dir, "orders").select("o_custkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val r = Tables.load(spark, dir, "customer").select("c_custkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val expected = l.keySet.intersect(r.keySet).toSeq
+      .map(k => (k, l(k), r(k), l(k) * r(k)))
+      .sortBy { case (k, _, _, est) => (-est, k) }.take(10)
+    val got = SparkEntry.queries("q198_join_skew_preflight")(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got == expected)
+  }
 }
