@@ -542,7 +542,55 @@ object AnalyticsOps {
       .orderBy(col("est_join_rows").desc, col("custkey")).limit(10)
   }
 
+  // ------------------- rolling anomaly flags (integer z-score test)
+
+  /** Rolling 3-sigma anomaly detection over each user's event series —
+    * with the z-score test algebraically cleared of ALL division and
+    * floating point: x is an outlier of its trailing-25 window iff
+    * (n*x - S1)^2 > 9 * (n*S2 - S1^2), which is the same inequality as
+    * ((x - mean)/stddev)^2 > 9 but in exact integer cents (values pass
+    * through DECIMAL(12,2)*100 so the cast is exact). No sqrt, no
+    * division, no accumulation-order sensitivity — both engines flag
+    * the identical row set at any corpus magnitude. One window sort
+    * per user (trailing ROWS frame, O(1) state per row); warmup rows
+    * (n < 25) never flag. */
+  private val q199 = Q(
+    "q199_rolling_anomaly",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, cents,
+      |    count(*) OVER win AS n,
+      |    CAST(sum(cents) OVER win AS BIGINT) AS s1,
+      |    CAST(sum(cents*cents) OVER win AS BIGINT) AS s2
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+      |                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id, cents
+      |FROM w
+      |WHERE n = 25
+      |  AND (25*cents - s1)*(25*cents - s1) > 9 * (25*s2 - s1*s1)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = ev(s, dir).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    val win = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-24, 0)
+    val dev = lit(25L) * col("cents") - col("s1")
+    e.withColumn("n", count(lit(1)).over(win))
+      .withColumn("s1", sum(col("cents")).over(win))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(win))
+      .filter(col("n") === 25 &&
+        dev * dev > lit(9L) * (lit(25L) * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"), col("cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   val defs: Seq[Q] =
     Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187,
-      q192, q196, q198)
+      q192, q196, q198, q199)
 }

@@ -300,4 +300,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.keySet == expected.keySet)
     expected.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
   }
+
+  test("q199 rolling anomaly flags equal a sequential integer-window fold") {
+    val expected = events.groupBy(_._3).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._1))
+      val cents = sorted.map(e =>
+        (BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      sorted.indices.collect {
+        case i if i >= 24 =>
+          val w = cents.slice(i - 24, i + 1)
+          val s1 = w.sum; val s2 = w.map(c => c * c).sum
+          val dev = 25L * cents(i) - s1
+          (u, sorted(i)._1, cents(i), dev * dev > 9L * (25L * s2 - s1 * s1))
+      }.collect { case (uu, eid, c, true) => (uu, eid, c) }
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("q199_rolling_anomaly")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must actually contain 3-sigma outliers")
+  }
 }
