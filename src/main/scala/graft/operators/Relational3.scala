@@ -523,7 +523,32 @@ object Relational3 {
       .orderBy("event_type")
   }
 
+  /** Join-strategy hints — the optimizer-control surface. The same
+    * supplier-per-nation rollup is computed through a join that Spark
+    * would broadcast by default (nation is 25 rows), but the
+    * SHUFFLE_MERGE hint forces the sort-merge path; results must be
+    * identical either way (hints steer the physical plan, never the
+    * semantics — PlanAuditSpec pins that the hint was actually honored,
+    * and q05's audit pins the unhinted broadcast default). The control
+    * matters at 100 TB when the optimizer's size estimates are wrong:
+    * a mis-broadcast OOMs every executor, and the hint is the
+    * per-query override that doesn't touch global thresholds. */
+  private val q200 = Q(
+    "q200_join_hints",
+    """SELECT n_name, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT /*+ SHUFFLE_MERGE(nation) */ n_name,
+        |  count(*) AS n_suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val defs: Seq[Q] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
-      q145, q149, q150, q151, q155, q156, q181, q182)
+      q145, q149, q150, q151, q155, q156, q181, q182, q200)
 }

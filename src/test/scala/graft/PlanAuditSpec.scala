@@ -197,6 +197,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "a full-key-space shuffle join crept into the heavy-hitter path:\n" + p)
   }
 
+  test("q200 SHUFFLE_MERGE hint overrides the broadcast default") {
+    val p = planOf("q200_join_hints")
+    assert(p.contains("SortMergeJoin"),
+      "hint not honored — expected a forced sort-merge join:\n" + p)
+    assert(!p.contains("BroadcastHashJoin"),
+      "broadcast crept back in despite the SHUFFLE_MERGE hint:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
