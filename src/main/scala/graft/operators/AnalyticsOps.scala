@@ -590,7 +590,47 @@ object AnalyticsOps {
       .orderBy("user_id", "event_id")
   }
 
+  // ------------------- hierarchical share-of-parent rollup
+
+  /** Ratio-to-report over a hierarchy (nation -> region -> global)
+    * computed as windows OVER THE AGGREGATE, not extra scans: one
+    * groupBy produces nation totals; region and global totals are
+    * window sums over that tiny aggregate (25 rows), so the fact table
+    * is read and shuffled exactly once regardless of hierarchy depth.
+    * Totals are exact integer cents; the shares themselves are left as
+    * numerator/denominator pairs because s_acctbal can be negative and
+    * integral division of negatives diverges between engines (Spark
+    * `div` truncates toward zero, DuckDB `//` floors) — the consumer
+    * divides in whatever rounding mode it wants. */
+  private val q201 = Q(
+    "q201_share_hierarchy",
+    """WITH nt AS (
+      |  SELECT n.n_regionkey AS regionkey, s.s_nationkey AS nationkey,
+      |    CAST(sum(CAST(CAST(s.s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |         AS BIGINT) AS nation_cents
+      |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT regionkey, nationkey, nation_cents,
+      |  CAST(sum(nation_cents) OVER (PARTITION BY regionkey) AS BIGINT)
+      |    AS region_cents,
+      |  CAST(sum(nation_cents) OVER () AS BIGINT) AS global_cents
+      |FROM nt ORDER BY regionkey, nationkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val nt = Tables.load(s, dir, "supplier")
+      .join(Tables.load(s, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("regionkey"),
+        col("s_nationkey").as("nationkey"))
+      .agg(sum((dec(col("s_acctbal")) * 100).cast("long")).as("nation_cents"))
+    nt.select(col("regionkey"), col("nationkey"), col("nation_cents"),
+        sum(col("nation_cents")).over(Window.partitionBy("regionkey"))
+          .as("region_cents"),
+        sum(col("nation_cents")).over(Window.partitionBy())
+          .as("global_cents"))
+      .orderBy("regionkey", "nationkey")
+  }
+
   val defs: Seq[Q] =
     Seq(q163, q164, q165, q166, q168, q169, q173, q174, q175, q186, q187,
-      q192, q196, q198, q199)
+      q192, q196, q198, q199, q201)
 }

@@ -319,4 +319,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "fixture must actually contain 3-sigma outliers")
   }
+
+  test("q201 hierarchy totals reconcile bottom-up exactly") {
+    val rows = SparkEntry.queries("q201_share_hierarchy")(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue(),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // nation cents recomputed from raw suppliers
+    val sup = Tables.load(spark, dir, "supplier")
+      .select("s_nationkey", "s_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue(),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val byNation = sup.groupBy(_._1).map { case (n, g) => n -> g.map(_._2).sum }
+    rows.foreach { case (_, nk, nc, _, _) => assert(nc == byNation(nk), s"nation $nk") }
+    // region totals = sum of their nations; global = sum of all
+    rows.groupBy(_._1).foreach { case (rk, g) =>
+      val regionSum = g.map(_._3).sum
+      g.foreach { case (_, _, _, rc, _) => assert(rc == regionSum, s"region $rk") }
+    }
+    val globalSum = rows.map(_._3).sum
+    rows.foreach { case (_, _, _, _, gc) => assert(gc == globalSum) }
+  }
 }
