@@ -356,9 +356,14 @@ object SourceOps {
     * 100-doc subset — fixture setup, not the operator. */
   private val q194 = Q(
     "q194_binaryfile_source",
+    // Zero-byte payloads are excluded on BOTH sides: Spark's binaryFile
+    // source emits NO row for a zero-length file (no splits to read), so
+    // an empty document would round-trip to nothing — pinned by the
+    // adversarial corpus (its empty doc) and by the spec below.
     """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS content_md5
-      |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin) {
+      |FROM documents WHERE doc_id <= 100 AND octet_length(encode(text)) > 0
+      |ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
     val base = new java.io.File(s"/tmp/graft_q194_${math.abs(dir.hashCode)}")
     if (base.exists()) {
@@ -368,7 +373,8 @@ object SourceOps {
     }
     base.mkdirs()
     Tables.load(s, dir, "documents")
-      .filter(col("doc_id") <= 100).select("doc_id", "text").collect()
+      .filter(col("doc_id") <= 100 && org.apache.spark.sql.functions.length(col("text")) > 0)
+      .select("doc_id", "text").collect()
       .foreach { r =>
         java.nio.file.Files.write(
           new java.io.File(base, s"doc_${r.getLong(0)}.bin").toPath,

@@ -105,8 +105,9 @@ class SourceOpsSpec extends AnyFunSuite {
   }
 
   test("q194 binaryFile read-back matches plain-Scala byte counts and digests") {
+    import org.apache.spark.sql.functions.{col, length}
     val expected = Tables.load(spark, dir, "documents")
-      .filter(org.apache.spark.sql.functions.col("doc_id") <= 100)
+      .filter(col("doc_id") <= 100 && length(col("text")) > 0)
       .select("doc_id", "text").collect()
       .map { r =>
         val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -117,5 +118,16 @@ class SourceOpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("q194 pin: binaryFile emits NO row for a zero-length file") {
+    val d = new java.io.File("/tmp/graft_q194_emptypin")
+    if (d.exists()) d.listFiles().foreach(_.delete())
+    d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "empty.bin").toPath, Array[Byte]())
+    java.nio.file.Files.write(new java.io.File(d, "one.bin").toPath, Array[Byte](42))
+    val rows = spark.read.format("binaryFile").load(d.toString).collect()
+    assert(rows.length == 1, "zero-length files must be absent from the source output")
+    assert(rows.head.getAs[Long]("length") == 1L)
   }
 }
