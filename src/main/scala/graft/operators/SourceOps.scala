@@ -109,7 +109,12 @@ object SourceOps {
   def partitionedEvents(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val out = s"/tmp/graft_events_part_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+    val success = new java.io.File(s"$out/_SUCCESS")
+    // the memo must invalidate when the SOURCE changes under the same
+    // path (the adversarial corpus regenerates events.parquet in place
+    // — a stale copy silently answered for the old data)
+    val src = new java.io.File(s"$dir/events.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified()) {
       Tables.load(s, dir, "events")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
     }

@@ -631,10 +631,15 @@ object StreamingOps {
       }
       ev.write.mode("append").parquet(stage)
       drain()
+      // Sentinels must sit past the GLOBAL max ts on BOTH streams: a
+      // per-type max would leave the purchase watermark behind whenever
+      // the last real purchase precedes the last view (the adversarial
+      // corpus has exactly that shape), and the min-of-watermarks rule
+      // would then never flush the final views' null rows.
       Seq(10, 20).foreach { h =>
         Seq("view", "purchase").foreach { t =>
-          ev.filter(col("event_type") === t)
-            .orderBy(col("ts").desc).limit(1)
+          ev.orderBy(col("ts").desc).limit(1)
+            .withColumn("event_type", lit(t))
             .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
             .write.mode("append").parquet(stage)
         }

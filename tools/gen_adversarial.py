@@ -50,3 +50,68 @@ con.execute(f"COPY (SELECT * FROM t ORDER BY doc_id) TO "
             f"'{out}/documents.parquet' (FORMAT PARQUET)")
 print(f"adversarial corpus at {out} "
       f"({len(rows)} documents; other tables copied from {src})")
+
+# ---- adversarial events: pathological timing and value boundaries ----
+# Same-nanosecond pairs (tie-break only by event_id), same-microsecond
+# different-nanosecond pairs (µs truncation collides), exact interval
+# boundaries (1h join window, 24h funnel window, 6h session gap),
+# filter-boundary values (190 for q165's value > 190), a cents-rounding
+# tie (123.455), and one exactly-full trailing-25 window with an extreme
+# value (q199). Everything nanosecond-typed through pyarrow, like the
+# driver's corpus.
+import pyarrow as pa
+import pyarrow.parquet as paq
+
+HOUR = 3_600 * 1_000_000_000
+US = 1_000
+BASE = 1_700_000_000_000_000_000  # fixed epoch ns
+
+events = []
+def add(ts, uid, typ, val):
+    events.append((len(events), ts, uid, typ, val,
+                   '{"k": %d}' % (len(events) % 100)))
+
+TYPES = ["view", "click", "purchase", "error", "signup"]
+# day-1 block: becomes the "late" day for q189's min_hour + 24h cut
+for i in range(30):
+    add(BASE + i * HOUR // 3, i % 5, TYPES[i % 5], 10.0 + i)
+
+D2 = BASE + 30 * HOUR  # beyond the 24h cut
+# u1: same NANOSECOND view+purchase
+add(D2, 1, "view", 50.0); add(D2, 1, "purchase", 60.0)
+# u2: same microsecond, 1ns apart
+add(D2 + HOUR, 2, "view", 20.0); add(D2 + HOUR + 1, 2, "purchase", 30.0)
+# u3: purchase exactly 1h after view (inclusive boundary, q125/q190)
+add(D2 + 2 * HOUR, 3, "view", 10.0); add(D2 + 3 * HOUR, 3, "purchase", 40.0)
+# u4: purchase 1h + 1µs after view (just outside the window)
+add(D2 + 4 * HOUR, 4, "view", 10.0)
+add(D2 + 5 * HOUR + US, 4, "purchase", 40.0)
+# u5: funnel chain at exact 24h steps (q164 boundary is <=)
+add(D2, 5, "view", 1.0)
+add(D2 + 24 * HOUR, 5, "click", 2.0)
+add(D2 + 48 * HOUR, 5, "purchase", 3.0)
+# u6: value boundaries around q165's value > 190, plus a cents tie
+for j, v in enumerate([190.0, 190.01, 189.99, 123.455, 0.0]):
+    add(D2 + 6 * HOUR + j * HOUR, 6, "purchase", v)
+# u7: exactly 25 events a minute apart; the last is extreme (q199 flags it)
+for j in range(24):
+    add(D2 + 7 * HOUR + j * 60 * 1_000_000_000, 7, "click", 100.0 + (j % 3))
+add(D2 + 7 * HOUR + 24 * 60 * 1_000_000_000, 7, "click", 3000.0)
+# u8: session gaps exactly 6h and 6h + 1µs (q173 boundary)
+add(D2 + 60 * HOUR, 8, "view", 5.0)
+add(D2 + 66 * HOUR, 8, "view", 5.0)
+add(D2 + 72 * HOUR + US, 8, "view", 5.0)
+# u9: events exactly on hour-aligned window starts
+for j in range(4):
+    add(D2 + (80 + j) * HOUR, 9, "view", 7.0)
+
+tbl = pa.table({
+    "event_id": pa.array([e[0] for e in events], pa.int64()),
+    "ts": pa.array([e[1] for e in events], pa.timestamp("ns")),
+    "user_id": pa.array([e[2] for e in events], pa.int64()),
+    "event_type": pa.array([e[3] for e in events], pa.string()),
+    "value": pa.array([e[4] for e in events], pa.float64()),
+    "props": pa.array([e[5] for e in events], pa.string()),
+})
+paq.write_table(tbl, f"{out}/events.parquet")
+print(f"adversarial events: {len(events)} rows with boundary/tie cases")
