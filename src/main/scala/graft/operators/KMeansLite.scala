@@ -28,6 +28,14 @@ object KMeansLite {
     * below float input precision for |x| < 0.5). */
   val MeanScale: Double = 1073741824.0
 
+  /** Clamp bound applied BEFORE quantization: 2^32, so the scaled value
+    * stays within 2^62 < Long.MaxValue. Without it one corrupt embedding
+    * component (e.g. 1e30 from a broken upstream writer) overflows the
+    * BIGINT cast and kills the whole fit — found by the adversarial
+    * embeddings corpus. The clamp is a plain double min/max, identical
+    * on both engines, and a no-op for every sane embedding. */
+  val QClamp: Double = 4294967296.0
+
   /** Fit k centroids over `df(idCol, vCol: array<double>)`. */
   def fit(df: DataFrame, idCol: String, vCol: String, k: Int, iters: Int): Array[Array[Double]] = {
     val spark = df.sparkSession
@@ -44,7 +52,8 @@ object KMeansLite {
       val sums = assigned
         .select(col("cell"), posexplode(col(vCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(sum(expr(s"CAST(round(x * $MeanScale) AS BIGINT)")).as("s"),
+        .agg(sum(expr(
+          s"CAST(round(least(greatest(x, -$QClamp), $QClamp) * $MeanScale) AS BIGINT)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = Array.tabulate(cents.length)(i => cents(i).clone())

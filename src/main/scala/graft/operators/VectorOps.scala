@@ -238,6 +238,7 @@ object VectorOps {
     * one multiply + divide) is engine-identical. */
   private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
     val S = "1073741824.0" // KMeansLite.MeanScale
+    val C = "4294967296.0" // KMeansLite.QClamp — overflow guard, see there
     def d2(v: String, cv: String) =
       s"""list_sum(list_transform(range(1, ${dim + 1}),
          |      i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
@@ -261,7 +262,8 @@ object VectorOps {
          |      SELECT cell, pos,
          |        CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * $S) AS m
          |      FROM (SELECT cell, i AS pos,
-         |              CAST(round(v[CAST(i AS INT)] * $S) AS BIGINT) AS q
+         |              CAST(round(least(greatest(v[CAST(i AS INT)], -$C), $C) * $S)
+         |                   AS BIGINT) AS q
          |            FROM $assigned CROSS JOIN range(1, ${dim + 1}) t(i))
          |      GROUP BY cell, pos) GROUP BY cell) u ON p.cid = u.cid)""".stripMargin
     val iterCtes = (1 to iters).map { t =>

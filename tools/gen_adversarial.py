@@ -115,3 +115,43 @@ tbl = pa.table({
 })
 paq.write_table(tbl, f"{out}/events.parquet")
 print(f"adversarial events: {len(events)} rows with boundary/tie cases")
+
+# ---- adversarial embeddings: float-extreme but well-defined vectors ----
+# Exact duplicates, a 1-ulp near-duplicate, huge (1e30) and tiny (1e-30)
+# magnitudes, mixed signs — cases where cosine/dot must stay IEEE-exact
+# on both engines. Zero-norm vectors are deliberately NOT included: the
+# engine's documented contract (VectorOps scaladoc) is that zero
+# embeddings are filtered upstream — cosine is undefined for them and
+# the engines disagree on double division by zero (Spark IEEE NaN/Inf,
+# DuckDB NULL), so no oracle-backed answer exists.
+import struct
+
+DIM = 64
+def lcg(seed):
+    x = seed
+    while True:
+        x = (x * 1103515245 + 12345) % 2147483647
+        yield x
+
+vecs = []
+g = lcg(7)
+base_vec = [((next(g) % 2000) - 1000) / 1000.0 for _ in range(DIM)]
+vecs.append((0, base_vec, 0))                       # normal
+vecs.append((1, list(base_vec), 1))                 # exact duplicate of 0
+nd = list(base_vec)
+nd[0] = struct.unpack('f', struct.pack('f', nd[0]))[0] + 1e-6
+vecs.append((2, nd, 2))                             # near-duplicate (tiny delta)
+vecs.append((3, [1e30] * DIM, 3))                   # huge magnitude
+vecs.append((4, [1e-30] * DIM, 4))                  # tiny magnitude
+vecs.append((5, [(-1.0) ** i for i in range(DIM)], 5))  # alternating signs
+for i in range(6, 40):                              # filler, deterministic
+    vecs.append((i, [((next(g) % 2000) - 1000) / 1000.0 for _ in range(DIM)],
+                 i % 8))
+
+etbl = pa.table({
+    "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+    "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+    "label": pa.array([v[2] for v in vecs], pa.int32()),
+})
+paq.write_table(etbl, f"{out}/embeddings.parquet")
+print(f"adversarial embeddings: {len(vecs)} vectors (dup/near-dup/1e30/1e-30)")
