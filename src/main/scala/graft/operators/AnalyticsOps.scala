@@ -494,7 +494,8 @@ object AnalyticsOps {
       |  FROM e)
       |SELECT user_id, count(*) AS n_segments,
       |  CAST(sum(nus - us) AS BIGINT) AS total_dt_us,
-      |  CAST(sum((v + nv) * (nus - us)) AS DECIMAL(38,2)) AS weighted_sum
+      |  CAST(CAST(sum((v + nv) * (nus - us)) AS DECIMAL(38,2)) AS VARCHAR)
+      |    AS weighted_sum
       |FROM p WHERE nus IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -507,8 +508,14 @@ object AnalyticsOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_segments"),
         sum(col("nus") - col("us")).as("total_dt_us"),
+        // Fixed-scale string emission (the q01 magnitude-proof pattern):
+        // round 5's only driver-gate red row was this column as a raw
+        // DECIMAL(38,2) — rows and values matched but the driver's hash
+        // canonicalization of the typed decimal diverged. The scale-2
+        // string is the one representation both engines and the hash
+        // agree on at every magnitude.
         sum((col("v") + col("nv")) * (col("nus") - col("us")))
-          .cast(DecimalType(38, 2)).as("weighted_sum"))
+          .cast(DecimalType(38, 2)).cast("string").as("weighted_sum"))
       .orderBy("user_id")
   }
 

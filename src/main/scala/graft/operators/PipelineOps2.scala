@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - q138: pair-level dedup (q123) keeps "dup of lowest direct
   *    neighbor", but production dedup needs the TRANSITIVE cluster
-  *    (a~b, b~c => one keeper for {a,b,c}). Connected components run
-  *    as iterative min-label propagation with pointer jumping —
-  *    O(log n) rounds of shuffle-on-key joins, each bounded by
-  *    |E|+|V|, never materializing anything quadratic. The loop is
-  *    cut with localCheckpoint so plans don't grow per round.
+  *    (a~b, b~c => one keeper for {a,b,c}). The edge set comes from
+  *    the SRP-LSH candidate generator (adaptive-prefix band keys, see
+  *    [[srpAllPairEdges]]) + exact cosine verify — NOT from the exact
+  *    all-pairs blockPairs scan, which is the sf-small oracle
+  *    cross-check only (PipelineOps2Spec pins LSH ⊆ exact).
+  *    Connected components then run as iterative min-label
+  *    propagation with pointer jumping — O(log n) rounds of
+  *    shuffle-on-key joins, each bounded by |E|+|V|, never
+  *    materializing anything quadratic. The loop is cut with
+  *    localCheckpoint so plans don't grow per round.
   *  - q139: SRP-LSH buckets vectors by the sign pattern of 16 fixed
   *    random-hyperplane projections (4 bands x 4 bits). Candidate
   *    generation is a band+key EQUI-join (shuffle partitioned by
@@ -53,9 +58,45 @@ object PipelineOps2 {
 
   private val q138 = Q(
     "q138_dup_clusters",
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT a.vec_id AS d1, b.vec_id AS d2
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    // The oracle replays the adaptive-prefix SRP-LSH candidate
+    // generator ([[srpAllPairEdges]]) bit-for-bit: the LCG hyperplane
+    // coefficients are computed IN SQL (same integer recurrence, same
+    // double division), the band-key width comes from the same
+    // count-driven ladder, and exact cosine verifies candidates — so
+    // Spark and DuckDB derive the identical edge set at every corpus
+    // size, then both take transitive closure over it.
+    s"""WITH RECURSIVE params AS (
+       |  SELECT CASE WHEN n <= 1024 THEN 4096 WHEN n <= 2048 THEN 2048
+       |              WHEN n <= 4096 THEN 1024 WHEN n <= 8192 THEN 512
+       |              WHEN n <= 16384 THEN 256 WHEN n <= 32768 THEN 128
+       |              WHEN n <= 65536 THEN 64 WHEN n <= 131072 THEN 32
+       |              WHEN n <= 262144 THEN 16 WHEN n <= 524288 THEN 8
+       |              WHEN n <= 1048576 THEN 4 WHEN n <= 2097152 THEN 2
+       |              ELSE 1 END AS dv
+       |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |bits AS (
+       |  SELECT vec_id,
+       |    list_transform(range(0, 64), p ->
+       |      CASE WHEN list_sum(list_transform(range(1, 65),
+       |        i -> CAST(embedding[i] AS DOUBLE) *
+       |             (CAST((1103515245 * (p * 64 + i - 1) + 12345) % 2147483648
+       |                   AS DOUBLE) / 2147483648.0 * 2.0 - 1.0))) >= 0
+       |      THEN 1 ELSE 0 END) AS bits
+       |  FROM embeddings),
+       |keys AS (
+       |  SELECT vec_id, band,
+       |    CAST(list_sum(list_transform(range(0, 16),
+       |      j -> bits[band * 16 + j + 1] * (1 << CAST(15 - j AS INTEGER))))
+       |      // (SELECT dv FROM params) AS BIGINT) AS key
+       |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |pairs AS (
+       |  SELECT c.d1, c.d2 FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.d1
+       |  JOIN embeddings b ON b.vec_id = c.d2
        |  WHERE ${VectorOps.duckCos("a", "b")} >= ${VectorOps.NearDupTau}),
        |e AS (SELECT d1 AS u, d2 AS w FROM pairs
        |      UNION ALL SELECT d2, d1 FROM pairs),
@@ -74,23 +115,27 @@ object PipelineOps2 {
        |FROM lab l JOIN (SELECT cluster, count(*) AS cluster_size
        |                 FROM lab GROUP BY 1) s USING (cluster)
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    // Transitive duplicate clusters over the embedding near-dup pair
-    // graph (same edge set as q123): every vector gets the minimum
-    // vec_id of its connected component as cluster id; the component
-    // minimum is the keeper. Min-label propagation: each round a
-    // vertex takes the min label among itself and its neighbors, then
-    // jumps to its label's label (path compression) — converges in
-    // O(log n) rounds on any graph, checked by an exact changed-count.
-    val edges0 = VectorOps.blockPairs(s, VectorOps.vecs(s, dir))
+    // Transitive duplicate clusters over the LSH-candidate near-dup
+    // graph: edges come from srpAllPairEdges (banded equi-join, linear
+    // candidate volume) + exact cosine verify — the exact blockPairs
+    // scan is only the small-SF cross-check in PipelineOps2Spec, never
+    // on this path. Every vector gets the minimum vec_id of its
+    // connected component as cluster id; the component minimum is the
+    // keeper. Min-label propagation: each round a vertex takes the min
+    // label among itself and its neighbors, then jumps to its label's
+    // label (path compression) — converges in O(log n) rounds on any
+    // graph, checked by an exact changed-count.
+    val edges0 = srpAllPairEdges(s, VectorOps.vecs(s, dir))
       .filter(col("cos_sim") >= VectorOps.NearDupTau)
       .select(col("d1"), col("d2"))
       .persist()
-    // Near-dup edge sets are metadata-sized relative to the corpus (LSH
-    // already pruned the n² surface): below DriverCcMaxEdges the labels
-    // come from a driver union-find — O(E α(E)) local work, zero shuffle
-    // rounds, O(V_connected) memory (a flat label map, nothing
-    // quadratic — the bound the q68 closure path uses). Above it, the
-    // distributed min-label propagation below is the 100 TB path.
+    // The LSH band join prunes the n² surface before this point, so
+    // near-dup edge sets are metadata-sized relative to the corpus:
+    // below DriverCcMaxEdges the labels come from a driver union-find —
+    // O(E α(E)) local work, zero shuffle rounds, O(V_connected) memory
+    // (a flat label map, nothing quadratic — the bound the q68 closure
+    // path uses). Above it, the distributed min-label propagation below
+    // is the 100 TB path.
     val labels: DataFrame = if (edges0.count() <= DriverCcMaxEdges) {
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -238,6 +283,62 @@ object PipelineOps2 {
       .filter(col("rnk") <= 3)
       .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"), col("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  // -------------- adaptive-prefix SRP-LSH all-pairs candidate edges
+
+  private val CcBands = 4
+  private val CcBandBits = 16
+
+  /** 64 hyperplanes = 4 bands x 16 bits, same LCG family as [[planes]]
+    * (indices 0-63 extend q139's 0-15). */
+  private lazy val ccPlanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until CcBands * CcBandBits).map(p => (0 until Dim).map(i => coef(p * Dim + i)))
+
+  /** All-pairs near-dup CANDIDATE edges via signed-random-projection
+    * LSH with an ADAPTIVE band-key width — the scale twin of
+    * [[VectorOps.blockPairs]] (which stays the small-SF oracle
+    * cross-check, never a production edge source). 64 deterministic
+    * LCG hyperplanes = 4 bands x 16 bits per band; the key actually
+    * joined on is the first `ub` bits of each band, with `ub` derived
+    * from one corpus count so expected bucket size stays ~64 rows:
+    * candidate volume ~ bands * n * 64 / 2 — LINEAR in n. Same
+    * grow-the-partitioning-with-n trick as blockPairs' B, but on an
+    * equi-join that never replicates the corpus. Exact cosine then
+    * verifies candidates, so every emitted edge is a true near-dup;
+    * band-missed borderline pairs are the standard LSH recall
+    * tradeoff (high at production tau 0.9+, lower at the synthetic
+    * corpus's 0.35 tail) — the DuckDB oracle replays the identical
+    * planes and key ladder, so the correctness check is exact
+    * regardless of recall. Returns (d1 < d2, cos_sim). */
+  private[operators] def srpAllPairEdges(s: SparkSession, all: DataFrame): DataFrame = {
+    val n = all.count()
+    val ub = (4 to CcBandBits).find(b => n <= (64L << b)).getOrElse(CcBandBits)
+    val withBits = (0 until CcBands * CcBandBits).foldLeft(all) { (df, p) =>
+      val lits = ccPlanes(p).map(d => s"${d}D").mkString(", ")
+      df.withColumn(s"cb$p",
+        (expr(s"graft_dot(v, array($lits))") >= 0).cast("int"))
+    }
+    val bandKeys = (0 until CcBands).map { b =>
+      val full = (0 until CcBandBits)
+        .map(j => col(s"cb${b * CcBandBits + j}") * (1 << (CcBandBits - 1 - j)))
+        .reduce(_ + _)
+      shiftright(full, CcBandBits - ub).as(s"ck$b")
+    }
+    val sig = withBits.select(
+      (Seq(col("vec_id"), col("v"), col("nrm")) ++ bandKeys): _*)
+    val exploded = sig.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array((0 until CcBands).map(b => col(s"ck$b")): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val lhs = exploded.select(col("band"), col("key"), col("vec_id").as("d1"),
+      col("v").as("qv"), col("nrm").as("n1"))
+    val rhs = exploded.select(col("band"), col("key"), col("vec_id").as("d2"),
+      col("v").as("v"), col("nrm").as("n2"))
+    lhs.join(rhs, Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("cos_sim", expr("graft_dot(qv, v)") / (col("n1") * col("n2")))
+      .select("d1", "d2", "cos_sim")
   }
 
   // ----------------------------------- batch CDC upsert compaction

@@ -23,17 +23,51 @@ class PipelineOps2Spec extends AnyFunSuite {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  test("q138 dup clusters equal a brute-force union-find over exact pairs") {
+  test("q138 dup clusters equal a brute-force union-find over LSH-verified pairs") {
     val vs = vectors()
+    // Independent plain-Scala replay of the adaptive-prefix SRP-LSH
+    // edge source (srpAllPairEdges): 64 LCG hyperplanes = 4 bands x 16
+    // bits, key = first ub bits per band with ub from the corpus-count
+    // ladder, candidates = pairs sharing any band key, edges = exact
+    // cosine >= tau over candidates.
+    def coef(idx: Int): Double = {
+      val x = (1103515245L * idx + 12345L) % 2147483648L
+      x.toDouble / 2147483648.0 * 2.0 - 1.0
+    }
+    val planes = Array.tabulate(64, 64)((p, i) => coef(p * 64 + i))
+    val ub = (4 to 16).find(b => vs.length <= (64L << b)).getOrElse(16)
+    def bandKeys(v: Array[Double]): Array[Int] = {
+      val bits = planes.map { pl =>
+        var d = 0.0; var i = 0
+        while (i < 64) { d += v(i) * pl(i); i += 1 }
+        if (d >= 0) 1 else 0
+      }
+      Array.tabulate(4) { b =>
+        (0 until 16).map(j => bits(b * 16 + j) << (15 - j)).sum >> (16 - ub)
+      }
+    }
+    val keys = vs.map { case (id, v) => id -> bandKeys(v) }.toMap
+    val lshEdges = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if keys(vs(i)._1).zip(keys(vs(j)._1)).exists { case (a, b) => a == b }
+      if cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau
+    } yield (vs(i)._1, vs(j)._1)).toSet
+    // cross-check vs the exact all-pairs surface: LSH never invents an
+    // edge (every candidate is cosine-verified), it can only miss, and
+    // at this SF it keeps a non-trivial subset.
+    val exactEdges = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau
+    } yield (vs(i)._1, vs(j)._1)).toSet
+    assert(lshEdges.subsetOf(exactEdges), "LSH edge not in exact edge set")
+    assert(lshEdges.nonEmpty, "LSH edge set trivially empty at this SF")
     val parent = scala.collection.mutable.Map(vs.map(v => v._1 -> v._1): _*)
     def find(x: Long): Long = { val p = parent(x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
     def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    for (i <- vs.indices; j <- (i + 1) until vs.length)
-      if (cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau)
-        union(vs(i)._1, vs(j)._1)
+    lshEdges.foreach { case (a, b) => union(a, b) }
     val expected = vs.map(v => v._1 -> find(v._1)).toMap
     val sizes = expected.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
     val got = SparkEntry.queries("q138_dup_clusters")(spark, dir).collect()

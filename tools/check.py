@@ -3,38 +3,26 @@
 
 Reads each query's Spark-written parquet from outDir, runs the oracle SQL
 from oracle_sql.json in DuckDB over the sfDir tables, and compares:
-column names (sorted), row counts, and values (rows sorted, exact compare
-with a report of near-misses for floats).
+column names (sorted), column TYPES, row counts, and values.
 
-Outputs past BIG_ROWS rows skip the Python materialization (which is
-O(rows) driver memory and single-threaded sort — minutes per query on the
-100x corpus) and compare entirely inside DuckDB: count equality plus an
-empty symmetric EXCEPT ALL difference. That is exact, multi-threaded, and
-spill-capable; witnesses are printed on mismatch.
+ALL value comparisons run inside DuckDB as a symmetric EXCEPT ALL — exact,
+typed, multi-threaded, spill-capable. Round 5 proved the old small-output
+Python path (Decimal->float norm()) was blind exactly where the driver's
+hash is strict: at ~1e15 magnitudes a cents-level DECIMAL(38,2) divergence
+vanishes in the float conversion (2^53 mantissa), which is how q196 passed
+locally while failing the driver gate. Type-strict EXCEPT ALL sees it.
+
+On mismatch a few witness rows from each direction are printed; for
+all-float witness pairs a near-miss tag is added as a diagnostic (it still
+counts as FAIL — the driver's hash has no tolerance).
 """
 import sys, json, glob, os, math
 import duckdb
 
+
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
-BIG_ROWS = 100_000
-
-def canon(rows):
-    def key(r):
-        return tuple((v is None, str(type(v)), str(v)) for v in r)
-    return sorted(rows, key=key)
-
-def norm(v):
-    if v is None: return None
-    if isinstance(v, bool): return v
-    if isinstance(v, float): return v
-    if isinstance(v, int): return float(v) if abs(v) < 2**52 else v
-    try:
-        import decimal
-        if isinstance(v, decimal.Decimal): return float(v)
-    except Exception: pass
-    return v
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -77,62 +65,38 @@ def main():
             print(f"FAIL {name}: column types differ (spark vs oracle): {tdiff}")
             n_fail += 1; continue
         cols = ", ".join(f'"{c}"' for c in sorted(got_cols))
-        if got_cnt > BIG_ROWS:
-            # DuckDB-side exact compare; types already verified identical.
-            try:
-                con.execute(f"CREATE OR REPLACE TEMP VIEW _got AS "
-                            f"SELECT {cols} FROM '{qdir}/*.parquet'")
-                con.execute(f"CREATE OR REPLACE TEMP VIEW _exp AS "
-                            f"SELECT {cols} FROM ({oracles[name]}) _oracle")
-                exp_cnt = con.execute(
-                    "SELECT count(*) FROM _exp").fetchone()[0]
-                if got_cnt != exp_cnt:
-                    print(f"FAIL {name}: rowcount {got_cnt} != {exp_cnt}")
-                    n_fail += 1; continue
-                diff = con.execute(
-                    "SELECT * FROM ("
-                    "(SELECT * FROM _got EXCEPT ALL SELECT * FROM _exp)"
-                    " UNION ALL "
-                    "(SELECT * FROM _exp EXCEPT ALL SELECT * FROM _got)"
-                    ") LIMIT 3").fetchall()
-            except Exception as e:
-                print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-            if diff:
-                print(f"FAIL {name}: symmetric diff non-empty, e.g. {diff}")
-                n_fail += 1
-            else:
-                print(f"ok    {name} ({got_cnt} rows, duckdb-side)"); n_pass += 1
-            continue
-        got_rows = con.execute(
-            f"SELECT {cols} FROM '{qdir}/*.parquet'").fetchall()
         try:
-            exp_rows = con.execute(
-                f"SELECT {cols} FROM ({oracles[name]}) _oracle").fetchall()
+            con.execute(f"CREATE OR REPLACE TEMP VIEW _got AS "
+                        f"SELECT {cols} FROM '{qdir}/*.parquet'")
+            con.execute(f"CREATE OR REPLACE TEMP VIEW _exp AS "
+                        f"SELECT {cols} FROM ({oracles[name]}) _oracle")
+            exp_cnt = con.execute("SELECT count(*) FROM _exp").fetchone()[0]
+            if got_cnt != exp_cnt:
+                print(f"FAIL {name}: rowcount {got_cnt} != {exp_cnt}")
+                n_fail += 1; continue
+            extra = con.execute(
+                "SELECT * FROM _got EXCEPT ALL SELECT * FROM _exp "
+                "LIMIT 3").fetchall()
+            missing = con.execute(
+                "SELECT * FROM _exp EXCEPT ALL SELECT * FROM _got "
+                "LIMIT 3").fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}"); n_fail += 1; continue
-        g = canon([tuple(norm(v) for v in r) for r in got_rows])
-        e = canon([tuple(norm(v) for v in r) for r in exp_rows])
-        if len(g) != len(e):
-            print(f"FAIL {name}: rowcount {len(g)} != {len(e)}"); n_fail += 1; continue
-        bad = None
-        for i, (gr, er) in enumerate(zip(g, e)):
-            if gr != er:
-                # measure float near-miss
-                close = all(
-                    (a == b) or (isinstance(a, float) and isinstance(b, float)
-                                 and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
-                    for a, b in zip(gr, er))
-                bad = (i, gr, er, close); break
-        if bad:
-            i, gr, er, close = bad
-            tag = "NEAR" if close else "FAIL"
-            print(f"{tag} {name}: row {i}\n  got {gr}\n  exp {er}")
+        if extra or missing:
+            near = ""
+            if len(extra) == 1 and len(missing) == 1 and all(
+                (a == b) or (isinstance(a, float) and isinstance(b, float)
+                             and math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9))
+                for a, b in zip(extra[0], missing[0])):
+                near = " (float near-miss)"
+            print(f"FAIL {name}: symmetric diff non-empty{near}\n"
+                  f"  got-only {extra}\n  exp-only {missing}")
             n_fail += 1
         else:
-            print(f"ok    {name} ({len(g)} rows)"); n_pass += 1
+            print(f"ok    {name} ({got_cnt} rows)"); n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
+
 if __name__ == "__main__":
     main()
-
