@@ -32,6 +32,21 @@ case class TopKAgg(
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(value, id)
+
+  // Fail at analysis, not with a ClassCastException inside update() on
+  // an executor: value must be DOUBLE, id must be BIGINT (same contract
+  // style as QuantStats/UnicodeNormBase).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (value.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName value must be DOUBLE, got ${value.dataType.catalogString}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName id must be BIGINT, got ${id.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("v", DoubleType, nullable = false),

@@ -104,22 +104,44 @@ object BatchRunner {
 }
 
 /** Parse gate — the reference's SyntaxCheck (shared/SyntaxCheck.java:15-38):
-  * lex+parse only, exit 0 if every statement parses, 1 otherwise. */
+  * lex+parse only, with exit-code PARITY to the reference's four paths:
+  * 0 = every statement parses; 1 = syntax error (the reference's
+  * ParseCancellationException ~ Spark's ParseException); 2 = a
+  * recognition-layer failure that isn't a plain syntax error (the
+  * reference's RecognitionException ~ any other Throwable out of the
+  * parser); 3 = unreadable input file (IOException on both sides).
+  * Like the reference, the first failure decides the code. */
 object SyntaxCheck {
+
+  /** 1 for a plain syntax error, 2 for any other parser failure —
+    * mirrors the reference's ParseCancellationException (1) vs
+    * RecognitionException (2) split. */
+  private[lineage] def classify(e: Throwable): Int = e match {
+    case _: org.apache.spark.sql.catalyst.parser.ParseException => 1
+    case _ => 2
+  }
+
+  private[lineage] def check(spark: SparkSession, path: String): Int = {
+    val script =
+      try new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      catch { case _: java.io.IOException => return 3 }
+    SqlPreprocessor.preprocess(script).foreach { stmt =>
+      try spark.sessionState.sqlParser.parsePlan(stmt)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"${stmt.linesIterator.next().take(60)}: ${e.getClass.getSimpleName}")
+        return classify(e)
+      }
+    }
+    0
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[1]")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val script = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))))
-    val errs = SqlPreprocessor.preprocess(script).flatMap { stmt =>
-      try { spark.sessionState.sqlParser.parsePlan(stmt); None }
-      catch { case e: Throwable =>
-        Some(s"${stmt.linesIterator.next().take(60)}: ${e.getClass.getSimpleName}")
-      }
-    }
-    errs.foreach(System.err.println)
+    val code = check(spark, args(0))
     spark.stop()
-    sys.exit(if (errs.isEmpty) 0 else 1)
+    sys.exit(code)
   }
 }

@@ -99,7 +99,67 @@ object SqlPreprocessor {
         s"$head$rest LIMIT $n"
       case other => other
     }
-    rewriteQualify(rewriteUnnest(rewriteArrayCtor(rewritePrestoTypes(s4))))
+    rewriteQualify(rewriteUnnest(rewriteArrayCtor(rewritePrestoTypes(
+      rewriteAtTimeZone(rewriteActivityCount(s4))))))
+  }
+
+  /** Teradata `ACTIVITY_COUNT` (Bingql.g4:1415-1434, expr_spec_func) —
+    * the rows-affected-by-previous-statement register. The reference
+    * parses it as a bare expression atom; Spark has no equivalent and
+    * the surrounding statement would otherwise skip-route, dropping its
+    * lineage. A constant `CAST(0 AS BIGINT)` keeps the statement
+    * analyzable — the register's VALUE is procedural state no batch
+    * engine can reproduce, but every column ref around it survives. */
+  private[lineage] def rewriteActivityCount(sql: String): String =
+    """(?i)\bactivity_count\b""".r.replaceAllIn(sql, "CAST(0 AS BIGINT)")
+
+  /** Presto `expr AT TIME ZONE 'tz'` (Bingql.g4:980-982 timezone_expr,
+    * applied at 1251 `expr timezone_expr`; the zone is always a string
+    * literal) → `from_utc_timestamp(expr, 'tz')`, which Spark parses
+    * and which preserves the operand's column lineage. The operand is
+    * recovered textually: a balanced `(...)` call (with its function
+    * name), a `TIMESTAMP '...'` / `DATE '...'` literal, or a trailing
+    * [qualified] identifier — the shapes the reference grammar admits
+    * at that precedence level. */
+  private[lineage] def rewriteAtTimeZone(sql: String): String = {
+    val re = """(?is)\bat\s+time\s+zone\s+('[^']*')""".r
+    re.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val tz = m.group(1)
+        var end = m.start
+        while (end > 0 && sql.charAt(end - 1).isWhitespace) end -= 1
+        var start = end
+        if (start > 0 && sql.charAt(start - 1) == ')') {
+          var depth = 0; var i = start - 1; var done = false
+          while (i >= 0 && !done) {
+            val c = sql.charAt(i)
+            if (c == ')') depth += 1
+            else if (c == '(') { depth -= 1; if (depth == 0) done = true }
+            if (!done) i -= 1
+          }
+          start = math.max(i, 0)
+          while (start > 0 && (isIdentChar(sql.charAt(start - 1)) ||
+            sql.charAt(start - 1) == '.')) start -= 1
+        } else if (start > 0 && sql.charAt(start - 1) == '\'') {
+          var i = start - 2
+          while (i >= 0 && sql.charAt(i) != '\'') i -= 1
+          start = math.max(i, 0)
+          // include a preceding TIMESTAMP/DATE type keyword
+          var j = start
+          while (j > 0 && sql.charAt(j - 1).isWhitespace) j -= 1
+          var k = j
+          while (k > 0 && isIdentChar(sql.charAt(k - 1))) k -= 1
+          if (k < j && sql.substring(k, j).matches("(?i)timestamp|date")) start = k
+        } else {
+          while (start > 0 && (isIdentChar(sql.charAt(start - 1)) ||
+            sql.charAt(start - 1) == '.' || sql.charAt(start - 1) == '`')) start -= 1
+        }
+        val operand = sql.substring(start, end).trim
+        if (operand.isEmpty) sql
+        else sql.substring(0, start) + s"from_utc_timestamp($operand, $tz)" +
+          rewriteAtTimeZone(sql.substring(m.end))
+    }
   }
 
   /** Split on top-level commas (not inside parens or angle brackets). */

@@ -558,7 +558,13 @@ object AnalyticsOps {
     * ((x - mean)/stddev)^2 > 9 but in exact integer cents (values pass
     * through DECIMAL(12,2)*100 so the cast is exact). No sqrt, no
     * division, no accumulation-order sensitivity — both engines flag
-    * the identical row set at any corpus magnitude. One window sort
+    * the identical row set at any plausible corpus magnitude: the
+    * squares and their sums are staged through 128-bit-capable types
+    * (Spark DECIMAL(38,0), DuckDB HUGEINT; internal only, output
+    * columns stay BIGINT) because cents^2 and 25*s2 - s1^2 pass 64
+    * bits around |value| ~ 3e7 already, where 64-bit arithmetic wraps
+    * in one engine and widens/raises in the other. Exact up to
+    * |cents| ~ 5e17 (s1^2 hits the 128-bit line). One window sort
     * per user (trailing ROWS frame, O(1) state per row); warmup rows
     * (n < 25) never flag. */
   private val q199 = Q(
@@ -571,15 +577,16 @@ object AnalyticsOps {
       |w AS (
       |  SELECT user_id, event_id, cents,
       |    count(*) OVER win AS n,
-      |    CAST(sum(cents) OVER win AS BIGINT) AS s1,
-      |    CAST(sum(cents*cents) OVER win AS BIGINT) AS s2
+      |    sum(CAST(cents AS HUGEINT)) OVER win AS s1,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER win AS s2
       |  FROM e
       |  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
       |                 ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
       |SELECT user_id, event_id, cents
       |FROM w
       |WHERE n = 25
-      |  AND (25*cents - s1)*(25*cents - s1) > 9 * (25*s2 - s1*s1)
+      |  AND (25*CAST(cents AS HUGEINT) - s1)*(25*CAST(cents AS HUGEINT) - s1)
+      |      > 9 * (25*s2 - s1*s1)
       |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val e = ev(s, dir).select(col("user_id"), col("event_id"),
@@ -587,12 +594,17 @@ object AnalyticsOps {
       (dec(col("value")) * 100).cast("long").as("cents"))
     val win = Window.partitionBy("user_id").orderBy("us", "event_id")
       .rowsBetween(-24, 0)
-    val dev = lit(25L) * col("cents") - col("s1")
+    // DECIMAL(38,0) staging (Spark side of the HUGEINT swap in the
+    // oracle): cents*cents and the quadratic test terms exceed 64 bits
+    // well inside plausible magnitudes; internal only, outputs stay
+    // BIGINT.
+    val c38 = col("cents").cast(DecimalType(38, 0))
+    val dev = lit(25) * c38 - col("s1")
     e.withColumn("n", count(lit(1)).over(win))
-      .withColumn("s1", sum(col("cents")).over(win))
-      .withColumn("s2", sum(col("cents") * col("cents")).over(win))
+      .withColumn("s1", sum(c38).over(win))
+      .withColumn("s2", sum(c38 * col("cents")).over(win))
       .filter(col("n") === 25 &&
-        dev * dev > lit(9L) * (lit(25L) * col("s2") - col("s1") * col("s1")))
+        dev * dev > lit(9) * (lit(25) * col("s2") - col("s1") * col("s1")))
       .select(col("user_id"), col("event_id"), col("cents"))
       .orderBy("user_id", "event_id")
   }

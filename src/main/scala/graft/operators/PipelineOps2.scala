@@ -615,10 +615,17 @@ object PipelineOps2 {
     // The production ingest shape: a new batch (doc_id % 5 = 4 stands in
     // for today's crawl) is gated against the frozen corpus — exact
     // normalization-key match plus MinHash-band near-dup (same 16x4
-    // banding as q45; at j >= 0.9 band recall ≈ 1, so the gate equals
-    // the exact-Jaccard oracle). Both checks are equi-joins keyed by
-    // norm-key / (band, bsig): the corpus side is scanned once, and
-    // only band-colliding candidates are exactly verified.
+    // banding as q45). ACCEPTED RISK, same as q45's and quantified in
+    // the adversarial-corpus contract (tools/gen_adversarial.py): the
+    // oracle computes exact Jaccard over shingle-sharing pairs, while
+    // this gate only sees band-colliding candidates — at j exactly 0.9
+    // the 16-band miss probability is (1 - 0.9^4)^16 ≈ 4e-8 per pair,
+    // not zero, so a pathologically-constructed borderline pair could
+    // band-miss; corpus generators therefore keep engineered near-dup
+    // pairs at j clearly above the threshold. Both checks are
+    // equi-joins keyed by norm-key / (band, bsig): the corpus side is
+    // scanned once, and only band-colliding candidates are exactly
+    // verified.
     val d = docs(s, dir)
     val key = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
     val isInc = col("doc_id") % 5 === 4

@@ -548,7 +548,31 @@ object Relational3 {
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Presto `expr AT TIME ZONE 'tz'` (reference Bingql.g4:980-982
+    * timezone_expr), EXECUTED through the preprocessor rewrite
+    * ([[graft.lineage.SqlPreprocessor.rewriteAtTimeZone]]): the dialect
+    * text becomes `from_utc_timestamp(expr, tz)` and runs on Spark. The
+    * oracle replays the conversion with DuckDB's double-`timezone()`
+    * form — timezone('UTC', ts) pins the naive timestamp to a UTC
+    * instant, timezone(tz, …) renders the wall clock — which is
+    * session-timezone independent on both ends. */
+  private val q202 = Q(
+    "q202_at_time_zone",
+    """SELECT event_type,
+      |  CAST(hour(timezone('America/Los_Angeles', timezone('UTC', ts))) AS INT)
+      |    AS la_hour,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val dialect =
+      """SELECT event_type,
+        |  CAST(hour(ts AT TIME ZONE 'America/Los_Angeles') AS INT) AS la_hour,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s.sql(graft.lineage.SqlPreprocessor.rewriteDialect(dialect))
+  }
+
   val defs: Seq[Q] =
     Seq(q84, q85, q86, q87, q88, q89, q90, q95, q97, q98, q100, q101, q102,
-      q145, q149, q150, q151, q155, q156, q181, q182, q200)
+      q145, q149, q150, q151, q155, q156, q181, q182, q200, q202)
 }

@@ -164,7 +164,11 @@ object SourceOps {
     * writes all partitions (value <= 50); the incremental write carries
     * only 'click' rows (value > 50) in dynamic mode, so the final state
     * is incr-for-click + base-for-others — which the oracle states
-    * directly as a predicate over the raw events. */
+    * directly as a predicate over the raw events, INCLUDING the
+    * degenerate corpus: dynamic overwrite only replaces partitions
+    * present in the incremental frame, so if no click row exceeds 50
+    * the base click partition survives — the oracle's NOT EXISTS arm
+    * models exactly that. */
   private val q148 = Q(
     "q148_dynamic_partition_overwrite",
     """SELECT event_type, count(*) AS n,
@@ -172,6 +176,9 @@ object SourceOps {
       |FROM events
       |WHERE (event_type = 'click' AND value > 50)
       |   OR (event_type <> 'click' AND value <= 50)
+      |   OR (event_type = 'click' AND value <= 50 AND NOT EXISTS (
+      |         SELECT 1 FROM events e2
+      |         WHERE e2.event_type = 'click' AND e2.value > 50))
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions._
     val ev = Tables.load(s, dir, "events")
@@ -262,7 +269,11 @@ object SourceOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.functions._
     val path = s"/tmp/graft_dpp_${math.abs(dir.hashCode)}"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    // same stale-memo invalidation as partitionedEvents: rebuild when
+    // the source is regenerated in place under the same dir
+    val success = new java.io.File(path, "_SUCCESS")
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified()) {
       Tables.load(s, dir, "lineitem")
         .withColumn("ship_year", year(col("l_shipdate")))
         .write.partitionBy("ship_year").mode("overwrite").parquet(path)

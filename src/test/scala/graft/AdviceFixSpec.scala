@@ -58,6 +58,26 @@ class AdviceFixSpec extends AnyFunSuite {
     assert(SqlPreprocessor.rewriteDialect(keep) == keep)
   }
 
+  test("q148 degenerate corpus: no click row above 50 keeps the base click partition") {
+    // Dynamic partition overwrite only replaces partitions present in
+    // the incremental frame; with zero qualifying click rows the base
+    // click partition must SURVIVE, and the oracle's NOT EXISTS arm
+    // models the same outcome. Expected values recomputed by hand.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = "/tmp/graft_q148_degenerate"
+    Seq(
+      (1L, 1000000000L, 1L, "click", 10.0, "{}"),
+      (2L, 2000000000L, 1L, "click", 20.0, "{}"),
+      (3L, 3000000000L, 2L, "view", 30.0, "{}"),
+      (4L, 4000000000L, 2L, "view", 60.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q148_dynamic_partition_overwrite")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("click" -> ((2L, 30.0)), "view" -> ((1L, 30.0))))
+  }
+
   test("q53 fingerprint matches the oracle on documents with consecutive spaces") {
     // Spark ascii('') = 0 but DuckDB ord('') = -1 — empty tokens are
     // filtered on both sides; 1551795128 is the DuckDB value for this doc.

@@ -292,11 +292,14 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         val segs = sorted.zip(sorted.tail).zipWithIndex.map { case (((_, us1, _, _, _), (_, us2, _, _, _)), i) =>
           (us2 - us1, (cents(i) + cents(i + 1)) * BigDecimal(us2 - us1))
         }
-        u -> ((segs.length.toLong, segs.map(_._1).sum, segs.map(_._2).sum))
+        u -> ((segs.length.toLong, segs.map(_._1).sum,
+          segs.map(_._2).sum.setScale(2).toString))
     }
+    // weighted_sum is emitted as a fixed-scale-2 decimal STRING (the
+    // q01 magnitude-proof pattern); compare the canonical rendering.
     val got = SparkEntry.queries("q196_time_weighted")(spark, dir).collect()
       .map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), BigDecimal(r.getDecimal(3))))).toMap
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(got.keySet == expected.keySet)
     expected.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
   }

@@ -166,6 +166,20 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_topk rejects wrong input types at analysis, accepts (DOUBLE, BIGINT)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{DoubleType, LongType, IntegerType, StringType}
+    def chk(v: org.apache.spark.sql.catalyst.expressions.Expression,
+            i: org.apache.spark.sql.catalyst.expressions.Expression) =
+      functions.TopKAgg(v, i, 3).checkInputDataTypes()
+    assert(chk(Literal(0.0), Literal(0L)).isSuccess)
+    assert(!chk(Literal.default(StringType), Literal(0L)).isSuccess)
+    assert(!chk(Literal.default(IntegerType), Literal(0L)).isSuccess)
+    assert(!chk(Literal(0.0), Literal.default(IntegerType)).isSuccess)
+    assert(!chk(Literal.default(DoubleType), Literal.default(StringType)).isSuccess)
+    assert(chk(Literal.default(DoubleType), Literal.default(LongType)).isSuccess)
+  }
+
   test("graft_nfc / graft_strip_accents match the DuckDB-probed unicode semantics") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.unsafe.types.UTF8String

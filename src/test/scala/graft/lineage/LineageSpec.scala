@@ -332,6 +332,66 @@ class LineageSpec extends AnyFunSuite {
       e.outColumn == "col201s" && e.parentColumn == "col201s" })
   }
 
+  test("preprocessor: AT TIME ZONE rewrites to from_utc_timestamp, lineage preserved") {
+    // operand shapes: bare identifier, qualified, function call, literal
+    assert(SqlPreprocessor.rewriteAtTimeZone(
+      "SELECT ts AT TIME ZONE 'UTC' AS t FROM e")
+      == "SELECT from_utc_timestamp(ts, 'UTC') AS t FROM e")
+    assert(SqlPreprocessor.rewriteAtTimeZone(
+      "SELECT hour(x.ts AT TIME ZONE 'America/New_York') FROM e x")
+      == "SELECT hour(from_utc_timestamp(x.ts, 'America/New_York')) FROM e x")
+    assert(SqlPreprocessor.rewriteAtTimeZone(
+      "SELECT date_trunc('hour', ts) AT TIME ZONE 'UTC' FROM e")
+      == "SELECT from_utc_timestamp(date_trunc('hour', ts), 'UTC') FROM e")
+    assert(SqlPreprocessor.rewriteAtTimeZone(
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' AT TIME ZONE 'UTC'")
+      == "SELECT from_utc_timestamp(TIMESTAMP '2024-01-01 00:00:00', 'UTC')")
+    // the statement extracts the same edges as its hand-rewritten form
+    val dialect = LineageRunner.run(spark,
+      "SELECT CAST(col101s AS TIMESTAMP) AT TIME ZONE 'America/Los_Angeles' " +
+        "AS local_ts FROM dw.tab10;")
+    assert(dialect.skippedStatements.isEmpty, "AT TIME ZONE skip-routed")
+    val manual = LineageRunner.run(spark,
+      "SELECT from_utc_timestamp(CAST(col101s AS TIMESTAMP), " +
+        "'America/Los_Angeles') AS local_ts FROM dw.tab10;")
+    def es(r: LineageRunner.Result) = r.edges.map { case (_, e) =>
+      (e.outColumn, e.parentSchema, e.parentTable, e.parentColumn, e.context)
+    }.sorted
+    assert(es(dialect).nonEmpty && es(dialect) == es(manual))
+    assert(es(dialect).exists(_._4 == "col101s"))
+  }
+
+  test("preprocessor: ACTIVITY_COUNT rewrites to a constant, statement keeps lineage") {
+    assert(SqlPreprocessor.rewriteActivityCount("SELECT ACTIVITY_COUNT")
+      == "SELECT CAST(0 AS BIGINT)")
+    // identifiers containing the word are untouched
+    val keep = "SELECT activity_count_total FROM t"
+    assert(SqlPreprocessor.rewriteActivityCount(keep) == keep)
+    val res = LineageRunner.run(spark,
+      "SELECT col100l, ACTIVITY_COUNT AS prev_rows FROM dw.tab10;")
+    assert(res.skippedStatements.isEmpty, "ACTIVITY_COUNT skip-routed")
+    assert(res.edges.exists { case (_, e) =>
+      e.outColumn == "col100l" && e.parentColumn == "col100l" })
+  }
+
+  test("SyntaxCheck: all four reference exit codes (0/1/2/3) reproduced") {
+    import java.nio.file.Files
+    val ok = Files.createTempFile("graft_syn_ok", ".sql")
+    Files.write(ok, "SELECT 1 AS a;\nSELECT 2 AS b;".getBytes)
+    assert(SyntaxCheck.check(spark, ok.toString) == 0)
+    val bad = Files.createTempFile("graft_syn_bad", ".sql")
+    // unbalanced paren: unambiguous syntax error even with Spark's
+    // non-reserved keywords (e.g. `SELECT FROM FROM WHERE` parses as
+    // identifier FROM over a table named WHERE)
+    Files.write(bad, "SELECT (1 + FROM t;".getBytes)
+    assert(SyntaxCheck.check(spark, bad.toString) == 1)
+    // 2 = non-syntax parser failure (reference: RecognitionException)
+    assert(SyntaxCheck.classify(new RuntimeException("boom")) == 2)
+    assert(SyntaxCheck.classify(new StackOverflowError().fillInStackTrace()) == 2)
+    // 3 = unreadable input (reference: IOException)
+    assert(SyntaxCheck.check(spark, "/nonexistent/graft/file.sql") == 3)
+  }
+
   test("runner: GRANT/transactions/DML residue skip-routes, SELECT still extracts") {
     val res = LineageRunner.run(spark,
       """GRANT SELECT ON TABLE dw.tab10 TO ROLE analyst;

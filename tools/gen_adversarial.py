@@ -8,6 +8,16 @@ surfaces engine divergences masked by the clean corpus (this is how
 the ascii('')=0 vs ord('')=-1 fingerprint bug and the sequence(1,0)
 SimHash fold bug were confirmed fixed).
 
+CONTRACT — MinHash band recall (q45/q146): the near-dup gates compare
+band-colliding candidates against exact-Jaccard oracles. At similarity
+exactly at the 0.9 threshold, the 16x4 banding misses a pair with
+probability (1 - 0.9^4)^16 ~ 4e-8 — small but not zero. Engineered
+near-dup document pairs in this corpus must therefore sit CLEARLY above
+the threshold (e.g. one-token edits on 9-token docs, j ~ 0.8 below /
+exact dups above), never at a deliberately band-borderline similarity;
+a corpus that plants a j = 0.9 + epsilon pair is testing LSH luck, not
+engine correctness.
+
 Usage: python3 tools/gen_adversarial.py [srcSfDir] [outDir]
 Then:  bash tools/verify_local.sh <outDir> /tmp/verify_adv
 """
