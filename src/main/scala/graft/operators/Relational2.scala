@@ -46,7 +46,7 @@ object Relational2 {
       |  CAST(RANK() OVER w AS INT) AS rnk,
       |  LAG(o_orderkey) OVER w AS prev_key
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin)
 
   // Deterministic hash sampling — the scalable, cross-engine alternative

@@ -77,7 +77,7 @@ object Relational3 {
       |  abs(o_totalprice - 100000) AS dist_from_100k,
       |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS price_ceil_k,
       |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_floor_k,
-      |  sqrt(o_totalprice) AS price_sqrt,
+      |  sqrt(abs(o_totalprice)) AS price_sqrt,
       |  CAST(sign(o_totalprice - 150000) AS INT) AS above_150k,
       |  o_orderkey % 7 AS mod7,
       |  CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
@@ -90,7 +90,10 @@ object Relational3 {
       abs(col("o_totalprice") - 100000).as("dist_from_100k"),
       ceil(col("o_totalprice") / 1000).cast("long").as("price_ceil_k"),
       floor(col("o_totalprice") / 1000).cast("long").as("price_floor_k"),
-      sqrt(col("o_totalprice")).as("price_sqrt"),
+      // abs first: negative prices (refund rows in the adversarial
+      // corpus) make sqrt NaN on Spark but an ERROR on DuckDB — there
+      // is no oracle-expressible answer for a bare sqrt(negative)
+      sqrt(abs(col("o_totalprice"))).as("price_sqrt"),
       signum(col("o_totalprice") - 150000).cast("int").as("above_150k"),
       (col("o_orderkey") % 7).as("mod7"),
       col("o_orderkey").bitwiseAND(255).cast("long").as("low_byte"),

@@ -88,7 +88,7 @@ object SketchOps {
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        row_number() OVER (PARTITION BY o_custkey
       |                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      |      FROM orders)
+      |      FROM orders WHERE o_totalprice IS NOT NULL)
       |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin) { (s, dir) =>
     graft.Tables.registerAll(s, dir)
     s.sessionState.functionRegistry.createOrReplaceTempFunction(

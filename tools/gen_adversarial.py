@@ -165,3 +165,100 @@ etbl = pa.table({
 })
 paq.write_table(etbl, f"{out}/embeddings.parquet")
 print(f"adversarial embeddings: {len(vecs)} vectors (dup/near-dup/1e30/1e-30)")
+
+# ---- adversarial orders/lineitem: decimal boundaries, .xx5 ties, ----
+# ---- same-key skew bursts, NULL-heavy optional columns           ----
+# The relational tables were the last un-fuzzed fixture family. Keys stay
+# inside the copied dimensions' ranges (custkey 0-149, suppkey 0-9,
+# partkey 0-199) so joins still match. Magnitudes stay inside the
+# engine-documented DECIMAL(12,2) contract (< 1e10) — an overflowing cast
+# NULLs in one engine and raises in the other, which is outside any
+# oracle-expressible semantic. The .xx5 tie values are EXACT binary
+# fractions (eighths), so decimal rounding mode (half-up vs half-even)
+# is genuinely exercised rather than hidden by double representation.
+import datetime
+
+D = datetime.datetime
+
+orders2 = []
+def oadd(key, cust, status, price, date, prio):
+    orders2.append((key, cust, status, price, date, prio))
+
+# skew burst: custkey 7 owns 500 orders (q16 HAVING >= 12, q198 preflight)
+for i in range(500):
+    oadd(10000 + i, 7, "OFP"[i % 3],
+         round(100.0 + i * 0.01, 2),
+         D(1992 + i % 7, 1 + i % 12, 1 + i % 28),
+         ["1-URGENT", "5-LOW", "3-MEDIUM"][i % 3])
+# .xx5 ties exactly representable in binary (eighths): 0.125, 2.375, ...
+for j, p in enumerate([0.125, 2.375, 100.625, 9999.875, 12.5, 0.375]):
+    oadd(11000 + j, j % 150, "O", p, D(1995, 3, 15), "1-URGENT")
+# decimal boundary prices: DECIMAL(12,2)-max-adjacent, tiny, negative
+for j, p in enumerate([9999999.99, 0.01, -0.01, -99999.99, 123456.78]):
+    oadd(11100 + j, (j * 13) % 150, "F", p, D(1992 + j, 6, 30), "2-HIGH")
+# NULL-heavy rows: every optional column NULL somewhere
+oadd(11200, 11, None, None, None, None)
+oadd(11201, 12, "P", None, D(1996, 1, 1), None)
+oadd(11202, 13, None, 55.55, None, "5-LOW")
+# year boundary for q183's year(o_orderdate) % 3 = 0 prune (1992, 1995, 1998)
+for j, y in enumerate([1992, 1995, 1998]):
+    oadd(11300 + j, 20 + j, "O", 777.0, D(y, 12, 31), "1-URGENT")
+
+otbl = pa.table({
+    "o_orderkey": pa.array([o[0] for o in orders2], pa.int64()),
+    "o_custkey": pa.array([o[1] for o in orders2], pa.int64()),
+    "o_orderstatus": pa.array([o[2] for o in orders2], pa.string()),
+    "o_totalprice": pa.array([o[3] for o in orders2], pa.float64()),
+    "o_orderdate": pa.array([o[4] for o in orders2], pa.timestamp("us")),
+    "o_orderpriority": pa.array([o[5] for o in orders2], pa.string()),
+})
+paq.write_table(otbl, f"{out}/orders.parquet")
+print(f"adversarial orders: {len(orders2)} rows (skew burst, .xx5 ties, NULLs)")
+
+lines = []
+def ladd(okey, part, supp, ln, qty, price, disc, tax, rf, ls, ship):
+    lines.append((okey, part, supp, ln, qty, price, disc, tax, rf, ls, ship))
+
+# same-key skew: one (partkey, suppkey) pair on 400 lines (q192 graph hub,
+# q169/q198 skew shapes)
+for i in range(400):
+    ladd(10000 + i, 5, 3, 1, 1.0 + i % 50, 1000.0 + i, 0.05, 0.02,
+         "NAR"[i % 3], "OF"[i % 2], D(1994, 1 + i % 12, 1 + i % 28))
+# q02 boundary probes: shipdate exactly on the half-open range ends,
+# discount exactly 0.05/0.07, quantity exactly 24 and just below
+ladd(11000, 10, 1, 1, 23.0, 100.0, 0.05, 0.01, "N", "O", D(1996, 1, 1))
+ladd(11000, 11, 2, 2, 24.0, 100.0, 0.07, 0.01, "N", "O", D(1996, 12, 31))
+ladd(11001, 12, 3, 1, 23.999, 100.0, 0.06, 0.01, "A", "F", D(1997, 1, 1))
+ladd(11001, 13, 4, 2, 1.0, 100.0, 0.049999, 0.01, "R", "F", D(1995, 12, 31))
+# .xx5 tie prices/discounts as exact eighths; q01 decimal-cast rounding
+for j, (p, d) in enumerate([(0.125, 0.125), (2.375, 0.0), (100.625, 0.25),
+                            (9999.875, 0.5), (12.5, 0.375)]):
+    ladd(11002, 20 + j, j % 10, j + 1, 5.0, p, d, 0.125, "N", "O",
+         D(1993, 7, 4))
+# negative amounts (refund rows) + decimal-boundary magnitudes
+ladd(11003, 30, 5, 1, -3.0, -4999.99, 0.0, 0.0, "R", "F", D(1994, 2, 2))
+ladd(11003, 31, 6, 2, 0.0, 9999999.99, 0.0, 0.08, "A", "O", D(1994, 2, 3))
+# NULL-heavy rows: optional measures/dates NULL
+ladd(11004, 40, 7, 1, None, None, None, None, None, None, None)
+ladd(11004, 41, 8, 2, 7.0, 700.0, None, 0.01, "N", None, None)
+ladd(11005, 42, 9, 1, None, 800.0, 0.02, None, None, "O", D(1998, 9, 2))
+# q01 cutoff boundary: shipdate exactly 1998-09-02 (<=) and one day later
+ladd(11006, 43, 0, 1, 2.0, 50.0, 0.01, 0.01, "N", "O", D(1998, 9, 2))
+ladd(11006, 44, 1, 2, 2.0, 50.0, 0.01, 0.01, "N", "O", D(1998, 9, 3))
+
+ltbl = pa.table({
+    "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+    "l_partkey": pa.array([l[1] for l in lines], pa.int64()),
+    "l_suppkey": pa.array([l[2] for l in lines], pa.int64()),
+    "l_linenumber": pa.array([l[3] for l in lines], pa.int32()),
+    "l_quantity": pa.array([l[4] for l in lines], pa.float64()),
+    "l_extendedprice": pa.array([l[5] for l in lines], pa.float64()),
+    "l_discount": pa.array([l[6] for l in lines], pa.float64()),
+    "l_tax": pa.array([l[7] for l in lines], pa.float64()),
+    "l_returnflag": pa.array([l[8] for l in lines], pa.string()),
+    "l_linestatus": pa.array([l[9] for l in lines], pa.string()),
+    "l_shipdate": pa.array([l[10] for l in lines], pa.timestamp("us")),
+})
+paq.write_table(ltbl, f"{out}/lineitem.parquet")
+print(f"adversarial lineitem: {len(lines)} rows "
+      f"(boundary dates/discounts, eighth-ties, NULLs, skew)")
