@@ -62,7 +62,8 @@ object PipelineOps2 {
     // generator ([[srpAllPairEdges]]) bit-for-bit: the LCG hyperplane
     // coefficients are computed IN SQL (same integer recurrence, same
     // double division), the band-key width comes from the same
-    // count-driven ladder, and exact cosine verifies candidates — so
+    // count-driven ladder, the same oversize buckets (> CcBucketCap
+    // rows) are dropped, and exact cosine verifies candidates — so
     // Spark and DuckDB derive the identical edge set at every corpus
     // size, then both take transitive closure over it.
     s"""WITH RECURSIVE params AS (
@@ -83,12 +84,17 @@ object PipelineOps2 {
        |                   AS DOUBLE) / 2147483648.0 * 2.0 - 1.0))) >= 0
        |      THEN 1 ELSE 0 END) AS bits
        |  FROM embeddings),
-       |keys AS (
+       |keysall AS (
        |  SELECT vec_id, band,
        |    CAST(list_sum(list_transform(range(0, 16),
        |      j -> bits[band * 16 + j + 1] * (1 << CAST(15 - j AS INTEGER))))
        |      // (SELECT dv FROM params) AS BIGINT) AS key
        |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+       |keys AS (
+       |  SELECT k.vec_id, k.band, k.key FROM keysall k
+       |  JOIN (SELECT band, key FROM keysall GROUP BY band, key
+       |        HAVING count(*) <= 1024) ok
+       |    ON ok.band = k.band AND ok.key = k.key),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
        |  FROM keys a JOIN keys b
@@ -290,6 +296,15 @@ object PipelineOps2 {
   private val CcBands = 4
   private val CcBandBits = 16
 
+  /** Buckets larger than this are DROPPED from candidate generation
+    * (deterministically, on both engines): a bucket that collects more
+    * rows than this at the current key width carries almost no
+    * discriminating information — it is where data density defeats the
+    * uniform-ladder assumption, and where pair volume turns quadratic.
+    * Measured on the 100x corpus: 98 of 10548 buckets exceeded the cap
+    * yet held 80% of the raw pair volume (374M -> 73M pairs capped). */
+  private val CcBucketCap = 1024
+
   /** 64 hyperplanes = 4 bands x 16 bits, same LCG family as [[planes]]
     * (indices 0-63 extend q139's 0-15). */
   private lazy val ccPlanes: IndexedSeq[IndexedSeq[Double]] =
@@ -301,42 +316,51 @@ object PipelineOps2 {
     * cross-check, never a production edge source). 64 deterministic
     * LCG hyperplanes = 4 bands x 16 bits per band; the key actually
     * joined on is the first `ub` bits of each band, with `ub` derived
-    * from one corpus count so expected bucket size stays ~64 rows:
-    * candidate volume ~ bands * n * 64 / 2 — LINEAR in n. Same
-    * grow-the-partitioning-with-n trick as blockPairs' B, but on an
-    * equi-join that never replicates the corpus. Exact cosine then
-    * verifies candidates, so every emitted edge is a true near-dup;
-    * band-missed borderline pairs are the standard LSH recall
-    * tradeoff (high at production tau 0.9+, lower at the synthetic
-    * corpus's 0.35 tail) — the DuckDB oracle replays the identical
-    * planes and key ladder, so the correctness check is exact
+    * from one corpus count (expected bucket ~64 rows under uniformity)
+    * and the [[CcBucketCap]] oversize-drop bounding the dense-region
+    * worst case — together candidate volume stays near-linear in n on
+    * real (clustered) data, not just uniform data. The candidate join
+    * carries ONLY ids (16-byte rows); vectors are re-joined afterwards
+    * for the exact-cosine verify — at 10x this was the difference
+    * between a 7 GB and a 100 MB candidate shuffle. Every emitted edge
+    * is cosine-verified; band-missed borderline pairs and dropped-
+    * bucket pairs are the standard LSH recall tradeoff (high at
+    * production tau 0.9+) — the DuckDB oracle replays the identical
+    * planes, ladder, and cap, so the correctness check is exact
     * regardless of recall. Returns (d1 < d2, cos_sim). */
-  private[operators] def srpAllPairEdges(s: SparkSession, all: DataFrame): DataFrame = {
+  private[graft] def srpAllPairEdges(s: SparkSession, all: DataFrame): DataFrame = {
     val n = all.count()
     val ub = (4 to CcBandBits).find(b => n <= (64L << b)).getOrElse(CcBandBits)
-    val withBits = (0 until CcBands * CcBandBits).foldLeft(all) { (df, p) =>
+    // one flat projection computes all 64 sign bits (single codegen
+    // stage), then the 4 prefix keys
+    val bitCols = (0 until CcBands * CcBandBits).map { p =>
       val lits = ccPlanes(p).map(d => s"${d}D").mkString(", ")
-      df.withColumn(s"cb$p",
-        (expr(s"graft_dot(v, array($lits))") >= 0).cast("int"))
+      (expr(s"graft_dot(v, array($lits))") >= 0).cast("int").as(s"cb$p")
     }
+    val withBits = all.select(col("vec_id") +: bitCols: _*)
     val bandKeys = (0 until CcBands).map { b =>
       val full = (0 until CcBandBits)
         .map(j => col(s"cb${b * CcBandBits + j}") * (1 << (CcBandBits - 1 - j)))
         .reduce(_ + _)
       shiftright(full, CcBandBits - ub).as(s"ck$b")
     }
-    val sig = withBits.select(
-      (Seq(col("vec_id"), col("v"), col("nrm")) ++ bandKeys): _*)
-    val exploded = sig.select(col("vec_id"), col("v"), col("nrm"),
+    val sig = withBits.select(col("vec_id") +: bandKeys: _*)
+    val exploded = sig.select(col("vec_id"),
       posexplode(array((0 until CcBands).map(b => col(s"ck$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val lhs = exploded.select(col("band"), col("key"), col("vec_id").as("d1"),
-      col("v").as("qv"), col("nrm").as("n1"))
-    val rhs = exploded.select(col("band"), col("key"), col("vec_id").as("d2"),
-      col("v").as("v"), col("nrm").as("n2"))
-    lhs.join(rhs, Seq("band", "key"))
+    val kept = exploded.join(
+      exploded.groupBy("band", "key").agg(count(lit(1)).as("c"))
+        .filter(col("c") <= CcBucketCap).select("band", "key"),
+      Seq("band", "key"))
+    val lhs = kept.select(col("band"), col("key"), col("vec_id").as("d1"))
+    val rhs = kept.select(col("band"), col("key"), col("vec_id").as("d2"))
+    val cand = lhs.join(rhs, Seq("band", "key"))
       .filter(col("d1") < col("d2"))
+      .select("d1", "d2")
       .dropDuplicates("d1", "d2")
+    val va = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))
+    val vb = all.select(col("vec_id").as("d2"), col("v").as("v"), col("nrm").as("n2"))
+    cand.join(va, "d1").join(vb, "d2")
       .withColumn("cos_sim", expr("graft_dot(qv, v)") / (col("n1") * col("n2")))
       .select("d1", "d2", "cos_sim")
   }

@@ -47,9 +47,19 @@ class PipelineOps2Spec extends AnyFunSuite {
       }
     }
     val keys = vs.map { case (id, v) => id -> bandKeys(v) }.toMap
+    // oversize-bucket drop (CcBucketCap = 1024): replayed even though
+    // it is a no-op at this SF (500 vectors), so the replay stays
+    // faithful to the operator's candidate rule
+    val bucketSizes = keys.values.toSeq
+      .flatMap(ks => ks.zipWithIndex.map { case (k, b) => (b, k) })
+      .groupBy(identity).map { case (bk, g) => bk -> g.size }
+    def shareOkBand(a: Array[Int], b: Array[Int]): Boolean =
+      a.zip(b).zipWithIndex.exists { case ((x, y), band) =>
+        x == y && bucketSizes((band, x)) <= 1024
+      }
     val lshEdges = (for {
       i <- vs.indices; j <- (i + 1) until vs.length
-      if keys(vs(i)._1).zip(keys(vs(j)._1)).exists { case (a, b) => a == b }
+      if shareOkBand(keys(vs(i)._1), keys(vs(j)._1))
       if cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau
     } yield (vs(i)._1, vs(j)._1)).toSet
     // cross-check vs the exact all-pairs surface: LSH never invents an

@@ -128,6 +128,21 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), "no equi-join on (band, key)")
   }
 
+  test("q138 LSH edge generation is equi-join only (no pair scan anywhere)") {
+    // the candidate surface must be the (band, key) bucket join + the
+    // id-keyed vector re-joins — never a nested-loop/cartesian pass
+    graft.functions.GraftFunctions.register(spark)
+    val tiny = spark.range(8).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(1, 64), i -> CAST(i * (id + 1) AS DOUBLE)) AS v",
+      "CAST(1.0 AS DOUBLE) AS nrm")
+    val p = graft.operators.PipelineOps2.srpAllPairEdges(spark, tiny)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "LSH edge join degenerated to a pair scan:\n" + p)
+  }
+
   test("q141 range export plans a range partitioning exchange") {
     val p = planOf("q141_range_export")
     assert(p.toLowerCase.contains("rangepartitioning"),
