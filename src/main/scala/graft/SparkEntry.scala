@@ -18,8 +18,9 @@ object SparkEntry {
       operators.MultimodalOps.defs ++ operators.AsOfOps.defs ++
       operators.SketchOps.defs ++ operators.SourceOps.defs ++
       operators.PipelineOps.defs ++ operators.PipelineOps2.defs ++
-      operators.PipelineOps3.defs ++ operators.AnalyticsOps.defs ++
-      streaming.StreamingOps.defs
+      operators.PipelineOps3.defs ++ operators.PipelineOps4.defs ++
+      operators.AnalyticsOps.defs ++
+      streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface, part 2: the Spark-4 arbitrary-state
+  * API (`transformWithState` / `StatefulProcessor`), which supersedes
+  * `mapGroupsWithState` (q71) with typed composable state variables,
+  * timers, and a RocksDB-only state store.
+  *
+  * Scale design: state is one (count, cents) pair per user key, held
+  * in the RocksDB state store — bounded by key cardinality, not input
+  * size, and spillable to disk per partition. The per-batch fold is
+  * order-independent (count + exact integer cents), so shuffle arrival
+  * order inside a micro-batch cannot change the emitted state.
+  */
+object StreamingOps2 {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) read as long). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos-as-long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Exact cents of a 2-decimal double, via the same decimal rounding
+    * (HALF_UP = away from zero on ties) both engines use for
+    * CAST(double AS DECIMAL(12,2)) — NOT math.round, whose floor(x+.5)
+    * diverges from the SQL cast on negative .xx5 ties. */
+  private[streaming] def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(2, java.math.RoundingMode.HALF_UP)
+      .movePointRight(2).longValueExact()
+
+  /** Per-user running (count, cents) with explicit ValueState — the
+    * q71 semantics re-expressed on the Spark-4 API. Emits the post-
+    * batch state per key seen in the batch (Update-mode shape). */
+  private[streaming] class SpendProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      state = getHandle.getValueState[(Long, Long)](
+        "spend", implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, c) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { case (_, v) => n += 1; c += cents(v) }
+      state.update((n, c))
+      Iterator.single((key, n, c))
+    }
+  }
+
+  private val q207 = Q(
+    "q207_stream_transform_with_state",
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) * 100
+      |    AS BIGINT) AS total_cents
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sinkName = "graft_q207_sink"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedProvider = s.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // transformWithState requires the RocksDB state store (the HDFS-
+    // backed default throws STATE_STORE_INVALID_PROVIDER).
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = s.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new SpendProcessor, TimeMode.None(), OutputMode.Update())
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      // Update mode emits post-batch state per (key, batch); the final
+      // state per key is the row with that key's max count (count is
+      // strictly increasing across the batches that touch the key).
+      s.table(sinkName)
+        .toDF("user_id", "n", "cents")
+        .groupBy("user_id")
+        .agg(max(struct(col("n"), col("cents"))).as("fin"))
+        .select(col("user_id"), col("fin.n").as("n_events"),
+          col("fin.cents").as("total_cents"))
+        .orderBy("user_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (savedProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", savedProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  val defs: Seq[Q] = Seq(q207)
+}

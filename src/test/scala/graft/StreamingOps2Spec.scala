@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q207: the Spark-4 transformWithState surface. The gate checks the
+  * single-batch parquet run against the batch oracle; this spec proves
+  * the parts the gate can't see — state carried ACROSS micro-batches,
+  * and the cents rounding contract on negative ties. */
+class StreamingOps2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cents matches CAST(double AS DECIMAL(12,2)) on negative .xx5 ties") {
+    import graft.streaming.StreamingOps2.cents
+    assert(cents(0.125) === 13L) // half-up, away from zero
+    assert(cents(-0.125) === -13L) // math.round would give -12
+    assert(cents(12.34) === 1234L)
+    assert(cents(-0.005) === -1L)
+    // agree with Spark's own cast on the same values
+    import spark.implicits._
+    val viaCast = Seq(0.125, -0.125, 12.34, -0.005).toDF("v")
+      .selectExpr("CAST(CAST(v AS DECIMAL(12,2)) * 100 AS BIGINT)")
+      .collect().map(_.getLong(0))
+    assert(viaCast.toSeq === Seq(13L, -13L, 1234L, -1L))
+  }
+
+  test("q207 state survives across micro-batches (two-batch MemoryStream run)") {
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val savedProvider = s.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = s.sqlContext
+      val input = MemoryStream[(Long, Double)]
+      val out = input.toDS()
+        .groupByKey(_._1)
+        .transformWithState(
+          new graft.streaming.StreamingOps2.SpendProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val query = out.writeStream.format("memory")
+        .queryName("graft_q207_spec_sink").outputMode("update").start()
+      try {
+        input.addData((1L, 1.00), (1L, 2.00), (2L, 5.00))
+        query.processAllAvailable()
+        input.addData((1L, 0.50), (3L, 7.00))
+        query.processAllAvailable()
+      } finally query.stop()
+      val rows = s.table("graft_q207_spec_sink")
+        .toDF("user_id", "n", "cents").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch 1 emissions + batch 2 emissions with batch-1 state folded in
+      assert(rows === Set(
+        (1L, 2L, 300L), (2L, 1L, 500L), // after batch 1
+        (1L, 3L, 350L), (3L, 1L, 700L))) // after batch 2: user 1 resumes
+    } finally {
+      if (savedProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", savedProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
