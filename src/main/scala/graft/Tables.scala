@@ -16,14 +16,68 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-      // Spark's vectorized reader rejects. Read them as raw nanos-since-epoch
-      // longs and truncate to Spark's native microsecond timestamps
-      // (integer `div`, not `/` — double division loses precision at 1e18).
+      // The events `ts` column has shipped in two physical forms across
+      // testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+      // reader rejects — read as raw nanos-since-epoch longs via the
+      // legacy conf and truncated with integer `div`, not `/`: double
+      // division loses precision at 1e18) and plain timestamp[us].
+      // Dispatch on the footer type so both normalize to Spark's native
+      // microsecond timestamp and downstream code sees one schema.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // timestamp[us] without isAdjustedToUTC surfaces as NTZ, which
+          // `unix_micros`/`window`/Row.getTimestamp reject. The session tz
+          // is pinned to UTC across Verify/Bench/tests, so the cast maps
+          // the wall-clock to the same UTC instant the oracle computes on.
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  // Streaming readers must pass an explicit schema, so the ts dispatch
+  // above needs a footer probe. Memoized per (dir, file mtime) — the
+  // adversarial corpus regenerates events.parquet in place, so a
+  // path-only memo would answer for stale data.
+  private val tsFormMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), java.lang.Boolean]()
+
+  /** True when this dir's events.parquet stores ts as TIMESTAMP(NANOS)
+    * (surfaced as a long under the legacy conf). */
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    val mtime = new java.io.File(s"$dir/events.parquet").lastModified()
+    tsFormMemo.computeIfAbsent((dir, mtime), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      java.lang.Boolean.valueOf(
+        spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+    }).booleanValue()
+  }
+
+  /** Streaming twin of `load(_, _, "events")`: an unbounded file-source
+    * scan of the dir's events parquet with `ts` normalized to a native
+    * microsecond timestamp regardless of the stored physical form. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tsLong = eventsTsIsLong(spark, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (tsLong) LongType else TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val raw = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (tsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw.withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   // Weak keys: memo entries die with their session; reference equality
   // (SparkSession doesn't override equals) avoids the identityHashCode

@@ -18,6 +18,7 @@ object Verify {
     // Optional comma-separated substring filter for local iteration; the
     // driver never sets it, so its 2-arg full-dump contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val errs = Seq.newBuilder[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) =>
         only.forall(_.split(',').exists(name.contains)) }
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errs += ((name, s"${e.getClass.getName}: ${e.getMessage}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +45,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that throws leaves no output dir, so a downstream compare
+    // that iterates dirs silently shrinks its coverage (the round-7
+    // failure mode: one bad loader dropped 60 queries without a trace in
+    // the artifact). Persist the failures so check.py can fail loudly.
+    val failed = errs.result()
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED to run: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

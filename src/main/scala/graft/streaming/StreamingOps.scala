@@ -15,14 +15,13 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) read as long). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // Memory-sink names must be unique per invocation: the sink registers a
+  // session temp view under the queryName, so a second run of the same
+  // query in one session (ScaleSmoke alternates sf dirs) would otherwise
+  // race a fresh start against a lazy read of the previous run's view.
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[streaming] def uniqueSink(base: String): String =
+    s"${base}_${sinkSeq.incrementAndGet()}"
 
   private val q70 = Q(
     "q70_stream_window_agg",
@@ -30,19 +29,14 @@ object StreamingOps {
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.schemaInference", "false")
-    val sinkName = "graft_q70_sink"
+    val sinkName = uniqueSink("graft_q70_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     // Each state-store partition carries real per-batch setup cost in
     // local mode; 8 partitions is plenty for this key cardinality.
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -73,15 +67,11 @@ object StreamingOps {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_q71_sink"
+    val sinkName = uniqueSink("graft_q71_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.eventsStream(s, dir)
       .select(col("user_id"), col("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
@@ -158,16 +148,11 @@ object StreamingOps {
     "q117_stream_dedup",
     """SELECT event_type, COUNT(*) AS n FROM events
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_q117_sink"
+    val sinkName = uniqueSink("graft_q117_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val stream = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
         .withColumn("copy", explode(array(lit(1), lit(2)))) // inject dups
         .drop("copy")
         .withWatermark("ts", "1 hour")
@@ -222,16 +207,15 @@ object StreamingOps {
       |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_q118_sink"
+    val sinkName = uniqueSink("graft_q118_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val stream = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      // The fold's contract is ts in nanos (tie-break at µs granularity);
+      // eventsStream yields µs timestamps, so scale back up losslessly.
+      val stream = Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) * 1000).as("ts"), col("value"))
         .as[(Long, Long, Long, Double)]
         .groupByKey(_._1)
         .flatMapGroupsWithState[Long, (Long, Long, Long)](
@@ -272,16 +256,11 @@ object StreamingOps {
       |  AND date_trunc('microseconds', p.ts)
       |      <= date_trunc('microseconds', v.ts) + INTERVAL 1 HOUR
       |GROUP BY v.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_q125_sink"
+    val sinkName = uniqueSink("graft_q125_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      def src = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = Tables.eventsStream(s, dir)
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
         .withWatermark("v_ts", "1 hour")
@@ -326,17 +305,12 @@ object StreamingOps {
       |SELECT win_start, event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.schemaInference", "false")
-    val sinkName = "graft_q153_sink"
+    val sinkName = uniqueSink("graft_q153_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val stream = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -370,7 +344,6 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM events WHERE value > 10
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.schemaInference", "false")
     val out = s"/tmp/graft_q160_sink_${math.abs(dir.hashCode)}"
     val outDir = new java.io.File(out)
@@ -379,10 +352,7 @@ object StreamingOps {
         .sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
     }
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.eventsStream(s, dir)
       .filter(col("value") > 10)
       .select(col("event_type"), col("value"))
     val query = stream.writeStream
@@ -464,15 +434,11 @@ object StreamingOps {
     // Stateless per-row enrichment (no watermark, no join state; only
     // the downstream aggregation keeps state), so at scale the join
     // adds zero shuffle to the stream side.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.streaming.schemaInference", "false")
-    val sinkName = "graft_q176_sink"
+    val sinkName = uniqueSink("graft_q176_sink")
     val cust = Tables.load(s, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    val stream = s.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = Tables.eventsStream(s, dir)
       .join(org.apache.spark.sql.functions.broadcast(cust),
         col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))

@@ -18,20 +18,11 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps2 {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) read as long). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Exact cents of a 2-decimal double, via the same decimal rounding
     * (HALF_UP = away from zero on ties) both engines use for
     * CAST(double AS DECIMAL(12,2)) — NOT math.round, whose floor(x+.5)
     * diverges from the SQL cast on negative .xx5 ties. */
-  private[streaming] def cents(v: Double): Long =
+  private[graft] def cents(v: Double): Long =
     java.math.BigDecimal.valueOf(v)
       .setScale(2, java.math.RoundingMode.HALF_UP)
       .movePointRight(2).longValueExact()
@@ -39,7 +30,7 @@ object StreamingOps2 {
   /** Per-user running (count, cents) with explicit ValueState — the
     * q71 semantics re-expressed on the Spark-4 API. Emits the post-
     * batch state per key seen in the batch (Update-mode shape). */
-  private[streaming] class SpendProcessor
+  private[graft] class SpendProcessor
       extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
     @transient private var state: ValueState[(Long, Long)] = _
 
@@ -68,8 +59,7 @@ object StreamingOps2 {
       |    AS BIGINT) AS total_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val sinkName = "graft_q207_sink"
+    val sinkName = StreamingOps.uniqueSink("graft_q207_sink")
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     val savedProvider = s.conf.get(
       "spark.sql.streaming.stateStore.providerClass", "")
@@ -79,10 +69,7 @@ object StreamingOps2 {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val stream = s.readStream
-        .schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val stream = graft.Tables.eventsStream(s, dir)
         .select(col("user_id"), col("value"))
         .as[(Long, Double)]
         .groupByKey(_._1)

@@ -32,6 +32,15 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
+    # Queries that threw inside Verify leave no output dir; without this
+    # manifest the dir scan below silently shrinks coverage (the round-7
+    # failure mode: one bad loader dropped 60 queries from the artifact).
+    errs_path = f"{out_dir}/verify_errors.json"
+    if os.path.exists(errs_path):
+        for qname, err in sorted(json.load(open(errs_path)).items()):
+            if filt and filt not in qname: continue
+            print(f"FAIL {qname}: did not run: {err[:200]}")
+            n_fail += 1
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         if filt and filt not in name: continue
