@@ -16,6 +16,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's HybridAnalyzer dual-runs every plan through the legacy
+      // fixed-point AND the new single-pass resolver to cross-validate
+      // them, roughly doubling analysis cost -- a fixed per-query tax that
+      // dominated short queries (q01: 4.2s -> 1.7s with it off). One
+      // analysis pass is enough here.
+      .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -348,10 +348,14 @@ object PipelineOps2 {
     val exploded = sig.select(col("vec_id"),
       posexplode(array((0 until CcBands).map(b => col(s"ck$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val kept = exploded.join(
-      exploded.groupBy("band", "key").agg(count(lit(1)).as("c"))
-        .filter(col("c") <= CcBucketCap).select("band", "key"),
-      Seq("band", "key"))
+    // Oversize-bucket drop via a window count: one shuffle on
+    // (band, key) — which the self-join below reuses — instead of the
+    // old groupBy + re-join, which cost an extra aggregation exchange.
+    val kept = exploded
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy("band", "key")))
+      .filter(col("c") <= CcBucketCap)
+      .drop("c")
     val lhs = kept.select(col("band"), col("key"), col("vec_id").as("d1"))
     val rhs = kept.select(col("band"), col("key"), col("vec_id").as("d2"))
     val cand = lhs.join(rhs, Seq("band", "key"))

@@ -11,6 +11,12 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4.1's HybridAnalyzer dual-runs every plan through the legacy
+      // fixed-point AND the new single-pass resolver to cross-validate
+      // them, roughly doubling analysis cost -- a fixed per-query tax that
+      // dominated short queries (q01: 4.2s -> 1.7s with it off). One
+      // analysis pass is enough here.
+      .config("spark.sql.analyzer.singlePassResolver.dualRunWithLegacy", "false")
       .config("spark.sql.warehouse.dir", "file:///tmp/graft_test_wh")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
