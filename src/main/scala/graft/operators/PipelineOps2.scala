@@ -62,10 +62,11 @@ object PipelineOps2 {
     // generator ([[srpAllPairEdges]]) bit-for-bit: the LCG hyperplane
     // coefficients are computed IN SQL (same integer recurrence, same
     // double division), the band-key width comes from the same
-    // count-driven ladder, the same oversize buckets (> CcBucketCap
-    // rows) are dropped, and exact cosine verifies candidates — so
-    // Spark and DuckDB derive the identical edge set at every corpus
-    // size, then both take transitive closure over it.
+    // count-driven ladder, the same CcNeighborWindow-lag sorted-
+    // neighborhood bound produces the same candidate set, and exact
+    // cosine verifies candidates — so Spark and DuckDB derive the
+    // identical edge set at every corpus size, then both take
+    // transitive closure over it.
     s"""WITH RECURSIVE params AS (
        |  SELECT CASE WHEN n <= 1024 THEN 4096 WHEN n <= 2048 THEN 2048
        |              WHEN n <= 4096 THEN 1024 WHEN n <= 8192 THEN 512
@@ -90,15 +91,14 @@ object PipelineOps2 {
        |      j -> bits[band * 16 + j + 1] * (1 << CAST(15 - j AS INTEGER))))
        |      // (SELECT dv FROM params) AS BIGINT) AS key
        |  FROM bits, (SELECT unnest([0, 1, 2, 3]) AS band) b),
-       |keys AS (
-       |  SELECT k.vec_id, k.band, k.key FROM keysall k
-       |  JOIN (SELECT band, key FROM keysall GROUP BY band, key
-       |        HAVING count(*) <= 1024) ok
-       |    ON ok.band = k.band AND ok.key = k.key),
        |cand AS (
-       |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-       |  FROM keys a JOIN keys b
-       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |  SELECT DISTINCT p AS d1, vec_id AS d2 FROM (
+       |    SELECT vec_id,
+       |      unnest([${(1 to CcNeighborWindow)
+                .map(k => s"lag(vec_id, $k) OVER w").mkString(", ")}]) AS p
+       |    FROM keysall
+       |    WINDOW w AS (PARTITION BY band, key ORDER BY vec_id)) t
+       |  WHERE p IS NOT NULL),
        |pairs AS (
        |  SELECT c.d1, c.d2 FROM cand c
        |  JOIN embeddings a ON a.vec_id = c.d1
@@ -207,6 +207,15 @@ object PipelineOps2 {
   private val BandBits = 4
   private val Bands = Planes / BandBits
 
+  /** q139 probe scan cap: per (band, key) bucket, only the first this
+    * many rows (vec_id order) are candidate neighbors — the IVF/FAISS
+    * bounded list-scan. With 2^4 buckets per band, bucket size grows
+    * linearly with the corpus; without the cap the probe join's work
+    * per query grows with it (super-linear end to end on the clustered
+    * round-8 corpus). Declared before [[q139]]: its oracle SQL embeds
+    * this value at object init. */
+  private final val BucketProbeCap = 256
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): LCG
     * over the flat (plane, dim) index — trivially replayable in SQL. */
   private def coef(idx: Int): Double = {
@@ -240,9 +249,14 @@ object PipelineOps2 {
        |  ${(0 until Bands)
             .map(b => s"SELECT vec_id, $b AS band, ${duckBandKey(b, "b")} AS key FROM bits")
             .mkString("\n  UNION ALL ")}),
+       |keysc AS (
+       |  SELECT vec_id, band, key FROM (
+       |    SELECT vec_id, band, key,
+       |      ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+       |    FROM keys) t WHERE rn <= $BucketProbeCap),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS qid, n.vec_id AS nid
-       |  FROM keys q JOIN keys n ON q.band = n.band AND q.key = n.key
+       |  FROM keys q JOIN keysc n ON q.band = n.band AND q.key = n.key
        |  WHERE q.vec_id < 50 AND n.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT c.qid, c.nid, ${VectorOps.duckCos("a", "b")} AS cos_sim,
@@ -274,10 +288,23 @@ object PipelineOps2 {
     val exploded = sig.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array((0 until Bands).map(b => col(s"k$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    // Probe only a deterministic fixed-size prefix of each bucket (the
+    // IVF/FAISS list-scan cap): with only 2^4 buckets per band, bucket
+    // size — and so per-query probe cost — grows linearly with the
+    // corpus, and on the clustered round-8 corpus that made the probe
+    // join super-linear end to end (10x->100x ratio 20.3). The cap
+    // bounds candidates at queries * bands * cap regardless of corpus
+    // size or skew; the oracle replays the same ROW_NUMBER prefix, so
+    // the top-k compare stays exact.
+    val wb = Window.partitionBy("band", "key").orderBy("vec_id")
+    val capped = exploded
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= BucketProbeCap)
+      .drop("rn")
     val qexp = exploded.filter(col("vec_id") < 50)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("band"), col("key"))
-    val cand = exploded.join(qexp, Seq("band", "key"))
+    val cand = capped.join(qexp, Seq("band", "key"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("qnrm"),
         col("vec_id"), col("v"), col("nrm"))
@@ -296,14 +323,19 @@ object PipelineOps2 {
   private val CcBands = 4
   private val CcBandBits = 16
 
-  /** Buckets larger than this are DROPPED from candidate generation
-    * (deterministically, on both engines): a bucket that collects more
-    * rows than this at the current key width carries almost no
-    * discriminating information — it is where data density defeats the
-    * uniform-ladder assumption, and where pair volume turns quadratic.
-    * Measured on the 100x corpus: 98 of 10548 buckets exceeded the cap
-    * yet held 80% of the raw pair volume (374M -> 73M pairs capped). */
-  private val CcBucketCap = 1024
+  /** Per-band candidate degree bound: each vector pairs with at most
+    * this many PRECEDING bucket-mates in vec_id order (sorted-
+    * neighborhood blocking). Candidate volume is then <= Bands * W * n
+    * — strictly linear in n at ANY bucket-size distribution, which the
+    * round-6 oversize-bucket DROP was not: on a clustered corpus
+    * (round-8 regenerated embeddings) buckets just under the 1024-row
+    * cap still turned pair volume quadratic (q138 10x->100x ratio 35.6,
+    * 562s at 100x). For connected components a bucket's all-pairs graph
+    * is redundant anyway — consecutive-neighbor chains keep dense
+    * near-dup clusters connected transitively; pair-listing recall is
+    * q45/q123's contract, not q138's. The DuckDB oracle replays the
+    * same lag-window, so the cross-engine check stays exact. */
+  private final val CcNeighborWindow = 8
 
   /** 64 hyperplanes = 4 bands x 16 bits, same LCG family as [[planes]]
     * (indices 0-63 extend q139's 0-15). */
@@ -317,16 +349,17 @@ object PipelineOps2 {
     * LCG hyperplanes = 4 bands x 16 bits per band; the key actually
     * joined on is the first `ub` bits of each band, with `ub` derived
     * from one corpus count (expected bucket ~64 rows under uniformity)
-    * and the [[CcBucketCap]] oversize-drop bounding the dense-region
-    * worst case — together candidate volume stays near-linear in n on
-    * real (clustered) data, not just uniform data. The candidate join
-    * carries ONLY ids (16-byte rows); vectors are re-joined afterwards
-    * for the exact-cosine verify — at 10x this was the difference
-    * between a 7 GB and a 100 MB candidate shuffle. Every emitted edge
-    * is cosine-verified; band-missed borderline pairs and dropped-
-    * bucket pairs are the standard LSH recall tradeoff (high at
-    * production tau 0.9+) — the DuckDB oracle replays the identical
-    * planes, ladder, and cap, so the correctness check is exact
+    * and the [[CcNeighborWindow]] sorted-neighborhood bound capping
+    * per-vector candidate degree — candidate volume is <= 4 * W * n at
+    * ANY bucket-size distribution, so clustered (real) data cannot turn
+    * the generator quadratic. The lag window carries ONLY ids; vectors
+    * are re-joined afterwards for the exact-cosine verify — at 10x this
+    * was the difference between a 7 GB and a 100 MB candidate shuffle.
+    * Every emitted edge is cosine-verified; band-missed borderline
+    * pairs and beyond-window bucket-mates are the standard LSH /
+    * blocking recall tradeoff (chains keep dense clusters connected for
+    * the CC consumer) — the DuckDB oracle replays the identical planes,
+    * ladder, and lag window, so the correctness check is exact
     * regardless of recall. Returns (d1 < d2, cos_sim). */
   private[graft] def srpAllPairEdges(s: SparkSession, all: DataFrame): DataFrame = {
     val n = all.count()
@@ -348,18 +381,18 @@ object PipelineOps2 {
     val exploded = sig.select(col("vec_id"),
       posexplode(array((0 until CcBands).map(b => col(s"ck$b")): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    // Oversize-bucket drop via a window count: one shuffle on
-    // (band, key) — which the self-join below reuses — instead of the
-    // old groupBy + re-join, which cost an extra aggregation exchange.
-    val kept = exploded
-      .withColumn("c", count(lit(1)).over(
-        Window.partitionBy("band", "key")))
-      .filter(col("c") <= CcBucketCap)
-      .drop("c")
-    val lhs = kept.select(col("band"), col("key"), col("vec_id").as("d1"))
-    val rhs = kept.select(col("band"), col("key"), col("vec_id").as("d2"))
-    val cand = lhs.join(rhs, Seq("band", "key"))
-      .filter(col("d1") < col("d2"))
+    // Bounded-degree sorted-neighborhood candidates: ONE shuffle on
+    // (band, key), a lag window instead of a bucket self-join — no
+    // intra-bucket quadratic intermediate exists anywhere, on either
+    // engine. d1 < d2 holds by construction (lag in ascending vec_id).
+    val wb = Window.partitionBy("band", "key").orderBy("vec_id")
+    val lagged = exploded.select(col("vec_id").as("d2") +:
+      (1 to CcNeighborWindow).map(k =>
+        lag(col("vec_id"), k).over(wb).as(s"p$k")): _*)
+    val cand = lagged
+      .select(col("d2"), explode(array(
+        (1 to CcNeighborWindow).map(k => col(s"p$k")): _*)).as("d1"))
+      .filter(col("d1").isNotNull)
       .select("d1", "d2")
       .dropDuplicates("d1", "d2")
     val va = all.select(col("vec_id").as("d1"), col("v").as("qv"), col("nrm").as("n1"))

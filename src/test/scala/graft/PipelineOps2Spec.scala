@@ -47,21 +47,26 @@ class PipelineOps2Spec extends AnyFunSuite {
       }
     }
     val keys = vs.map { case (id, v) => id -> bandKeys(v) }.toMap
-    // oversize-bucket drop (CcBucketCap = 1024): replayed even though
-    // it is a no-op at this SF (500 vectors), so the replay stays
-    // faithful to the operator's candidate rule
-    val bucketSizes = keys.values.toSeq
-      .flatMap(ks => ks.zipWithIndex.map { case (k, b) => (b, k) })
-      .groupBy(identity).map { case (bk, g) => bk -> g.size }
-    def shareOkBand(a: Array[Int], b: Array[Int]): Boolean =
-      a.zip(b).zipWithIndex.exists { case ((x, y), band) =>
-        x == y && bucketSizes((band, x)) <= 1024
+    // bounded-degree sorted-neighborhood candidates (CcNeighborWindow
+    // = 8): per (band, key) bucket in vec_id order, each vector pairs
+    // with its 8 preceding bucket-mates — independent replay of the
+    // operator's candidate rule
+    val buckets = scala.collection.mutable.Map
+      .empty[(Int, Int), scala.collection.mutable.ArrayBuffer[Long]]
+    vs.map(_._1).sorted.foreach { id =>
+      keys(id).zipWithIndex.foreach { case (k, b) =>
+        buckets.getOrElseUpdate((b, k),
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += id
       }
-    val lshEdges = (for {
-      i <- vs.indices; j <- (i + 1) until vs.length
-      if shareOkBand(keys(vs(i)._1), keys(vs(j)._1))
-      if cos(vs(i)._2, vs(j)._2) >= operators.VectorOps.NearDupTau
-    } yield (vs(i)._1, vs(j)._1)).toSet
+    }
+    val vmap = vs.toMap
+    val candPairs: Set[(Long, Long)] = buckets.values.flatMap { ids =>
+      ids.indices.flatMap(i =>
+        (math.max(0, i - 8) until i).map(j => (ids(j), ids(i))))
+    }.toSet
+    val lshEdges = candPairs.filter { case (a, b) =>
+      cos(vmap(a), vmap(b)) >= operators.VectorOps.NearDupTau
+    }
     // cross-check vs the exact all-pairs surface: LSH never invents an
     // edge (every candidate is cosine-verified), it can only miss, and
     // at this SF it keeps a non-trivial subset.
