@@ -93,6 +93,7 @@ object GraftFunctions {
       graft.operators.SketchOps.cmsA, graft.operators.SketchOps.cmsB,
       graft.operators.SketchOps.P).toAggregateExpression()),
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_morton" -> (exprs => MortonCode(exprs(0), exprs(1))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs.head)),
     // graft_polyhash(s, seed, mult, mod) — seed/mult/mod literal longs
     "graft_polyhash" -> (exprs => PolyHash(exprs.head,

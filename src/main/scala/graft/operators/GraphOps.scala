@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 graph analytics over the co-supply graph (suppliers joined by
+  * sharing a part — the natural entity graph hiding in lineitem).
+  *
+  * Scale design:
+  *  - Edge generation is the classic bipartite projection: distinct
+  *    (part, supplier) pairs, self-joined per part. Per-part cost is
+  *    quadratic in that part's supplier count, so parts above a fixed
+  *    supplier cap ([[PartCap]]) are dropped BEFORE the self-join — the
+  *    same size-guard contract the MinHash band join (q45) uses. With
+  *    the cap, edge count is O(rows * cap) worst case and each part's
+  *    pair block fits trivially in an executor. The cap is part of the
+  *    operator definition and the oracle replicates it.
+  *  - q209 triangle counting uses degree orientation (each undirected
+  *    edge directed from the (degree, id)-smaller endpoint): the wedge
+  *    self-join then fans out per SOURCE out-degree, which orientation
+  *    bounds by O(sqrt(m)) on any graph (arboricity bound) — the
+  *    standard trick that keeps distributed triangle counting from
+  *    melting on skewed degree distributions. The closing-edge probe is
+  *    an equi-join, shuffle-partitioned on the edge key. The oracle
+  *    counts the same triangles with the simpler id-ordering (any
+  *    acyclic orientation counts each triangle exactly once).
+  *  - q212 label propagation runs 3 synchronous supersteps; each is one
+  *    shuffle (join labels to the adjacency on the neighbor key, then a
+  *    (node, label) count with map-side partial aggregation). Ties are
+  *    broken deterministically (count desc, label asc) so both engines
+  *    converge identically. State is one label per vertex — linear.
+  */
+object GraphOps {
+
+  /** Parts supplied by more than this many suppliers are excluded from
+    * the projection (size guard; see scaladoc). */
+  private val PartCap = 50
+
+  /** Shared oracle prelude: canonical (u < v) co-supply edge list. */
+  private def edgeCte: String =
+    s"""ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= $PartCap),
+       |e AS (SELECT DISTINCT a.s AS u, b.s AS v
+       |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       |      JOIN ok ON ok.p = a.p)""".stripMargin
+
+  /** Canonical (u < v) co-supply edges as a DataFrame. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.load(s, dir, "lineitem")
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+      .distinct()
+    val ok = ps.groupBy("p").agg(count(lit(1)).as("np"))
+      .filter(col("np") <= PartCap).select("p")
+    val guarded = ps.join(ok, "p")
+    guarded.as("a")
+      .join(guarded.as("b"),
+        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+  }
+
+  // --------------------- q209: triangle count (degree-oriented)
+
+  private val q209 = Q(
+    "q209_triangle_count",
+    s"""WITH $edgeCte,
+       |deg AS (SELECT s, count(*) AS d
+       |        FROM (SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e)
+       |        GROUP BY s),
+       |tri AS (SELECT count(*) AS nt
+       |        FROM e e1 JOIN e e2 ON e2.u = e1.v
+       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+       |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       |  CAST((SELECT nt FROM tri) AS BIGINT) AS n_triangles,
+       |  CAST((SELECT max(d) FROM deg) AS BIGINT) AS max_degree,
+       |  CAST((SELECT sum(d) FROM deg) AS BIGINT) AS sum_degree""".stripMargin) {
+    (s, dir) =>
+    // Materialized once (localCheckpoint): the edge list feeds four plan
+    // branches; recomputing the projection join per branch would
+    // quadruple the dominant cost. On a cluster this is persist().
+    val e = edges(s, dir).localCheckpoint()
+    val deg = e.select(col("u").as("s")).union(e.select(col("v").as("s")))
+      .groupBy("s").agg(count(lit(1)).as("d"))
+    // Orient each edge from the (degree, id)-smaller endpoint; rank is
+    // carried on the destination so the two out-neighbors of a wedge
+    // can be ordered without another join.
+    val withDeg = e
+      .join(deg.withColumnRenamed("s", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("s", "v").withColumnRenamed("d", "dv"), "v")
+    val ru = struct(col("du").as("rd"), col("u").as("rid"))
+    val rv = struct(col("dv").as("rd"), col("v").as("rid"))
+    val dir1 = withDeg.select(
+      when(ru < rv,
+        struct(col("u").as("src"), rv.as("dstRank"), col("v").as("dst")))
+        .otherwise(
+          struct(col("v").as("src"), ru.as("dstRank"), col("u").as("dst")))
+        .as("o"))
+      .select(col("o.src").as("src"), col("o.dstRank").as("dstRank"),
+        col("o.dst").as("dst"))
+    // Wedges (a->b, a->c) with rank(b) < rank(c); the closing edge must
+    // be oriented b->c by construction, so one equi-join probes it.
+    val wedges = dir1.as("x").join(dir1.as("y"),
+        col("x.src") === col("y.src") &&
+          col("x.dstRank") < col("y.dstRank"))
+      .select(col("x.dst").as("b"), col("y.dst").as("c"))
+    val closing = dir1.select(col("src").as("b"), col("dst").as("c"))
+    // All four summaries stay in one declarative plan (three 1-row
+    // aggregates cross-joined) — no driver-side actions.
+    val triAgg = wedges.join(closing, Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(count(lit(1)).as("n_vertices"),
+      max("d").as("max_degree"), sum("d").as("sum_degree"))
+    val eAgg = e.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(eAgg).crossJoin(triAgg)
+      .select("n_vertices", "n_edges", "n_triangles", "max_degree",
+        "sum_degree")
+  }
+
+  // --------------------- q212: label propagation communities
+
+  /** Synchronous LPA supersteps. */
+  private val LpaIters = 3
+
+  private val q212 = Q(
+    "q212_label_propagation",
+    s"""WITH $edgeCte,
+       |bi AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM bi),
+       |l1 AS (SELECT node, lab FROM (
+       |  SELECT bi.a AS node, l.lab AS lab,
+       |    row_number() OVER (PARTITION BY bi.a
+       |      ORDER BY count(*) DESC, l.lab) AS rn
+       |  FROM bi JOIN l0 l ON l.node = bi.b GROUP BY bi.a, l.lab) WHERE rn = 1),
+       |l2 AS (SELECT node, lab FROM (
+       |  SELECT bi.a AS node, l.lab AS lab,
+       |    row_number() OVER (PARTITION BY bi.a
+       |      ORDER BY count(*) DESC, l.lab) AS rn
+       |  FROM bi JOIN l1 l ON l.node = bi.b GROUP BY bi.a, l.lab) WHERE rn = 1),
+       |l3 AS (SELECT node, lab FROM (
+       |  SELECT bi.a AS node, l.lab AS lab,
+       |    row_number() OVER (PARTITION BY bi.a
+       |      ORDER BY count(*) DESC, l.lab) AS rn
+       |  FROM bi JOIN l2 l ON l.node = bi.b GROUP BY bi.a, l.lab) WHERE rn = 1)
+       |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l3 GROUP BY lab ORDER BY n_members DESC, community""".stripMargin) {
+    (s, dir) =>
+    val e = edges(s, dir)
+    val bi = e.select(col("u").as("a"), col("v").as("b"))
+      .union(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint()
+    var labels = bi.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lab"))
+    for (_ <- 1 to LpaIters) {
+      labels = bi
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "lab")
+    }
+    val out = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+    out
+  }
+
+  val defs: Seq[Q] = Seq(q209, q212)
+}
