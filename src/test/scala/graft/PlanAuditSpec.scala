@@ -220,6 +220,55 @@ class PlanAuditSpec extends AnyFunSuite {
       "broadcast crept back in despite the SHUFFLE_MERGE hint:\n" + p)
   }
 
+  test("q208 retrieval: query vocabulary and df broadcast onto the corpus scan") {
+    val p = planOf("q208_bm25_retrieval")
+    assert(p.contains("BroadcastHashJoin"),
+      "term filter / df join not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "a cartesian product crept into the scoring path:\n" + p)
+  }
+
+  test("q215 containment pair join is an equi-join on the shingle key") {
+    val p = planOf("q215_containment_dup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "pair generation is not an equi-join:\n" + p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation fell back to an all-pairs join:\n" + p)
+  }
+
+  test("q216 lift: vocabulary broadcasts, pair join is an equi-join on doc_id") {
+    val p = planOf("q216_term_cooccur_lift")
+    assert(p.contains("BroadcastHashJoin"),
+      "top-vocabulary join not broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "an unbounded cartesian crept into pair generation:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 plans a full global sort:\n" + p)
+  }
+
+  test("q217 Morton key is computed inside whole-stage codegen") {
+    val df = SparkEntry.queries("q217_zorder_layout")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_morton"), "morton expression missing from plan")
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      "no whole-stage codegen span in the layout plan:\n" + p)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "bucket stats lack map-side partial aggregation:\n" + p)
+  }
+
+  test("q209 wedge and closing-edge joins are equi-joins (no cartesian)") {
+    val p = planOf("q209_triangle_count")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "triangle join path is not an equi-join:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "a cartesian product crept into the triangle path " +
+        "(1-row summary cross-joins plan as BNLJ, never cartesian):\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
