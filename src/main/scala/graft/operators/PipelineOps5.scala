@@ -443,6 +443,58 @@ object PipelineOps5 {
       .orderBy("bucket")
   }
 
+  // --------------------- q220: chunk-level dedup survivorship
+
+  /** Non-overlapping chunk width (tokens). */
+  private val ChunkW = 20
+
+  private val q220 = Q(
+    "q220_chunk_dedup",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, (i - 1) // $ChunkW AS idx,
+       |    array_to_string(ws[CAST(i AS INT) : CAST(i + $ChunkW - 1 AS INT)], ' ') AS chunk
+       |  FROM t, unnest(generate_series(1, len(ws), $ChunkW)) AS g(i)
+       |  WHERE len(ws) > 0),
+       |r AS (
+       |  SELECT doc_id, idx,
+       |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |  FROM c)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  CAST((count(*) - sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)) * 10000
+       |    // count(*) AS BIGINT) AS survival_bp
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Paragraph-style dedup at sub-document granularity: the corpus is
+    // cut into non-overlapping $ChunkW-token chunks; the FIRST global
+    // occurrence of each chunk text (by (doc_id, idx) — deterministic
+    // first-writer-wins) survives, later ones are dups. One bounded
+    // explode (n/$ChunkW chunks per doc) + one shuffle on the chunk
+    // key + one on doc_id — corpus-linear; production would key the
+    // window on a 128-bit chunk hash, which changes nothing
+    // structurally (the string key keeps the oracle exact).
+    graft.functions.GraftFunctions.register(s)
+    val t = docs(s, dir)
+      .select(col("doc_id"), expr("graft_words(text)").as("ws"))
+      .withColumn("n", size(col("ws"))).filter(col("n") > 0)
+    val chunks = t.select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, n, $ChunkW), " +
+          s"i -> concat_ws(' ', slice(ws, i, $ChunkW)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("chunk"))
+    val w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        expr("(n_chunks - n_dup_chunks) * 10000 div n_chunks")
+          .as("survival_bp"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] =
-    Seq(q208, q210, q211, q213, q214, q215, q216, q217)
+    Seq(q208, q210, q211, q213, q214, q215, q216, q217, q220)
 }
