@@ -495,6 +495,55 @@ object PipelineOps5 {
       .orderBy("doc_id")
   }
 
+  // --------------------- q222: Z-order write + 2-D box scan
+
+  /** Lineitem rewritten Z-order-clustered: (x, y) key moduli, the
+    * Morton key, quantity payload; range-partitioned and sorted by the
+    * Morton key so each output file owns a contiguous Z range (tight
+    * per-file min/max on BOTH x and y — the pruning contract).
+    * Memoized per dir, invalidated when the source regenerates. */
+  def zorderedLineitem(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val out = s"/tmp/graft_zorder_${math.abs(dir.hashCode)}"
+    val success = new java.io.File(s"$out/_SUCCESS")
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    if (!success.exists() || success.lastModified() < src.lastModified()) {
+      Tables.load(s, dir, "lineitem")
+        .select(expr("l_partkey % 65536").as("x"),
+          expr("l_suppkey % 65536").as("y"),
+          col("l_quantity").cast("decimal(12,2)").as("qty"))
+        .withColumn("zkey", expr("graft_morton(x, y)"))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(out)
+    }
+    s.read.parquet(out)
+  }
+
+  private val q222 = Q(
+    "q222_zorder_pruning",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS sum_qty,
+      |  CAST(min(l_partkey % 65536) AS BIGINT) AS min_x,
+      |  CAST(max(l_suppkey % 65536) AS BIGINT) AS max_y
+      |FROM lineitem
+      |WHERE l_partkey % 65536 BETWEEN 64 AND 127
+      |  AND l_suppkey % 65536 BETWEEN 1 AND 8""".stripMargin) { (s, dir) =>
+    // The read side of q217's layout story: a 2-D box predicate over a
+    // Z-order-clustered rewrite of lineitem. Because every file owns a
+    // contiguous Morton range, its parquet min/max stats are tight on
+    // BOTH x and y, and the pushed range filters skip most row groups
+    // at scan time — the single-column-sort layout can only ever serve
+    // one of the two predicates. Value equality vs the raw-table oracle
+    // proves the rewrite lossless; PlanAuditSpec pins that the
+    // clustered scan actually reads fewer rows than an unclustered one.
+    zorderedLineitem(s, dir)
+      .filter(col("x").between(64, 127) && col("y").between(1, 8))
+      .agg(count(lit(1)).as("n_rows"),
+        sum("qty").cast("string").as("sum_qty"),
+        min("x").as("min_x"), max("y").as("max_y"))
+  }
+
   val defs: Seq[Q] =
-    Seq(q208, q210, q211, q213, q214, q215, q216, q217, q220)
+    Seq(q208, q210, q211, q213, q214, q215, q216, q217, q220, q222)
 }

@@ -100,5 +100,40 @@ object StreamingOps2 {
     }
   }
 
-  val defs: Seq[Q] = Seq(q207)
+  /** dropDuplicatesWithinWatermark (Spark 3.5+): unlike q117's plain
+    * dropDuplicates-with-watermark (exact event-time keys, state keyed
+    * on (id, ts)), this dedups on the ID ALONE among events arriving
+    * within the watermark delay of each other — the ingest-guard
+    * semantics when a replayed duplicate may carry a slightly different
+    * timestamp. State still expires with the watermark, so memory stays
+    * bounded at 100 TB/day; the injected duplicates here are exact, so
+    * the result equals the batch aggregate of the original table. */
+  private val q221 = Q(
+    "q221_stream_dedup_within_watermark",
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    val sinkName = StreamingOps.uniqueSink("graft_q221_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = graft.Tables.eventsStream(s, dir)
+        .withColumn("copy", explode(array(lit(1), lit(2)))) // inject dups
+        .drop("copy")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("string")
+            .as("sum_value"))
+      val query = stream.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName).orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221)
 }

@@ -269,6 +269,44 @@ class PlanAuditSpec extends AnyFunSuite {
         "(1-row summary cross-joins plan as BNLJ, never cartesian):\n" + p)
   }
 
+  test("q222 z-clustered layout scans fewer rows than an unclustered copy") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val s = spark
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      // AQE wraps finished stages as leaf QueryStageExec nodes — the
+      // scans live inside; plain collect stops at leaves, so recurse.
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+    }.flatten
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val zdf = SparkEntry.queries("q222_zorder_pruning")(s, dir)
+    val zScanned = scannedRows(zdf)
+    // Unclustered twin: same columns, same 8 files, random-ish layout
+    // (hash repartition on an unrelated column) — stats can't prune.
+    val out = "/tmp/graft_zorder_shuffled_spec"
+    operators.PipelineOps5.zorderedLineitem(s, dir)
+      .repartition(8, col("qty"))
+      .write.mode("overwrite").parquet(out)
+    val flat = s.read.parquet(out)
+      .filter(col("x").between(64, 127) && col("y").between(1, 8))
+      .agg(count(lit(1)))
+    val flatScanned = scannedRows(flat)
+    val total = operators.PipelineOps5.zorderedLineitem(s, dir).count()
+    assert(zScanned < flatScanned,
+      s"z-layout scanned $zScanned rows vs unclustered $flatScanned")
+    assert(zScanned < total / 2,
+      s"z-layout scanned $zScanned of $total rows — row-group stats not pruning")
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a

@@ -62,4 +62,33 @@ class StreamingOps2Spec extends AnyFunSuite {
       else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("q221 within-watermark dedup drops a jittered duplicate that q117-style exact dedup keeps") {
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // (event_id, ts_seconds, event_type): batch 2 replays event 1 with a
+    // +1s jittered timestamp — same id, DIFFERENT event time.
+    val input = MemoryStream[(Long, Long, String)]
+    val stream = input.toDF().toDF("event_id", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val query = stream.writeStream.format("memory")
+      .queryName("graft_q221_spec_sink").outputMode("complete").start()
+    try {
+      input.addData((1L, 1000L, "a"), (2L, 1001L, "b"))
+      query.processAllAvailable()
+      input.addData((1L, 1001L, "a"), (3L, 1002L, "b")) // jittered replay of id 1
+      query.processAllAvailable()
+    } finally query.stop()
+    val got = s.table("graft_q221_spec_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // id 1's replay is dropped despite the changed timestamp; exact
+    // (id, ts) dedup — the q117 contract — would have kept it.
+    assert(got === Map("a" -> 1L, "b" -> 2L))
+  }
 }
