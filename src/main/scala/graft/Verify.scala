@@ -48,7 +48,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The oracle dump honors the same filter as the query loop: a
+    // filtered dump otherwise makes sweep_check (which iterates
+    // oracle_sql.json) count every unrun query as a failure.
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) =>
+        only.forall(_.split(',').exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // A query that throws leaves no output dir, so a downstream compare
