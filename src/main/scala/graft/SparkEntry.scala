@@ -20,7 +20,7 @@ object SparkEntry {
       operators.PipelineOps.defs ++ operators.PipelineOps2.defs ++
       operators.PipelineOps3.defs ++ operators.PipelineOps4.defs ++
       operators.PipelineOps5.defs ++ operators.GraphOps.defs ++
-      operators.Relational4.defs ++
+      operators.Relational4.defs ++ operators.VectorOps2.defs ++
       operators.AnalyticsOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the vector-compression half of ANN at
+  * 100 TB: a 64-dim embedding becomes a 4-byte code (one sub-centroid
+  * id per 16-dim subspace), cutting index memory ~64× while distance
+  * tables over the 4×4 codebooks approximate full distances.
+  *
+  * Scale design: each subspace codebook is fit with [[KMeansLite]] —
+  * centroids are metadata (k × subDim doubles on the driver, exactly
+  * like production PQ training on a sample), each fit iteration is one
+  * broadcast + map-side assign + partial-aggregated groupBy, and the
+  * final code assembly is four narrow equi-joins on vec_id. Nothing
+  * about the corpus ever lands on the driver.
+  *
+  * Determinism: the fit is the same bit-exact machinery the q115 IVF
+  * oracle replays (lowest-id init, fixed iterations, argmin ties to the
+  * lowest cell, 2^30-quantized integer-sum means), applied per
+  * subspace; the quantization error is a fixed-order sequential fold,
+  * so both engines emit identical doubles.
+  */
+object VectorOps2 {
+
+  private val Subs = 4
+  private val SubDim = 16
+  private val K = 4
+  private val Iters = 2
+
+  /** DuckDB replay of one subspace's fit+assign (suffix `m` keeps CTE
+    * names unique inside one WITH). Mirrors VectorOps.kmeansOracleCtes
+    * with the vector source sliced to the subspace. */
+  private def subspaceCtes(m: Int): String = {
+    val S = "1073741824.0" // KMeansLite.MeanScale
+    val C = "4294967296.0" // KMeansLite.QClamp
+    val lo = m * SubDim + 1
+    val hi = (m + 1) * SubDim
+    def d2(v: String, cv: String) =
+      s"""list_sum(list_transform(range(1, ${SubDim + 1}),
+         |      i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+         |         * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+    def assignCte(name: String, cents: String, keepD2: Boolean) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cell${if (keepD2) ", d2" else ""} FROM (
+         |    SELECT vec_id, v, cid AS cell, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT vec_id, v, cid, ${d2("v", "cv")} AS d2
+         |          FROM vv$m CROSS JOIN $cents)) WHERE rn = 1)""".stripMargin
+    def centerCte(name: String, assigned: String, prev: String) =
+      s"""$name AS (
+         |  SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cell AS cid, list(mn ORDER BY pos) AS cv FROM (
+         |      SELECT cell, pos,
+         |        CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * $S) AS mn
+         |      FROM (SELECT cell, i AS pos,
+         |              CAST(round(least(greatest(v[CAST(i AS INT)], -$C), $C) * $S)
+         |                   AS BIGINT) AS q
+         |            FROM $assigned CROSS JOIN range(1, ${SubDim + 1}) t(i))
+         |      GROUP BY cell, pos) GROUP BY cell) u ON p.cid = u.cid)""".stripMargin
+    val iterCtes = (1 to Iters).map { t =>
+      assignCte(s"a$m$t", s"c$m${t - 1}", keepD2 = false) + ",\n" +
+        centerCte(s"c$m$t", s"a$m$t", s"c$m${t - 1}")
+    }.mkString(",\n")
+    s"""vv$m AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c${m}0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |         v AS cv
+       |  FROM (SELECT vec_id, v FROM vv$m ORDER BY vec_id LIMIT $K)),
+       |$iterCtes,
+       |${assignCte(s"af$m", s"c$m$Iters", keepD2 = true)}""".stripMargin
+  }
+
+  private val q223 = Q(
+    "q223_product_quantization",
+    s"""WITH ${(0 until Subs).map(subspaceCtes).mkString(",\n")}
+       |SELECT af0.vec_id AS vec_id,
+       |  CAST(af0.cell AS BIGINT) AS c0, CAST(af1.cell AS BIGINT) AS c1,
+       |  CAST(af2.cell AS BIGINT) AS c2, CAST(af3.cell AS BIGINT) AS c3,
+       |  CAST(((af0.cell * $K + af1.cell) * $K + af2.cell) * $K + af3.cell
+       |    AS BIGINT) AS code,
+       |  af0.d2 + af1.d2 + af2.d2 + af3.d2 AS qerr
+       |FROM af0 JOIN af1 USING (vec_id) JOIN af2 USING (vec_id)
+       |JOIN af3 USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val all = VectorOps.vecs(s, dir)
+    val parts = (0 until Subs).map { m =>
+      val sub = all.select(col("vec_id"),
+        expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv"))
+      val cents = KMeansLite.fit(sub, "vec_id", "sv", K, Iters)
+      val centDf = broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(cents.zipWithIndex.map {
+          case (cv, i) => org.apache.spark.sql.Row(i, cv.toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cv",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))))
+      KMeansLite.assign(sub, "sv", cents)
+        .join(centDf, "cell")
+        .select(col("vec_id"), col("cell").cast("long").as(s"c$m"),
+          expr(s"""aggregate(sequence(1, $SubDim), CAST(0 AS DOUBLE),
+                  |  (acc, i) -> acc + (element_at(sv, i) - element_at(cv, i))
+                  |            * (element_at(sv, i) - element_at(cv, i)))"""
+            .stripMargin).as(s"d$m"))
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        expr(s"((c0 * $K + c1) * $K + c2) * $K + c3").as("code"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[Q] = Seq(q223)
+}

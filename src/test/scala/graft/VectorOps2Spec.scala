@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q223 product quantization: structural invariants plus an independent
+  * recomputation of per-vector quantization error against the fitted
+  * codebooks. */
+class VectorOps2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def l2sq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  test("q223 codes decompose into subspace cells and qerr matches the codebooks") {
+    val rows = SparkEntry.queries("q223_product_quantization")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+        r.getLong(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    // code is the base-4 digit assembly of the 4 subspace cells
+    rows.foreach { case (_, cs, code, qerr) =>
+      assert(cs.forall(c => c >= 0 && c < 4))
+      assert(code === ((cs(0) * 4 + cs(1)) * 4 + cs(2)) * 4 + cs(3))
+      assert(qerr >= 0.0)
+    }
+    // Independent error recompute: fit the same deterministic codebooks,
+    // then per vector check (a) the assigned cell IS the argmin cell and
+    // (b) qerr equals the sum of subspace distances to those centroids.
+    val vecs = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val books = (0 until 4).map { m =>
+      val sub = Tables.load(spark, dir, "embeddings")
+        .selectExpr("vec_id",
+          s"slice(transform(embedding, x -> CAST(x AS DOUBLE)), ${m * 16 + 1}, 16) AS sv")
+      operators.KMeansLite.fit(sub, "vec_id", "sv", k = 4, iters = 2)
+    }
+    rows.foreach { case (id, cs, _, qerr) =>
+      var expectedErr = 0.0
+      for (m <- 0 until 4) {
+        val sv = vecs(id).slice(m * 16, m * 16 + 16)
+        val dists = books(m).map(l2sq(sv, _))
+        val argmin = dists.indices.minBy(i => (dists(i), i))
+        assert(cs(m) === argmin.toLong, s"vec $id sub $m")
+        expectedErr += dists(argmin)
+      }
+      assert(math.abs(qerr - expectedErr) <= 1e-9 * (1.0 + expectedErr),
+        s"vec $id qerr $qerr vs $expectedErr")
+    }
+  }
+
+  test("q223 fitted codebooks reduce mean qerr vs the init centroids") {
+    val sub0 = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id",
+        "slice(transform(embedding, x -> CAST(x AS DOUBLE)), 1, 16) AS sv")
+    val data = sub0.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val init = data.take(4).map(_._2)
+    val fitted = operators.KMeansLite.fit(sub0, "vec_id", "sv", 4, 2)
+    def meanErr(books: Array[Array[Double]]): Double =
+      data.map { case (_, v) => books.map(l2sq(v, _)).min }.sum / data.length
+    assert(meanErr(fitted) <= meanErr(init),
+      "2 k-means iterations did not reduce quantization error")
+  }
+}
