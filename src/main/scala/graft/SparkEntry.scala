@@ -19,7 +19,8 @@ object SparkEntry {
       operators.SketchOps.defs ++ operators.SourceOps.defs ++
       operators.PipelineOps.defs ++ operators.PipelineOps2.defs ++
       operators.PipelineOps3.defs ++ operators.PipelineOps4.defs ++
-      operators.PipelineOps5.defs ++ operators.GraphOps.defs ++
+      operators.PipelineOps5.defs ++ operators.PipelineOps6.defs ++
+      operators.GraphOps.defs ++
       operators.Relational4.defs ++ operators.VectorOps2.defs ++
       operators.AnalyticsOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs

@@ -93,6 +93,8 @@ object GraftFunctions {
       graft.operators.SketchOps.cmsA, graft.operators.SketchOps.cmsB,
       graft.operators.SketchOps.P).toAggregateExpression()),
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
+    "graft_isect_count" -> (exprs =>
+      SortedIntersectCount(exprs(0), exprs(1))),
     "graft_morton" -> (exprs => MortonCode(exprs(0), exprs(1))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs.head)),
     // graft_polyhash(s, seed, mult, mod) — seed/mult/mod literal longs

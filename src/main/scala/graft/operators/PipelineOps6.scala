@@ -1,0 +1,388 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 pipeline operators, part 6: storage-maintenance planning,
+  * LM-based quality scoring, Pareto-frontier analytics, pagination,
+  * robust statistics, and OOV-rate filtering.
+  *
+  * Shared scale themes (continuing PipelineOps5):
+  *  - every score is exact integer arithmetic in fixed ppm/bp units —
+  *    both engines compute bit-identical values at any magnitude;
+  *  - global single-partition steps only ever run on value-domain-bounded
+  *    or explicitly pre-pruned inputs (the skyline's bin-and-refine);
+  *  - corpus-side work is linear scans + key shuffles; small derived
+  *    tables (vocabularies, bucket envelopes) broadcast back.
+  */
+object PipelineOps6 {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // --------------------- q224: small-file compaction planner
+
+  /** Target compacted-output size (chars stand in for bytes). */
+  private val CompactTarget = 60000L
+
+  private val q224 = Q(
+    "q224_compaction_plan",
+    s"""WITH f AS (
+       |  SELECT source, doc_id, n_chars,
+       |    sum(n_chars) OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM documents),
+       |b AS (SELECT source, doc_id, n_chars,
+       |        (cum - n_chars) // $CompactTarget AS bin FROM f)
+       |SELECT source, CAST(bin AS BIGINT) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(n_chars) AS BIGINT) AS bin_bytes,
+       |  CAST(min(doc_id) AS BIGINT) AS first_file,
+       |  CAST(max(doc_id) AS BIGINT) AS last_file
+       |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin) {
+    (s, dir) =>
+    // The nightly table-maintenance primitive: plan which small files
+    // merge into which compacted output. Files (docs stand in, n_chars
+    // = bytes) are ordered largest-first per table partition (source)
+    // and packed by exclusive-prefix-sum division — bin b holds the
+    // files whose preceding bytes fill [b*T, (b+1)*T). Fully
+    // deterministic (no first-fit heuristic state), one partition-local
+    // window + one group-by — both shuffles share the source key, and
+    // the plan's row count is output-sized (bins), not input-sized.
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTarget"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("n_chars").as("bin_bytes"),
+        min("doc_id").as("first_file"), max("doc_id").as("last_file"))
+      .orderBy("source", "bin")
+  }
+
+  // --------------------- q225: bigram-LM quality score (integer ppm)
+
+  private val q225 = Q(
+    "q225_bigram_lm_score",
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |uni AS (
+      |  SELECT unnest(ws) AS w FROM t),
+      |c1 AS (SELECT w, count(*) AS n1 FROM uni GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+      |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
+      |  FROM t, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+      |  WHERE len(ws) >= 2),
+      |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY 1),
+      |sc AS (
+      |  SELECT bg.doc_id AS doc_id,
+      |    (c2.n2 * 1000000) // c1.n1 AS ppm
+      |  FROM bg JOIN c2 ON c2.b = bg.b JOIN c1 ON c1.w = bg.w1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(ppm) AS BIGINT) AS total_ppm,
+      |  CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Fluency scoring with a corpus-trained bigram model and the log
+    // dropped: each bigram occurrence contributes P(w2 | w1) in exact
+    // integer ppm — n(w1 w2) * 1e6 div n(w1) — and a doc's score is the
+    // sum/mean over its bigrams. Repetitive or templated text scores
+    // high, gibberish scores near zero; unlike perplexity the statistic
+    // is order-independent integer arithmetic, so Spark's parallel
+    // aggregation and DuckDB's sequential fold agree bit-for-bit. The
+    // corpus makes one pass for unigram counts, one for bigram counts,
+    // and the scoring join shuffles on the bigram key — all linear;
+    // nothing is sampled or capped.
+    graft.functions.GraftFunctions.register(s)
+    val t = docs(s, dir).select(col("doc_id"), expr("graft_words(text)").as("ws"))
+    val uni = t.select(explode(col("ws")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("n1"))
+    val bg = t.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(element_at(ws, i) AS w1, concat(element_at(ws, i), ' ', element_at(ws, i + 1)) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+    val c2 = bg.groupBy("b").agg(count(lit(1)).as("n2"))
+    bg.join(c2, "b")
+      .join(c1.withColumnRenamed("w", "w1"), "w1")
+      .select(col("doc_id"), expr("(n2 * 1000000) div n1").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("total_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_ppm"),
+        expr("total_ppm div n_bigrams").as("avg_ppm"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------- q226: Pareto skyline (bin-and-refine)
+
+  /** Price-bucket width (cents) for the coarse prune. */
+  private val SkyBucket = 10000L
+
+  private val q226 = Q(
+    "q226_skyline",
+    s"""WITH pts AS (
+       |  SELECT DISTINCT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT) AS price_cents,
+       |    CAST(p_size AS BIGINT) AS size FROM part),
+       |r AS (
+       |  SELECT price_cents, size,
+       |    max(size) OVER (ORDER BY price_cents ASC, size DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       |  FROM pts)
+       |SELECT price_cents, size FROM r
+       |WHERE prevmax IS NULL OR size > prevmax
+       |ORDER BY price_cents""".stripMargin) { (s, dir) =>
+    // Pareto frontier (min price, max size) over distinct value pairs:
+    // after sorting by (price asc, size desc), a pair is dominated iff
+    // some preceding pair already reached its size — one running-max
+    // window. The final window is a global sort, so it must never see
+    // the raw table: a coarse prune first buckets price into
+    // $SkyBucket-cent bins, computes each bin's max size (one
+    // aggregation), and keeps only pairs strictly above the running max
+    // of all STRICTLY CHEAPER bins (every pair there dominates them).
+    // The bin envelope is bins-sized and broadcasts; survivors are the
+    // frontier plus at most the boundary pairs of each bin, so the
+    // exact window runs on a value-domain-bounded residue — the
+    // bin-and-refine shape that keeps a 100 TB skyline off a single
+    // executor. The prune is a pure subset filter (proven in the spec);
+    // the oracle replays only the exact definition.
+    val pts = Tables.load(s, dir, "part")
+      .select((col("p_retailprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("price_cents"),
+        col("p_size").cast("long").as("size"))
+      .distinct()
+      .withColumn("bucket", expr(s"price_cents div $SkyBucket"))
+    val bmax = pts.groupBy("bucket").agg(max("size").as("bsize"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // <= bins rows: the window over bucket envelopes is trivially small.
+    val env = bmax.withColumn("cheapermax", max("bsize").over(wb))
+      .select("bucket", "cheapermax")
+    val survivors = pts.join(broadcast(env), "bucket")
+      .filter(col("cheapermax").isNull || col("size") > col("cheapermax"))
+    val w = Window.orderBy(col("price_cents").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("prevmax", max("size").over(w))
+      .filter(col("prevmax").isNull || col("size") > col("prevmax"))
+      .select("price_cents", "size")
+      .orderBy("price_cents")
+  }
+
+  // --------------------- q227: ORDER BY ... LIMIT/OFFSET pagination
+
+  private val q227 = Q(
+    "q227_offset_fetch",
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS price_cents
+      |FROM orders
+      |ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+      |LIMIT 20 OFFSET 40""".stripMargin) { (s, dir) =>
+    // The pagination surface: page 3 of a 20-row result (rows 41-60 of
+    // the total order). Spark plans orderBy+offset+limit as a single
+    // TakeOrdered of offset+limit rows (each partition locally
+    // pre-prunes to 60 rows before one driver merge) — no global sort
+    // materializes, so pagination stays O(pages) at any table size.
+    // The sort key is the exact decimal (ties broken by key), never a
+    // double.
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("price_dec"))
+      .orderBy(col("price_dec").desc, col("o_orderkey"))
+      .offset(40).limit(20)
+      .select(col("o_orderkey"),
+        (col("price_dec") * 100).cast("long").as("price_cents"))
+  }
+
+  // --------------------- q228: winsorized robust statistics
+
+  /** Winsorization tail, in percent (clamp below P5 / above P95). */
+  private val WinsorPct = 5L
+
+  private val q228 = Q(
+    "q228_winsorized_stats",
+    s"""WITH c AS (
+       |  SELECT o_orderpriority AS pri,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |    row_number() OVER (PARTITION BY o_orderpriority
+       |      ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey) AS rn,
+       |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+       |  FROM orders),
+       |b AS (SELECT pri, cents, rn, n,
+       |        ($WinsorPct * n + 99) // 100 AS lo_rank,
+       |        ((100 - $WinsorPct) * n + 99) // 100 AS hi_rank
+       |      FROM c),
+       |lim AS (
+       |  SELECT pri,
+       |    min(CASE WHEN rn = lo_rank THEN cents END) AS lo,
+       |    min(CASE WHEN rn = hi_rank THEN cents END) AS hi
+       |  FROM b GROUP BY pri)
+       |SELECT b.pri AS pri, CAST(max(b.n) AS BIGINT) AS n_orders,
+       |  CAST(min(lim.lo) AS BIGINT) AS p05_cents,
+       |  CAST(min(lim.hi) AS BIGINT) AS p95_cents,
+       |  CAST(sum(CASE WHEN b.cents < lim.lo THEN lim.lo
+       |                WHEN b.cents > lim.hi THEN lim.hi
+       |                ELSE b.cents END) AS BIGINT) AS winsor_sum_cents,
+       |  CAST(sum(CASE WHEN b.cents < lim.lo OR b.cents > lim.hi
+       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+       |FROM b JOIN lim ON lim.pri = b.pri
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Outlier-robust aggregation: per priority class, clamp order
+    // values to the exact discrete [P5, P95] order statistics (rank
+    // ceil(p*n) of the (cents, key)-sorted column — pure integer rank
+    // arithmetic, no interpolated percentile to drift cross-engine),
+    // then sum the clamped cents. One window sort per group computes
+    // ranks, the two clamp bounds reduce to a groups-sized table that
+    // broadcasts back, and the final rollup reuses the same group key —
+    // the robust-mean shape that survives a fat-tailed 100 TB column
+    // where a plain mean is one corrupt row away from garbage.
+    val wr = Window.partitionBy("pri")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val c = Tables.load(s, dir, "orders")
+      .select(col("o_orderpriority").as("pri"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+      .withColumn("lo_rank", expr(s"($WinsorPct * n + 99) div 100"))
+      .withColumn("hi_rank", expr(s"((100 - $WinsorPct) * n + 99) div 100"))
+    val lim = c.groupBy("pri").agg(
+      min(when(col("rn") === col("lo_rank"), col("cents"))).as("lo"),
+      min(when(col("rn") === col("hi_rank"), col("cents"))).as("hi"))
+    c.join(broadcast(lim), "pri")
+      .groupBy("pri")
+      .agg(max("n").as("n_orders"),
+        min("lo").as("p05_cents"), min("hi").as("p95_cents"),
+        sum(when(col("cents") < col("lo"), col("lo"))
+          .when(col("cents") > col("hi"), col("hi"))
+          .otherwise(col("cents"))).as("winsor_sum_cents"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clamped"))
+      .orderBy("pri")
+  }
+
+  // --------------------- q229: OOV-rate quality filter
+
+  /** Vocabulary size (top-df terms) defining "in-vocabulary". */
+  private val OovVocab = 100
+
+  private val q229 = Q(
+    "q229_oov_rate",
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+       |cnt AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+       |voc AS (SELECT w FROM (
+       |  SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn FROM cnt)
+       |  WHERE rn <= $OovVocab)
+       |SELECT tok.doc_id AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN voc.w IS NULL THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS oov_bp
+       |FROM tok LEFT JOIN voc ON voc.w = tok.w
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Out-of-vocabulary rate against the corpus's own top-$OovVocab
+    // vocabulary (df ties broken by token — deterministic, the q197
+    // rule): gibberish and wrong-language docs spike it, clean prose
+    // stays low. The vocabulary reduces to $OovVocab rows and
+    // broadcasts, so the per-token membership test adds ZERO shuffle to
+    // the token stream — the corpus shuffles once, on doc_id, for the
+    // final rollup.
+    graft.functions.GraftFunctions.register(s)
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(expr("graft_words(text)")).as("w"))
+    val cnt = tok.groupBy("w").agg(count(lit(1)).as("n"))
+    val wTop = Window.orderBy(col("n").desc, col("w"))
+    val voc = cnt.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= OovVocab).select(col("w"), lit(1).as("in_voc"))
+    tok.join(broadcast(voc), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_voc").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 10000 div n_tokens").as("oov_bp"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------- q231: deterministic stratified split
+
+  private val q231 = Q(
+    "q231_train_split",
+    s"""WITH f AS (
+       |  SELECT doc_id, source, n_chars,
+       |    ${TextOps.FingerprintOracle} % 100 AS slot
+       |  FROM documents),
+       |s AS (SELECT source, n_chars,
+       |        CASE WHEN slot < 80 THEN 'train'
+       |             WHEN slot < 90 THEN 'val'
+       |             ELSE 'test' END AS split
+       |      FROM f)
+       |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // Train/val/test assignment by CONTENT fingerprint, not by random()
+    // or row position: the same document lands in the same split on
+    // every engine, every run, and every re-ingestion (dedup upstream
+    // of an eval split is what keeps test data out of train — a
+    // position-based split silently reshuffles when the corpus is
+    // re-sorted). 80/10/10 via the rolling-hash slot; embarrassingly
+    // parallel scan + one source-key rollup. The fingerprint fragment
+    // and its DuckDB replay are the q53/q133 pair.
+    docs(s, dir)
+      .select(col("source"), col("n_chars"),
+        (expr(TextOps.FingerprintSpark) % 100).as("slot"))
+      .withColumn("split",
+        when(col("slot") < 80, "train")
+          .when(col("slot") < 90, "val").otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("source", "split")
+  }
+
+  // --------------------- q232: equi-depth binning (ntile)
+
+  private val q232 = Q(
+    "q232_ntile_binning",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    ntile(10) OVER (PARTITION BY event_type
+      |      ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+      |        event_id) AS bin
+      |  FROM events)
+      |SELECT event_type, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(cents) AS BIGINT) AS lo_cents,
+      |  CAST(max(cents) AS BIGINT) AS hi_cents
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    // Equi-depth feature binning — the discretization step feeding
+    // histogram features and monotonic-binning models: ntile(10) over
+    // the exact (cents, event_id) total order is deterministic on both
+    // engines (SQL pins ntile's floor/remainder bucket-size rule), and
+    // the per-bin envelope (count, lo, hi) is what a feature store
+    // actually persists. One partition-local window sort per type, and
+    // the rollup reuses the same key.
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .orderBy("event_type", "bin")
+  }
+
+  val defs: Seq[Q] = Seq(q224, q225, q226, q227, q228, q229, q231, q232)
+}

@@ -117,5 +117,60 @@ object VectorOps2 {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[Q] = Seq(q223)
+  // --------------------- q233: ANN recall@k evaluation
+
+  /** Queries evaluated (vec_id < 50, the q49 query set) and k. */
+  private val RecallK = 3
+
+  private val q233 = Q(
+    "q233_ann_recall", {
+      def topk(joinCond: String) =
+        s"""SELECT qid, nid FROM (
+           |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${VectorOps.duckCos("q", "n")} DESC, n.vec_id) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON $joinCond
+           |  WHERE q.vec_id < 50) r WHERE rnk <= $RecallK""".stripMargin
+      s"""WITH ann AS (${topk("q.label = n.label AND q.vec_id <> n.vec_id")}),
+         |ex AS (${topk("q.vec_id <> n.vec_id")})
+         |SELECT ex.qid AS qid, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(ann.nid) AS BIGINT) AS n_hits,
+         |  CAST(count(ann.nid) * 10000 // count(*) AS BIGINT) AS recall_bp
+         |FROM ex LEFT JOIN ann ON ann.qid = ex.qid AND ann.nid = ex.nid
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+    // ANN quality measured, not assumed: recall@3 of the cell-restricted
+    // search (q49's IVF shape) against the exact brute-force top-3, per
+    // query. The exact side is a BroadcastNestedLoopJoin of the 50-query
+    // set against the corpus — bounded by the QUERY count (an eval-set
+    // contract, like q131's broadcast eval set), not by corpus²; the ANN
+    // side is the same cell equi-join the production path uses. Output
+    // is integer hit counts — the ranking runs on identical doubles on
+    // both engines (the q47-q49 determinism rule), the emitted recall
+    // doesn't.
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(scored: DataFrame): DataFrame = scored
+      .withColumn("cos_sim",
+        expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RecallK)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val ann = topk(all.join(q,
+      col("label") === col("qlabel") && col("vec_id") =!= col("qid")))
+    val ex = topk(all.join(broadcast(q), col("vec_id") =!= col("qid")))
+    ex.join(ann.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("k"), col("n_hits"),
+        expr("n_hits * 10000 div k").as("recall_bp"))
+      .orderBy("qid")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233)
 }

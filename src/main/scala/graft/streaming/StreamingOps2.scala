@@ -135,5 +135,90 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221)
+  /** Watermarked stream-stream FULL OUTER join — completes the join
+    * family (q125 inner, q190 left outer): unmatched rows on BOTH
+    * sides must flush with nulls, exactly once, after the min of the
+    * two watermarks passes their join window. This is the
+    * two-sided-reconciliation shape (every view accounted for AND
+    * every purchase accounted for in one streaming job); the q190
+    * sentinel choreography carries over unchanged because its
+    * sentinels already advance both sides. */
+  private val q230 = Q(
+    "q230_stream_full_outer_join",
+    """WITH v AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT coalesce(v.user_id, p.user_id) AS user_id,
+      |  count(CASE WHEN v.user_id IS NOT NULL AND p.user_id IS NOT NULL
+      |        THEN 1 END) AS n_matched,
+      |  count(CASE WHEN p.user_id IS NULL THEN 1 END) AS n_views_unmatched,
+      |  count(CASE WHEN v.user_id IS NULL THEN 1 END) AS n_purch_unmatched
+      |FROM v FULL JOIN p
+      |  ON v.user_id = p.user_id
+      |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q230_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxRealTs = ev.agg(max("ts")).first().getTimestamp(0)
+      def drain(): Unit = {
+        def src = s.readStream.schema(ev.schema).parquet(stage)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", "1 hour")
+        val q = views.join(purchases,
+          expr("""v_user = p_user AND
+                 |p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin),
+          "fullOuter")
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(stage)
+      drain()
+      // Both-sided far-future sentinels (q190's rule): a one-sided
+      // sentinel would hold the other stream's watermark back and the
+      // min-of-watermarks rule would never flush the last unmatched
+      // rows. Sentinel-sentinel matches and sentinel singles are all
+      // filtered below: every surviving row's EARLIEST timestamp
+      // (coalesce picks the view side when present) is real.
+      Seq(10, 20).foreach { h =>
+        Seq("view", "purchase").foreach { t =>
+          ev.orderBy(col("ts").desc).limit(1)
+            .withColumn("event_type", lit(t))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+            .write.mode("append").parquet(stage)
+        }
+        drain()
+      }
+      s.read.parquet(sink)
+        .filter(coalesce(col("v_ts"), col("p_ts")) <= lit(maxRealTs))
+        .groupBy(coalesce(col("v_user"), col("p_user")).as("user_id"))
+        .agg(count(when(col("v_user").isNotNull && col("p_user").isNotNull, 1))
+            .as("n_matched"),
+          count(when(col("p_user").isNull, 1)).as("n_views_unmatched"),
+          count(when(col("v_user").isNull, 1)).as("n_purch_unmatched"))
+        .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230)
 }

@@ -50,6 +50,25 @@ class ExpressionPropertySpec extends AnyFunSuite {
     sb.toString
   }
 
+  test("graft_isect_count equals set-intersection size on random sorted arrays") {
+    val r = new scala.util.Random(0x15EC7)
+    (1 to Cases).foreach { _ =>
+      // distinct sorted arrays (the adjacency-list contract)
+      val a = Array.fill(r.nextInt(60))(r.nextInt(80).toLong).distinct.sorted
+      val b = Array.fill(r.nextInt(60))(r.nextInt(80).toLong).distinct.sorted
+      val e = functions.SortedIntersectCount(
+        Literal.create(a, ArrayType(LongType)),
+        Literal.create(b, ArrayType(LongType)))
+      assert(e.eval(null).asInstanceOf[Long] ===
+        a.toSet.intersect(b.toSet).size.toLong)
+    }
+    // empty sides
+    val empty = Literal.create(Array.empty[Long], ArrayType(LongType))
+    val one = Literal.create(Array(1L, 2L), ArrayType(LongType))
+    assert(functions.SortedIntersectCount(empty, one).eval(null) === 0L)
+    assert(functions.SortedIntersectCount(one, empty).eval(null) === 0L)
+  }
+
   test("graft_polyhash folds codepoints with mod at every step, result in [0, mod)") {
     val r = new scala.util.Random(0xB0B)
     val (seed, mult, mod) = (7L, 31L, 1000000007L)

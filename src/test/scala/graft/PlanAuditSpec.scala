@@ -301,9 +301,18 @@ class PlanAuditSpec extends AnyFunSuite {
       .agg(count(lit(1)))
     val flatScanned = scannedRows(flat)
     val total = operators.PipelineOps5.zorderedLineitem(s, dir).count()
+    // The unclustered twin can't prune at all: its scan must touch
+    // every row, and the z-layout must beat it outright.
+    assert(flatScanned === total,
+      s"unclustered twin unexpectedly pruned: $flatScanned of $total")
     assert(zScanned < flatScanned,
       s"z-layout scanned $zScanned rows vs unclustered $flatScanned")
-    assert(zScanned < total / 2,
+    // Absolute bound: repartitionByRange draws SAMPLED boundaries, so
+    // the box's file count wobbles by one file across corpus
+    // generations (8 files of ~total/8 rows; 4 vs 5 kept). Anything
+    // at/below 5/8 of the table proves row-group stats are pruning;
+    // a failed layout scans all 8.
+    assert(zScanned <= total * 5 / 8,
       s"z-layout scanned $zScanned of $total rows — row-group stats not pruning")
   }
 

@@ -63,6 +63,34 @@ class StreamingOps2Spec extends AnyFunSuite {
     }
   }
 
+  test("q230 equals a brute-force batch full-outer replay (both null sides exercised)") {
+    val dir = "/root/testdata/sf0.001"
+    val HourUs = 3600000000L
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = evs.filter(_._2 == "view").map(e => (e._1, e._3))
+    val purch = evs.filter(_._2 == "purchase").map(e => (e._1, e._3))
+    val users = (views.map(_._1) ++ purch.map(_._1)).distinct
+    val expected = users.map { u =>
+      val vs = views.filter(_._1 == u).map(_._2)
+      val ps = purch.filter(_._1 == u).map(_._2)
+      val matched = (for (v <- vs; p <- ps if p >= v && p <= v + HourUs)
+        yield 1).size.toLong
+      val vUn = vs.count(v => !ps.exists(p => p >= v && p <= v + HourUs)).toLong
+      val pUn = ps.count(p => !vs.exists(v => p >= v && p <= v + HourUs)).toLong
+      (u, (matched, vUn, pUn))
+    }.filter { case (_, (m, vu, pu)) => m + vu + pu > 0 }.toMap
+    val got = SparkEntry.queries("q230_stream_full_outer_join")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // The full-outer contract is only exercised if BOTH null sides
+    // actually appear in the corpus.
+    assert(got.values.exists(_._2 > 0), "no unmatched views in fixture")
+    assert(got.values.exists(_._3 > 0), "no unmatched purchases in fixture")
+  }
+
   test("q221 within-watermark dedup drops a jittered duplicate that q117-style exact dedup keeps") {
     val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
