@@ -384,5 +384,83 @@ object PipelineOps6 {
       .orderBy("event_type", "bin")
   }
 
-  val defs: Seq[Q] = Seq(q224, q225, q226, q227, q228, q229, q231, q232)
+  // --------------------- q235: bucket-pruned point lookup
+
+  private val q235 = Q(
+    "q235_bucket_pruning",
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |    AS price_cents
+      |FROM orders
+      |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    // The point-lookup face of bucketing (q127 pins the exchange-free
+    // join): an equality predicate on the bucket column lets the scan
+    // open 1 of 8 buckets — `SelectedBucketsCount: 1 out of 8` in the
+    // plan (PlanAuditSpec pins it). At 100 TB this is the difference
+    // between a key probe touching 1/N of the files and a full scan
+    // with a filter. The probe key (max orderkey) is resolved to a
+    // literal first: bucket pruning needs a literal, exactly like a
+    // production lookup service would bind it.
+    // autoBucketedScan drops the bucketed read (and with it bucket
+    // pruning) when no join/agg wants the distribution — for a point
+    // lookup the pruning IS the point. Left set (not restored): the
+    // returned plan is lazy, so a restore here would precede planning;
+    // the conf only affects the graft_bkt tables, whose other reader
+    // (q127's co-located join) requires the bucketed read anyway.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val (ordersT, _) = SourceOps.bucketedPair(s, dir)
+    val key = Tables.load(s, dir, "orders")
+      .agg(max("o_orderkey")).first().getLong(0)
+    s.table(ordersT)
+      .filter(col("o_orderkey") === key)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  // --------------------- q236: rolling 7-day distinct users
+
+  private val q236 = Q(
+    "q236_rolling_dau",
+    """WITH d AS (
+      |  SELECT DISTINCT
+      |    epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day,
+      |    user_id
+      |  FROM events),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+      |r AS (
+      |  SELECT d.day + k.k AS rday, d.user_id AS user_id
+      |  FROM d, unnest(generate_series(0, 6)) AS k(k)),
+      |u AS (SELECT DISTINCT rday, user_id FROM r)
+      |SELECT CAST(u.rday AS BIGINT) AS day,
+      |  CAST(count(*) AS BIGINT) AS rolling_7d_users
+      |FROM u, b WHERE u.rday BETWEEN b.lo AND b.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Rolling 7-day active users — the retention dashboard's workhorse
+    // — computed EXACTLY without a 7-way self-join: each (day, user)
+    // activity row is exploded into the <= 7 report days it covers,
+    // then distinct-counted per report day. Work is 7x the DISTINCT
+    // (day, user) table (already collapsed from raw events by the
+    // first aggregation), not 7x the corpus; day arithmetic is pure
+    // integer epoch-day division. The documented 100 TB swap for very
+    // long windows is per-day HLL sketch union (q136's machinery).
+    val d = Tables.load(s, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .distinct()
+    val bounds = d.agg(min("day").as("lo"), max("day").as("hi"))
+    d.select(explode(expr("sequence(day, day + 6)")).as("rday"),
+        col("user_id"))
+      .distinct() // (rday, user) — a user active twice in a window counts once
+      .crossJoin(broadcast(bounds))
+      .filter(col("rday").between(col("lo"), col("hi")))
+      .groupBy(col("rday").as("day"))
+      .agg(count(lit(1)).as("rolling_7d_users"))
+      .orderBy("day")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q224, q225, q226, q227, q228, q229, q231, q232, q235, q236)
 }

@@ -220,5 +220,80 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230)
+  /** STREAMING sessionization (q72 pins the batch `session_window`,
+    * q173 the window-function formulation): 30-minute-gap sessions as
+    * merging streaming state, finalized and emitted in append mode
+    * only once the watermark passes each session's close — the shape
+    * that turns a nightly sessionization batch into a continuous job
+    * with per-user state bounded by the gap, not the history. The q189
+    * drain choreography (checkpointed AvailableNow runs + two
+    * far-future sentinel drains for the one-batch emission lag)
+    * flushes every real session deterministically; sentinel sessions
+    * sit past the real max ts and are filtered on read-back. */
+  private val q234 = Q(
+    "q234_stream_session_window",
+    """WITH e AS (SELECT user_id, event_id,
+      |            epoch_us(date_trunc('microseconds', ts)) AS us
+      |          FROM events),
+      |m AS (SELECT user_id, event_id, us,
+      |        CASE WHEN lag(us) OVER w IS NULL
+      |             OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+      |          AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM m)
+      |SELECT user_id,
+      |  CAST(MIN(us) AS BIGINT) AS session_start_us,
+      |  CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q234_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxRealUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema).parquet(stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(stage)
+      drain()
+      Seq(10, 20).foreach { h =>
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+          .write.mode("append").parquet(stage)
+        drain()
+      }
+      s.read.parquet(sink)
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .filter(col("session_start_us") <= maxRealUs)
+        .orderBy("user_id", "session_start_us")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234)
 }

@@ -226,6 +226,40 @@ class PipelineOps6Spec extends AnyFunSuite {
     assert(got.values.exists(_._3 < 10000), "ANN trivially perfect")
   }
 
+  // ------------------------------------------------------- q235
+
+  test("q235 returns exactly the max-key order from the bucketed table") {
+    val rows = Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderkey", "o_orderpriority",
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = Seq(rows.maxBy(_._1))
+    val got = SparkEntry.queries("q235_bucket_pruning")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  // ------------------------------------------------------- q236
+
+  test("q236 equals a per-day union-of-trailing-window replay") {
+    val rows = Tables.load(spark, dir, "events")
+      .selectExpr("unix_micros(ts) div 86400000000 AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val days = rows.map(_._1)
+    val expected = (days.min to days.max).map { d =>
+      // distinct users active on any of the 7 days ending at d
+      (d, rows.collect { case (ad, u) if ad >= d - 6 && ad <= d => u }
+        .size.toLong)
+    }.toMap
+    val got = SparkEntry.queries("q236_rolling_dau")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+    // Windowing must actually widen: some rolling count exceeds that
+    // day's own distinct actives.
+    val daily = rows.groupBy(_._1).map { case (d, g) => (d, g.size.toLong) }
+    assert(expected.exists { case (d, n) => n > daily.getOrElse(d, 0L) })
+  }
+
   // ------------------------------------------------------- q229
 
   test("q229 equals a vocabulary-membership replay") {

@@ -316,6 +316,57 @@ class PlanAuditSpec extends AnyFunSuite {
       s"z-layout scanned $zScanned of $total rows — row-group stats not pruning")
   }
 
+  test("q227 pagination plans a TakeOrdered, not a global sort") {
+    val p = planOf("q227_offset_fetch")
+    assert(p.contains("TakeOrderedAndProject"),
+      "LIMIT/OFFSET did not plan as TakeOrdered")
+    assert(!p.contains("rangepartitioning"),
+      "pagination materialized a global range sort")
+  }
+
+  test("q229 vocabulary membership join broadcasts (no token-stream shuffle)") {
+    val df = SparkEntry.queries("q229_oov_rate")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab membership did not broadcast — token stream would shuffle")
+  }
+
+  test("q226 skyline's global window runs on the pruned residue, not the raw pairs") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val s = spark
+    val df = SparkEntry.queries("q226_skyline")(s, dir)
+    df.collect()
+    def singleExchanges(p: SparkPlan): Seq[ShuffleExchangeLike] = p.collect {
+      case e: ShuffleExchangeLike
+          if e.outputPartitioning == SinglePartition => Seq(e)
+      case a: AdaptiveSparkPlanExec => singleExchanges(a.executedPlan)
+      case q: QueryStageExec => singleExchanges(q.plan)
+    }.flatten
+    val ex = singleExchanges(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "no single-partition window stage found")
+    val distinctPairs = Tables.load(s, dir, "part")
+      .selectExpr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)",
+        "CAST(p_size AS BIGINT)").distinct().count()
+    // Two single-partition stages exist by design: the bins-sized bucket
+    // envelope and the pruned survivor set. BOTH must be far below the
+    // distinct-pair count — that's the bin-and-refine contract.
+    ex.foreach { e =>
+      val rows = e.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      assert(rows * 4 < distinctPairs,
+        s"single-partition stage saw $rows of $distinctPairs pairs — prune dead")
+    }
+  }
+
+  test("q235 point lookup opens 1 of 8 buckets") {
+    val p = planOf("q235_bucket_pruning")
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning not applied:\n${p.take(2000)}")
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a

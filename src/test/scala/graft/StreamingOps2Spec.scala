@@ -91,6 +91,33 @@ class StreamingOps2Spec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0), "no unmatched purchases in fixture")
   }
 
+  test("q234 streaming sessions equal a sequential gaps-and-islands replay") {
+    val dir = "/root/testdata/sf0.001"
+    val GapUs = 1800000000L
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val ts = g.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = Seq.newBuilder[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last >= GapUs) {
+          sessions += ((u, start, last + GapUs, n)); start = t; n = 0L
+        }
+        last = t; n += 1
+      }
+      sessions += ((u, start, last + GapUs, n))
+      sessions.result()
+    }.toSet
+    val got = SparkEntry.queries("q234_stream_session_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expected)
+    // Multi-event sessions must exist or the merge semantics went untested.
+    assert(got.exists(_._4 > 1), "no multi-event session in fixture")
+  }
+
   test("q221 within-watermark dedup drops a jittered duplicate that q117-style exact dedup keeps") {
     val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
