@@ -407,6 +407,59 @@ object SourceOps {
       .orderBy("doc_id")
   }
 
+  /** Error-tolerant CSV ingest (q171 pins the clean roundtrip): a feed
+    * where some rows are malformed — extra fields, an unparsable
+    * number — must not kill an 8-hour load OR silently drop rows.
+    * PERMISSIVE mode + columnNameOfCorruptRecord quarantines bad rows
+    * into a side column; good rows aggregate normally and the corrupt
+    * count is reported alongside. The staged feed derives from the
+    * nation table (so the oracle recomputes the good side from the
+    * same source) plus three fixed malformed lines. Per-file/line
+    * parallelism, nothing driver-side but the tiny line literals. */
+  private val q237 = Q(
+    "q237_csv_corrupt_records",
+    """SELECT count(*) AS n_good,
+      |  CAST(3 AS BIGINT) AS n_corrupt,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+      |FROM nation""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val out = new java.io.File(
+      s"/tmp/graft_csv_corrupt_${math.abs(dir.hashCode)}")
+    if (!out.exists()) out.mkdirs()
+    val good = Tables.load(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name",
+        "CAST(n_regionkey AS BIGINT)").collect()
+      .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}")
+    val bad = Seq(
+      "9999,EXTRAFIELD,1,unexpected-4th-field",
+      "not_a_number,BADKEY,2",
+      "123,BADREGION,not_a_number")
+    java.nio.file.Files.write(
+      new java.io.File(out, "feed.csv").toPath,
+      (good ++ bad).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_corrupt", StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out.getPath)
+      // columnNameOfCorruptRecord requires the raw row to be re-parsed
+      // when the corrupt column is selected — cache once, small feed.
+      .localCheckpoint()
+    parsed.agg(
+      count(when(col("_corrupt").isNull, 1)).as("n_good"),
+      count(col("_corrupt")).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, col("n_nationkey"))).as("sum_key"),
+      countDistinct(when(col("_corrupt").isNull, col("n_regionkey")))
+        .as("n_regions"))
+  }
+
   val defs: Seq[Q] =
-    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188, q194)
+    Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
+      q194, q237)
 }

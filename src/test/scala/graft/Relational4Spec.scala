@@ -60,4 +60,70 @@ class Relational4Spec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got === expected)
   }
+
+  test("q238 explode_outer keeps empty-array docs as NULL rows") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val expected = docs.flatMap { case (id, ws) =>
+      if (ws.isEmpty) Seq((id, null: String)) else ws.toSeq.map(w => (id, w))
+    }.toSeq
+    val got = SparkEntry.queries("q238_explode_outer")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    // multiset equality (row order is the query's concern, not this spec's)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      expected.groupBy(identity).view.mapValues(_.size).toMap)
+    // The outer path itself: a synthetic empty array must yield one NULL row.
+    import spark.implicits._
+    val syn = Seq((1L, Array[String]()), (2L, Array("a")))
+      .toDF("doc_id", "ws")
+      .select(col("doc_id"), explode_outer(col("ws")).as("word"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1))).toSet
+    assert(syn === Set((1L, null), (2L, "a")))
+  }
+
+  test("q239 equals java.util.regex digit-run extraction") {
+    val rows = Tables.load(spark, dir, "events")
+      .filter(org.apache.spark.sql.functions.col("event_id") < 500)
+      .select("event_id", "props").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pat = java.util.regex.Pattern.compile("[0-9]+")
+    val expected = rows.map { case (id, s) =>
+      val m = pat.matcher(if (s == null) "" else s)
+      val xs = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      (id, (xs.size.toLong, xs.mkString(",")))
+    }.toMap
+    val got = SparkEntry.queries("q239_regexp_extract_all")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(got === expected)
+    // digits must actually occur or the extraction path went untested
+    assert(expected.values.exists(_._1 > 0), "no digit runs in fixture")
+  }
+
+  test("q240 cogroup equals a sequential merged-stream fold") {
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .filter(e => e._4 == "view" || e._4 == "purchase")
+    val expected = evs.groupBy(_._1).map { case (u, g) =>
+      val seq = g.sortBy(e => (e._3, e._2)).map(_._4)
+      val switches = seq.sliding(2).count {
+        case Array(a, b) => a != b
+        case _ => false
+      }.toLong
+      (u, (seq.count(_ == "view").toLong,
+        seq.count(_ == "purchase").toLong, switches))
+    }
+    val got = SparkEntry.queries("q240_cogroup_alternations")(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+    // both event kinds and at least one switch must exist
+    assert(got.values.exists(_._3 > 0), "no alternation in fixture")
+  }
 }

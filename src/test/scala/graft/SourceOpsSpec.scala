@@ -130,4 +130,17 @@ class SourceOpsSpec extends AnyFunSuite {
     assert(rows.length == 1, "zero-length files must be absent from the source output")
     assert(rows.head.getAs[Long]("length") == 1L)
   }
+
+  test("q237 quarantines exactly the three malformed lines, salvages the rest") {
+    val dir = "/root/testdata/sf0.001"
+    val nation = Tables.load(spark, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "CAST(n_regionkey AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = SparkEntry.queries("q237_csv_corrupt_records")(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).head
+    assert(got === ((nation.length.toLong, 3L,
+      nation.map(_._1).sum, nation.map(_._2).distinct.length.toLong)))
+  }
 }
