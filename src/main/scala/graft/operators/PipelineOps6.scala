@@ -461,6 +461,88 @@ object PipelineOps6 {
       .orderBy("day")
   }
 
+  // --------------------- q241: declarative data-quality suite
+
+  private val q241 = Q(
+    "q241_data_quality_suite",
+    """WITH o AS (
+      |  SELECT count(*) AS n, count(*) - count(o_orderkey) AS nulls,
+      |    count(*) - count(DISTINCT o_orderkey) AS dups
+      |  FROM orders),
+      |l AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN CAST(l_quantity AS DECIMAL(12,2)) < 1
+      |             OR CAST(l_quantity AS DECIMAL(12,2)) > 50
+      |             THEN 1 ELSE 0 END) AS range_bad
+      |  FROM lineitem),
+      |ri AS (
+      |  SELECT count(*) AS orphans FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+      |                           WHERE o_orderkey IS NOT NULL)),
+      |ev AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS nulls
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'orders.o_orderkey.not_null' AS constraint_name,
+      |    CAST(o.n AS BIGINT) AS n_checked, CAST(o.nulls AS BIGINT)
+      |      AS n_violations FROM o
+      |  UNION ALL SELECT 'orders.o_orderkey.unique', CAST(o.n AS BIGINT),
+      |    CAST(o.dups AS BIGINT) FROM o
+      |  UNION ALL SELECT 'lineitem.l_quantity.range_1_50',
+      |    CAST(l.n AS BIGINT), CAST(l.range_bad AS BIGINT) FROM l
+      |  UNION ALL SELECT 'lineitem.l_orderkey.ref_orders',
+      |    CAST((SELECT n FROM l) AS BIGINT), CAST(ri.orphans AS BIGINT)
+      |    FROM ri
+      |  UNION ALL SELECT 'events.value.not_null', CAST(ev.n AS BIGINT),
+      |    CAST(ev.nulls AS BIGINT) FROM ev)
+      |ORDER BY constraint_name""".stripMargin) { (s, dir) =>
+    // Declarative data-quality gate (the Deequ shape, q166 profiles):
+    // a constraint SUITE evaluated with one aggregate pass per table —
+    // not one job per constraint — plus one broadcast-able anti-join
+    // for referential integrity; the report is constraints-sized. At
+    // 100 TB this is the pre-publish gate a corpus release runs: every
+    // added constraint is one more column in an existing pass, not
+    // another scan. Violations are REPORTED, never asserted: the
+    // adversarial corpus legitimately carries them.
+    val o = Tables.load(s, dir, "orders").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("o_orderkey"))).as("nulls"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dups"))
+    val l = Tables.load(s, dir, "lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_quantity").cast("decimal(12,2)") < 1 ||
+        col("l_quantity").cast("decimal(12,2)") > 50, 1L).otherwise(0L))
+        .as("range_bad"))
+    // Constraint scoped to NON-NULL keys on both engines (anti-join
+    // counts a NULL probe as unmatched, SQL NOT IN yields NULL — the
+    // one place the two spellings diverge).
+    val orphans = Tables.load(s, dir, "lineitem").select("l_orderkey")
+      .filter(col("l_orderkey").isNotNull)
+      .join(Tables.load(s, dir, "orders")
+          .select(col("o_orderkey")).filter(col("o_orderkey").isNotNull),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    val ev = Tables.load(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"))
+    val lN = l.select("n")
+    o.select(lit("orders.o_orderkey.not_null").as("constraint_name"),
+        col("n").cast("long").as("n_checked"),
+        col("nulls").cast("long").as("n_violations"))
+      .union(o.select(lit("orders.o_orderkey.unique"),
+        col("n").cast("long"), col("dups").cast("long")))
+      .union(l.select(lit("lineitem.l_quantity.range_1_50"),
+        col("n").cast("long"), col("range_bad").cast("long")))
+      .union(lN.crossJoin(orphans)
+        .select(lit("lineitem.l_orderkey.ref_orders"),
+          col("n").cast("long"), col("orphans").cast("long")))
+      .union(ev.select(lit("events.value.not_null"),
+        col("n").cast("long"), col("nulls").cast("long")))
+      .orderBy("constraint_name")
+  }
+
   val defs: Seq[Q] =
-    Seq(q224, q225, q226, q227, q228, q229, q231, q232, q235, q236)
+    Seq(q224, q225, q226, q227, q228, q229, q231, q232, q235, q236, q241)
 }

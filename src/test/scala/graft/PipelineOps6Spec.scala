@@ -260,6 +260,40 @@ class PipelineOps6Spec extends AnyFunSuite {
     assert(expected.exists { case (d, n) => n > daily.getOrElse(d, 0L) })
   }
 
+  // ------------------------------------------------------- q241
+
+  test("q241 equals a plain-Scala constraint evaluation") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select("o_orderkey").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "CAST(l_quantity AS DECIMAL(12,2)) AS q")
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDecimal(1)))
+    val ev = Tables.load(spark, dir, "events").select("value").collect()
+      .map(r => r.isNullAt(0))
+    val oKeys = orders.flatten.toSet
+    val expected = Map(
+      "orders.o_orderkey.not_null" ->
+        (orders.length.toLong, orders.count(_.isEmpty).toLong),
+      "orders.o_orderkey.unique" ->
+        (orders.length.toLong, (orders.flatten.length - oKeys.size).toLong),
+      "lineitem.l_quantity.range_1_50" ->
+        (li.length.toLong, li.count { case (_, q) =>
+          q.compareTo(java.math.BigDecimal.ONE) < 0 ||
+            q.compareTo(new java.math.BigDecimal(50)) > 0 }.toLong),
+      "lineitem.l_orderkey.ref_orders" ->
+        (li.length.toLong,
+          li.count(l => l._1.isDefined && !oKeys.contains(l._1.get)).toLong),
+      "events.value.not_null" ->
+        (ev.length.toLong, ev.count(identity).toLong))
+    val got = SparkEntry.queries("q241_data_quality_suite")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === expected)
+  }
+
   // ------------------------------------------------------- q229
 
   test("q229 equals a vocabulary-membership replay") {
