@@ -95,6 +95,7 @@ object GraftFunctions {
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
     "graft_isect_count" -> (exprs =>
       SortedIntersectCount(exprs(0), exprs(1))),
+    "graft_char_stats" -> (exprs => CharStats(exprs.head)),
     "graft_morton" -> (exprs => MortonCode(exprs(0), exprs(1))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs.head)),
     // graft_polyhash(s, seed, mult, mod) — seed/mult/mod literal longs

@@ -115,25 +115,22 @@ object PipelineOps5 {
       |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
     // Low-entropy gibberish detection without entropy's log: distinct
     // character count plus dominance of the most frequent character in
-    // basis points (ties broken by the smaller character — both engines
-    // compare strings bytewise). One bounded explode (one row per
-    // character) + one (doc, char) shuffle — corpus-linear.
-    val ch = docs(s, dir).filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-        .as("c"))
-    val hist = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id").orderBy(col("n").desc, col("c"))
-    val top = hist
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("c").as("top_char"), col("n").as("top_n"))
-    val agg = hist.groupBy("doc_id")
-      .agg(count(lit(1)).as("distinct_chars"), sum("n").as("n_chars"))
-    agg.join(top, "doc_id")
-      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
-        col("top_char"), col("top_n").as("top_char_n"),
-        expr("top_n * 10000 div n_chars").as("dominance_bp"),
-        (expr("top_n * 10000 div n_chars") >= 2000).as("low_diversity"))
+    // basis points (ties to the smallest code point — identical to the
+    // oracle's ORDER BY n DESC, c over single-codepoint strings).
+    // The whole per-doc histogram folds inside ONE codegen expression
+    // ([[graft.functions.CharStats]]) in the scan projection — the
+    // original explode-per-character + (doc, char) shuffle was this
+    // round's only 10x scale-smoke flag (14x on 10x data); this shape
+    // is zero-shuffle corpus-linear.
+    graft.functions.GraftFunctions.register(s)
+    docs(s, dir).filter(length(col("text")) > 0)
+      .select(col("doc_id"), expr("graft_char_stats(text)").as("cs"))
+      .select(col("doc_id"), col("cs.n_chars").as("n_chars"),
+        col("cs.distinct_chars").as("distinct_chars"),
+        col("cs.top_char").as("top_char"),
+        col("cs.top_n").as("top_char_n"),
+        expr("cs.top_n * 10000 div cs.n_chars").as("dominance_bp"),
+        (expr("cs.top_n * 10000 div cs.n_chars") >= 2000).as("low_diversity"))
       .orderBy("doc_id")
   }
 

@@ -69,6 +69,29 @@ class ExpressionPropertySpec extends AnyFunSuite {
     assert(functions.SortedIntersectCount(one, empty).eval(null) === 0L)
   }
 
+  test("graft_char_stats equals a codepoint-histogram replay on random unicode") {
+    val r = new scala.util.Random(0xC5A7)
+    (1 to Cases).foreach { _ =>
+      val s = randomString(r)
+      val e = functions.CharStats(
+        Literal.create(UTF8String.fromString(s), org.apache.spark.sql.types.StringType))
+      val row = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val cps = s.codePoints().toArray
+      if (cps.isEmpty) {
+        assert(row.getLong(0) === 0L && row.getLong(1) === 0L)
+        assert(row.isNullAt(2) && row.getLong(3) === 0L)
+      } else {
+        val hist = cps.groupBy(identity).map { case (c, g) => (c, g.length.toLong) }
+        val (topC, topN) = hist.toSeq.minBy { case (c, n) => (-n, c) }
+        assert(row.getLong(0) === cps.length.toLong)
+        assert(row.getLong(1) === hist.size.toLong)
+        assert(row.getUTF8String(2).toString ===
+          new String(Character.toChars(topC)))
+        assert(row.getLong(3) === topN)
+      }
+    }
+  }
+
   test("graft_polyhash folds codepoints with mod at every step, result in [0, mod)") {
     val r = new scala.util.Random(0xB0B)
     val (seed, mult, mod) = (7L, 31L, 1000000007L)
