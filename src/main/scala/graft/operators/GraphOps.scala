@@ -36,10 +36,10 @@ object GraphOps {
 
   /** Parts supplied by more than this many suppliers are excluded from
     * the projection (size guard; see scaladoc). */
-  private val PartCap = 50
+  private[operators] val PartCap = 50
 
   /** Shared oracle prelude: canonical (u < v) co-supply edge list. */
-  private def edgeCte: String =
+  private[operators] def edgeCte: String =
     s"""ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
        |ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= $PartCap),
        |e AS (SELECT DISTINCT a.s AS u, b.s AS v
@@ -47,7 +47,7 @@ object GraphOps {
        |      JOIN ok ON ok.p = a.p)""".stripMargin
 
   /** Canonical (u < v) co-supply edges as a DataFrame. */
-  private def edges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def edges(s: SparkSession, dir: String): DataFrame = {
     val ps = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
       .distinct()
