@@ -165,15 +165,17 @@ object GraphOps {
       .localCheckpoint()
     var labels = bi.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
-    val w = Window.partitionBy("node").orderBy(col("cnt").desc, col("lab"))
     for (_ <- 1 to LpaIters) {
+      // (count desc, label asc) arg-max via max_by over (cnt, -lab):
+      // map-side partial aggregation replaces the row_number window's
+      // full per-node sort — one less sort per superstep, same
+      // deterministic winner.
       labels = bi
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("node", "lab")
+        .groupBy("node")
+        .agg(max_by(col("lab"), struct(col("cnt"), -col("lab"))).as("lab"))
     }
     val out = labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members"))
