@@ -21,7 +21,7 @@ object SparkEntry {
       operators.PipelineOps3.defs ++ operators.PipelineOps4.defs ++
       operators.PipelineOps5.defs ++ operators.PipelineOps6.defs ++
       operators.GraphOps.defs ++ operators.GraphOps2.defs ++
-      operators.PipelineOps7.defs ++
+      operators.PipelineOps7.defs ++ operators.PipelineOps8.defs ++
       operators.Relational4.defs ++ operators.VectorOps2.defs ++
       operators.AnalyticsOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs

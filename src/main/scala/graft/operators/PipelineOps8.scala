@@ -1,0 +1,302 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-8 pipeline operators, batch 2: end-to-end entity resolution,
+  * time-series interpolation, contrastive negative sampling, and
+  * robust/standard score normalization.
+  *
+  * Determinism doctrine (QueryDef.scala): every aggregate that feeds a
+  * comparison or a division is staged in exact integer/decimal math;
+  * doubles appear only in per-row scalar expressions whose inputs are
+  * already bit-identical across engines (IEEE ops on equal inputs are
+  * equal), with a final round() to absorb nothing — it documents the
+  * contract.
+  */
+object PipelineOps8 {
+
+  // ------------- q250: entity resolution (block -> match -> cluster)
+
+  /** Edit-distance threshold for a match edge (q168's contract). */
+  private val EditMax = 4
+
+  /** End-to-end entity resolution over product names: blocking (the
+    * trailing-noun band turns all-pairs into an equi-join), pairwise
+    * matching (levenshtein <= 4 inside a band), then exact connected
+    * components by min-label propagation run to FIXPOINT (the
+    * convergence test is a count aggregate per round — the label table
+    * is vertex-sized, never edge-sized), and survivorship: the
+    * lexicographically smallest member becomes the entity id.
+    *
+    * Scale: match edges exist only inside bands, so components are
+    * band-bounded and the diameter (= rounds to converge) is tiny;
+    * each round is two node-keyed shuffles of a vertex-sized table.
+    * The oracle computes the same components with a recursive CTE
+    * (min reachable label), so fixpoint equality is checked exactly.
+    */
+  private val q250 = Q(
+    "q250_entity_resolution",
+    s"""WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+       |banded AS (SELECT p_name,
+       |  (string_split(p_name, ' '))[-1] AS noun FROM names),
+       |pairs AS (SELECT a.p_name AS a, b.p_name AS b
+       |  FROM banded a JOIN banded b
+       |    ON a.noun = b.noun AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $EditMax),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(n, lab) AS (
+       |  SELECT p_name, p_name FROM names
+       |  UNION
+       |  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.n = e.b),
+       |comp AS (SELECT n, min(lab) AS entity_id FROM reach GROUP BY n)
+       |SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  string_agg(n, '|' ORDER BY n) AS members
+       |FROM comp GROUP BY entity_id ORDER BY entity_id""".stripMargin) {
+    (s, dir) =>
+    val names = Tables.load(s, dir, "part").select("p_name").distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("a"), col("noun"))
+    val b = names.select(col("p_name").as("b"), col("noun"))
+    val pairs = a.join(b, Seq("noun"))
+      .filter(col("a") < col("b") &&
+        levenshtein(col("a"), col("b")) <= EditMax)
+      .select("a", "b")
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = names.select(col("p_name").as("n"))
+      .withColumn("lab", col("n")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("n", "b"), "b")
+        .groupBy(col("a").as("n")).agg(min("lab").as("nbr_lab"))
+      val next = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      converged = next.withColumnRenamed("lab", "new_lab")
+        .join(labels, "n")
+        .filter(col("new_lab") =!= col("lab"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.groupBy(col("lab").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("n"))), "|").as("members"))
+      .orderBy("entity_id")
+  }
+
+  // ------------- q251: linear interpolation over daily gaps
+
+  /** Gap-filled per-user daily series with exact linear interpolation:
+    * observed days keep their value; missing days between observations
+    * get (prev*(nd-d) + next*(d-pd)) div (nd-pd) in integer cents —
+    * truncating division, identical in both engines, no float ramp to
+    * drift. The day grid spans each user's own [min, max] observed
+    * day, so endpoints are always observed and the interpolation is
+    * always two-sided.
+    *
+    * Scale: one aggregation to daily grain, sequence-explode of the
+    * per-user span (output-sized, not corpus-sized), two
+    * ignore-nulls running windows keyed on user — no self-join per
+    * gap day.
+    */
+  private val q251 = Q(
+    "q251_interpolate_daily",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+      |  FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+      |        FROM daily GROUP BY 1)),
+      |joined AS (
+      |  SELECT g.user_id, g.day, d.cents,
+      |    last_value(d.cents IGNORE NULLS) OVER w AS pv,
+      |    last_value(CASE WHEN d.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER w AS pd,
+      |    first_value(d.cents IGNORE NULLS) OVER w2 AS nv,
+      |    first_value(CASE WHEN d.cents IS NOT NULL THEN g.day END IGNORE NULLS)
+      |      OVER w2 AS nd
+      |  FROM grid g LEFT JOIN daily d USING (user_id, day)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY user_id ORDER BY g.day
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, day,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |    ELSE (pv * date_diff('day', day, nd) + nv * date_diff('day', pd, day))
+      |         // date_diff('day', pd, nd) END AS cents,
+      |  (cents IS NOT NULL) AS observed
+      |FROM joined ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"))).as("day"))
+    val wb = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last("cents", ignoreNulls = true).over(wb))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wb))
+      .withColumn("nv", first("cents", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wf))
+      .select(col("user_id"), col("day"),
+        when(col("cents").isNotNull, col("cents"))
+          .otherwise(expr(
+            "(pv * datediff(nd, day) + nv * datediff(day, pd)) div datediff(nd, pd)"))
+          .as("cents"),
+        col("cents").isNotNull.as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  // ------------- q252: deterministic contrastive negative sampling
+
+  /** Negatives per anchor document. */
+  private val NegK = 3
+
+  /** Contrastive negative pairs: each anchor doc gets NegK pseudo-random
+    * partner docs via a multiplicative-hash ring over the dense id
+    * space — deterministic (same pairs every run/engine), uniform-ish,
+    * and resolved by a plain equi-join on the computed partner id (the
+    * corpus is never cross-joined). Self-pairs step to the next slot. */
+  private val q252 = Q(
+    "q252_negative_pairs",
+    s"""WITH n AS (SELECT count(*) AS nd FROM documents),
+       |cand AS (
+       |  SELECT d.doc_id AS anchor_id, k.k,
+       |    (d.doc_id * 2654435761 + k.k * 7919) % n.nd AS raw
+       |  FROM documents d
+       |  CROSS JOIN (SELECT unnest(range(1, ${NegK + 1})) AS k) k
+       |  CROSS JOIN n),
+       |pick AS (
+       |  SELECT anchor_id, k,
+       |    CASE WHEN raw = anchor_id
+       |      THEN (raw + 1) % (SELECT nd FROM n) ELSE raw END AS neg_id
+       |  FROM cand)
+       |SELECT p.anchor_id, CAST(p.k AS INT) AS k, p.neg_id, d.lang AS neg_lang
+       |FROM pick p JOIN documents d ON d.doc_id = p.neg_id
+       |ORDER BY anchor_id, k""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val cand = docs.select(col("doc_id").as("anchor_id"))
+      .crossJoin(broadcast(n))
+      .select(col("anchor_id"), col("nd"),
+        explode(sequence(lit(1), lit(NegK))).as("k"))
+      .withColumn("raw",
+        (col("anchor_id") * 2654435761L + col("k") * 7919) % col("nd"))
+      .withColumn("neg_id",
+        when(col("raw") === col("anchor_id"), (col("raw") + 1) % col("nd"))
+          .otherwise(col("raw")))
+    cand.join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+        "neg_id")
+      .select(col("anchor_id"), col("k").cast("int").as("k"),
+        col("neg_id"), col("neg_lang"))
+      .orderBy("anchor_id", "k")
+  }
+
+  // ------------- q253: per-group z-score normalization
+
+  /** Standard-score feature scaling per event_type. All aggregates are
+    * exact (cents BIGINT sums; the sum of squares staged DECIMAL(38,0)
+    * so 100x-scale corpora can't overflow a BIGINT); the only floating
+    * point is the final per-row (x*n - S) / sqrt(n*Q - S^2), whose
+    * inputs are bit-identical across engines, rounded to 6 decimals.
+    * One aggregation pass + a groups-sized broadcast back. */
+  private val q253 = Q(
+    "q253_zscore_normalize",
+    """WITH c AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |st AS (SELECT event_type, count(*) AS n,
+      |    sum(x) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+      |  FROM c GROUP BY 1)
+      |SELECT c.event_id, c.event_type,
+      |  round(CAST(c.x * st.n - st.s AS DOUBLE)
+      |    / sqrt(CAST(st.n * st.q - CAST(st.s AS HUGEINT) * st.s AS DOUBLE)),
+      |    6) AS z
+      |FROM c JOIN st USING (event_type)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("x"))
+    val st = c.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("q"))
+    c.join(broadcast(st), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round(
+          (col("x") * col("n") - col("s")).cast("double") /
+            sqrt((col("n") * col("q") -
+              col("s").cast(DecimalType(38, 0)) * col("s")).cast("double")),
+          6).as("z"))
+      .orderBy("event_id")
+  }
+
+  // ------------- q254: MAD-based robust outlier gate
+
+  /** Median/MAD outlier detection per event_type with exact DISCRETE
+    * order statistics (the lower-median ELEMENT at rank (n+1) div 2
+    * under the (value, event_id) total order — no interpolated
+    * percentile to drift between engines); the outlier test
+    * |x - med| > 3 * mad is pure integer comparison. Two ranked passes
+    * over the same partitioning + a groups-sized broadcast back. */
+  private val q254 = Q(
+    "q254_mad_outliers",
+    """WITH c AS (SELECT event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      |med AS (SELECT event_type, x AS med FROM (
+      |  SELECT event_type, x, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM c) WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT c.event_id, c.event_type, c.x, abs(c.x - m.med) AS d,
+      |    m.med FROM c JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, d AS mad FROM (
+      |  SELECT event_type, d, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev) WHERE rn = (n + 1) // 2)
+      |SELECT dev.event_type, max(dev.med) AS med_cents,
+      |  max(mad.mad) AS mad_cents,
+      |  CAST(count(*) FILTER (WHERE dev.d > 3 * mad.mad) AS BIGINT) AS n_outliers,
+      |  CAST(count(*) AS BIGINT) AS n_total
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin) {
+    (s, dir) =>
+    val c = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("x"))
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, v: String,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy("event_type").orderBy(col(v), col("event_id"))
+      val wc = Window.partitionBy("event_type")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") === (col("n") + 1).divide(2).cast("long"))
+        .select(col("event_type"), col(v).as(out))
+    }
+    val med = lowerMedian(c, "x", "med")
+    val dev = c.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("x") - col("med")))
+    val mad = lowerMedian(dev, "d", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
+        count(when(col("d") > lit(3) * col("mad"), 1)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254)
+}
