@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.sources.CopyOps
-import org.apache.spark.sql.functions.{col, md5, regexp_extract}
+import org.apache.spark.sql.functions.{col, count, lit, max, md5, min, regexp_extract, sum}
 
 /** Source/sink operators beyond parquet (SURVEY §2.1): COPY-style
   * delimited bulk load/export round trips.
@@ -459,7 +459,41 @@ object SourceOps {
         .as("n_regions"))
   }
 
+  // --------------------- q255: custom DataSource V2 (pushdown synth)
+
+  private val SynthRows = 2000000L
+
+  /** Custom DSv2 source end-to-end (graft.sources.SynthEventsSource):
+    * deterministic generated relation with column pruning, event_id
+    * range pushdown (the generator's partition pruning — the scan
+    * materializes [250k, 1.75M), not [0, 2M)), and 32-way partition
+    * planning. The residual predicate (user_id % 3) is evaluated by
+    * Spark post-scan. The oracle regenerates the identical relation
+    * from range() — same integer formulas, no files involved. */
+  private val q255 = Q(
+    "q255_synth_source",
+    s"""WITH synth AS (
+       |  SELECT i AS event_id, (i * 2654435761) % 1000 AS user_id,
+       |    't' || CAST((i * 7919) % 5 AS VARCHAR) AS event_type,
+       |    (i * 104729) % 100000 AS cents
+       |  FROM (SELECT unnest(range($SynthRows)) AS i))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents,
+       |  min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM synth
+       |WHERE event_id >= 250000 AND event_id < 1750000 AND user_id % 3 = 0
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.SynthEventsSource")
+      .option("rows", SynthRows.toString).option("slices", "32").load()
+      .filter(col("event_id") >= 250000L && col("event_id") < 1750000L &&
+        col("user_id") % 3 === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        min("event_id").as("min_id"), max("event_id").as("max_id"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237)
+      q194, q237, q255)
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2: a deterministic synthetic event generator —
+  * the source shape a 100 TB benchmark/load-test corpus comes from.
+  * Row i (0 <= i < rows) is a pure integer function of i, so any
+  * engine can regenerate the identical relation (the DuckDB oracle
+  * rebuilds it from range()).
+  *
+  * Engine integration (the point of the exercise):
+  *  - `SupportsPushDownRequiredColumns`: the reader materializes ONLY
+  *    the pruned schema — an unprojected column is never generated.
+  *  - `SupportsPushDownFilters`: event_id range predicates narrow the
+  *    generated id interval itself (the generator's version of
+  *    partition pruning); everything else is left for Spark to
+  *    evaluate post-scan.
+  *  - `planInputPartitions`: the (already filter-narrowed) interval is
+  *    split into `slices` equal ranges — generation parallelism is
+  *    cluster-width, no driver materialization anywhere.
+  *
+  * Usage: spark.read.format("graft.sources.SynthEventsSource")
+  *   .option("rows", n).option("slices", p).load()
+  */
+class SynthEventsSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthEventsSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
+    new SynthTable(rows, slices)
+  }
+}
+
+object SynthEventsSource {
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("cents", LongType, nullable = false)))
+
+  /** The row formulas (shared with the oracle; BIGINT-exact). */
+  def userId(i: Long): Long = (i * 2654435761L) % 1000
+  def eventType(i: Long): String = "t" + ((i * 7919) % 5)
+  def cents(i: Long): Long = (i * 104729) % 100000
+}
+
+private class SynthTable(rows: Long, slices: Int)
+  extends Table with SupportsRead {
+  override def name(): String = s"synth_events($rows)"
+  override def schema(): StructType = SynthEventsSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, slices)
+}
+
+private class SynthScanBuilder(rows: Long, slices: Int)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var lo = 0L
+  private var hi = rows
+  private var pruned: StructType = SynthEventsSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    pruned = requiredSchema
+
+  // Literal values arrive boxed (Integer or Long depending on how the
+  // predicate was written); normalize before narrowing the range.
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case GreaterThanOrEqual("event_id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); true
+      case GreaterThan("event_id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get + 1); true
+      case LessThan("event_id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get); true
+      case LessThanOrEqual("event_id", v) if asLong(v).isDefined =>
+        hi = math.min(hi, asLong(v).get + 1); true
+      case EqualTo("event_id", v) if asLong(v).isDefined =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SynthScan(lo, math.max(lo, hi), slices, pruned)
+}
+
+private class SynthScan(lo: Long, hi: Long, slices: Int, schema: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthEvents range=[$lo,$hi) slices=$slices cols=${schema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    val per = math.max(1L, (n + slices - 1) / slices)
+    Iterator.iterate(lo)(_ + per).takeWhile(_ < hi)
+      .map(s => SynthRange(s, math.min(s + per, hi)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(schema)
+}
+
+private case class SynthRange(lo: Long, hi: Long) extends InputPartition
+
+private class SynthReaderFactory(schema: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val r = p.asInstanceOf[SynthRange]
+    // Per-column generators resolved ONCE per partition from the pruned
+    // schema: an unprojected column costs nothing per row.
+    val gens: Array[Long => Any] = schema.fieldNames.map {
+      case "event_id" => (i: Long) => i
+      case "user_id" => (i: Long) => SynthEventsSource.userId(i)
+      case "event_type" =>
+        (i: Long) => UTF8String.fromString(SynthEventsSource.eventType(i))
+      case "cents" => (i: Long) => SynthEventsSource.cents(i)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    new PartitionReader[InternalRow] {
+      private var i = r.lo - 1
+      override def next(): Boolean = { i += 1; i < r.hi }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(gens.map(g => g(i)).toIndexedSeq)
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom DSv2 generator source (graft.sources.SynthEventsSource):
+  * pushdown contracts pinned on the executed plan, plus a plain-Scala
+  * replay of the q255 aggregate. */
+class SynthSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def synth(rows: Long, slices: Int) =
+    spark.read.format("graft.sources.SynthEventsSource")
+      .option("rows", rows.toString).option("slices", slices.toString).load()
+
+  test("event_id range pushes into the generator; filter node vanishes") {
+    val df = synth(1000, 4)
+      .filter(col("event_id") >= 100L && col("event_id") < 900L)
+      .select("event_id", "cents")
+    assert(df.count() === 800)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[100,900)"), s"range not narrowed: $p")
+    // A Filter NODE prints as "Filter (cond)"; the always-present
+    // "RuntimeFilters: []" suffix must not trip this.
+    assert(!p.contains("Filter ("), "fully-pushed predicate re-evaluated post-scan")
+  }
+
+  test("column pruning reaches the generator") {
+    val df = synth(100, 2).select("cents")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=cents"), s"generator materializes unprojected columns: $p")
+  }
+
+  test("partition planning honors slices") {
+    assert(synth(1000, 4).rdd.getNumPartitions === 4)
+    // Narrow ranges can't produce empty slices.
+    assert(synth(10, 32).rdd.getNumPartitions <= 10)
+  }
+
+  test("residual predicates stay post-scan and semantics hold") {
+    val df = synth(1000, 4)
+      .filter(col("event_id") >= 100L && col("user_id") % 3 === 0)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[100,1000)"))
+    assert(p.contains("Filter ("), "residual user_id predicate lost")
+    val expected = (100L until 1000L)
+      .count(i => graft.sources.SynthEventsSource.userId(i) % 3 == 0)
+    assert(df.count() === expected)
+  }
+
+  test("q255 equals the closed-form replay") {
+    val expected = (250000L until 1750000L)
+      .filter(i => graft.sources.SynthEventsSource.userId(i) % 3 == 0)
+      .groupBy(graft.sources.SynthEventsSource.eventType)
+      .map { case (t, is) =>
+        t -> (is.size.toLong, is.map(graft.sources.SynthEventsSource.cents).sum,
+          is.min, is.max)
+      }
+    val got = SparkEntry.queries("q255_synth_source")(spark, "unused")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+  }
+}
