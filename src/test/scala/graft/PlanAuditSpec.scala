@@ -367,6 +367,77 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket pruning not applied:\n${p.take(2000)}")
   }
 
+  test("q242/q243 traversal joins are equi-joins (no cartesian)") {
+    for (q <- Seq("q242_khop_reachability", "q243_kcore_peel")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n" + p)
+    }
+  }
+
+  test("q244 prefix-filter candidate join is an equi-join on the prefix token") {
+    val p = planOf("q244_allpairs_jaccard")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "candidate generation is not an equi-join:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "the n^2 pair surface is materialized:\n" + p)
+  }
+
+  test("q245 weighted sample partial-aggregates before the shuffle, no window sort") {
+    val p = planOf("q245_weighted_sample")
+    assert(p.contains("partial_graft_topk"),
+      "no map-side k-bounded partial aggregation:\n" + p)
+    assert(!p.contains("Window"), "sample fell back to a window sort:\n" + p)
+  }
+
+  test("q246 BPE pairs aggregate words before exploding pairs") {
+    val p = planOf("q246_bpe_pair_counts")
+    // The word-level pre-aggregation must sit BELOW the pair explode:
+    // the partial_count on raw words is the Zipf collapse.
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "no map-side partial aggregation on the word/pair counts:\n" + p)
+    assert(p.contains("Generate"), "pair explode missing:\n" + p)
+  }
+
+  test("q247 WITH TIES plans a TakeOrdered cutoff + broadcast, no global window") {
+    val p = planOf("q247_fetch_with_ties")
+    assert(p.contains("TakeOrderedAndProject"),
+      "cutoff key not found via top-n:\n" + p)
+    assert(!p.contains("Window"), "WITH TIES fell back to a global rank window:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "cutoff not broadcast back to the scan side:\n" + p)
+  }
+
+  test("q250 match edges come from an equi-join on the band key") {
+    val p = planOf("q250_entity_resolution")
+    assert(!p.contains("CartesianProduct"),
+      "all-pairs name comparison without blocking:\n" + p)
+  }
+
+  test("q251 interpolation uses running windows, not a per-gap self-join") {
+    val p = planOf("q251_interpolate_daily")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "ignore-nulls running windows missing:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "gap fill planned as a non-equi join:\n" + p)
+  }
+
+  test("q253/q254 per-group stats broadcast back onto the row stream") {
+    for (q <- Seq("q253_zscore_normalize", "q254_mad_outliers")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"groups-sized stats table shuffles the row stream in $q:\n" + p)
+    }
+  }
+
+  test("q255 synth source pushes range+columns and never re-filters pushed range") {
+    val p = planOf("q255_synth_source")
+    assert(p.contains("range=[250000,1750000)"),
+      "event_id range not pushed into the generator:\n" + p)
+    assert(p.contains("cols=event_id,user_id,event_type,cents") ||
+      p.contains("cols="), "column pruning marker missing:\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
