@@ -188,13 +188,18 @@ object PipelineOps7 {
   private val q247 = Q(
     "q247_fetch_with_ties",
     // DuckDB has no WITH TIES; the rank()<=n formulation is equivalent
-    // (rank jumps past tie runs) and independently derived.
+    // (rank jumps past tie runs) and independently derived. NULL sort
+    // keys are excluded explicitly: Spark orders NULLS FIRST ascending,
+    // DuckDB NULLS LAST — WITH TIES over a null-bearing key is
+    // engine-defined, so the operator pins the non-null contract.
     s"""SELECT o_orderdate, o_orderkey, o_totalprice FROM (
        |  SELECT o_orderdate, o_orderkey, o_totalprice,
-       |    rank() OVER (ORDER BY o_orderdate) AS r FROM orders)
+       |    rank() OVER (ORDER BY o_orderdate) AS r FROM orders
+       |  WHERE o_orderdate IS NOT NULL)
        |WHERE r <= $TiesN
        |ORDER BY o_orderdate, o_orderkey""".stripMargin) { (s, dir) =>
     val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull)
       .select("o_orderdate", "o_orderkey", "o_totalprice")
     val nth = o.orderBy("o_orderdate").limit(TiesN)
       .agg(max("o_orderdate").as("cutoff"))
