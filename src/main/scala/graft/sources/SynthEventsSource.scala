@@ -63,12 +63,13 @@ private class SynthTable(rows: Long, slices: Int)
   override def name(): String = s"synth_events($rows)"
   override def schema(): StructType = SynthEventsSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices)
+    new SynthScanBuilder(rows, slices,
+      Option(options.get("batchRows")).map(_.toLong).getOrElse(rows))
 }
 
-private class SynthScanBuilder(rows: Long, slices: Int)
+private class SynthScanBuilder(rows: Long, slices: Int, batchRows: Long)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -107,13 +108,18 @@ private class SynthScanBuilder(rows: Long, slices: Int)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SynthScan(lo, math.max(lo, hi), slices, pruned)
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), slices, pruned, batchRows)
 }
 
-private class SynthScan(lo: Long, hi: Long, slices: Int, schema: StructType)
+private class SynthScan(lo: Long, hi: Long, slices: Int, schema: StructType,
+    batchRows: Long)
   extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, slices, schema, batchRows)
   override def description(): String =
     s"SynthEvents range=[$lo,$hi) slices=$slices cols=${schema.fieldNames.mkString(",")}"
 
@@ -130,6 +136,55 @@ private class SynthScan(lo: Long, hi: Long, slices: Int, schema: StructType)
 }
 
 private case class SynthRange(lo: Long, hi: Long) extends InputPartition
+
+/** Streaming face of the generator: the id interval is the offset
+  * axis. Each micro-batch admits `batchRows` more ids, so a bounded
+  * run ends after ceil(n/batchRows) batches and the query drains —
+  * the same offset/commit contract a Kafka-backed source implements,
+  * checkpointable and exactly-once by construction (offsets are
+  * deterministic row ranges; replaying [start, end) regenerates
+  * identical rows). */
+private class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    schema: StructType, batchRows: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private var latest = lo
+
+  override def initialOffset(): SOffset = SynthOffset(lo)
+
+  override def latestOffset(): SOffset = {
+    latest = math.min(hi, latest + math.max(1L, batchRows))
+    SynthOffset(latest)
+  }
+
+  override def deserializeOffset(json: String): SOffset =
+    SynthOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    val e = end.asInstanceOf[SynthOffset].pos
+    val n = math.max(0L, e - s)
+    if (n == 0) Array.empty
+    else {
+      val per = math.max(1L, (n + slices - 1) / slices)
+      Iterator.iterate(s)(_ + per).takeWhile(_ < e)
+        .map(x => SynthRange(x, math.min(x + per, e)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(schema)
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private case class SynthOffset(pos: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
 
 private class SynthReaderFactory(schema: StructType)
   extends PartitionReaderFactory {

@@ -295,5 +295,54 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234)
+  // ------------- q256: custom DSv2 MICRO_BATCH source end-to-end
+
+  private val StreamRows = 500000L
+  private val StreamBatch = 100000L
+
+  /** The streaming face of the custom generator source
+    * (SynthEventsSource MICRO_BATCH_READ): offsets are id-interval
+    * positions, each trigger admits batchRows more ids, and the query
+    * drains after ceil(rows/batchRows) micro-batches — a bounded stand-
+    * in for the Kafka offset/commit contract, exactly-once by
+    * construction (replaying an offset range regenerates identical
+    * rows). The aggregate must therefore equal the batch relation's,
+    * which the closed-form range() oracle computes directly — proving
+    * rows arrived incrementally with no loss or duplication across
+    * batch boundaries. */
+  private val q256 = Q(
+    "q256_stream_synth_source",
+    s"""WITH synth AS (
+       |  SELECT 't' || CAST((i * 7919) % 5 AS VARCHAR) AS event_type,
+       |    (i * 104729) % 100000 AS cents
+       |  FROM (SELECT unnest(range($StreamRows)) AS i))
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM synth GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, _) =>
+    val sinkName = StreamingOps.uniqueSink("graft_q256_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = s.readStream.format("graft.sources.SynthEventsSource")
+        .option("rows", StreamRows.toString)
+        .option("batchRows", StreamBatch.toString)
+        .option("slices", "8")
+        .load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      val query = stream.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .start()
+      try query.processAllAvailable()
+      finally query.stop()
+      s.table(sinkName)
+        .select(col("event_type"), col("n"), col("total_cents"))
+        .orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256)
 }

@@ -48,6 +48,25 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(df.count() === expected)
   }
 
+  test("micro-batch stream admits batchRows per trigger and drains losslessly") {
+    val sink = s"graft_synth_stream_spec_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.SynthEventsSource")
+      .option("rows", "1000").option("batchRows", "300").option("slices", "2")
+      .load()
+      .groupBy().agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val withData = q.recentProgress.filter(_.numInputRows > 0)
+    assert(withData.length === 4, "expected 300+300+300+100 admission")
+    assert(withData.map(_.numInputRows).max <= 300)
+    assert(withData.map(_.numInputRows).sum === 1000)
+    val r = spark.table(sink).head()
+    assert(r.getLong(0) === 1000L)
+    assert(r.getLong(1) ===
+      (0L until 1000L).map(graft.sources.SynthEventsSource.cents).sum)
+  }
+
   test("q255 equals the closed-form replay") {
     val expected = (250000L until 1750000L)
       .filter(i => graft.sources.SynthEventsSource.userId(i) % 3 == 0)
