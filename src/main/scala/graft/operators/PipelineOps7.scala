@@ -64,16 +64,22 @@ object PipelineOps7 {
       .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"))
       .withColumn("n", size(col("ts")))
       .withColumn("p", col("n") - floor((lit(3) * col("n") + 4) / 5) + 1)
+    // Materialized once: the candidate self-join otherwise recomputes
+    // the whole shingle->df->sort prefix derivation on BOTH sides (the
+    // plan literally duplicates the subtree). On a cluster: persist().
     val prefixTok = ordered
       .select(col("doc_id"),
         explode(expr("transform(slice(ts, 1, int(p)), x -> x.g)")).as("g"))
+      .localCheckpoint()
     val cand = prefixTok.as("a")
       .join(prefixTok.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    // Same cut: fulls feeds the d1 AND d2 verification joins.
     val fulls = sets.select(col("doc_id"),
       sort_array(col("gs")).as("sg"), size(col("gs")).as("n"))
+      .localCheckpoint()
     cand
       .join(fulls.select(col("doc_id").as("d1"), col("sg").as("sg1"),
         col("n").as("n1")), "d1")
