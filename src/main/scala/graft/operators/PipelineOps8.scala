@@ -298,5 +298,46 @@ object PipelineOps8 {
       .orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254)
+  // ------------- q257: optimizer-rule-accelerated fuzzy match
+
+  /** Same fuzzy-match family as q168/q250, but executed with
+    * [[graft.plans.LevenshteinThresholdRule]] attached (via
+    * `spark.experimental.extraOptimizations` — the runtime route into
+    * a driver-owned session; user-built sessions get it from
+    * GraftExtensions). The rule rewrites the `levenshtein <= 3` filter
+    * into the banded 3-arg form, O(k*n) instead of O(n*m) per
+    * candidate pair — same rows, cheaper hot loop. The oracle (and the
+    * ExtensionsSpec equality check) pins that the rewrite is
+    * result-invisible. */
+  private val q257 = Q(
+    "q257_lev_banded_match",
+    """WITH names AS (SELECT DISTINCT p_name FROM part),
+      |banded AS (SELECT p_name,
+      |  (string_split(p_name, ' '))[-1] AS noun FROM names)
+      |SELECT a.noun AS noun, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(levenshtein(a.p_name, b.p_name)) AS BIGINT) AS sum_dist
+      |FROM banded a JOIN banded b ON a.noun = b.noun AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Attached idempotently and left in place: the rule is
+    // semantics-preserving (ExtensionsSpec pins rewritten == plain),
+    // so the only session-wide effect is faster fuzzy filters.
+    if (!s.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinThresholdRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.LevenshteinThresholdRule
+    val names = Tables.load(s, dir, "part").select("p_name").distinct()
+      .withColumn("noun", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("na"), col("noun"))
+    val b = names.select(col("p_name").as("nb"), col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("na") < col("nb") &&
+        levenshtein(col("na"), col("nb")) <= 3)
+      .groupBy("noun")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(levenshtein(col("na"), col("nb"))).as("sum_dist"))
+      .orderBy("noun")
+  }
+
+  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257)
 }

