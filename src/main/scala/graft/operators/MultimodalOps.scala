@@ -266,5 +266,95 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154)
+  // ------------- q258: perceptual-hash near-dup over binary payloads
+
+  case class MediaHash(doc_id: Long, h: Long)
+
+  /** STUB perceptual hash: 8 positional byte-bucket sums mod 128 packed
+    * into 56 bits (blockhash shape — a real pHash/aHash drops in here;
+    * 56 bits keeps the packed value clear of the sign bit so both
+    * engines' integer ops agree). Deterministic on payload bytes. */
+  def phashStub(m: MediaIn): MediaHash = {
+    val buckets = new Array[Long](8)
+    var i = 0
+    while (i < m.payload.length) {
+      buckets(i % 8) += (m.payload(i) & 0xff); i += 1
+    }
+    var h = 0L
+    var k = 7
+    while (k >= 0) { h = (h << 7) | (buckets(k) % 128); k -= 1 }
+    MediaHash(m.doc_id, h)
+  }
+
+  /** Hamming bands for LSH over the 56-bit hash: 4 x 14-bit chunks,
+    * threshold 3. Two constraints fight here: recall needs MORE bands
+    * than the threshold (<= 3 differing bits dirty at most 3 of 4
+    * bands — pigeonhole leaves a clean band, recall exactly 1), while
+    * candidate volume needs WIDE bands (collision rate per band is
+    * 2^-width; 14 bits -> n^2/2^14 expected random-collision pairs
+    * per band vs n^2/2^7 for the 8x7 split that a threshold of 6
+    * would force). 4 x 14 @ t=3 is the lossless point with the widest
+    * bands — same reasoning as q46's 15/16-bit SimHash bands. */
+  private val HamBands = 4
+  private val HamThreshold = 3
+
+  /** Near-duplicate detection over opaque media payloads: batched stub
+    * pHash (the q50 decode shape), then SimHash-style hamming LSH —
+    * pairs sharing any band verified exactly with bit_count(xor) <= 3,
+    * which the band count makes lossless (see [[HamBands]]), so the
+    * all-pairs oracle must match bit-for-bit. The hash pass is one
+    * mapPartitions over the payload scan; candidates come from band
+    * equi-joins (never an all-pairs surface); the q45
+    * degenerate-bucket cap applies unchanged. */
+  private val q258 = Q(
+    "q258_phash_neardup",
+    s"""${byteListCte()},
+       |ph AS (
+       |  SELECT doc_id,
+       |    ${(0 until 8).map(k =>
+            s"COALESCE(list_sum(list_transform(range(1, len + 1), " +
+            s"i -> CASE WHEN (i - 1) % 8 = $k THEN bl[i] ELSE 0 END)), 0) " +
+            s"% 128 AS b$k").mkString(", ")}
+       |  FROM bytes),
+       |ha AS (SELECT doc_id,
+       |    b0 + b1 * 128 + b2 * 16384 + b3 * 2097152 + b4 * 268435456
+       |      + b5 * 34359738368 + b6 * 4398046511104
+       |      + b7 * 562949953421312 AS h
+       |  FROM ph)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |FROM ha a JOIN ha b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= $HamThreshold
+       |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.grouped(64).flatMap(_.map(phashStub)))
+      .toDF().localCheckpoint()
+    val bands = hashes.select(col("doc_id"), col("h"),
+      explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
+        "j -> struct(j AS band, shiftright(h, 14 * j) & 16383 AS key))")).as("bk"))
+      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    val maxBucket = 10000
+    val okBuckets = bands.groupBy("band", "key")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1 && col("bn") <= maxBucket)
+      .select("band", "key")
+    val inBucket = bands.join(okBuckets, Seq("band", "key"))
+    val cand = inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.h").as("h1"),
+        col("b.doc_id").as("d2"), col("b.h").as("h2"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("int"))
+      .filter(col("hamming") <= HamThreshold)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258)
 }
