@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q258 perceptual-hash near-dup: planted payload corpus (the standard
+  * corpus has no hamming<=3 pairs, so the green there is vacuous) plus
+  * a brute-force replay of the banded pipeline. */
+class PhashSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def phash(text: String): Long =
+    operators.MultimodalOps.phashStub(
+      operators.MultimodalOps.MediaIn(0L, text.getBytes("UTF-8"))).h
+
+  test("q258 finds exactly the brute-force hamming<=3 pairs on planted payloads") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog", // exact dup -> hamming 0
+      "the quick brown fox jumps over the lazy cog", // 1-byte edit
+      "a completely different document about spark physical planning",
+      "", // empty payload
+      "", // second empty -> hamming 0 pair
+      "short one",
+      "tiny")
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val hs = texts.indices.map(i => i.toLong -> phash(texts(i)))
+    val expected = (for {
+      i <- hs.indices; j <- (i + 1) until hs.length
+      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if d <= 3
+    } yield (hs(i)._1, hs(j)._1, d)).toSet
+    assert(expected.nonEmpty, "planted corpus produced no near-dup pairs")
+    assert(expected.exists(_._3 == 0), "no exact-dup pair planted")
+
+    val got = SparkEntry.queries("q258_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+  }
+
+  test("phash stub is deterministic and 56-bit bounded") {
+    val h = phash("any payload at all")
+    assert(h === phash("any payload at all"))
+    assert(h >= 0L && h < (1L << 56))
+  }
+}
