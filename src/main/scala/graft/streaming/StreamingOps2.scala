@@ -344,5 +344,55 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256)
+  // ------------- q259: stream-stream LEFT SEMI join
+
+  /** Completes the watermarked stream-stream join family (q125 inner,
+    * q190 left outer, q230 full outer): views with at least one
+    * same-user purchase inside [v_ts, v_ts + 1h], each emitted exactly
+    * once however many purchases match. Semi needs none of the outer
+    * joins' sentinel-drain choreography — a left row emits on its
+    * first match and unmatched rows simply never emit, so one
+    * processAllAvailable drain is complete; the watermarks exist to
+    * EVICT state (left rows older than the join window plus delay),
+    * which is the 100 TB contract: state is the sliding window of
+    * unmatched views, not the stream. Oracle: batch EXISTS. */
+  private val q259 = Q(
+    "q259_stream_semi_join",
+    """SELECT v.user_id AS user_id, COUNT(*) AS n_matched_views
+      |FROM events v
+      |WHERE v.event_type = 'view' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+      |    AND date_trunc('microseconds', p.ts)
+      |        >= date_trunc('microseconds', v.ts)
+      |    AND date_trunc('microseconds', p.ts)
+      |        <= date_trunc('microseconds', v.ts) + INTERVAL 1 HOUR)
+      |GROUP BY v.user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val sinkName = StreamingOps.uniqueSink("graft_q259_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      def src = graft.Tables.eventsStream(s, dir)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = views.join(purchases,
+        expr("""v_user = p_user AND
+               |p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin),
+        "left_semi")
+      val query = joined.writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName)
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_matched_views"))
+        .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259)
 }

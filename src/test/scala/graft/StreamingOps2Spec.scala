@@ -91,6 +91,33 @@ class StreamingOps2Spec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0), "no unmatched purchases in fixture")
   }
 
+  test("q259 equals a brute-force semi-join replay (matched views counted once)") {
+    // sf0.01, not sf0.001: the smaller fixture has no view with TWO
+    // matching purchases, and without one this replay can't tell semi
+    // from inner (asserted below).
+    val dir = "/root/testdata/sf0.01"
+    val HourUs = 3600000000L
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val views = evs.filter(_._2 == "view").map(e => (e._1, e._3))
+    val purch = evs.filter(_._2 == "purchase").map(e => (e._1, e._3))
+    val expected = views.groupBy(_._1).flatMap { case (u, vs) =>
+      val ps = purch.filter(_._1 == u).map(_._2)
+      // semi: each view row counts AT MOST once, however many matches
+      val n = vs.count { case (_, v) => ps.exists(p => p >= v && p <= v + HourUs) }
+      if (n > 0) Some(u -> n.toLong) else None
+    }
+    val got = SparkEntry.queries("q259_stream_semi_join")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // the semi-vs-inner distinction is only exercised if some view has
+    // MULTIPLE matching purchases (inner would double-count it)
+    val multi = views.exists { case (u, v) =>
+      purch.count(p => p._1 == u && p._2 >= v && p._2 <= v + HourUs) > 1 }
+    assert(multi, "fixture has no multi-match view; semi == inner here")
+  }
+
   test("q234 streaming sessions equal a sequential gaps-and-islands replay") {
     val dir = "/root/testdata/sf0.001"
     val GapUs = 1800000000L
