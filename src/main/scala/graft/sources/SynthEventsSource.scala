@@ -146,17 +146,31 @@ private case class SynthRange(lo: Long, hi: Long) extends InputPartition
   * identical rows). */
 private class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
     schema: StructType, batchRows: Long)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
-
-  private var latest = lo
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit}
 
   override def initialOffset(): SOffset = SynthOffset(lo)
 
-  override def latestOffset(): SOffset = {
-    latest = math.min(hi, latest + math.max(1L, batchRows))
-    SynthOffset(latest)
-  }
+  // Admission is STATELESS: the engine hands back the current position
+  // every trigger (SupportsAdmissionControl), so a restarted query —
+  // a fresh stream instance — resumes from the checkpointed offset by
+  // construction. (A mutable per-instance counter here restarts from
+  // lo on recovery and either stalls or re-admits the whole interval,
+  // which is exactly the bug class the restart spec pins.)
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset =
+    SynthOffset(math.min(hi,
+      start.asInstanceOf[SynthOffset].pos + math.max(1L, batchRows)))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def reportLatestOffset(): SOffset = SynthOffset(hi)
+
+  // Only the admission-control overload is called when
+  // SupportsAdmissionControl is implemented.
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
 
   override def deserializeOffset(json: String): SOffset =
     SynthOffset(json.trim.toLong)
