@@ -339,5 +339,30 @@ object PipelineOps8 {
       .orderBy("noun")
   }
 
-  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257)
+  // ------------- q260: typed Aggregator through the public udaf() API
+
+  /** The public typed-UDAF surface ([[graft.functions.CentsMean]], an
+    * `Aggregator` registered via `functions.udaf`) — the third custom
+    * aggregation route next to the internal TypedImperativeAggregates.
+    * Integer-cents buffer, merge-order-free; the oracle replays the
+    * exact finish arithmetic ((sum->double)/100/n, round 4). */
+  private val q260 = Q(
+    "q260_typed_udaf",
+    """SELECT event_type,
+      |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+      |        / count(value), 4) AS mean_value,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, dir) =>
+    s.udf.register("graft_cents_mean",
+      org.apache.spark.sql.functions.udaf(graft.functions.CentsMean,
+        org.apache.spark.sql.Encoders.DOUBLE))
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_type, graft_cents_mean(value) AS mean_value,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260)
 }
