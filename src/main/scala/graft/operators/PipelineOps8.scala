@@ -364,5 +364,46 @@ object PipelineOps8 {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   }
 
-  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260)
+  // ------------- q261: column lineage of a DataFrame (not SQL text)
+
+  /** Capability beyond the reference (which only parses SQL scripts):
+    * column-level lineage extracted from ANY analyzed DataFrame plan —
+    * the same LineageWalker fold the SQL path uses, applied to a
+    * composed join+filter+aggregate built with the Column API. The
+    * oracle freezes the expected edge set (reference context
+    * semantics: JOIN/WHERE parents fan out to every output column,
+    * SELECT for value-flow refs, group keys flow into aggregates). */
+  private val q261 = Q(
+    "q261_dataframe_lineage",
+    """SELECT * FROM (VALUES
+      |  ('l_returnflag', 'main', 'lineitem', 'l_orderkey', 'JOIN'),
+      |  ('l_returnflag', 'main', 'lineitem', 'l_returnflag', 'SELECT'),
+      |  ('l_returnflag', 'main', 'orders', 'o_orderkey', 'JOIN'),
+      |  ('l_returnflag', 'main', 'orders', 'o_orderstatus', 'WHERE'),
+      |  ('net_qty', 'main', 'lineitem', 'l_discount', 'SELECT'),
+      |  ('net_qty', 'main', 'lineitem', 'l_orderkey', 'JOIN'),
+      |  ('net_qty', 'main', 'lineitem', 'l_quantity', 'SELECT'),
+      |  ('net_qty', 'main', 'lineitem', 'l_returnflag', 'SELECT'),
+      |  ('net_qty', 'main', 'orders', 'o_orderkey', 'JOIN'),
+      |  ('net_qty', 'main', 'orders', 'o_orderstatus', 'WHERE')
+      |) t(out_column, parent_schema, parent_table, parent_column, context)
+      |ORDER BY out_column, parent_table, parent_column, context""".stripMargin) {
+    (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val o = Tables.load(s, dir, "orders")
+    val df = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity") * (lit(1) - col("l_discount"))).as("net_qty"))
+    val edges = graft.lineage.LineageWalker.edgesOf(df.queryExecution.analyzed)
+    s.createDataFrame(edges.distinct)
+      .select(col("outColumn").as("out_column"),
+        col("parentSchema").as("parent_schema"),
+        col("parentTable").as("parent_table"),
+        col("parentColumn").as("parent_column"),
+        col("context"))
+      .orderBy("out_column", "parent_table", "parent_column", "context")
+  }
+
+  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260, q261)
 }
