@@ -493,7 +493,28 @@ object SourceOps {
       .orderBy("event_type")
   }
 
+  // ------------- q262: DSv2 aggregate pushdown (closed-form answer)
+
+  /** COMPLETE aggregate pushdown through the DSv2 source
+    * (SupportsPushDownAggregates): COUNT(*)/MIN/MAX over the
+    * filter-narrowed id interval are answered in O(1) by a single
+    * one-row partition — no row generation, no HashAggregate in the
+    * plan (SynthSourceSpec pins both). The 2-billion-row virtual
+    * interval makes the point: the un-pushed plan would generate 2e9
+    * rows to count them. */
+  private val q262 = Q(
+    "q262_synth_agg_pushdown",
+    """SELECT CAST(1999500000 AS BIGINT) AS n,
+      |  CAST(500000 AS BIGINT) AS min_id,
+      |  CAST(1999999999 AS BIGINT) AS max_id""".stripMargin) { (s, _) =>
+    s.read.format("graft.sources.SynthEventsSource")
+      .option("rows", "2000000000").option("slices", "32").load()
+      .filter(col("event_id") >= 500000L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255)
+      q194, q237, q255, q262)
 }

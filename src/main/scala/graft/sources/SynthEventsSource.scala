@@ -71,12 +71,51 @@ private class SynthTable(rows: Long, slices: Int)
 
 private class SynthScanBuilder(rows: Long, slices: Int, batchRows: Long)
   extends ScanBuilder
-  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var lo = 0L
   private var hi = rows
   private var pruned: StructType = SynthEventsSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Seq[String] = Nil
+
+  // ---- aggregate pushdown: COUNT(*) / MIN(event_id) / MAX(event_id)
+  // over the (already filter-narrowed) id interval are closed-form —
+  // the scan answers them in O(1) with a single one-row partition and
+  // no row generation at all. COMPLETE pushdown: Spark plans no
+  // re-aggregation on top.
+
+  private def idCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Boolean = e match {
+    case nr: NamedReference => nr.fieldNames.mkString(".") == "event_id"
+    case _ => false
+  }
+
+  private def aggKinds(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
+      None
+    else {
+      val ks = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => "count"
+        case m: Min if idCol(m.column) => "min"
+        case m: Max if idCol(m.column) => "max"
+        case _ => return None
+      }
+      Some(ks)
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggKinds(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    aggKinds(agg) match {
+      case Some(ks) => pushedAgg = ks; true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     pruned = requiredSchema
@@ -109,7 +148,46 @@ private class SynthScanBuilder(rows: Long, slices: Int, batchRows: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SynthScan(lo, math.max(lo, hi), slices, pruned, batchRows)
+    if (pushedAgg.nonEmpty)
+      new SynthAggScan(lo, math.max(lo, hi), pushedAgg)
+    else new SynthScan(lo, math.max(lo, hi), slices, pruned, batchRows)
+}
+
+/** Closed-form answer scan for completely-pushed aggregates: one
+  * partition, one row, zero generated rows whatever the interval
+  * size. Empty interval: count 0, min/max NULL. */
+private class SynthAggScan(lo: Long, hi: Long, kinds: Seq[String])
+  extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"agg$i", LongType, nullable = k != "count")
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SynthEvents AGG-PUSHDOWN range=[$lo,$hi) aggs=${kinds.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthRange(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      private val ks = kinds
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val r = p.asInstanceOf[SynthRange]
+        val empty = r.hi <= r.lo
+        val row = InternalRow.fromSeq(ks.map {
+          case "count" => r.hi - r.lo
+          case "min" => if (empty) null else r.lo
+          case "max" => if (empty) null else r.hi - 1
+        }.toIndexedSeq)
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val go = !emitted; emitted = true; go }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private class SynthScan(lo: Long, hi: Long, slices: Int, schema: StructType,

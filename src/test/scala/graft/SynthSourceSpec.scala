@@ -89,6 +89,31 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() === 1000L)
   }
 
+  test("aggregate pushdown answers count/min/max in O(1), no HashAggregate") {
+    val df = synth(2000000000L, 32)
+      .filter(col("event_id") >= 500000L && col("event_id") < 1500000000L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+        max("event_id").as("max_id"))
+    val r = df.head()
+    assert(r.getLong(0) === 1499500000L)
+    assert(r.getLong(1) === 500000L)
+    assert(r.getLong(2) === 1499999999L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AGG-PUSHDOWN"), "aggregates not pushed:\n" + p)
+    assert(!p.contains("HashAggregate"),
+      "complete pushdown still re-aggregates:\n" + p)
+    // empty interval: count 0, null min/max
+    val e = synth(100, 2).filter(col("event_id") >= 200L)
+      .agg(count(lit(1)).as("n"), min("event_id").as("m")).head()
+    assert(e.getLong(0) === 0L)
+    assert(e.isNullAt(1))
+    // unsupported aggregate (sum of cents) falls back to generation
+    val f = synth(1000, 2).agg(sum("cents").as("s"))
+    assert(f.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(f.head().getLong(0) ===
+      (0L until 1000L).map(graft.sources.SynthEventsSource.cents).sum)
+  }
+
   test("q255 equals the closed-form replay") {
     val expected = (250000L until 1750000L)
       .filter(i => graft.sources.SynthEventsSource.userId(i) % 3 == 0)
