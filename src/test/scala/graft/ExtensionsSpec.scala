@@ -79,6 +79,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT levenshtein('ab', 'ac') < 2 AS x")
       assert(lt.queryExecution.optimizedPlan.toString.contains("Some(1)) >= 0") ||
         lt.as[Boolean].head(), "LessThan spelling not handled")
+      // dialect parser injected: spark.sql accepts TOP-n / SEL / QUALIFY
+      val topn = spark.sql(
+        "SELECT TOP 2 x FROM VALUES (3), (1), (2) t(x) ORDER BY x")
+        .as[Int].collect().toSeq
+      assert(topn == Seq(1, 2), "T-SQL TOP not rewritten by the parser extension")
+      val sel = spark.sql("SEL 41 + 1 AS v").as[Int].head()
+      assert(sel == 42, "Teradata SEL not rewritten")
+      val qual = spark.sql(
+        """SELECT x, rank() OVER (ORDER BY x) AS r
+          |FROM VALUES (3), (1), (2) t(x) QUALIFY r <= 2""".stripMargin)
+        .selectExpr("x").as[Int].collect().toSet
+      assert(qual == Set(1, 2), "QUALIFY not rewritten")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
