@@ -394,5 +394,100 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259)
+  // ------------- q263: chained stateful operators (join -> window agg)
+
+  /** TWO stateful operators in one streaming query (Spark 3.4+
+    * multiple-stateful-operator support): a watermarked stream-stream
+    * inner join feeding an event-time tumbling-window aggregation —
+    * the canonical "enrich then aggregate" production topology that
+    * older engines forced into two jobs with an intermediate topic.
+    * Both operators share the event-time watermark; the join emits
+    * matched pairs as their windows close upstream, the window agg
+    * finalizes downstream. Oracle: the equivalent batch join+group. */
+  private val q263 = Q(
+    "q263_stream_join_then_window",
+    """SELECT CAST(date_trunc('day', v.ts) AS DATE) AS day,
+      |  COUNT(*) AS n_pairs,
+      |  CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS purchase_value
+      |FROM events v JOIN events p
+      |  ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND date_trunc('microseconds', p.ts) >= date_trunc('microseconds', v.ts)
+      |  AND date_trunc('microseconds', p.ts)
+      |      <= date_trunc('microseconds', v.ts) + INTERVAL 1 HOUR
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    // Append-mode windows only close once the GLOBAL watermark (min of
+    // both join inputs) passes them, and with two stateful operators
+    // the advance must propagate join -> window across batches — the
+    // q189/q190 staged-drain choreography: stage the corpus, drain,
+    // append far-future sentinel events (a matching view+purchase pair
+    // so BOTH inputs advance), drain again for propagation, and filter
+    // sentinel-era windows out of the result.
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q263_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val lastRealDayUs = ev.agg(max("ts")).first().getTimestamp(0)
+        .toInstant.truncatedTo(java.time.temporal.ChronoUnit.DAYS)
+        .toEpochMilli * 1000L
+      def drain(): Unit = {
+        def src = s.readStream.schema(ev.schema).parquet(stage)
+        val views = src.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .withWatermark("v_ts", "1 hour")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value"))
+          .withWatermark("p_ts", "1 hour")
+        val joined = views.join(purchases,
+          expr("""v_user = p_user AND
+                 |p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR""".stripMargin))
+        val q = joined
+          .groupBy(window(col("v_ts"), "1 day"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("value").cast(DecimalType(12, 2))).as("total_dec"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(stage)
+      drain()
+      // Matching sentinel view+purchase pair, far past the corpus: both
+      // watermarks advance and every real day window closes.
+      // Every sentinel round is a view+purchase PAIR: the join watermark
+      // is the MIN of both inputs, so a single-typed sentinel stalls it
+      // (first attempt here left the last real day unflushed). Three
+      // escalating rounds give the two stateful operators the batches
+      // the advance needs to propagate join -> window.
+      Seq(72, 120, 168).foreach { h =>
+        Seq("view", "purchase").foreach { t =>
+          ev.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+            .withColumn("event_type", lit(t))
+            .write.mode("append").parquet(stage)
+        }
+        drain()
+      }
+      s.read.parquet(sink)
+        .filter(unix_micros(col("window.start")) <= lastRealDayUs)
+        .select(col("window.start").cast("date").as("day"),
+          col("n_pairs"),
+          col("total_dec").cast("double").as("purchase_value"))
+        .orderBy("day")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263)
 }
