@@ -489,5 +489,48 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263)
+  // ------------- q264: cross-source streaming union
+
+  /** Two different SOURCE IMPLEMENTATIONS in one streaming query: the
+    * parquet file stream of events unioned with the custom DSv2
+    * generator stream, aggregated together in complete mode. The
+    * source abstraction composes — each side keeps its own offsets,
+    * admission, and partitions; the union is just a plan node. Event
+    * types are disjoint (view/purchase/... vs t0..t4), so the oracle
+    * is the SQL union of the parquet aggregate and the closed-form
+    * range() aggregate. */
+  private val q264 = Q(
+    "q264_stream_union_sources",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents FROM (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 't' || CAST((i * 7919) % 5 AS VARCHAR) AS event_type,
+      |    (i * 104729) % 100000 AS cents
+      |  FROM (SELECT unnest(range(100000)) AS i))
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val sinkName = StreamingOps.uniqueSink("graft_q264_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val fileSide = graft.Tables.eventsStream(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val synthSide = s.readStream.format("graft.sources.SynthEventsSource")
+        .option("rows", "100000").option("slices", "8").load()
+        .select(col("event_type"), col("cents"))
+      val query = fileSide.union(synthSide)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName)
+        .select(col("event_type"), col("n"), col("total_cents"))
+        .orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263, q264)
 }
