@@ -502,13 +502,18 @@ object SourceOps {
     * plan (SynthSourceSpec pins both). The 2-billion-row virtual
     * interval makes the point: the un-pushed plan would generate 2e9
     * rows to count them. */
+  // 2e8 virtual rows, not 2e9: the bench times fn(...).count(), and
+  // count() over an already-global aggregate prunes the inner agg's
+  // function list to EMPTY — an empty Aggregation is not pushable, so
+  // that wrapper plan row-iterates the interval (the SPEC exercises the
+  // pushed path at 2e9 via head(), where it answers in plan overhead).
   private val q262 = Q(
     "q262_synth_agg_pushdown",
-    """SELECT CAST(1999500000 AS BIGINT) AS n,
+    """SELECT CAST(199500000 AS BIGINT) AS n,
       |  CAST(500000 AS BIGINT) AS min_id,
-      |  CAST(1999999999 AS BIGINT) AS max_id""".stripMargin) { (s, _) =>
+      |  CAST(199999999 AS BIGINT) AS max_id""".stripMargin) { (s, _) =>
     s.read.format("graft.sources.SynthEventsSource")
-      .option("rows", "2000000000").option("slices", "32").load()
+      .option("rows", "200000000").option("slices", "32").load()
       .filter(col("event_id") >= 500000L)
       .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
         max("event_id").as("max_id"))
