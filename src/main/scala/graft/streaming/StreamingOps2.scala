@@ -532,5 +532,37 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263, q264)
+  // ------------- q265: state-store introspection (statestore reader)
+
+  /** Spark 4's state data source: the checkpointed state of a running
+    * stateful query read back as a DataFrame — the ops/debugging
+    * surface for 100 TB streaming state (inspect skew, audit per-key
+    * values, validate migrations) without touching the query. A
+    * per-user streaming count runs to completion; its state store is
+    * then read via format("statestore") and must equal the batch
+    * aggregate exactly — state IS the result. */
+  private val q265 = Q(
+    "q265_state_reader",
+    """SELECT user_id, COUNT(*) AS n
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, dir) =>
+    val sinkName = StreamingOps.uniqueSink("graft_q265_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q265_ck").toString
+      val q = graft.Tables.eventsStream(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.format("statestore").load(ckpt)
+        .select(col("key.user_id").as("user_id"), col("value.count").as("n"))
+        .orderBy("user_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265)
 }
