@@ -564,5 +564,118 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265)
+  // ------------- q266: flatMapGroupsWithState sessionization (timers)
+
+  /** Custom state-machine sessionization via flatMapGroupsWithState
+    * with EventTimeTimeout — the "write your own session operator" API
+    * (q234 is the built-in session_window twin; q71/q207 are the
+    * map/transformWithState siblings without timers). Within a batch,
+    * gap-closed sessions emit inline; the per-user FINAL session emits
+    * when the event-time TIMER fires after the watermark passes
+    * last + gap — which a far-future sentinel event forces for the
+    * bounded corpus (its own session stays open and is filtered).
+    * Oracle: q72's gaps-and-islands SQL, gap >= 30 min. */
+  private val q266 = Q(
+    "q266_flatmap_sessionize",
+    """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM m)
+      |SELECT user_id,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_last_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val GapUs = 30L * 60 * 1000000
+    val sinkName = StreamingOps.uniqueSink("graft_q266_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q266_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      ev.write.mode("append").parquet(stage)
+      // The event-time column must SURVIVE into the typed stream: the
+      // timeout contract resolves the watermark from the grouped
+      // input's columns, so ts stays and micros are derived in-func
+      // (Instant math — Timestamp.getTime is millis and would truncate).
+      // The event-time column must physically reach the stateful
+      // operator (a projection that drops it loses the watermark the
+      // timeout contract needs), so the grouped values carry the raw
+      // Timestamp and micros are derived in-func (Instant math —
+      // Timestamp.getTime is millis and would truncate).
+      def tsUs(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          case (uid, events, state: GroupState[(Long, Long, Long)]) =>
+            if (state.hasTimedOut) {
+              val (st, last, n) = state.get
+              state.remove()
+              Iterator((uid, st, last, n))
+            } else {
+              val out = Seq.newBuilder[(Long, Long, Long, Long)]
+              var cur = state.getOption
+              events.map(e => tsUs(e._2)).toSeq.sorted.foreach { us =>
+                cur match {
+                  case Some((st, last, n)) if us - last < GapUs =>
+                    cur = Some((st, us, n + 1))
+                  case Some((st, last, n)) =>
+                    out += ((uid, st, last, n))
+                    cur = Some((us, us, 1L))
+                  case None =>
+                    cur = Some((us, us, 1L))
+                }
+              }
+              cur.foreach { c =>
+                state.update(c)
+                // Event-time timer at last + gap (millis): fires once
+                // the watermark passes the session close.
+                state.setTimeoutTimestamp(c._2 / 1000 + GapUs / 1000)
+              }
+              out.result().iterator
+            }
+        }
+      val query = stream
+        .toDF("user_id", "session_start_us", "session_last_us", "n_events")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        // Sentinel: one far-future event per... one event total — its
+        // watermark advance fires EVERY user's pending timer.
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+          .write.mode("append").parquet(stage)
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("session_start_us") <= maxUs)
+        .orderBy("user_id", "session_start_us")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] =
+    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266)
 }
