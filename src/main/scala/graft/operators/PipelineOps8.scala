@@ -405,5 +405,47 @@ object PipelineOps8 {
       .orderBy("out_column", "parent_table", "parent_column", "context")
   }
 
-  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260, q261)
+  // ------------- q267: contiguous global ids without a global window
+
+  /** Contiguous 0..N-1 id assignment in a prescribed total order
+    * ((lang, doc_id) here) — the corpus-id step of a training-data
+    * build. The naive row_number() over a global ORDER BY funnels the
+    * corpus through ONE partition; this is the scale form:
+    * range-repartition on the order keys, sort within partitions,
+    * count per partition, prefix-sum the (tiny, partition-count-sized)
+    * counts on the driver, broadcast offsets back, and add the local
+    * index per partition. Ids depend only on the total order, not on
+    * where the sampled range boundaries fall, so the result is
+    * deterministic even though repartitionByRange samples. Oracle: the
+    * window formulation (equivalent by construction, infeasible shape
+    * at scale). */
+  private val q267 = Q(
+    "q267_contiguous_ids",
+    """SELECT CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT)
+      |    AS global_id,
+      |  lang, doc_id
+      |FROM documents ORDER BY global_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val parts = 8
+    val sorted = Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"))
+      .repartitionByRange(parts, col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .as[(String, Long)]
+      .localCheckpoint() // pin the sampled boundaries: counts and the
+                         // assignment pass must see the SAME partitioning
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // partition-count-sized
+    val bc = s.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val base = bc.value(pid)
+      it.zipWithIndex.map { case ((lang, id), i) => (base + i, lang, id) }
+    }.toDF("global_id", "lang", "doc_id")
+      .orderBy("global_id")
+  }
+
+  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260, q261, q267)
 }
