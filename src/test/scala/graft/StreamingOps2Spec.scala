@@ -118,6 +118,56 @@ class StreamingOps2Spec extends AnyFunSuite {
     assert(multi, "fixture has no multi-match view; semi == inner here")
   }
 
+  test("q263 equals a batch join-then-window replay") {
+    val dir = "/root/testdata/sf0.001"
+    val HourUs = 3600000000L
+    val DayUs = 86400000000L
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val views = evs.filter(_._2 == "view")
+    val purch = evs.filter(_._2 == "purchase")
+    val pairs = for {
+      v <- views; p <- purch
+      if p._1 == v._1 && p._3 >= v._3 && p._3 <= v._3 + HourUs
+    } yield ((v._3 / DayUs) * DayUs, p._4)
+    val expected = pairs.groupBy(_._1).map { case (d, g) =>
+      d -> (g.length.toLong, g.map(_._2).sum)
+    }
+    val got = SparkEntry.queries("q263_stream_join_then_window")(spark, dir)
+      .selectExpr("unix_micros(CAST(day AS TIMESTAMP)) AS day_us", "n_pairs",
+        "CAST(ROUND(purchase_value * 100) AS BIGINT) AS cents")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("q266 equals a sequential gap-session replay incl. timer-flushed finals") {
+    val dir = "/root/testdata/sf0.001"
+    val GapUs = 30L * 60 * 1000000
+    val evs = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val ts = g.map(_._2).sorted
+      val sessions = Seq.newBuilder[(Long, Long, Long, Long)]
+      var st = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last < GapUs) { last = t; n += 1 }
+        else { sessions += ((u, st, last, n)); st = t; last = t; n = 1 }
+      }
+      sessions += ((u, st, last, n))
+      sessions.result()
+    }.toSet
+    val got = SparkEntry.queries("q266_flatmap_sessionize")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    // timers matter only if some user's LAST session is multi-session
+    assert(expected.groupBy(_._1).exists(_._2.size > 1),
+      "every user has one session; inline emission alone would pass")
+  }
+
   test("q234 streaming sessions equal a sequential gaps-and-islands replay") {
     val dir = "/root/testdata/sf0.001"
     val GapUs = 1800000000L
