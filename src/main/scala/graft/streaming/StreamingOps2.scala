@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Q
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface, part 2: the Spark-4 arbitrary-state
@@ -676,6 +676,144 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  // ------------- q268: transformWithState with event-time TIMERS
+
+  /** Session processor on the MODERN arbitrary-state API — q266's
+    * semantics (gap sessions, timer-flushed finals) through
+    * transformWithState: typed ValueState, explicit
+    * registerTimer/deleteTimer lifecycle (a superseded close timer
+    * must be DELETED or its stale expiry still fires and would emit a
+    * live session early), handleExpiredTimer for the flush. Completes
+    * the stateful-API matrix: mapGroupsWithState (q71),
+    * flatMapGroupsWithState + timeout (q266), transformWithState
+    * without (q207) and with (here) timers. */
+  private[graft] class SessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp),
+      (Long, Long, Long, Long)] {
+    // (start_us, last_us, n, registered_timer_ms)
+    @transient private var sess: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      sess = getHandle.getValueState[(Long, Long, Long, Long)](
+        "sess", implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long, Long)]],
+        TTLConfig.NONE)
+    }
+
+    private def tsUs(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      rows.map(r => tsUs(r._2)).toSeq.sorted.foreach { us =>
+        cur match {
+          case Some((st, last, n, t)) if us - last < gapUs =>
+            cur = Some((st, us, n + 1, t))
+          case Some((st, last, n, t)) =>
+            out += ((key, st, last, n))
+            cur = Some((us, us, 1L, t))
+          case None =>
+            cur = Some((us, us, 1L, -1L))
+        }
+      }
+      cur.foreach { case (st, last, n, oldTimer) =>
+        val newTimer = last / 1000 + gapUs / 1000
+        if (oldTimer != newTimer) {
+          if (oldTimer >= 0) getHandle.deleteTimer(oldTimer)
+          getHandle.registerTimer(newTimer)
+        }
+        sess.update((st, last, n, newTimer))
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      if (sess.exists()) {
+        val (st, last, n, t) = sess.get()
+        if (t == expiredTimerInfo.getExpiryTimeInMs) {
+          sess.clear()
+          return Iterator.single((key, st, last, n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  private val q268 = Q(
+    "q268_tws_timer_sessionize",
+    """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
+      |m AS (SELECT user_id, ts,
+      |        CASE WHEN lag(ts) OVER w IS NULL
+      |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS UNBOUNDED PRECEDING) AS sess_id
+      |      FROM m)
+      |SELECT user_id,
+      |  CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_last_us,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val GapUs = 30L * 60 * 1000000
+    val sinkName = StreamingOps.uniqueSink("graft_q268_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedProvider = s.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q268_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"
+      val ev = graft.Tables.load(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      ev.write.mode("append").parquet(stage)
+      val stream = s.readStream.schema(ev.schema).parquet(stage)
+        .select(col("user_id"), col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new SessionProcessor(GapUs), TimeMode.EventTime(), OutputMode.Append())
+      val query = stream
+        .toDF("user_id", "session_start_us", "session_last_us", "n_events")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+          .write.mode("append").parquet(stage)
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName)
+        .filter(col("session_start_us") <= maxUs)
+        .orderBy("user_id", "session_start_us")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (savedProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", savedProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val defs: Seq[Q] =
-    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266)
+    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268)
 }
