@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Q
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface, part 2: the Spark-4 arbitrary-state
@@ -814,6 +814,101 @@ object StreamingOps2 {
     }
   }
 
+  // ------------- q269: bounded ListState feature serving (last-k)
+
+  /** The online-feature-store pattern: streaming state keeps each
+    * user's LAST K events (k-bounded — state size is k rows per key
+    * whatever the stream length), served as the freshest features.
+    * Uses typed ListState (completing the state-kind coverage next to
+    * q207/q268's ValueState); per batch the stored k merge with the
+    * batch's events under the (us, event_id) total order and truncate
+    * back to k. Update-mode emissions carry a monotone seen-count so
+    * the final row per key is selectable exactly (the q207 pattern).
+    * Oracle: per-user top-3 by (ts, event_id) DESC pivoted to columns,
+    * -1 for absent slots. */
+  private[graft] class LastKProcessor(k: Int)
+    extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long, Long),
+      (Long, Long, Long, Long, Long)] {
+    // entries: (us, event_id, cents), kept sorted desc, size <= k
+    @transient private var recent: ListState[(Long, Long, Long)] = _
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      recent = getHandle.getListState[(Long, Long, Long)](
+        "recent", implicitly[org.apache.spark.sql.Encoder[(Long, Long, Long)]],
+        TTLConfig.NONE)
+      seen = getHandle.getValueState[Long](
+        "seen", implicitly[org.apache.spark.sql.Encoder[Long]], TTLConfig.NONE)
+    }
+
+    private def tsUs(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      val incoming = rows.map(r => (tsUs(r._2), r._3, r._4)).toSeq
+      val merged = (recent.get().toSeq ++ incoming)
+        .sortBy { case (us, id, _) => (-us, -id) }.take(k)
+      recent.clear()
+      merged.foreach(recent.appendValue)
+      val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+      seen.update(n)
+      def c(i: Int): Long = if (i < merged.length) merged(i)._3 else -1L
+      Iterator.single((key, n, c(0), c(1), c(2)))
+    }
+  }
+
+  private val q269 = Q(
+    "q269_tws_feature_state",
+    """WITH r AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id,
+      |  coalesce(max(CASE WHEN rn = 1 THEN cents END), -1) AS c1,
+      |  coalesce(max(CASE WHEN rn = 2 THEN cents END), -1) AS c2,
+      |  coalesce(max(CASE WHEN rn = 3 THEN cents END), -1) AS c3
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sinkName = StreamingOps.uniqueSink("graft_q269_sink")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    val savedProvider = s.conf.get(
+      "spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = graft.Tables.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, java.sql.Timestamp, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(
+          new LastKProcessor(3), TimeMode.None(), OutputMode.Update())
+      val query = stream
+        .toDF("user_id", "n_seen", "c1", "c2", "c3")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("update").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sinkName)
+        .groupBy("user_id")
+        .agg(max(struct(col("n_seen"), col("c1"), col("c2"), col("c3")))
+          .as("fin"))
+        .select(col("user_id"), col("fin.c1").as("c1"),
+          col("fin.c2").as("c2"), col("fin.c3").as("c3"))
+        .orderBy("user_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      if (savedProvider.nonEmpty)
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", savedProvider)
+      else s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   val defs: Seq[Q] =
-    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268)
+    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268, q269)
 }
