@@ -64,7 +64,11 @@ object GraphOps2 {
       .localCheckpoint()
     val seeds = bi.select(col("a").as("node")).distinct()
       .filter(col("node") % SeedMod === 0)
-    var visited = seeds.withColumn("dist", lit(0)).localCheckpoint()
+    // Only the frontier is cut per hop (it feeds both the next
+    // expansion and the visited union); checkpointing visited too
+    // added a full materialization job per hop for a vertex-bounded
+    // table whose lineage is already shallow (union of cut frontiers).
+    var visited = seeds.withColumn("dist", lit(0))
     var frontier = seeds
     for (h <- 1 to Hops) {
       frontier = bi
