@@ -519,7 +519,45 @@ object SourceOps {
         max("event_id").as("max_id"))
   }
 
+  // ------------- q270: custom DSv2 sink (manifest commit protocol)
+
+  /** Full DSv2 WRITE round trip (graft.sources.ManifestSink): supplier
+    * repartitioned 4 ways, written through per-task temp files + the
+    * driver's atomic manifest commit, then read back THROUGH the
+    * manifest (only committed files count) and re-aggregated. Equality
+    * with the direct table aggregate proves no loss, no duplication,
+    * and manifest/file agreement; the checksum column is
+    * order-independent so file-internal row order can't drift the
+    * result. */
+  private val q270 = Q(
+    "q270_dsv2_sink_roundtrip",
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+      |  CAST(count(DISTINCT s_nationkey) AS BIGINT) AS n_nations
+      |FROM supplier""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q270_sink").toString
+    val sup = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("s_suppkey"),
+        col("s_name"), col("s_nationkey").cast("long").as("s_nationkey"))
+    sup.repartition(4, col("s_suppkey"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    // Read back strictly through the manifest: only committed files.
+    val mf = s.read.option("multiLine", "true").json(s"$out/manifest.json")
+    val files = mf.selectExpr("explode(files.file) AS f")
+      .collect().map(_.getString(0))
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", LongType)))
+    s.read.schema(schema).csv(files.map(f => s"$out/$f"): _*)
+      .agg(count(lit(1)).as("n_rows"), sum("s_suppkey").as("sum_key"),
+        countDistinct("s_nationkey").as("n_nations"))
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262)
+      q194, q237, q255, q262, q270)
 }

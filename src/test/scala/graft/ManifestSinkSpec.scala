@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 write path (graft.sources.ManifestSink): the visible contract
+  * of the two-phase commit — committed part files + a manifest written
+  * last, temp dir gone, per-file rows/checksums agreeing with what's
+  * on disk. */
+class ManifestSinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("commit leaves manifest + exactly the committed files, no temp residue") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_spec").toString
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+      .select(col("s_suppkey").cast("long").as("k"), col("s_name"))
+    val n = df.count()
+    df.repartition(3, col("k"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+
+    assert(!new java.io.File(out, "_tmp").exists(), "temp dir survived commit")
+    val manifest = spark.read.option("multiLine", "true")
+      .json(s"$out/manifest.json")
+    assert(manifest.selectExpr("total_rows").head().getLong(0) === n)
+    val entries = manifest
+      .selectExpr("explode(files) AS e").select("e.file", "e.rows")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(entries.map(_._2).sum === n)
+    assert(entries.length === 3)
+    // every manifest file exists; no extra part files beyond the manifest
+    val onDisk = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("part-")).toSet
+    assert(onDisk === entries.map(_._1).toSet)
+    // per-file row counts agree with the actual file contents
+    entries.foreach { case (f, rows) =>
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(out, f)).size
+      assert(lines.toLong === rows, s"$f row count mismatch")
+    }
+    // full round trip: nothing lost, nothing duplicated
+    val back = spark.read.schema("k LONG, s_name STRING")
+      .csv(entries.map(e => s"$out/${e._1}"): _*)
+    assert(back.count() === n)
+    assert(back.select("k").distinct().count() === n)
+  }
+}
