@@ -447,5 +447,45 @@ object PipelineOps8 {
       .orderBy("global_id")
   }
 
-  val defs: Seq[Q] = Seq(q250, q251, q252, q253, q254, q257, q260, q261, q267)
+  // ------------- q271: first/last-touch attribution
+
+  /** Marketing attribution: every purchase attributed to the FIRST and
+    * LAST view in its trailing 7-day window — one RANGE-framed window
+    * over the user's event-time axis (min/max of view timestamps in
+    * the frame; value-based, so same-microsecond ties cannot make the
+    * answer depend on row order), no per-purchase self-join. -1 when
+    * no view precedes. */
+  private val q271 = Q(
+    "q271_touch_attribution",
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us FROM events),
+      |w AS (SELECT event_id, user_id, event_type, us,
+      |    max(CASE WHEN event_type = 'view' THEN us END) OVER win AS lt,
+      |    min(CASE WHEN event_type = 'view' THEN us END) OVER win AS ft
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW))
+      |SELECT event_id, user_id,
+      |  coalesce(lt, -1) AS last_touch_us,
+      |  coalesce(ft, -1) AS first_touch_us
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val SevenDaysUs = 7L * 86400 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-SevenDaysUs, 0)
+    val viewUs = when(col("event_type") === "view", col("us"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("lt", max(viewUs).over(w))
+      .withColumn("ft", min(viewUs).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("lt"), lit(-1L)).as("last_touch_us"),
+        coalesce(col("ft"), lit(-1L)).as("first_touch_us"))
+      .orderBy("event_id")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q250, q251, q252, q253, q254, q257, q260, q261, q267, q271)
 }
