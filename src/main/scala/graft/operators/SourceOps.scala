@@ -557,7 +557,47 @@ object SourceOps {
         countDistinct("s_nationkey").as("n_nations"))
   }
 
+  // ------------- q272: corrupt-file-resilient scans
+
+  /** ignoreCorruptFiles: at 100 TB some object-store file WILL be
+    * garbage (partial upload, bit rot, truncated writer crash); the
+    * scan must skip it and keep the good rows rather than kill the
+    * job. Two corruption modes planted next to real data files: pure
+    * garbage bytes under a .parquet name, and a half-truncated copy of
+    * a REAL parquet file (valid magic, broken footer). The per-read
+    * option scopes the tolerance to this scan — no session-wide conf
+    * softening. Oracle recomputes from the intact table. */
+  private val q272 = Q(
+    "q272_corrupt_file_resilience",
+    """SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |  CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+      |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+      |FROM nation""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q272").toString
+    Tables.load(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT) AS n_nationkey",
+        "CAST(n_regionkey AS BIGINT) AS n_regionkey")
+      .repartition(2).write.mode("overwrite").parquet(out)
+    // corruption 1: garbage bytes under a parquet name
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-corrupt-garbage.parquet"),
+      Array.fill[Byte](512)(0x5a))
+    // corruption 2: truncated copy of a real file (magic ok, footer gone)
+    val real = new java.io.File(out).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 600)
+      .minBy(_.getName)
+    val bytes = java.nio.file.Files.readAllBytes(real.toPath)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-corrupt-truncated.parquet"),
+      bytes.take(bytes.length / 2))
+    s.read.option("ignoreCorruptFiles", "true").parquet(out)
+      .agg(count(lit(1)).as("n_good"), sum("n_nationkey").as("sum_key"),
+        countDistinct("n_regionkey").as("n_regions"))
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270)
+      q194, q237, q255, q262, q270, q272)
 }
