@@ -54,13 +54,18 @@ private class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema())
+    new WriteBuilder with SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = {
+        val t = doTruncate
+        new Write {
+          override def toBatch: BatchWrite =
+            new ManifestBatchWrite(path, info.schema(), t)
+        }
       }
     }
 }
@@ -68,7 +73,8 @@ private class ManifestTable(path: String, writeSchema: StructType)
 private case class ManifestCommit(file: String, rows: Long, checksum: Long)
   extends WriterCommitMessage
 
-private class ManifestBatchWrite(path: String, schema: StructType)
+private class ManifestBatchWrite(path: String, schema: StructType,
+    truncate: Boolean)
   extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -78,6 +84,27 @@ private class ManifestBatchWrite(path: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new java.io.File(path)
     dir.mkdirs()
+    // Overwrite (SupportsTruncate): previous committed files vanish
+    // with the old manifest. Append: the old manifest's entries are
+    // carried into the new one, so the manifest ALWAYS describes the
+    // full committed content — readers never need to list the dir.
+    val previous: Seq[(String, Long, Long)] =
+      if (truncate) {
+        Option(dir.listFiles()).foreach(_.filter(f =>
+          f.getName.startsWith("part-") || f.getName == "manifest.json")
+          .foreach(_.delete()))
+        Nil
+      } else {
+        val mf = new java.io.File(dir, "manifest.json")
+        if (!mf.exists()) Nil
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+          """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+            .findAllMatchIn(txt)
+            .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+            .toSeq
+        }
+      }
     val commits = messages.map(_.asInstanceOf[ManifestCommit])
     commits.foreach { c =>
       java.nio.file.Files.move(
@@ -85,10 +112,11 @@ private class ManifestBatchWrite(path: String, schema: StructType)
         java.nio.file.Paths.get(path, c.file),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    val manifest = commits.sortBy(_.file).map(c =>
-      s"""{"file":"${c.file}","rows":${c.rows},"checksum":${c.checksum}}""")
-      .mkString("[", ",", "]")
-    val total = commits.map(_.rows).sum
+    val all = previous ++ commits.map(c => (c.file, c.rows, c.checksum))
+    val manifest = all.sortBy(_._1).map { case (f, r, cs) =>
+      s"""{"file":"$f","rows":$r,"checksum":$cs}"""
+    }.mkString("[", ",", "]")
+    val total = all.map(_._2).sum
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "manifest.json"),
       s"""{"total_rows":$total,"files":$manifest}""")

@@ -44,4 +44,26 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(back.count() === n)
     assert(back.select("k").distinct().count() === n)
   }
+
+  test("append merges the manifest; overwrite truncates it") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_modes").toString
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "supplier")
+      .select(col("s_suppkey").cast("long").as("k"))
+    val n = df.count()
+    def write(mode: String): Unit =
+      df.repartition(2, col("k")).write
+        .format("graft.sources.ManifestSink")
+        .option("path", out).mode(mode).save()
+    def total(): Long = spark.read.option("multiLine", "true")
+      .json(s"$out/manifest.json").selectExpr("total_rows").head().getLong(0)
+    def partFiles(): Int = new java.io.File(out).listFiles()
+      .count(_.getName.startsWith("part-"))
+    write("append")
+    write("append")
+    assert(total() === 2 * n, "append did not merge the previous manifest")
+    assert(partFiles() === 4)
+    write("overwrite")
+    assert(total() === n, "overwrite did not truncate")
+    assert(partFiles() === 2, "overwrite left stale part files")
+  }
 }
