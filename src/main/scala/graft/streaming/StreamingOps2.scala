@@ -909,6 +909,53 @@ object StreamingOps2 {
     }
   }
 
+  // ------------- q273: stream -> custom DSv2 sink via foreachBatch
+
+  /** The custom manifest sink fed from a STREAM: the synth micro-batch
+    * source drains in 5 batches, each foreachBatch invocation appends
+    * through ManifestSink's manifest-merge commit — after the drain the
+    * manifest describes all five commits' files and the read-through-
+    * manifest aggregate equals the closed-form oracle. Composition
+    * proof: custom source offsets x custom sink commits, no loss or
+    * duplication across either boundary. */
+  private val q273 = Q(
+    "q273_stream_to_dsv2_sink",
+    """WITH synth AS (
+      |  SELECT 't' || CAST((i * 7919) % 5 AS VARCHAR) AS event_type,
+      |    (i * 104729) % 100000 AS cents
+      |  FROM (SELECT unnest(range(200000)) AS i))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM synth GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, _) =>
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_q273_sink").toString
+      val query = s.readStream.format("graft.sources.SynthEventsSource")
+        .option("rows", "200000").option("batchRows", "40000")
+        .option("slices", "4").load()
+        .select(col("event_type"), col("cents"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.format("graft.sources.ManifestSink")
+            .option("path", out).mode("append").save()
+        }
+        .start()
+      try query.processAllAvailable() finally query.stop()
+      val files = s.read.option("multiLine", "true")
+        .json(s"$out/manifest.json")
+        .selectExpr("explode(files.file) AS f")
+        .collect().map(r => s"$out/${r.getString(0)}")
+      s.read.schema("event_type STRING, cents LONG").csv(files: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   val defs: Seq[Q] =
-    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268, q269)
+    Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268,
+      q269, q273)
 }
