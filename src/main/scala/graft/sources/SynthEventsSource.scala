@@ -72,7 +72,7 @@ private class SynthTable(rows: Long, slices: Int)
 private class SynthScanBuilder(rows: Long, slices: Int, batchRows: Long)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
 
@@ -146,6 +146,18 @@ private class SynthScanBuilder(rows: Long, slices: Int, batchRows: Long)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // LIMIT n over the (filter-narrowed) interval truncates generation
+  // itself: ids are emitted in order, so the first n of [lo,hi) are
+  // exactly [lo, lo+n). FULLY pushed (not partial) — Spark drops its
+  // own limit node. Spark only offers the pushdown when no residual
+  // post-scan predicate precedes the limit, so this is always exact.
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    true
+  }
+
+  override def isPartiallyPushed: Boolean = false
 
   override def build(): Scan =
     if (pushedAgg.nonEmpty)

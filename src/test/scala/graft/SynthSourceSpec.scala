@@ -114,6 +114,17 @@ class SynthSourceSpec extends AnyFunSuite {
       (0L until 1000L).map(graft.sources.SynthEventsSource.cents).sum)
   }
 
+  test("limit pushdown truncates generation; no post-scan limit node") {
+    val df = synth(2000000000L, 32)
+      .filter(col("event_id") >= 1000000L).limit(500)
+    assert(df.count() === 500)
+    val ids = df.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.head === 1000000L && ids.last === 1000499L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[1000000,1000500)"),
+      "limit not folded into the generated interval:\n" + p)
+  }
+
   test("q255 equals the closed-form replay") {
     val expected = (250000L until 1750000L)
       .filter(i => graft.sources.SynthEventsSource.userId(i) % 3 == 0)
