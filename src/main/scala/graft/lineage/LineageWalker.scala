@@ -65,6 +65,16 @@ object LineageWalker {
         val (db, tbl) = relationName(lr)
         lr.output.map(a => a.exprId -> Set((db, tbl, a.name): Origin)).toMap
 
+      // Streaming source leaf (readStream path): same origin contract
+      // as a path-backed batch relation — schema "stream", table from
+      // the source name. Lineage then spans batch AND streaming plans
+      // (q275 pins it); the fold above the leaf is identical.
+      case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+        // sourceName is "FileSource[<path>]" — keep the source TYPE only
+        // so lineage is stable across directories/deployments.
+        val tbl = sr.sourceName.takeWhile(_ != '[')
+        sr.output.map(a => a.exprId -> Set(("stream", tbl, a.name): Origin)).toMap
+
       case w: WithCTE =>
         w.cteDefs.foreach { d =>
           val m = walk(d.child)

@@ -486,6 +486,73 @@ object PipelineOps8 {
       .orderBy("event_id")
   }
 
+  // ------------- q274: timezone-shifted reporting windows
+
+  /** Day windows aligned to a non-UTC reporting timezone (UTC+8
+    * business day) via window()'s startTime offset — the "daily
+    * report in local time" requirement. The aggregation itself stays
+    * on the native UTC timestamp axis (one shuffle, no per-row tz
+    * conversion); only the window boundaries shift. Oracle: truncate
+    * the +8h-shifted axis to days and shift back. */
+  private val q274 = Q(
+    "q274_tz_day_window",
+    """SELECT CAST(epoch_us(date_trunc('day', ts + INTERVAL 8 HOUR)
+      |    - INTERVAL 8 HOUR) AS BIGINT) AS win_start_us,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day", "1 day", "-8 hours"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).cast("double")
+          .as("total_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("total_value"))
+      .orderBy("win_start_us")
+  }
+
+  // ------------- q275: column lineage of a STREAMING plan
+
+  /** Lineage spans streaming too: the same LineageWalker fold over an
+    * analyzed readStream plan (watermark -> filter -> windowed agg),
+    * with the streaming source leaf mapped to ("stream", source-type)
+    * origins — path-independent, so the frozen oracle holds at any
+    * sfDir. The plan is analyzed, never executed. */
+  private val q275 = Q(
+    "q275_streaming_lineage",
+    """SELECT * FROM (VALUES
+      |  ('n', 'stream', 'FileSource', 'event_type', 'WHERE'),
+      |  ('n', 'stream', 'FileSource', 'ts', 'SELECT'),
+      |  ('n', 'stream', 'FileSource', 'ts', 'WHERE'),
+      |  ('n', 'stream', 'FileSource', 'user_id', 'SELECT'),
+      |  ('total', 'stream', 'FileSource', 'event_type', 'WHERE'),
+      |  ('total', 'stream', 'FileSource', 'ts', 'SELECT'),
+      |  ('total', 'stream', 'FileSource', 'ts', 'WHERE'),
+      |  ('total', 'stream', 'FileSource', 'user_id', 'SELECT'),
+      |  ('total', 'stream', 'FileSource', 'value', 'SELECT'),
+      |  ('user_id', 'stream', 'FileSource', 'event_type', 'WHERE'),
+      |  ('user_id', 'stream', 'FileSource', 'ts', 'WHERE'),
+      |  ('user_id', 'stream', 'FileSource', 'user_id', 'SELECT'),
+      |  ('window', 'stream', 'FileSource', 'event_type', 'WHERE'),
+      |  ('window', 'stream', 'FileSource', 'ts', 'SELECT'),
+      |  ('window', 'stream', 'FileSource', 'ts', 'WHERE')
+      |) t(out_column, parent_schema, parent_table, parent_column, context)
+      |ORDER BY out_column, parent_column, context""".stripMargin) { (s, dir) =>
+    val df = graft.Tables.eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val edges = graft.lineage.LineageWalker.edgesOf(df.queryExecution.analyzed)
+    s.createDataFrame(edges.distinct)
+      .select(col("outColumn").as("out_column"),
+        col("parentSchema").as("parent_schema"),
+        col("parentTable").as("parent_table"),
+        col("parentColumn").as("parent_column"),
+        col("context"))
+      .orderBy("out_column", "parent_column", "context")
+  }
+
   val defs: Seq[Q] =
-    Seq(q250, q251, q252, q253, q254, q257, q260, q261, q267, q271)
+    Seq(q250, q251, q252, q253, q254, q257, q260, q261, q267, q271, q274, q275)
 }
