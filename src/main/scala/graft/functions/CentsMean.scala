@@ -17,8 +17,17 @@ import org.apache.spark.sql.expressions.Aggregator
 object CentsMean extends Aggregator[java.lang.Double, (Long, Long), java.lang.Double] {
   override def zero: (Long, Long) = (0L, 0L)
 
+  /** Cents via SQL `round` semantics — half AWAY FROM ZERO (DuckDB and
+    * Spark `round(v * 100)` both do this), not `math.round`'s half
+    * toward +infinity: they differ on negative *.xx5 exact halves
+    * (e.g. -1.125 * 100 == -112.5 exactly → -113, where math.round
+    * gives -112). Rounds the double PRODUCT (BigDecimal of its exact
+    * binary value), mirroring what a SQL engine sees. */
+  private def cents(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   override def reduce(b: (Long, Long), v: java.lang.Double): (Long, Long) =
-    if (v == null) b else (b._1 + 1, b._2 + math.round(v * 100))
+    if (v == null) b else (b._1 + 1, b._2 + cents(v))
 
   override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)

@@ -79,11 +79,14 @@ object SqlPreprocessor {
     * that Spark's parser doesn't; rewrite them to ANSI before parsing. */
   def rewriteDialect(sql: String): String = {
     // 2-arg max/min → greatest/least. A light regex is enough for the
-    // reference corpus: max(ident, ident) with simple args.
+    // reference corpus: max(ident, ident) with simple args. Quote-aware:
+    // occurrences inside string literals / quoted identifiers survive.
     val twoArgMax = """(?i)\bmax\s*\(\s*([\w.`]+)\s*,\s*([\w.`]+)\s*\)""".r
     val twoArgMin = """(?i)\bmin\s*\(\s*([\w.`]+)\s*,\s*([\w.`]+)\s*\)""".r
-    val s1 = twoArgMax.replaceAllIn(sql, m => s"greatest(${m.group(1)}, ${m.group(2)})")
-    val s2 = twoArgMin.replaceAllIn(s1, m => s"least(${m.group(1)}, ${m.group(2)})")
+    val s1 = replaceOutsideQuotes(sql, twoArgMax)(
+      m => s"greatest(${m.group(1)}, ${m.group(2)})")
+    val s2 = replaceOutsideQuotes(s1, twoArgMin)(
+      m => s"least(${m.group(1)}, ${m.group(2)})")
     // Teradata SEL → SELECT (statement-leading only).
     val s3 = """(?is)^\s*sel\b""".r.replaceAllIn(s2, "SELECT")
     // T-SQL `SELECT TOP n ...` → `SELECT ... LIMIT n` (no existing LIMIT;
@@ -103,15 +106,55 @@ object SqlPreprocessor {
       rewriteAtTimeZone(rewriteActivityCount(s4))))))
   }
 
+  /** Spans of single-quoted string literals ('' escapes), double-quoted
+    * strings, and backtick-quoted identifiers — the regions token-level
+    * dialect rewrites must never touch. An unterminated quote runs to
+    * end-of-text (conservative: better to under-rewrite than corrupt). */
+  private def literalSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val start = i
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == c) {
+            // '' inside a '-quoted literal is an escaped quote, not a close
+            if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.toSeq
+  }
+
+  /** replaceAllIn, skipping any match that overlaps a quoted region. */
+  private[lineage] def replaceOutsideQuotes(
+      sql: String, re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val spans = literalSpans(sql)
+    re.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (spans.exists(s => m.start < s._2 && m.end > s._1)) m.matched
+        else repl(m)))
+  }
+
   /** Teradata `ACTIVITY_COUNT` (Bingql.g4:1415-1434, expr_spec_func) —
     * the rows-affected-by-previous-statement register. The reference
     * parses it as a bare expression atom; Spark has no equivalent and
     * the surrounding statement would otherwise skip-route, dropping its
     * lineage. A constant `CAST(0 AS BIGINT)` keeps the statement
     * analyzable — the register's VALUE is procedural state no batch
-    * engine can reproduce, but every column ref around it survives. */
+    * engine can reproduce, but every column ref around it survives.
+    * Quote-aware: the token inside a string literal or a backtick
+    * identifier is data, not the register. */
   private[lineage] def rewriteActivityCount(sql: String): String =
-    """(?i)\bactivity_count\b""".r.replaceAllIn(sql, "CAST(0 AS BIGINT)")
+    replaceOutsideQuotes(sql, """(?i)\bactivity_count\b""".r)(
+      _ => "CAST(0 AS BIGINT)")
 
   /** Presto `expr AT TIME ZONE 'tz'` (Bingql.g4:980-982 timezone_expr,
     * applied at 1251 `expr timezone_expr`; the zone is always a string

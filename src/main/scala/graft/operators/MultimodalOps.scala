@@ -336,11 +336,24 @@ object MultimodalOps {
       explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
         "j -> struct(j AS band, shiftright(h, 14 * j) & 16383 AS key))")).as("bk"))
       .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+    // Degenerate-bucket guard: a band bucket above the cap would make
+    // the candidate self-join quadratic IN THAT BUCKET. Pairs whose
+    // every band is over-capped would be LOST, silently diverging from
+    // the all-pairs oracle — so over-capped buckets fail loudly (with
+    // the count) instead of being dropped; the remedy is more/wider
+    // bands or pre-clustering the degenerate payload class, both
+    // visible decisions rather than silent recall loss.
     val maxBucket = 10000
-    val okBuckets = bands.groupBy("band", "key")
+    val bucketSizes = bands.groupBy("band", "key")
       .agg(count(lit(1)).as("bn"))
-      .filter(col("bn") > 1 && col("bn") <= maxBucket)
-      .select("band", "key")
+      .filter(col("bn") > 1)
+      .localCheckpoint()
+    val overCap = bucketSizes.filter(col("bn") > maxBucket).count()
+    if (overCap > 0) throw new IllegalStateException(
+      s"q258: $overCap LSH band bucket(s) exceed $maxBucket members — " +
+        "refusing to silently drop their pairs; widen the band key space " +
+        "or pre-cluster the degenerate payloads")
+    val okBuckets = bucketSizes.select("band", "key")
     val inBucket = bands.join(okBuckets, Seq("band", "key"))
     val cand = inBucket.as("a")
       .join(inBucket.as("b"),

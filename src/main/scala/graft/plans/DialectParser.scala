@@ -9,23 +9,39 @@ import org.apache.spark.sql.types.{DataType, StructType}
 import graft.lineage.SqlPreprocessor
 
 /** Parser extension: `spark.sql(...)` accepts the reference corpus's
-  * dialect surface directly. Statement text is rewritten by the same
-  * [[SqlPreprocessor.rewriteDialect]] pass the lineage pipeline uses —
-  * T-SQL `SELECT TOP n`, Teradata `SEL`/`ACTIVITY_COUNT`, Presto
-  * `AT TIME ZONE`/type names/`ARRAY[...]`/`UNNEST`, `QUALIFY`, 2-arg
-  * `max`/`min` — then handed to Spark's native parser, so the plan,
-  * analysis, and optimization are stock Catalyst. Everything that is
-  * NOT a whole SQL statement (expressions, identifiers, schemas)
-  * delegates untouched: dialect divergence lives at statement level.
+  * dialect surface directly. Native-first: every statement goes to
+  * Spark's own parser untouched, and only a `ParseException` triggers
+  * the [[SqlPreprocessor.rewriteDialect]] pass the lineage pipeline
+  * uses — T-SQL `SELECT TOP n`, Teradata `SEL`, Presto
+  * `AT TIME ZONE`/type names/`ARRAY[...]`/`UNNEST`, `QUALIFY` all
+  * fail native parse, so they (and only they) get rewritten and
+  * re-parsed, with stock Catalyst analysis/optimization after.
+  * Valid standard SQL — including tables named `qualify`, columns
+  * named `activity_count`, string literals containing `max(a,b)` —
+  * is NEVER text-rewritten. If the rewrite changes nothing, the
+  * ORIGINAL ParseException propagates (no misleading second error).
+  * Everything that is NOT a whole SQL statement (expressions,
+  * identifiers, schemas) delegates untouched: dialect divergence
+  * lives at statement level.
   *
   * Attached via [[graft.GraftExtensions]] (injectParser).
   */
 class DialectParser(delegate: ParserInterface) extends ParserInterface {
+  import org.apache.spark.sql.catalyst.parser.ParseException
+
+  private def dialectFallback[A](sqlText: String, parse: String => A): A =
+    try parse(sqlText)
+    catch {
+      case e: ParseException =>
+        val rewritten = SqlPreprocessor.rewriteDialect(sqlText)
+        if (rewritten == sqlText) throw e else parse(rewritten)
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(SqlPreprocessor.rewriteDialect(sqlText))
+    dialectFallback(sqlText, delegate.parsePlan)
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(SqlPreprocessor.rewriteDialect(sqlText))
+    dialectFallback(sqlText, delegate.parseQuery)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

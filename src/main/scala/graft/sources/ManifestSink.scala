@@ -2,6 +2,8 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -15,20 +17,37 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * protocol every production sink implements:
   *
   *  - each task's [[DataWriter]] streams rows to a UNIQUELY-NAMED temp
-  *    file under `_tmp/` and returns (file, rows, checksum) as its
-  *    commit message — task retries/speculation produce distinct temp
-  *    files, never clobbering each other;
+  *    file under a PER-JOB temp dir (`_tmp-<writeId>/`) and returns
+  *    (file, rows, checksum) as its commit message — task retries /
+  *    speculation produce distinct temp files, never clobbering each
+  *    other, and concurrent jobs never share a temp dir;
   *  - the driver's [[BatchWrite.commit]] runs once with the messages of
   *    the WINNING task attempts only: it moves exactly those files into
   *    place and writes `manifest.json` (per-file rows/checksum + total)
   *    LAST, so a reader that requires the manifest sees either the
   *    complete committed write or nothing;
-  *  - abort deletes the temp dir — losers and failures leave no
+  *  - abort deletes the job's temp dir — losers and failures leave no
   *    visible state.
   *
-  * Values are written as toString CSV (exercised with integer/string
-  * columns); checksum is an order-independent sum so file-internal row
-  * order never matters.
+  * All I/O goes through the Hadoop [[FileSystem]] API, so the path may
+  * be any Hadoop-visible filesystem (file:/, hdfs:/, s3a:/ …) shared
+  * by driver and executors — executors resolve the filesystem from the
+  * cluster's default Hadoop configuration. Concurrent appends to the
+  * same path are serialized by an exclusive `_commit.lock` created
+  * atomically (create-no-overwrite) around the manifest
+  * read-merge-write; a second committer arriving while the lock is
+  * held FAILS LOUDLY rather than silently losing the other commit's
+  * manifest entries. (A crashed driver can leave the lock behind —
+  * delete `_commit.lock` manually after verifying no commit is in
+  * flight.) The manifest replace itself is delete-then-rename: readers
+  * racing a commit can observe a missing manifest for an instant, but
+  * never a torn one.
+  *
+  * Rows are CSV with Spark-reader-default quoting: a field containing
+  * a comma, quote, CR/LF, or backslash is wrapped in double quotes
+  * with `"` → `\"` and `\` → `\\` — so `spark.read.csv` with default
+  * options round-trips arbitrary string data. Checksum is an
+  * order-independent sum so file-internal row order never matters.
   *
   * Usage: df.write.format("graft.sources.ManifestSink")
   *   .option("path", dir).mode("append").save()
@@ -47,6 +66,14 @@ class ManifestSink extends TableProvider {
       throw new IllegalArgumentException("ManifestSink requires option 'path'"))
     new ManifestTable(path, schema)
   }
+}
+
+private object ManifestSink {
+  /** Spark-CSV-default-compatible field encoding (quote `"`, escape `\`). */
+  def csvField(v: String): String =
+    if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r' || c == '\\'))
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else v
 }
 
 private class ManifestTable(path: String, writeSchema: StructType)
@@ -77,72 +104,114 @@ private class ManifestBatchWrite(path: String, schema: StructType,
     truncate: Boolean)
   extends BatchWrite {
 
+  // one temp namespace per write job: concurrent appends to the same
+  // path never see (or clean up) each other's in-flight files
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  private def fs(): FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+    new Path(path).getFileSystem(conf)
+  }
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema)
+    new ManifestWriterFactory(path, writeId, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val dir = new java.io.File(path)
-    dir.mkdirs()
-    // Overwrite (SupportsTruncate): previous committed files vanish
-    // with the old manifest. Append: the old manifest's entries are
-    // carried into the new one, so the manifest ALWAYS describes the
-    // full committed content — readers never need to list the dir.
-    val previous: Seq[(String, Long, Long)] =
-      if (truncate) {
-        Option(dir.listFiles()).foreach(_.filter(f =>
-          f.getName.startsWith("part-") || f.getName == "manifest.json")
-          .foreach(_.delete()))
-        Nil
-      } else {
-        val mf = new java.io.File(dir, "manifest.json")
-        if (!mf.exists()) Nil
+    val f = fs()
+    val dir = new Path(path)
+    f.mkdirs(dir)
+    val lock = new Path(dir, "_commit.lock")
+    // exclusive create — the atomic primitive HDFS/local FS both give us.
+    // Racing committers fail loudly instead of losing manifest entries.
+    val lockStream =
+      try f.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"ManifestSink: concurrent commit in flight at $path " +
+              "(_commit.lock exists); retry after it completes, or delete " +
+              "the lock if a crashed driver left it behind", e)
+      }
+    try {
+      lockStream.close()
+      val manifestPath = new Path(dir, "manifest.json")
+      // Overwrite (SupportsTruncate): previous committed files vanish
+      // with the old manifest. Append: the old manifest's entries are
+      // carried into the new one, so the manifest ALWAYS describes the
+      // full committed content — readers never need to list the dir.
+      val previous: Seq[(String, Long, Long)] =
+        if (truncate) {
+          f.listStatus(dir).filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("part-") || n == "manifest.json"
+          }.foreach(st => f.delete(st.getPath, false))
+          Nil
+        } else if (!f.exists(manifestPath)) Nil
         else {
-          val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+          val in = f.open(manifestPath)
+          val txt = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toString("UTF-8")
+          } finally in.close()
           """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
             .findAllMatchIn(txt)
             .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
             .toSeq
         }
+      val commits = messages.map(_.asInstanceOf[ManifestCommit])
+      val tmpDir = new Path(dir, s"_tmp-$writeId")
+      commits.foreach { c =>
+        if (!f.rename(new Path(tmpDir, c.file), new Path(dir, c.file)))
+          throw new java.io.IOException(
+            s"ManifestSink: failed to move committed file ${c.file} into $path")
       }
-    val commits = messages.map(_.asInstanceOf[ManifestCommit])
-    commits.foreach { c =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(path, "_tmp", c.file),
-        java.nio.file.Paths.get(path, c.file),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    val all = previous ++ commits.map(c => (c.file, c.rows, c.checksum))
-    val manifest = all.sortBy(_._1).map { case (f, r, cs) =>
-      s"""{"file":"$f","rows":$r,"checksum":$cs}"""
-    }.mkString("[", ",", "]")
-    val total = all.map(_._2).sum
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "manifest.json"),
-      s"""{"total_rows":$total,"files":$manifest}""")
-    // losers' temp files (failed/speculative attempts) die here
-    val tmp = new java.io.File(dir, "_tmp")
-    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
-    tmp.delete()
+      val all = previous ++ commits.map(c => (c.file, c.rows, c.checksum))
+      val manifest = all.sortBy(_._1).map { case (fn, r, cs) =>
+        s"""{"file":"$fn","rows":$r,"checksum":$cs}"""
+      }.mkString("[", ",", "]")
+      val total = all.map(_._2).sum
+      // write complete, then swap into place (delete-then-rename: no
+      // reader ever sees a torn manifest)
+      val manifestTmp = new Path(tmpDir, "manifest.json.new")
+      val out = f.create(manifestTmp, true)
+      try out.write(
+        s"""{"total_rows":$total,"files":$manifest}""".getBytes("UTF-8"))
+      finally out.close()
+      f.delete(manifestPath, false)
+      if (!f.rename(manifestTmp, manifestPath))
+        throw new java.io.IOException(
+          s"ManifestSink: failed to publish manifest at $manifestPath")
+      // losers' temp files (failed/speculative attempts) die with the dir
+      f.delete(tmpDir, true)
+    } finally f.delete(lock, false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val tmp = new java.io.File(path, "_tmp")
-    Option(tmp.listFiles()).foreach(_.foreach(_.delete()))
-    tmp.delete()
+    val f = fs()
+    f.delete(new Path(new Path(path), s"_tmp-$writeId"), true)
   }
 }
 
-private class ManifestWriterFactory(path: String, schema: StructType)
+private class ManifestWriterFactory(path: String, writeId: String,
+    schema: StructType)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name =
         f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv"
-      private val tmpDir = new java.io.File(path, "_tmp")
-      tmpDir.mkdirs()
-      private val out = new java.io.PrintWriter(
-        new java.io.File(tmpDir, name), "UTF-8")
+      // executors resolve the FS from the cluster's Hadoop defaults —
+      // works for file:/ in local mode and hdfs:/s3a: on a cluster
+      private val fs = new Path(path).getFileSystem(new Configuration())
+      private val tmpDir = new Path(new Path(path), s"_tmp-$writeId")
+      fs.mkdirs(tmpDir)
+      private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+        fs.create(new Path(tmpDir, name), true), "UTF-8"))
       private var rows = 0L
       private var checksum = 0L
 
@@ -152,16 +221,17 @@ private class ManifestWriterFactory(path: String, schema: StructType)
           else f.dataType match {
             case LongType => r.getLong(i).toString
             case IntegerType => r.getInt(i).toString
-            case StringType => r.getUTF8String(i).toString
+            case StringType => ManifestSink.csvField(r.getUTF8String(i).toString)
             case DoubleType => r.getDouble(i).toString
-            case dt => r.get(i, dt).toString
+            case dt => ManifestSink.csvField(r.get(i, dt).toString)
           }
         }
         // order-independent file checksum: sum of per-row line hashes
         val line = vals.mkString(",")
         checksum += line.hashCode.toLong
         rows += 1
-        out.println(line)
+        out.print(line)
+        out.print('\n')
       }
 
       override def commit(): WriterCommitMessage = {
@@ -171,7 +241,7 @@ private class ManifestWriterFactory(path: String, schema: StructType)
 
       override def abort(): Unit = {
         out.close()
-        new java.io.File(tmpDir, name).delete()
+        fs.delete(new Path(tmpDir, name), false)
       }
 
       override def close(): Unit = out.close()

@@ -19,7 +19,10 @@ class ManifestSinkSpec extends AnyFunSuite {
       .write.format("graft.sources.ManifestSink")
       .option("path", out).mode("append").save()
 
-    assert(!new java.io.File(out, "_tmp").exists(), "temp dir survived commit")
+    assert(!new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("_tmp")), "temp dir survived commit")
+    assert(!new java.io.File(out, "_commit.lock").exists(),
+      "commit lock survived commit")
     val manifest = spark.read.option("multiLine", "true")
       .json(s"$out/manifest.json")
     assert(manifest.selectExpr("total_rows").head().getLong(0) === n)
