@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-9 surfaces: parameterized SQL + IDENTIFIER indirection,
+  * IGNORE NULLS window carry-forward, a distributed chi-square
+  * independence test, a grid-bucketed spatial radius join, parquet
+  * merge-on-read with positional delete vectors (`_metadata.row_index`),
+  * the approx_top_k sketch aggregate, and URL canonicalization for
+  * crawl dedup. Every query is shuffle-shaped for 100 TB: equi-join
+  * candidate generation (never all-pairs on the Spark side), map-side
+  * partial aggregation, integer/decimal arithmetic where parallel
+  * fold order must not drift the hash.
+  */
+object ModernOps {
+
+  // ------------- q276: parameterized SQL + IDENTIFIER clause
+
+  /** The modern injection-safe query surface: named parameters bound
+    * via `spark.sql(text, args)` and table indirection through the
+    * `IDENTIFIER()` clause — the plan after binding is byte-identical
+    * to the literal spelling (the oracle runs exactly that literal
+    * spelling), so parameterization costs nothing at any scale. */
+  private val q276 = Q(
+    "q276_parameterized_sql",
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS sum_bal
+      |FROM customer WHERE c_acctbal > 1000
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS sum_bal
+        |FROM IDENTIFIER(:tbl) WHERE c_acctbal > :minbal
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      Map("tbl" -> "customer", "minbal" -> 1000))
+  }
+
+  // ------------- q277: IGNORE NULLS window carry-forward
+
+  /** Last-observation-carried-forward over a sparse signal: nulls are
+    * planted deterministically (every 5th event), then
+    * `last_value IGNORE NULLS` over a running frame fills them and
+    * `first_value IGNORE NULLS` over the full partition pins the first
+    * real observation — the standard gap-fill idiom that needs NO
+    * self-join or subquery (one window exchange per partition key,
+    * scale-safe). Values ship as integer cents (round() is half
+    * away from zero in both engines on identical IEEE doubles). */
+  private val q277 = Q(
+    "q277_ignore_nulls_window",
+    """SELECT event_id, user_id,
+      |  CAST(round(last_value(v IGNORE NULLS) OVER w * 100) AS BIGINT)
+      |    AS carry_cents,
+      |  CAST(round(first_value(v IGNORE NULLS) OVER w2 * 100) AS BIGINT)
+      |    AS first_cents
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      |      FROM events WHERE user_id < 100)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    // Spark spells the null treatment as a postfix clause on the call;
+    // semantics (and the window exchanges) are identical.
+    s.sql(
+      """SELECT event_id, user_id,
+        |  CAST(round(last_value(v) IGNORE NULLS OVER w * 100) AS BIGINT)
+        |    AS carry_cents,
+        |  CAST(round(first_value(v) IGNORE NULLS OVER w2 * 100) AS BIGINT)
+        |    AS first_cents
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |      FROM events WHERE user_id < 100)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+  }
+
+  // ------------- q278: chi-square independence test
+
+  /** Pearson chi-square for event_type × day-of-week independence —
+    * the data-drift gate a production corpus runs per ingest batch.
+    * Shape: ONE shuffle to the contingency table (map-side partial
+    * counts), then window sums over the tiny cell table (|types|×7
+    * rows) on a single partition. All drift-sensitive arithmetic is
+    * exact-integer until a single per-cell double term, which both
+    * engines compute from identical bigints with identical IEEE ops;
+    * terms are quantized to integer micros BEFORE the final sum so the
+    * total is an exact bigint fold in any order. */
+  private val q278 = Q(
+    "q278_chi_square_independence",
+    """WITH obs AS (
+      |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, dow, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS r,
+      |    SUM(o) OVER (PARTITION BY dow) AS c,
+      |    SUM(o) OVER () AS n
+      |  FROM obs)
+      |SELECT event_type, dow, o,
+      |  CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
+      |    / (r*c*n) * 1000000) AS BIGINT) AS term_micro,
+      |  CAST(SUM(CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
+      |    / (r*c*n) * 1000000) AS BIGINT)) OVER () AS BIGINT) AS chi2_micro
+      |FROM tot ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    // Spark dayofweek() is already 1..7 (Sunday=1); DuckDB's is 0..6,
+    // hence the +1 on the oracle side only.
+    s.sql(
+      """WITH obs AS (
+        |  SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, dow, o,
+        |    SUM(o) OVER (PARTITION BY event_type) AS r,
+        |    SUM(o) OVER (PARTITION BY dow) AS c,
+        |    SUM(o) OVER () AS n
+        |  FROM obs)
+        |SELECT event_type, dow, o,
+        |  CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
+        |    / (r*c*n) * 1000000) AS BIGINT) AS term_micro,
+        |  SUM(CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
+        |    / (r*c*n) * 1000000) AS BIGINT)) OVER () AS chi2_micro
+        |FROM tot ORDER BY event_type, dow""".stripMargin)
+  }
+
+  // ------------- q279: grid-bucketed spatial radius join
+
+  /** All point pairs within radius 600 on a ~100k×100k integer plane
+    * (coords derived deterministically from c_custkey; the y map is
+    * nonlinear so x/y deltas decorrelate and real near-pairs exist). The Spark side
+    * NEVER builds an all-pairs surface: each point probes the 3×3
+    * neighborhood of 1000-unit grid cells (radius < cell size makes
+    * the candidate set lossless) via an EQUI-join on cell keys —
+    * per-cell fan-out is density-bounded, so the plan survives any
+    * scale-up with uniform density. Requiring prober < home id emits
+    * each pair exactly once. The all-pairs spelling is oracle-only. */
+  private val q279 = Q(
+    "q279_grid_radius_join",
+    """WITH pts AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS id,
+      |    (c_custkey * 48271) % 99991 AS x,
+      |    (c_custkey * c_custkey) % 99991 AS y
+      |  FROM customer)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM pts a JOIN pts b ON a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 360000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val pts = Tables.load(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("id"),
+      ((col("c_custkey") * 48271L) % 99991L).as("x"),
+      ((col("c_custkey") * col("c_custkey")) % 99991L).as("y"))
+      .withColumn("cx", expr("x div 1000"))
+      .withColumn("cy", expr("y div 1000"))
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+            |  transform(sequence(-1, 1), dy ->
+            |    struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin))
+          .as("cell"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    probes.join(pts.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= 360000L)
+      .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------- q280: merge-on-read positional delete vectors
+
+  /** Lakehouse merge-on-read: base parquet files stay immutable and a
+    * DELETE writes only a positional delete vector — (file_path,
+    * row_index) pairs, here taken from the `_metadata` hidden columns
+    * every Spark parquet scan exposes. A reader anti-joins the scan
+    * against the vector: no rewrite of 100 TB of base data to delete
+    * 0.1%, and the anti-join keys are the scan's own physical
+    * coordinates (hash-partitionable, no skew — row_index is unique
+    * per file). The oracle recomputes from the logical predicate the
+    * delete encoded. */
+  private val q280 = Q(
+    "q280_mor_positional_deletes",
+    """SELECT CAST(count(*) AS BIGINT) AS n_live,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_price
+      |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin) { (s, dir) =>
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q280_base").toString
+    val delDir = java.nio.file.Files
+      .createTempDirectory("graft_q280_dv").toString
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(out)
+    def scan = s.read.parquet(out).select(
+      col("o_orderkey"), col("o_totalprice"),
+      col("_metadata.file_path").as("fp"),
+      col("_metadata.row_index").as("pos"))
+    // the DELETE: write ONLY the positional vector, base files untouched
+    scan.filter(col("o_orderkey") % 7 === 3).select("fp", "pos")
+      .write.mode("overwrite").parquet(delDir)
+    val dv = s.read.parquet(delDir)
+    scan.join(dv, Seq("fp", "pos"), "left_anti")
+      .agg(count(lit(1)).as("n_live"),
+        sum("o_orderkey").cast("long").as("sum_key"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("string")
+          .as("sum_price"))
+  }
+
+  // ------------- q281: approx_top_k sketch aggregate
+
+  /** Spark 4's approx_top_k frequent-items sketch (space-bounded,
+    * mergeable — the distributed heavy-hitters surface next to the
+    * custom Misra-Gries in q191). k covers every distinct value here,
+    * so the sketch is EXACT and the count-ordered output has no
+    * boundary-tie ambiguity against the exact oracle. */
+  private val q281 = Q(
+    "q281_approx_top_k",
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type
+      |ORDER BY n DESC, event_type""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT t.item AS event_type, CAST(t.count AS BIGINT) AS n
+        |FROM (SELECT explode(tk) AS t
+        |      FROM (SELECT approx_top_k(event_type, 5) AS tk FROM events))
+        |ORDER BY n DESC, event_type""".stripMargin)
+  }
+
+  // ------------- q282: URL canonicalization for crawl dedup
+
+  /** Web-corpus URL canonicalization: parse host/path/query
+    * (parse_url), strip tracking parameters (utm_*, ref), and regroup
+    * by canonical URL — the first pass of every crawl dedup. URLs are
+    * synthesized deterministically from document fields so the oracle
+    * can rebuild the canonical form directly; the Spark side does the
+    * real parse → filter-params → reassemble pipeline (all codegen
+    * string/array expressions, one shuffle to the canonical group). */
+  private val q282 = Q(
+    "q282_url_canonicalize",
+    """SELECT source || '.example.org/' || lang || '/'
+      |    || CAST(doc_id % 40 AS VARCHAR)
+      |    || '?page=' || CAST(doc_id % 3 AS VARCHAR) AS canonical,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS min_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"), col("source"), lit(".example.org/"), col("lang"),
+        lit("/"), (col("doc_id") % 40).cast("string"),
+        lit("?utm_source=feed&ref="), (col("doc_id") % 7).cast("string"),
+        lit("&page="), (col("doc_id") % 3).cast("string")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("path", expr("parse_url(url, 'PATH')"))
+      .withColumn("cleanq", expr(
+        """array_join(filter(split(parse_url(url, 'QUERY'), '&'),
+          |  p -> NOT (p LIKE 'utm\\_%' OR p LIKE 'ref=%')), '&')""".stripMargin))
+      .withColumn("canonical", concat(col("host"), col("path"),
+        when(col("cleanq") =!= "", concat(lit("?"), col("cleanq")))
+          .otherwise(lit(""))))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").cast("long").as("min_doc"))
+      .orderBy("canonical")
+  }
+
+  val defs: Seq[Q] = Seq(q276, q277, q278, q279, q280, q281, q282)
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 surfaces (q276–q282): each query is re-verified against an
+  * independent recomputation (plain Scala fold, brute-force all-pairs,
+  * or the explicit non-sugared spelling) — never against itself — plus
+  * plan shape where the scale story depends on it (q279's candidate
+  * join must be an equi-join, not a cartesian). sf0.01 where the
+  * fixture needs density (grid pairs), sf0.001 elsewhere.
+  */
+class ModernOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val dir01 = "/root/testdata/sf0.01"
+
+  test("q276 parameterized IDENTIFIER query equals the literal spelling") {
+    val got = SparkEntry.queries("q276_parameterized_sql")(spark, dir).collect()
+    Tables.registerAll(spark, dir)
+    val literal = spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING) AS sum_bal
+        |FROM customer WHERE c_acctbal > 1000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin).collect()
+    assert(got.toSeq === literal.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("q277 carry-forward equals a sequential per-user fold") {
+    val got = SparkEntry.queries("q277_ignore_nulls_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // independent recompute: order each user's events by (ts, event_id),
+    // null every 5th id, carry last non-null forward / first non-null back
+    val raw = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 100)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = raw.groupBy(_._2).toSeq.flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._3, e._1))
+      val vs = ordered.map(e =>
+        if (e._1 % 5 == 0) None else Some(e._4))
+      val first = vs.flatten.headOption.map(v =>
+        BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      var carry: Option[Double] = None
+      ordered.zip(vs).map { case (e, v) =>
+        carry = v.orElse(carry)
+        (e._1, uid, carry.map(c => BigDecimal(c * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong), first)
+      }
+    }
+    assert(got.toSet === expect.toSet)
+    assert(got.length === expect.length)
+    // planted nulls exist and at least one gets filled by carry-forward
+    assert(raw.exists(_._1 % 5 == 0))
+  }
+
+  test("q278 chi-square equals a plain-Scala contingency recompute") {
+    val got = SparkEntry.queries("q278_chi_square_independence")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val cells = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .count().collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val rT = cells.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val cT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val expect = cells.map { case ((t, d), o) =>
+      val num = (o * n - rT(t) * cT(d)).toDouble
+      val term = math.round(num * num / (rT(t) * cT(d) * n) * 1e6)
+      ((t, d), (o, term))
+    }
+    val chi2 = expect.values.map(_._2).sum
+    got.foreach { case (k, (o, term, tot)) =>
+      assert(expect(k) === ((o, term)), s"cell $k")
+      assert(tot === chi2)
+    }
+    assert(got.length === expect.size)
+  }
+
+  test("q279 grid pairs equal brute-force all-pairs; plan has no cartesian") {
+    val df = SparkEntry.queries("q279_grid_radius_join")(spark, dir01)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val keys = Tables.load(spark, dir01, "customer")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val pts = keys.map(k => (k, k * 48271 % 99991, k * k % 99991))
+    val expect = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= 360000
+    } yield (a._1, b._1, d2)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture density produced no pairs")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"),
+      "grid join fell back to a cartesian product:\n" + physical)
+    assert(!physical.contains("BroadcastNestedLoopJoin"),
+      "grid join fell back to a nested-loop join:\n" + physical)
+  }
+
+  test("q280 MoR deletes: live + deleted = total, sums match direct filter") {
+    val got = SparkEntry.queries("q280_mor_positional_deletes")(spark, dir)
+      .head()
+    val orders = Tables.load(spark, dir, "orders")
+    val total = orders.count()
+    val deleted = orders.filter(col("o_orderkey") % 7 === 3).count()
+    assert(got.getLong(0) === total - deleted)
+    val direct = orders.filter(col("o_orderkey") % 7 =!= 3)
+      .agg(sum("o_orderkey").cast("long"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("string"))
+      .head()
+    assert(got.getLong(1) === direct.getLong(0))
+    assert(got.getString(2) === direct.getString(1))
+  }
+
+  test("q281 approx_top_k with k >= distinct count is exact") {
+    val got = SparkEntry.queries("q281_approx_top_k")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type").count()
+      .orderBy(col("count").desc, col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === exact.toSeq)
+  }
+
+  test("q282 canonical URLs drop tracking params and partition all docs") {
+    val got = SparkEntry.queries("q282_url_canonicalize")(spark, dir).collect()
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(got.map(_.getLong(1)).sum === nDocs, "canonicals must partition docs")
+    got.foreach { r =>
+      val c = r.getString(0)
+      assert(!c.contains("utm_") && !c.contains("ref="), s"tracking survived: $c")
+      assert(c.contains(".example.org/") && c.contains("?page="), c)
+    }
+  }
+}
