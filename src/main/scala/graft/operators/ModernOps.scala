@@ -279,5 +279,147 @@ object ModernOps {
       .orderBy("canonical")
   }
 
-  val defs: Seq[Q] = Seq(q276, q277, q278, q279, q280, q281, q282)
+  // ------------- q283: BPE-style tokenizer encode, pure codegen
+
+  /** Tokenizer-encode as a chain of codegen string expressions — no
+    * UDF, no broadcast, no shuffle until the final sort: lowercase →
+    * collapse non-alpha runs to a `|` word separator → space-split
+    * every character → apply a fixed merge table in rank order as
+    * plain `replace` calls (left-to-right non-overlapping in BOTH
+    * engines, so results are bit-identical even at shared-boundary
+    * corner cases where true BPE would differ) → count surviving
+    * symbols. The per-doc cost is linear in text length and fully
+    * inside whole-stage codegen — the shape that matters when the
+    * encode pass runs over 100 TB of documents. */
+  private val BpeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
+
+  private def bpeChain(col: String): String =
+    BpeMerges.foldLeft(col) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  private val q283 = Q(
+    "q283_bpe_apply_encode",
+    s"""WITH sym AS (
+       |  SELECT doc_id,
+       |    ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),
+       |      '(.)', '\\1 ', 'g') AS s,
+       |    length(regexp_replace(lower(text), '[^a-z]+', '', 'g')) AS n_chars
+       |  FROM documents),
+       |merged AS (SELECT doc_id, n_chars, ${bpeChain("s")} AS m FROM sym)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(m), ' +'),
+       |    x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens
+       |FROM merged ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH sym AS (
+         |  SELECT doc_id,
+         |    concat(' ', regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z]+', '|'), '(.)', '$$1 ')) AS s,
+         |    length(regexp_replace(lower(text), '[^a-z]+', '')) AS n_chars
+         |  FROM documents),
+         |merged AS (SELECT doc_id, n_chars, ${bpeChain("s")} AS m FROM sym)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(size(filter(split(trim(m), ' +'),
+         |    x -> x != '|' AND x != '')) AS BIGINT) AS n_tokens
+         |FROM merged ORDER BY doc_id""".stripMargin)
+  }
+
+  // ------------- q284: HLL sketch incremental distinct
+
+  /** The incremental-distinct production pattern: per-day HLL sketches
+    * (hll_sketch_agg — mergeable, constant-size state, map-side
+    * partial) that roll up to a global distinct WITHOUT re-touching
+    * raw data (hll_union_agg). The exact per-day totals are the
+    * oracle-checked payload; the sketch estimates are pinned by
+    * PROPERTY (within 5% of exact, a deterministic bound since HLL is
+    * order-independent and deterministic for a fixed input set) — the
+    * q121 property-oracle pattern for approximate operators. */
+  private val q284 = Q(
+    "q284_hll_incremental_distinct",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(DISTINCT user_id) AS exact_d
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |  CAST(sum(exact_d) AS BIGINT) AS sum_daily_distinct,
+      |  TRUE AS daily_est_ok, TRUE AS union_est_ok
+      |FROM daily""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('DAY', ts) AS DATE) AS day,
+        |    hll_sketch_agg(user_id) AS sk,
+        |    count(DISTINCT user_id) AS exact_d
+        |  FROM events GROUP BY 1),
+        |total AS (SELECT count(DISTINCT user_id) AS g FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(exact_d) AS BIGINT) AS sum_daily_distinct,
+        |  bool_and(abs(hll_sketch_estimate(sk) - exact_d) <= 0.05 * exact_d)
+        |    AS daily_est_ok,
+        |  abs(hll_sketch_estimate(hll_union_agg(sk)) - first(total.g))
+        |    <= 0.05 * first(total.g) AS union_est_ok
+        |FROM daily CROSS JOIN total""".stripMargin)
+  }
+
+  // ------------- q285: ANSI WITHIN GROUP percentiles
+
+  /** ANSI ordered-set aggregates: percentile_cont / percentile_disc
+    * WITHIN GROUP (ORDER BY ...) — the inverse-distribution surface
+    * next to the approx sketches (q135) and exact window percentiles
+    * (q97). Quantities are integral doubles, so the f=0.5/0.9
+    * interpolations are exact in IEEE arithmetic and the cents
+    * quantization cannot sit on a rounding boundary. */
+  private val q285 = Q(
+    "q285_within_group_percentiles",
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_c,
+      |  CAST(round(quantile_cont(l_quantity, 0.9) * 100) AS BIGINT) AS p90_c,
+      |  CAST(round(quantile_disc(l_quantity, 0.25) * 100) AS BIGINT) AS p25d_c,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT l_returnflag,
+        |  CAST(round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+        |    * 100) AS BIGINT) AS p50_c,
+        |  CAST(round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity)
+        |    * 100) AS BIGINT) AS p90_c,
+        |  CAST(round(percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+        |    * 100) AS BIGINT) AS p25d_c,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // ------------- q286: LISTAGG
+
+  /** ANSI LISTAGG WITHIN GROUP — ordered string concatenation per
+    * group. The ORDER BY inside the aggregate is what makes a parallel
+    * fold deterministic; bounded here by a key filter the way any sane
+    * 100 TB use would bound it (LISTAGG over unbounded groups is an
+    * anti-pattern — the q187 collect_set caveat applies). */
+  private val q286 = Q(
+    "q286_listagg",
+    """SELECT n.n_name,
+      |  string_agg(c.c_name, ',' ORDER BY c.c_name) AS names,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_custkey <= 200
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n.n_name,
+        |  listagg(c.c_name, ',') WITHIN GROUP (ORDER BY c.c_name) AS names,
+        |  count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 200
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+
+  val defs: Seq[Q] =
+    Seq(q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286)
 }

@@ -129,6 +129,84 @@ class ModernOpsSpec extends AnyFunSuite {
     assert(got.toSeq === exact.toSeq)
   }
 
+  test("q283 BPE encode equals a sequential plain-Scala replace chain") {
+    val got3 = SparkEntry.queries("q283_bpe_apply_encode")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val merges = Seq("t h" -> "th", "th e" -> "the", "i n" -> "in",
+      "a n" -> "an", "an d" -> "and", "e r" -> "er", "o n" -> "on",
+      "r e" -> "re")
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val lower = text.toLowerCase
+      val nChars = lower.count(c => c >= 'a' && c <= 'z')
+      val sep = lower.replaceAll("[^a-z]+", "|")
+      var s = " " + sep.toCharArray.map(c => s"$c ").mkString
+      merges.foreach { case (a, b) => s = s.replace(s" $a ", s" $b ") }
+      val nTok = s.trim.split(" +").count(t => t.nonEmpty && t != "|")
+      assert(got3(id) === ((nChars.toLong, nTok.toLong)), s"doc $id")
+      assert(nTok <= nChars, s"merges must not grow token count (doc $id)")
+    }
+    assert(got3.size === docs.length)
+  }
+
+  test("q284 HLL estimates are within bound and exact payload matches") {
+    val row = SparkEntry.queries("q284_hll_incremental_distinct")(spark, dir)
+      .head()
+    val events = Tables.load(spark, dir, "events")
+    val daily = events
+      .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+      .agg(countDistinct("user_id").as("d")).collect()
+    assert(row.getLong(0) === daily.length)
+    assert(row.getLong(1) === daily.map(_.getLong(1)).sum)
+    assert(row.getBoolean(2), "a daily HLL estimate drifted beyond 5%")
+    assert(row.getBoolean(3), "the unioned HLL estimate drifted beyond 5%")
+  }
+
+  test("q285 WITHIN GROUP percentiles equal ANSI formulas on sorted arrays") {
+    val got = SparkEntry.queries("q285_within_group_percentiles")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val groups = Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    def cont(v: Array[Double], f: Double): Double = {
+      val pos = f * (v.length - 1)
+      val lo = pos.toInt
+      if (lo == v.length - 1) v(lo)
+      else v(lo) + (pos - lo) * (v(lo + 1) - v(lo))
+    }
+    def disc(v: Array[Double], f: Double): Double =
+      v(math.ceil(f * v.length).toInt.max(1) - 1) // first cume_dist >= f
+    groups.foreach { case (k, v) =>
+      val (p50, p90, p25d, n) = got(k)
+      assert(n === v.length.toLong)
+      assert(p50 === math.round(cont(v, 0.5) * 100), s"p50 $k")
+      assert(p90 === math.round(cont(v, 0.9) * 100), s"p90 $k")
+      assert(p25d === math.round(disc(v, 0.25) * 100), s"p25d $k")
+    }
+    assert(got.size === groups.size)
+  }
+
+  test("q286 LISTAGG equals sorted collect_list concatenation") {
+    val got = SparkEntry.queries("q286_listagg")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    Tables.registerAll(spark, dir)
+    val expect = spark.sql(
+      """SELECT n.n_name,
+        |  array_join(sort_array(collect_list(c.c_name)), ',') AS names,
+        |  count(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_custkey <= 200
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === expect.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("q282 canonical URLs drop tracking params and partition all docs") {
     val got = SparkEntry.queries("q282_url_canonicalize")(spark, dir).collect()
     val nDocs = Tables.load(spark, dir, "documents").count()
