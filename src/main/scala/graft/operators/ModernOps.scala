@@ -106,9 +106,9 @@ object ModernOps {
       |  FROM obs)
       |SELECT event_type, dow, o,
       |  CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
-      |    / (r*c*n) * 1000000) AS BIGINT) AS term_micro,
+      |    / (CAST(r AS DOUBLE)*c*n) * 1000000) AS BIGINT) AS term_micro,
       |  CAST(SUM(CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
-      |    / (r*c*n) * 1000000) AS BIGINT)) OVER () AS BIGINT) AS chi2_micro
+      |    / (CAST(r AS DOUBLE)*c*n) * 1000000) AS BIGINT)) OVER () AS BIGINT) AS chi2_micro
       |FROM tot ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     // Spark dayofweek() is already 1..7 (Sunday=1); DuckDB's is 0..6,
@@ -126,39 +126,49 @@ object ModernOps {
         |  FROM obs)
         |SELECT event_type, dow, o,
         |  CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
-        |    / (r*c*n) * 1000000) AS BIGINT) AS term_micro,
+        |    / (CAST(r AS DOUBLE)*c*n) * 1000000) AS BIGINT) AS term_micro,
         |  SUM(CAST(round(CAST(o*n - r*c AS DOUBLE) * CAST(o*n - r*c AS DOUBLE)
-        |    / (r*c*n) * 1000000) AS BIGINT)) OVER () AS chi2_micro
+        |    / (CAST(r AS DOUBLE)*c*n) * 1000000) AS BIGINT)) OVER () AS chi2_micro
         |FROM tot ORDER BY event_type, dow""".stripMargin)
   }
 
   // ------------- q279: grid-bucketed spatial radius join
 
-  /** All point pairs within radius 600 on a ~100k×100k integer plane
-    * (coords derived deterministically from c_custkey; the y map is
-    * nonlinear so x/y deltas decorrelate and real near-pairs exist). The Spark side
-    * NEVER builds an all-pairs surface: each point probes the 3×3
-    * neighborhood of 1000-unit grid cells (radius < cell size makes
-    * the candidate set lossless) via an EQUI-join on cell keys —
-    * per-cell fan-out is density-bounded, so the plan survives any
-    * scale-up with uniform density. Requiring prober < home id emits
-    * each pair exactly once. The all-pairs spelling is oracle-only. */
+  /** All point pairs within radius 600 on an integer plane whose side
+    * scales with sqrt(table size) — constant density, so the PAIR
+    * COUNT and the per-cell candidate fan-out stay linear in the
+    * corpus at any scale-up (a fixed plane would make both quadratic).
+    * Coords derive deterministically from c_custkey; the y map is
+    * nonlinear so x/y deltas decorrelate and real near-pairs exist.
+    * The Spark side NEVER builds an all-pairs surface: each point
+    * probes the 3×3 neighborhood of 1000-unit grid cells (radius <
+    * cell size makes the candidate set lossless) via an EQUI-join on
+    * cell keys. Requiring prober < home id emits each pair exactly
+    * once. The all-pairs spelling is oracle-only. */
   private val q279 = Q(
     "q279_grid_radius_join",
-    """WITH pts AS (
+    """WITH m AS (
+      |  SELECT CAST(floor(sqrt(max(c_custkey)) * 2582) AS BIGINT) AS side
+      |  FROM customer),
+      |pts AS (
       |  SELECT CAST(c_custkey AS BIGINT) AS id,
-      |    (c_custkey * 48271) % 99991 AS x,
-      |    (c_custkey * c_custkey) % 99991 AS y
-      |  FROM customer)
+      |    (c_custkey * 48271) % side AS x,
+      |    (c_custkey * c_custkey) % side AS y
+      |  FROM customer CROSS JOIN m)
       |SELECT a.id AS id_a, b.id AS id_b,
       |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
       |FROM pts a JOIN pts b ON a.id < b.id
       |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 360000
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    val pts = Tables.load(s, dir, "customer").select(
+    val customer = Tables.load(s, dir, "customer")
+    // plane side ~ sqrt(n): a single scalar, metadata-bounded driver pull
+    val side = math.floor(math.sqrt(
+      customer.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+        .toDouble) * 2582).toLong
+    val pts = customer.select(
       col("c_custkey").cast("long").as("id"),
-      ((col("c_custkey") * 48271L) % 99991L).as("x"),
-      ((col("c_custkey") * col("c_custkey")) % 99991L).as("y"))
+      ((col("c_custkey") * 48271L) % side).as("x"),
+      ((col("c_custkey") * col("c_custkey")) % side).as("y"))
       .withColumn("cx", expr("x div 1000"))
       .withColumn("cy", expr("y div 1000"))
     val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),

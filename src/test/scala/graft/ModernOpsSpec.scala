@@ -72,7 +72,7 @@ class ModernOpsSpec extends AnyFunSuite {
     val cT = cells.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
     val expect = cells.map { case ((t, d), o) =>
       val num = (o * n - rT(t) * cT(d)).toDouble
-      val term = math.round(num * num / (rT(t) * cT(d) * n) * 1e6)
+      val term = math.round(num * num / (rT(t).toDouble * cT(d) * n) * 1e6)
       ((t, d), (o, term))
     }
     val chi2 = expect.values.map(_._2).sum
@@ -89,7 +89,8 @@ class ModernOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val keys = Tables.load(spark, dir01, "customer")
       .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
-    val pts = keys.map(k => (k, k * 48271 % 99991, k * k % 99991))
+    val side = math.floor(math.sqrt(keys.max.toDouble) * 2582).toLong
+    val pts = keys.map(k => (k, k * 48271 % side, k * k % side))
     val expect = (for {
       a <- pts; b <- pts if a._1 < b._1
       d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)

@@ -22,6 +22,9 @@ QUADRATIC_ORACLES = {
     "q44_ngram_jaccard", "q45_minhash_lsh", "q46_simhash",
     "q48_embedding_top_pairs", "q123_embedding_neardup",
     "q146_incremental_dedup",
+    # q279: the ORACLE is an all-pairs radius join (1e10+ pairs at 10x);
+    # the Spark side is a linear grid equi-join, benched in SCALE_CURVE.
+    "q279_grid_radius_join",
 }
 QUADRATIC_ORACLES |= {
     s for s in (os.environ.get("SWEEP_SKIP") or "").split(",") if s}
