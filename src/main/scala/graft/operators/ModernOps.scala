@@ -430,6 +430,124 @@ object ModernOps {
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
   }
 
+  // ------------- q287: XML functions round trip
+
+  /** Spark 4's native XML surface (to_xml / from_xml): serialize a
+    * struct per row, parse it back with an explicit schema, and emit
+    * the recovered fields — the oracle pins the round trip as an
+    * identity on the base table. Both directions are scalar codegen
+    * expressions: no shuffle at all until the output sort, so the
+    * pass is embarrassingly parallel at any scale. */
+  private val q287 = Q(
+    "q287_xml_roundtrip",
+    """SELECT CAST(s_suppkey AS BIGINT) AS k, s_name,
+      |  CAST(s_nationkey AS BIGINT) AS nk
+      |FROM supplier ORDER BY k""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("k"), col("s_name"),
+        col("s_nationkey").cast("long").as("nk"))
+      .withColumn("xml", expr("to_xml(struct(k, s_name, nk))"))
+      .withColumn("p", expr("from_xml(xml, 'k BIGINT, s_name STRING, nk BIGINT')"))
+      .select(col("p.k").as("k"), col("p.s_name").as("s_name"),
+        col("p.nk").as("nk"))
+      .orderBy("k")
+  }
+
+  // ------------- q288: dynamic-gap session windows (batch)
+
+  /** `session_window` with an EXPRESSION-valued gap — purchases hold a
+    * session open for 60 minutes, everything else 30 — the
+    * per-event-class timeout real clickstream sessionization needs.
+    * Merge semantics: each event spans [ts, ts+gap), overlapping spans
+    * coalesce, so a session's end is max(ts+gap) over its members;
+    * the merge is boundary-INCLUSIVE — an event landing exactly on the
+    * session end EXTENDS it (pinned by the adversarial corpus, whose
+    * exactly-gap-spaced purchase chains Spark folds into one session).
+    * The oracle replays exactly that with a running max over the prior
+    * events' spans. One shuffle on the session key — the same cost as
+    * a static-gap session. */
+  private val q288 = Q(
+    "q288_dynamic_gap_sessions",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN 3600000000 ELSE 1800000000 END AS gap
+      |  FROM events WHERE user_id < 200),
+      |m AS (
+      |  SELECT user_id, t, event_id, gap,
+      |    MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t, gap,
+      |    SUM(CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(min(t) AS BIGINT) AS start_us,
+      |  CAST(max(t + gap) AS BIGINT) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin) {
+    (s, dir) =>
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .otherwise(lit("30 minutes"))
+    Tables.load(s, dir, "events")
+      .filter(col("user_id") < 200)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n"))
+      .orderBy("user_id", "start_us")
+  }
+
+  // ------------- q289: duplicate-group representative selection
+
+  /** The step AFTER dedup detection: for every group of documents that
+    * are identical under whitespace/case normalization, keep ONE
+    * representative by quality (longest raw text, doc_id tie-break)
+    * and account for the members dropped — the curation decision a
+    * training corpus applies, not just the candidate list. One
+    * hash-shuffle on the normalized key; representative choice is a
+    * per-group window rank, never a driver loop. */
+  private val q289 = Q(
+    "q289_dup_group_representatives",
+    """WITH norm AS (
+      |  SELECT doc_id, length(text) AS len,
+      |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS canon
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, len, canon,
+      |    row_number() OVER (PARTITION BY canon
+      |      ORDER BY len DESC, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY canon) AS n_members,
+      |    sum(len) OVER (PARTITION BY canon) AS total_chars
+      |  FROM norm)
+      |SELECT CAST(doc_id AS BIGINT) AS rep_doc,
+      |  CAST(n_members AS BIGINT) AS n_members,
+      |  CAST(total_chars - len AS BIGINT) AS chars_dropped
+      |FROM r WHERE rn = 1 AND n_members > 1
+      |ORDER BY rep_doc""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH norm AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    lower(regexp_replace(trim(text), '\\s+', ' ')) AS canon
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, len, canon,
+        |    row_number() OVER (PARTITION BY canon
+        |      ORDER BY len DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY canon) AS n_members,
+        |    sum(len) OVER (PARTITION BY canon) AS total_chars
+        |  FROM norm)
+        |SELECT CAST(doc_id AS BIGINT) AS rep_doc,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(total_chars - len AS BIGINT) AS chars_dropped
+        |FROM r WHERE rn = 1 AND n_members > 1
+        |ORDER BY rep_doc""".stripMargin)
+  }
+
   val defs: Seq[Q] =
-    Seq(q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286)
+    Seq(q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
+      q287, q288, q289)
 }

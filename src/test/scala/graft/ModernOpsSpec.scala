@@ -208,6 +208,68 @@ class ModernOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q287 XML round trip is the identity on supplier fields") {
+    val got = SparkEntry.queries("q287_xml_roundtrip")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val base = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long"), col("s_name"),
+        col("s_nationkey").cast("long"))
+      .orderBy("s_suppkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === base.toSeq)
+    // the serialized form really is XML with the struct fields as tags
+    val xml = spark.sql(
+      "SELECT to_xml(struct(7 AS k, 'x' AS s_name)) AS x").head().getString(0)
+    assert(xml.contains("<k>7</k>") && xml.contains("<s_name>x</s_name>"), xml)
+  }
+
+  test("q288 dynamic-gap sessions equal a sequential interval-merge fold") {
+    val got = SparkEntry.queries("q288_dynamic_gap_sessions")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val evs = Tables.load(spark, dir, "events")
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map { e =>
+        val gap = if (e._4 == "purchase") 3600000000L else 1800000000L
+        (e._2, e._2 + gap)
+      }
+      val sessions = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      ordered.foreach { case (t, end) =>
+        sessions.lastOption match {
+          case Some((s0, e0, n)) if t <= e0 =>
+            sessions(sessions.length - 1) = (s0, math.max(e0, end), n + 1)
+          case _ => sessions += ((t, end, 1L))
+        }
+      }
+      sessions.map { case (s0, e0, n) => (uid, s0, e0, n) }
+    }
+    assert(got.toSet === expect.toSet)
+    assert(got.length === expect.length)
+    // both gap classes are present, so the dynamic gap is exercised
+    assert(evs.exists(_._4 == "purchase") && evs.exists(_._4 != "purchase"))
+  }
+
+  test("q289 representatives equal a plain-Scala group/argmax recompute") {
+    val got = SparkEntry.queries("q289_dup_group_representatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs
+      .map { case (id, t) =>
+        (id, t.length.toLong,
+          t.trim.replaceAll("\\s+", " ").toLowerCase) }
+      .groupBy(_._3).values.filter(_.length > 1).map { g =>
+        val rep = g.minBy(d => (-d._2, d._1))
+        (rep._1, g.length.toLong, g.map(_._2).sum - rep._2)
+      }.toSet
+    assert(got.toSet === expect)
+  }
+
   test("q282 canonical URLs drop tracking params and partition all docs") {
     val got = SparkEntry.queries("q282_url_canonicalize")(spark, dir).collect()
     val nDocs = Tables.load(spark, dir, "documents").count()
