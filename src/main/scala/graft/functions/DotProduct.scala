@@ -97,6 +97,7 @@ object GraftFunctions {
       SortedIntersectCount(exprs(0), exprs(1))),
     "graft_char_stats" -> (exprs => CharStats(exprs.head)),
     "graft_morton" -> (exprs => MortonCode(exprs(0), exprs(1))),
+    "graft_hilbert" -> (exprs => HilbertCode(exprs(0), exprs(1))),
     "graft_strip_accents" -> (exprs => StripAccents(exprs.head)),
     // graft_polyhash(s, seed, mult, mod) — seed/mult/mod literal longs
     "graft_polyhash" -> (exprs => PolyHash(exprs.head,

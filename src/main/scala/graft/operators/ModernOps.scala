@@ -547,7 +547,48 @@ object ModernOps {
         |ORDER BY rep_doc""".stripMargin)
   }
 
+  // ------------- q290: Hilbert-curve layout quality
+
+  /** The Hilbert companion to q217's Z-order layout: bucket rows by
+    * the top bits of their Hilbert index ([[graft.functions.HilbertCode]],
+    * codegen) and report each bucket's 2-D bounding box. Hilbert's
+    * walk is grid-adjacent at every step, so contiguous index ranges
+    * cover tighter boxes than Morton's diagonal-jumping ranges —
+    * tighter per-file min/max stats after a range-partitioned write,
+    * better 2-D pruning (the spec pins Hilbert's total bbox area under
+    * Morton's on identical data). The oracle replays the identical 16
+    * bit-plane rotations as a chained-CTE SQL text emitted by the same
+    * object, so both engines compute the identical integer. */
+  private val q290 = Q(
+    "q290_hilbert_layout", {
+      val (ctes, last) = graft.functions.HilbertCode.oracleCtes(
+        "src", Seq.empty, "//")
+      s"""WITH src AS (
+         |  SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+         |  FROM lineitem),
+         |$ctes
+         |SELECT d // 1048576 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(x0) AS BIGINT) AS min_x, CAST(max(x0) AS BIGINT) AS max_x,
+         |  CAST(min(y0) AS BIGINT) AS min_y, CAST(max(y0) AS BIGINT) AS max_y,
+         |  CAST((max(x0) - min(x0) + 1) * (max(y0) - min(y0) + 1) AS BIGINT)
+         |    AS bbox_area
+         |FROM $last GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "lineitem")
+      .select(expr("l_partkey % 65536").as("x"),
+        expr("l_suppkey % 65536").as("y"))
+      .withColumn("bucket", expr("graft_hilbert(x, y) div 1048576"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"),
+        ((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+          .as("bbox_area"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[Q] =
     Seq(q276, q277, q278, q279, q280, q281, q282, q283, q284, q285, q286,
-      q287, q288, q289)
+      q287, q288, q289, q290)
 }

@@ -270,6 +270,49 @@ class ModernOpsSpec extends AnyFunSuite {
     assert(got.toSet === expect)
   }
 
+  test("q290 Hilbert walk is grid-adjacent; quadrant values match the spec") {
+    import graft.functions.HilbertCode
+    // first-order quadrant order: (0,0) -> 0, (0,1) -> 1, (1,1) -> 2, (1,0) -> 3
+    assert(HilbertCode.xy2d(1, 0, 0) === 0L)
+    assert(HilbertCode.xy2d(1, 0, 1) === 1L)
+    assert(HilbertCode.xy2d(1, 1, 1) === 2L)
+    assert(HilbertCode.xy2d(1, 1, 0) === 3L)
+    // the DEFINING property (Morton lacks it): the full order-6 walk
+    // visits all 4096 cells with every consecutive pair adjacent
+    val cells = for (x <- 0 until 64; y <- 0 until 64)
+      yield (HilbertCode.xy2d(6, x, y), x, y)
+    val walk = cells.sortBy(_._1)
+    assert(walk.map(_._1) === (0 until 4096).map(_.toLong))
+    walk.sliding(2).foreach { case Seq((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // order 16 agrees with order 6 on the scaled-up sub-lattice corner
+    assert(HilbertCode.xy2d(16, 0, 0) === 0L)
+  }
+
+  test("q290 Hilbert buckets bound tighter boxes than Morton on spread keys") {
+    // identical synthetic key spread for both encodings, wide enough to
+    // fill many buckets: 4096 points over the full 16-bit plane
+    val pts = for (i <- 0L until 4096L)
+      yield (i * 48271 % 65536, i * i % 65536)
+    def totalBboxArea(index: (Long, Long) => Long): Long =
+      pts.groupBy(p => index(p._1, p._2) >> 24).values.map { g =>
+        val xs = g.map(_._1); val ys = g.map(_._2)
+        (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+      }.sum
+    val hilbert = totalBboxArea(graft.functions.HilbertCode.xy2d(16, _, _))
+    val morton = totalBboxArea(graft.functions.MortonCode.interleave)
+    assert(hilbert <= morton,
+      s"Hilbert bbox total $hilbert should not exceed Morton's $morton")
+    // and the q290 query itself returns consistent bucket accounting
+    val got = SparkEntry.queries("q290_hilbert_layout")(spark, dir).collect()
+    val nRows = Tables.load(spark, dir, "lineitem").count()
+    assert(got.map(_.getLong(1)).sum === nRows)
+    got.foreach(r => assert(r.getLong(6) >= r.getLong(1) / 65536,
+      "bbox can't be smaller than the points it contains allow"))
+  }
+
   test("q282 canonical URLs drop tracking params and partition all docs") {
     val got = SparkEntry.queries("q282_url_canonicalize")(spark, dir).collect()
     val nDocs = Tables.load(spark, dir, "documents").count()
