@@ -108,14 +108,15 @@ object StreamingOps {
   /** Sessionization: session_window with a 30-minute gap (batch form of
     * the same operator Structured Streaming uses for stateful
     * sessionization). Oracle: classic gaps-and-islands SQL — new session
-    * when the gap to the previous event is >= 30 min (matching Spark's
-    * half-open [start, last+gap) window). */
+    * only when the gap to the previous event EXCEEDS 30 min: Spark's
+    * merge is boundary-inclusive (an event exactly at last+gap extends
+    * the session — pinned by ModernOpsSpec's session_window probe). */
   private val q72s = Q(
     "q72_session_window",
     """WITH e AS (SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events),
       |m AS (SELECT user_id, ts,
       |        CASE WHEN lag(ts) OVER w IS NULL
-      |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |             THEN 1 ELSE 0 END AS new_sess
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |s AS (SELECT user_id, ts,

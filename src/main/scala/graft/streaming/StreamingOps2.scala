@@ -237,7 +237,7 @@ object StreamingOps2 {
       |          FROM events),
       |m AS (SELECT user_id, event_id, us,
       |        CASE WHEN lag(us) OVER w IS NULL
-      |             OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+      |             OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
       |          AS new_sess
       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       |s AS (SELECT user_id, us,

@@ -313,6 +313,26 @@ class ModernOpsSpec extends AnyFunSuite {
       "bbox can't be smaller than the points it contains allow"))
   }
 
+  test("session_window merges an event landing exactly on the session end") {
+    // pins the boundary-INCLUSIVE merge q288's adversarial run exposed:
+    // [00:00, 00:30) + event AT 00:30 -> ONE session, not two. The
+    // q72/q234 gaps-and-islands oracles must therefore split on
+    // strictly-greater, not greater-or-equal.
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00"))
+      .toDF("u", "s").withColumn("ts", col("s").cast("timestamp"))
+    val sess = df.groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sess.length === 1, "exact-boundary event must extend the session")
+    assert(sess.head.getLong(2) === 2L)
+    // one microsecond past the end DOES start a new session
+    val df2 = Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:30:00.000001"))
+      .toDF("u", "s").withColumn("ts", col("s").cast("timestamp"))
+    val sess2 = df2.groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(sess2.length === 2)
+  }
+
   test("q282 canonical URLs drop tracking params and partition all docs") {
     val got = SparkEntry.queries("q282_url_canonicalize")(spark, dir).collect()
     val nDocs = Tables.load(spark, dir, "documents").count()
