@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-9 surfaces, part 2 — three pillars of a 100 TB training-data
+  * pipeline that compose the engine's existing primitives into the
+  * shapes large curation stacks actually run:
+  *
+  *  - q292 SemDeDup-style semantic dedup (cluster first, then near-dup
+  *    only WITHIN a cluster — the k-means cell bounds the quadratic
+  *    pair surface, which is the whole point of the method);
+  *  - q293 hybrid retrieval (integer BM25 lexical ranks fused with
+  *    embedding-cosine ranks by reciprocal-rank fusion);
+  *  - q294 a mergeable bottom-k (KMV-style) quantile sketch rolled up
+  *    a month→year→all hierarchy by RE-AGGREGATING the sketches, never
+  *    rescanning the base table.
+  *
+  * Everything is deterministic under Spark's parallel partial
+  * aggregation: candidate generation is equi-join-shaped, scores are
+  * exact integers or order-independent doubles, and every tie has a
+  * total order.
+  */
+object ModernOps2 {
+
+  // ------------- q292: semantic dedup (SemDeDup-style, cluster-scoped)
+
+  /** Cluster-then-dedup (the SemDeDup recipe, Abbas et al. 2023):
+    * [[KMeansLite]] fits k=8 centroids (3 deterministic integer-
+    * quantized rounds), every vector joins its own cell only, and a
+    * vector is a semantic duplicate iff some SMALLER-id vector in the
+    * SAME cell has cosine >= tau (0.35, the q123 near-dup threshold).
+    * vs q123 (global all-pairs leader dedup): the cell equi-join bounds
+    * the pair surface by the largest cell, so cost scales with
+    * sum(cell^2) instead of n^2 — the documented price is recall loss
+    * for near-dups that straddle a cell boundary (q126's multi-probe
+    * is the standard mitigation). The oracle replays the identical fit
+    * (bit-exact unrolled SQL rounds) and the identical cell-scoped
+    * EXISTS. */
+  private val q292 = Q(
+    "q292_semantic_dedup",
+    s"""${VectorOps.kmeansOracleCtes(k = 8, iters = 3, dim = 64)},
+       |d AS (
+       |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65),
+       |          i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+       |        / (a.nrm * b.nrm) >= ${VectorOps.NearDupTau}
+       |  GROUP BY 1)
+       |SELECT n.vec_id AS vec_id, CAST(n.cell AS INT) AS cell,
+       |  d.dup_of AS dup_of, d.dup_of IS NOT NULL AS is_dup
+       |FROM nn n LEFT JOIN d ON d.vec_id = n.vec_id
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val all = VectorOps.vecs(s, dir)
+    val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cells = KMeansLite.assign(all, "v", cents)
+    val left = cells.select(col("cell").as("acell"), col("vec_id").as("aid"),
+      col("v").as("qv"), col("nrm").as("qnrm"))
+    val dups = cells
+      .join(left, col("acell") === col("cell") && col("aid") < col("vec_id"))
+      .withColumn("cos_sim",
+        expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .filter(col("cos_sim") >= VectorOps.NearDupTau)
+      .groupBy("vec_id")
+      .agg(min("aid").as("dup_of"))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("dup_of"), col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  // ------------- q293: hybrid retrieval — BM25 + cosine, RRF fusion
+
+  /** Canned retrieval queries: lexical terms (q208's set) plus, per
+    * query, a probe embedding = the embedding of vec_id 100*query_id. */
+  private val RrfQueries = Seq(
+    (1L, "hash"), (1L, "join"),
+    (2L, "scan"), (2L, "filter"), (2L, "column"),
+    (3L, "stream"), (3L, "window"))
+  private val RrfK = 60      // the standard RRF dampening constant
+  private val RrfDepth = 20  // per-modality candidate depth
+  private val RrfTop = 10    // fused results per query
+
+  /** Hybrid (lexical + semantic) retrieval with reciprocal-rank fusion:
+    * each modality contributes floor(1e6 / (60 + rank)) for its top-20,
+    * summed per (query, doc) via a FULL OUTER join of the two rank
+    * lists, fused top-10 by (rrf DESC, doc_id). Integer micro-units end
+    * to end — no float drift between engines. Scale shape: the lexical
+    * side is q208's vocabulary-pruned tf/df pipeline (the corpus scan
+    * keeps only query-term tokens); the vector side broadcasts the
+    * bounded query batch over one corpus pass (q47's shape — q49's IVF
+    * is the drop-in at 100 TB); the fusion join touches only
+    * queries x 20 rows per side. */
+  private val q293 = Q(
+    "q293_hybrid_retrieval_rrf", {
+      val cos =
+        """(list_sum(list_transform(range(1, len(q.embedding) + 1),
+          |   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+          | / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+          |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+          |  * sqrt(list_sum(list_transform(range(1, len(n.embedding) + 1),
+          |      i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH qt(query_id, term) AS (VALUES
+         |    ${RrfQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |          w -> w <> '')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+         |    sum((((2 * (nd.n - dfc.df) + 1) * 1000000) // (2 * dfc.df + 1))
+         |        * tf.tf // (tf.tf + 2)) AS score
+         |  FROM qt JOIN tf ON tf.w = qt.term
+         |  JOIN dfc ON dfc.w = qt.term CROSS JOIN nd
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |        FROM sc),
+         |qv AS (SELECT vec_id // 100 AS query_id, embedding
+         |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+         |vr AS (SELECT query_id, doc_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rnk
+         |       FROM (SELECT q.query_id AS query_id, n.vec_id AS doc_id,
+         |               $cos AS cs
+         |             FROM qv q JOIN embeddings n
+         |               ON n.vec_id <> q.query_id * 100)),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(1000000 // ($RrfK + l.rnk), 0)
+         |      + COALESCE(1000000 // ($RrfK + v.rnk), 0) AS rrf
+         |  FROM (SELECT * FROM lex WHERE rnk <= $RrfDepth) l
+         |  FULL JOIN (SELECT * FROM vr WHERE rnk <= $RrfDepth) v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rrf AS BIGINT) AS rrf, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+         |WHERE rnk <= $RrfTop ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val documents = Tables.load(s, dir, "documents")
+    // Lexical ranks: q208's integer BM25 (vocabulary-pruned scan).
+    val qt = RrfQueries.toDF("query_id", "term")
+    val tok = documents
+      .select(col("doc_id"), explode(expr("graft_words(text)")).as("w"))
+    val hits = tok
+      .join(broadcast(qt.select("term").distinct()), col("w") === col("term"))
+      .select("doc_id", "w")
+    val tf = hits.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val contrib = expr(
+      """((((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)) * tf)
+        |  div (tf + 2)""".stripMargin)
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = qt
+      .join(tf.withColumnRenamed("w", "term"), "term")
+      .join(broadcast(dfc.withColumnRenamed("w", "term")), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib).as("score"))
+      .withColumn("lrnk", row_number().over(lexW))
+      .filter(col("lrnk") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("lrnk"))
+    // Vector ranks: bounded query batch broadcast over one corpus pass.
+    val all = VectorOps.vecs(s, dir)
+    val qv = all.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("long").as("qid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val vecW = Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id"))
+    val vr = all.join(broadcast(qv), col("vec_id") =!= col("qid") * 100)
+      .withColumn("cs", expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .withColumn("vrnk", row_number().over(vecW))
+      .filter(col("vrnk") <= RrfDepth)
+      .select(col("qid"), col("vec_id").as("vdoc"), col("vrnk"))
+    // Reciprocal-rank fusion over the two (tiny) rank lists.
+    val fused = lex.join(vr,
+        col("query_id") === col("qid") && col("doc_id") === col("vdoc"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("qid")).as("query_id"),
+        coalesce(col("doc_id"), col("vdoc")).as("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfK + lrnk)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfK + vrnk)"), lit(0L))).as("rrf"))
+    val fuseW = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(fuseW).cast("long"))
+      .filter(col("rnk") <= RrfTop)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------- q294: mergeable KMV quantile sketch, hierarchical rollup
+
+  /** Sketch size: 64 keys per group — the estimate's error is the
+    * sampling error of a 64-row uniform sample. */
+  private val KmvK = 64
+
+  /** A bottom-k (KMV) sketch as a MERGEABLE quantile summary: per
+    * month, keep the [[KmvK]] order keys with the smallest
+    * deterministic hash h = (o_orderkey * 2654435761) % 1000000007 — a
+    * uniform sample whose merge (union, re-keep-bottom-k) is exact and
+    * order-independent, unlike reservoir sampling. The median estimate
+    * is the sample's lower median in exact integer cents. The year and
+    * all levels NEVER rescan orders: they re-aggregate the month
+    * sketches (<= 64 rows per month in, 64 out) — the hierarchy costs
+    * O(groups * k) after the single base pass, which is the shape that
+    * lets a 100 TB fact table keep per-level quantiles incrementally.
+    * Price cents ride INSIDE the sketch id (packed = cents * 1e8 +
+    * o_orderkey, both bounded far below the split point at any tested
+    * scale), so no join back to the base is ever needed. The buffer is
+    * [[graft.functions.TopKAgg]] on negated hash (O(k) state, map-side
+    * pruned before the shuffle). Oracle: bottom-64 per level straight
+    * off the base table — identical by the containment property
+    * (the bottom-k of a union is contained in the union of bottom-ks). */
+  private val q294 = Q(
+    "q294_kmv_quantile_rollup",
+    s"""WITH b AS (
+       |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       |    (o_orderkey * 2654435761) % 1000000007 AS h,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      * 100000000 + o_orderkey AS packed
+       |  FROM orders),
+       |lv AS (
+       |  SELECT 'month' AS level, printf('%04d-%02d', yr, mo) AS key,
+       |    h, packed FROM b
+       |  UNION ALL SELECT 'year', CAST(yr AS VARCHAR), h, packed FROM b
+       |  UNION ALL SELECT 'all', 'all', h, packed FROM b),
+       |cnt AS (SELECT level, key, count(*) AS n_rows FROM lv GROUP BY 1, 2),
+       |sm AS (SELECT level, key, packed, row_number() OVER (
+       |         PARTITION BY level, key ORDER BY h, packed) AS hr FROM lv),
+       |sk AS (SELECT level, key, packed,
+       |         row_number() OVER (PARTITION BY level, key
+       |           ORDER BY packed) AS rn,
+       |         count(*) OVER (PARTITION BY level, key) AS m
+       |       FROM sm WHERE hr <= $KmvK)
+       |SELECT c.level AS level, c.key AS key,
+       |  CAST(c.n_rows AS BIGINT) AS n_rows,
+       |  CAST(s.packed // 100000000 AS BIGINT) AS est_median_cents
+       |FROM cnt c JOIN sk s ON s.level = c.level AND s.key = c.key
+       |  AND s.rn = (s.m + 1) // 2
+       |ORDER BY level, key""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottomk",
+      exprs => graft.functions.TopKAgg(exprs(0), exprs(1), KmvK)
+        .toAggregateExpression(),
+      "scala_udf")
+    s.sql(
+      s"""WITH b AS (
+         |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         |    CAST(-((o_orderkey * 2654435761) % 1000000007) AS DOUBLE)
+         |      AS negh,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      * 100000000 + o_orderkey AS packed
+         |  FROM orders),
+         |mon AS (SELECT yr, mo, count(*) AS n_rows,
+         |          graft_bottomk(negh, packed) AS sk
+         |        FROM b GROUP BY yr, mo),
+         |yr AS (SELECT yr, graft_bottomk(elem.v, elem.id) AS sk
+         |       FROM mon LATERAL VIEW explode(sk) t AS elem GROUP BY yr),
+         |yrn AS (SELECT yr, sum(n_rows) AS n_rows FROM mon GROUP BY yr),
+         |al AS (SELECT graft_bottomk(elem.v, elem.id) AS sk
+         |       FROM yr LATERAL VIEW explode(sk) t AS elem),
+         |aln AS (SELECT sum(n_rows) AS n_rows FROM yrn),
+         |u AS (
+         |  SELECT 'month' AS level, format_string('%04d-%02d', yr, mo)
+         |      AS key, n_rows, sk FROM mon
+         |  UNION ALL
+         |  SELECT 'year', CAST(y.yr AS STRING), n.n_rows, y.sk
+         |  FROM yr y JOIN yrn n ON y.yr = n.yr
+         |  UNION ALL
+         |  SELECT 'all', 'all', aln.n_rows, al.sk FROM al CROSS JOIN aln),
+         |e AS (SELECT level, key, n_rows, elem.id AS packed
+         |      FROM u LATERAL VIEW explode(sk) t AS elem),
+         |r AS (SELECT level, key, n_rows, packed,
+         |        row_number() OVER (PARTITION BY level, key
+         |          ORDER BY packed) AS rn,
+         |        count(*) OVER (PARTITION BY level, key) AS m
+         |      FROM e)
+         |SELECT level, key, n_rows,
+         |  CAST(packed div 100000000 AS BIGINT) AS est_median_cents
+         |FROM r WHERE rn = (m + 1) div 2
+         |ORDER BY level, key""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q292, q293, q294)
+}

@@ -236,7 +236,7 @@ object VectorOps {
     * assign+re-center rounds reproduce the Spark centroids BIT-EXACTLY
     * in SQL — every FP step (one multiply, round-half-away, integer sum,
     * one multiply + divide) is engine-identical. */
-  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+  private[operators] def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
     val S = "1073741824.0" // KMeansLite.MeanScale
     val C = "4294967296.0" // KMeansLite.QClamp — overflow guard, see there
     def d2(v: String, cv: String) =

@@ -955,7 +955,86 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  /** STREAMING twin of q288's dynamic-gap sessions: `session_window`
+    * with an EXPRESSION-valued gap (purchases hold the session open 60
+    * minutes, everything else 30) as merging streaming state, finalized
+    * in append mode once the watermark passes each session's close.
+    * The oracle is BYTE-IDENTICAL to q288's batch oracle — the point of
+    * the query is that the continuous job emits exactly the sessions
+    * the nightly batch would. Drain choreography per q234/q189:
+    * checkpointed AvailableNow runs plus two far-future sentinel drains
+    * (+10h/+20h, past any real session end since the max gap is 1h)
+    * flush every real session; sentinels are filtered on read-back by
+    * session start. Per-user state is bounded by the gap, not history. */
+  private val q291 = Q(
+    "q291_stream_dynamic_gap_sessions",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN 3600000000 ELSE 1800000000 END AS gap
+      |  FROM events WHERE user_id < 200),
+      |m AS (
+      |  SELECT user_id, t, event_id, gap,
+      |    MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, t, gap,
+      |    SUM(CASE WHEN prev_end IS NULL OR t > prev_end THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY t, event_id) AS sid
+      |  FROM m)
+      |SELECT user_id, CAST(min(t) AS BIGINT) AS start_us,
+      |  CAST(max(t + gap) AS BIGINT) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin) {
+    (s, dir) =>
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q291_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = graft.Tables.load(s, dir, "events")
+        .filter(col("user_id") < 200)
+        .select("event_id", "ts", "user_id", "event_type")
+      val maxRealUs = ev.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+        .otherwise(lit("30 minutes"))
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema).parquet(stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      ev.write.mode("append").parquet(stage)
+      drain()
+      Seq(10, 20).foreach { h =>
+        ev.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
+          .write.mode("append").parquet(stage)
+        drain()
+      }
+      s.read.parquet(sink)
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"), col("n"))
+        .filter(col("start_us") <= maxRealUs)
+        .orderBy("user_id", "start_us")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   val defs: Seq[Q] =
     Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268,
-      q269, q273)
+      q269, q273, q291)
 }
