@@ -27,8 +27,19 @@ object ModernOps2 {
 
   // ------------- q292: semantic dedup (SemDeDup-style, cluster-scoped)
 
+  /** Cluster count for q292. SemDeDup's cost is sum(|cell|^2), so the
+    * SCALE CONTRACT is that k grows with the corpus to keep cells at a
+    * bounded size (the paper runs 50k clusters over LAION) — a fixed k
+    * would silently re-create the n^2 surface at 100x. The env knob
+    * lets the 10x/100x sweeps run the SAME query with corpus-matched k
+    * (cells ~60 vectors); both the Spark side and the oracle string are
+    * built from it in the same JVM, so the dumped oracle always matches
+    * the executed plan. Default 8 at the sf0.01 correctness gate. */
+  private val SemK: Int =
+    sys.env.get("GRAFT_SEMDEDUP_K").map(_.toInt).getOrElse(8)
+
   /** Cluster-then-dedup (the SemDeDup recipe, Abbas et al. 2023):
-    * [[KMeansLite]] fits k=8 centroids (3 deterministic integer-
+    * [[KMeansLite]] fits [[SemK]] centroids (3 deterministic integer-
     * quantized rounds), every vector joins its own cell only, and a
     * vector is a semantic duplicate iff some SMALLER-id vector in the
     * SAME cell has cosine >= tau (0.35, the q123 near-dup threshold).
@@ -41,7 +52,7 @@ object ModernOps2 {
     * EXISTS. */
   private val q292 = Q(
     "q292_semantic_dedup",
-    s"""${VectorOps.kmeansOracleCtes(k = 8, iters = 3, dim = 64)},
+    s"""${VectorOps.kmeansOracleCtes(k = SemK, iters = 3, dim = 64)},
        |d AS (
        |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
        |  FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id
@@ -54,7 +65,7 @@ object ModernOps2 {
        |FROM nn n LEFT JOIN d ON d.vec_id = n.vec_id
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val all = VectorOps.vecs(s, dir)
-    val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cents = KMeansLite.fit(all, "vec_id", "v", k = SemK, iters = 3)
     val cells = KMeansLite.assign(all, "v", cents)
     val left = cells.select(col("cell").as("acell"), col("vec_id").as("aid"),
       col("v").as("qv"), col("nrm").as("qnrm"))
@@ -213,9 +224,16 @@ object ModernOps2 {
     * sketches (<= 64 rows per month in, 64 out) — the hierarchy costs
     * O(groups * k) after the single base pass, which is the shape that
     * lets a 100 TB fact table keep per-level quantiles incrementally.
-    * Price cents ride INSIDE the sketch id (packed = cents * 1e8 +
-    * o_orderkey, both bounded far below the split point at any tested
-    * scale), so no join back to the base is ever needed. The buffer is
+    * Price cents ride INSIDE the sketch id: packed = (cents + 1e10) *
+    * 1e8 + o_orderkey — the 1e10-cent shift keeps packed NON-NEGATIVE
+    * for negative prices, because integer division on negatives is
+    * where engines disagree (Spark `div` truncates toward zero, DuckDB
+    * `//` floors; the adversarial corpus's -99999.99 order caught
+    * this). Domain contract: |price| <= 1e8 dollars and o_orderkey <
+    * 1e8 (ANSI overflow fails loudly on both engines beyond it). Rows
+    * with a NULL date or NULL price are excluded up front — standard
+    * SQL aggregate semantics, pinned by the adversarial corpus's NULL
+    * rows. No join back to the base is ever needed. The buffer is
     * [[graft.functions.TopKAgg]] on negated hash (O(k) state, map-side
     * pruned before the shuffle). Oracle: bottom-64 per level straight
     * off the base table — identical by the containment property
@@ -225,9 +243,10 @@ object ModernOps2 {
     s"""WITH b AS (
        |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
        |    (o_orderkey * 2654435761) % 1000000007 AS h,
-       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-       |      * 100000000 + o_orderkey AS packed
-       |  FROM orders),
+       |    (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |      + 10000000000) * 100000000 + o_orderkey AS packed
+       |  FROM orders
+       |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
        |lv AS (
        |  SELECT 'month' AS level, printf('%04d-%02d', yr, mo) AS key,
        |    h, packed FROM b
@@ -243,7 +262,8 @@ object ModernOps2 {
        |       FROM sm WHERE hr <= $KmvK)
        |SELECT c.level AS level, c.key AS key,
        |  CAST(c.n_rows AS BIGINT) AS n_rows,
-       |  CAST(s.packed // 100000000 AS BIGINT) AS est_median_cents
+       |  CAST(s.packed // 100000000 - 10000000000 AS BIGINT)
+       |    AS est_median_cents
        |FROM cnt c JOIN sk s ON s.level = c.level AND s.key = c.key
        |  AND s.rn = (s.m + 1) // 2
        |ORDER BY level, key""".stripMargin) { (s, dir) =>
@@ -258,9 +278,10 @@ object ModernOps2 {
          |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
          |    CAST(-((o_orderkey * 2654435761) % 1000000007) AS DOUBLE)
          |      AS negh,
-         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-         |      * 100000000 + o_orderkey AS packed
-         |  FROM orders),
+         |    (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      + 10000000000) * 100000000 + o_orderkey AS packed
+         |  FROM orders
+         |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
          |mon AS (SELECT yr, mo, count(*) AS n_rows,
          |          graft_bottomk(negh, packed) AS sk
          |        FROM b GROUP BY yr, mo),
@@ -286,7 +307,8 @@ object ModernOps2 {
          |        count(*) OVER (PARTITION BY level, key) AS m
          |      FROM e)
          |SELECT level, key, n_rows,
-         |  CAST(packed div 100000000 AS BIGINT) AS est_median_cents
+         |  CAST(packed div 100000000 - 10000000000 AS BIGINT)
+         |    AS est_median_cents
          |FROM r WHERE rn = (m + 1) div 2
          |ORDER BY level, key""".stripMargin)
   }

@@ -90,11 +90,12 @@ class ModernOps2Spec extends AnyFunSuite {
           .movePointRight(2).longValueExact()
         val key = r.getLong(0)
         (r.getInt(2), r.getInt(3), key,
-          (key * 2654435761L) % 1000000007L, cents * 100000000L + key)
+          (key * 2654435761L) % 1000000007L,
+          (cents + 10000000000L) * 100000000L + key)
       }
     def kmvMedian(rows: Seq[(Long, Long)]): Long = {
       val sample = rows.sortBy(identity).take(64).map(_._2).sorted
-      sample((sample.length + 1) / 2 - 1) / 100000000L
+      sample((sample.length + 1) / 2 - 1) / 100000000L - 10000000000L
     }
     val expect =
       base.groupBy(r => ("month", f"${r._1}%04d-${r._2}%02d")).map {
@@ -109,9 +110,10 @@ class ModernOps2Spec extends AnyFunSuite {
     // the 'all' estimate is within sampling error of the EXACT median:
     // 64 uniform keys put the sample median's rank within the central
     // half of the distribution with overwhelming probability
-    val exact = base.map(_._5 / 100000000L).sorted.apply(base.length / 2)
+    val exact = base.map(_._5 / 100000000L - 10000000000L).sorted
+      .apply(base.length / 2)
     val est = got.find(_._1 == "all").get._4
-    val cents = base.map(_._5 / 100000000L).sorted
+    val cents = base.map(_._5 / 100000000L - 10000000000L).sorted
     val rankOfEst = cents.indexWhere(_ >= est).toDouble / cents.length
     assert(rankOfEst > 0.25 && rankOfEst < 0.75,
       s"KMV median estimate $est (rank $rankOfEst) vs exact $exact")
