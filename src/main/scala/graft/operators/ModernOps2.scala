@@ -273,45 +273,143 @@ object ModernOps2 {
       exprs => graft.functions.TopKAgg(exprs(0), exprs(1), KmvK)
         .toAggregateExpression(),
       "scala_udf")
-    s.sql(
-      s"""WITH b AS (
-         |  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-         |    CAST(-((o_orderkey * 2654435761) % 1000000007) AS DOUBLE)
-         |      AS negh,
-         |    (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-         |      + 10000000000) * 100000000 + o_orderkey AS packed
-         |  FROM orders
-         |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
-         |mon AS (SELECT yr, mo, count(*) AS n_rows,
-         |          graft_bottomk(negh, packed) AS sk
-         |        FROM b GROUP BY yr, mo),
-         |yr AS (SELECT yr, graft_bottomk(elem.v, elem.id) AS sk
-         |       FROM mon LATERAL VIEW explode(sk) t AS elem GROUP BY yr),
-         |yrn AS (SELECT yr, sum(n_rows) AS n_rows FROM mon GROUP BY yr),
-         |al AS (SELECT graft_bottomk(elem.v, elem.id) AS sk
-         |       FROM yr LATERAL VIEW explode(sk) t AS elem),
-         |aln AS (SELECT sum(n_rows) AS n_rows FROM yrn),
-         |u AS (
-         |  SELECT 'month' AS level, format_string('%04d-%02d', yr, mo)
-         |      AS key, n_rows, sk FROM mon
-         |  UNION ALL
-         |  SELECT 'year', CAST(y.yr AS STRING), n.n_rows, y.sk
-         |  FROM yr y JOIN yrn n ON y.yr = n.yr
-         |  UNION ALL
-         |  SELECT 'all', 'all', aln.n_rows, al.sk FROM al CROSS JOIN aln),
-         |e AS (SELECT level, key, n_rows, elem.id AS packed
-         |      FROM u LATERAL VIEW explode(sk) t AS elem),
-         |r AS (SELECT level, key, n_rows, packed,
-         |        row_number() OVER (PARTITION BY level, key
-         |          ORDER BY packed) AS rn,
-         |        count(*) OVER (PARTITION BY level, key) AS m
-         |      FROM e)
-         |SELECT level, key, n_rows,
-         |  CAST(packed div 100000000 - 10000000000 AS BIGINT)
-         |    AS est_median_cents
-         |FROM r WHERE rn = (m + 1) div 2
-         |ORDER BY level, key""".stripMargin)
+    // The month level is localCheckpoint'd: Catalyst inlines CTEs, so a
+    // WITH-based spelling re-derives `mon` from the base scan at every
+    // reference (the plan audit counted FIVE orders scans). The cut
+    // materializes months once (tiny: groups x 64 pairs) and the year /
+    // all levels genuinely re-aggregate sketches from it.
+    val b = s.sql(
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  CAST(-((o_orderkey * 2654435761) % 1000000007) AS DOUBLE)
+        |    AS negh,
+        |  (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    + 10000000000) * 100000000 + o_orderkey AS packed
+        |FROM orders
+        |WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL"""
+        .stripMargin)
+    val mon = b.groupBy("yr", "mo")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("graft_bottomk(negh, packed)").as("sk"))
+      .localCheckpoint()
+    val yrLvl = mon.select(col("yr"), explode(col("sk")).as("e"))
+      .groupBy("yr").agg(expr("graft_bottomk(e.v, e.id)").as("sk"))
+      .join(mon.groupBy("yr").agg(sum("n_rows").as("n_rows")), "yr")
+      .localCheckpoint()
+    val alLvl = yrLvl.select(explode(col("sk")).as("e"))
+      .agg(expr("graft_bottomk(e.v, e.id)").as("sk"))
+      .crossJoin(yrLvl.agg(sum("n_rows").as("n_rows")))
+    val u = mon.select(lit("month").as("level"),
+        format_string("%04d-%02d", col("yr"), col("mo")).as("key"),
+        col("n_rows"), col("sk"))
+      .unionAll(yrLvl.select(lit("year").as("level"),
+        col("yr").cast("string").as("key"), col("n_rows"), col("sk")))
+      .unionAll(alLvl.select(lit("all").as("level"), lit("all").as("key"),
+        col("n_rows"), col("sk")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("level", "key").orderBy("packed")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("level", "key")
+    u.select(col("level"), col("key"), col("n_rows"),
+        explode(col("sk")).as("e"))
+      .select(col("level"), col("key"), col("n_rows"),
+        col("e.id").as("packed"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .filter(expr("rn = (m + 1) div 2"))
+      .select(col("level"), col("key"), col("n_rows"),
+        expr("packed div 100000000 - 10000000000").as("est_median_cents"))
+      .orderBy("level", "key")
   }
 
-  val defs: Seq[Q] = Seq(q292, q293, q294)
+  // ------------- q295: SQL scripting (BEGIN/DECLARE/WHILE)
+
+  /** Spark 4.1 SQL scripting as a first-class surface: a procedural
+    * threshold search — double a price threshold until fewer than 100
+    * orders exceed it — written as BEGIN/DECLARE/WHILE/SET with scalar
+    * subqueries, the shape ops teams use for data-driven control flow
+    * without leaving SQL. The script's last statement is the result.
+    * Each iteration is one predicate count over orders (a single-column
+    * scan, ~log2(max_price/1000) <= 40 iterations total, all
+    * driver-coordinated — no data ever collects). The oracle replays
+    * the loop as a recursive CTE; thresholds are exact powers of two
+    * times 1000, so the DOUBLE arithmetic is drift-free on both
+    * engines. NULL prices fall out of the predicate identically. */
+  private val q295 = Q(
+    "q295_sql_scripting",
+    """WITH RECURSIVE it(thr, n, iters) AS (
+      |  SELECT CAST(1000.0 AS DOUBLE),
+      |    (SELECT count(*) FROM orders WHERE o_totalprice > 1000.0), 0
+      |  UNION ALL
+      |  SELECT thr * 2,
+      |    (SELECT count(*) FROM orders WHERE o_totalprice > it.thr * 2),
+      |    iters + 1
+      |  FROM it WHERE n >= 100)
+      |SELECT CAST(thr AS BIGINT) AS thr, CAST(n AS BIGINT) AS n_above,
+      |  CAST(iters AS BIGINT) AS iters
+      |FROM it WHERE n < 100""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    s.sql(
+      """BEGIN
+        |  DECLARE thr DOUBLE DEFAULT 1000.0;
+        |  DECLARE n BIGINT DEFAULT 0;
+        |  DECLARE iters BIGINT DEFAULT 0;
+        |  SET n = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+        |  WHILE n >= 100 DO
+        |    SET thr = thr * 2;
+        |    SET iters = iters + 1;
+        |    SET n = (SELECT count(*) FROM orders WHERE o_totalprice > thr);
+        |  END WHILE;
+        |  SELECT CAST(thr AS BIGINT) AS thr, n AS n_above, iters;
+        |END""".stripMargin)
+  }
+
+  // ------------- q296: SQL UDF + SQL table function
+
+  /** Declarative user functions — no JVM code, fully optimizer-visible:
+    * a scalar SQL UDF (price banding; CREATE FUNCTION ... RETURN expr)
+    * and a SQL TABLE function (a fiscal-quarter dimension; RETURNS
+    * TABLE ... RETURN SELECT) joined like any relation. Because both
+    * inline into the plan at analysis, the band CASE lands inside the
+    * scan's codegen stage, and the 4-row quarter table broadcasts —
+    * identical cost to spelling everything out, which is exactly what
+    * the oracle does. NULL dates drop out of the month-range join and
+    * NULL prices get their own band on both engines (adversarial
+    * corpus pins both). */
+  private val q296 = Q(
+    "q296_sql_udf_tvf",
+    """SELECT q.qtr AS qtr,
+      |  CASE WHEN o.o_totalprice IS NULL THEN 'null'
+      |       WHEN o.o_totalprice < 50000 THEN 'lo'
+      |       WHEN o.o_totalprice < 200000 THEN 'mid'
+      |       ELSE 'hi' END AS band,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+      |    AS revenue
+      |FROM orders o JOIN (VALUES (1, 1, 3), (2, 4, 6), (3, 7, 9),
+      |  (4, 10, 12)) q(qtr, mlo, mhi)
+      |  ON month(o.o_orderdate) BETWEEN q.mlo AND q.mhi
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_band(p DOUBLE)
+        |RETURNS STRING RETURN CASE WHEN p IS NULL THEN 'null'
+        |  WHEN p < 50000 THEN 'lo' WHEN p < 200000 THEN 'mid'
+        |  ELSE 'hi' END""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_quarters()
+        |RETURNS TABLE(qtr INT, mlo INT, mhi INT)
+        |RETURN SELECT * FROM VALUES (1, 1, 3), (2, 4, 6), (3, 7, 9),
+        |  (4, 10, 12) AS t(qtr, mlo, mhi)""".stripMargin)
+    s.sql(
+      """SELECT q.qtr AS qtr, graft_band(o.o_totalprice) AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS STRING)
+        |    AS revenue
+        |FROM orders o JOIN graft_quarters() q
+        |  ON month(o.o_orderdate) BETWEEN q.mlo AND q.mhi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q292, q293, q294, q295, q296)
 }

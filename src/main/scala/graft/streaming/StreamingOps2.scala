@@ -1034,7 +1034,86 @@ object StreamingOps2 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
+  /** STREAMING quantiles via the q294 KMV sketch: the bottom-64-by-hash
+    * sample is an ALGEBRAIC aggregate (update inserts, merge unions and
+    * re-prunes, both order-independent), so [[graft.functions.TopKAgg]]
+    * drops straight into a streaming groupBy — the state store holds one
+    * 64-pair buffer per event_type, bounded regardless of stream length,
+    * and complete mode emits the exact same sketch a batch pass over the
+    * prefix would build. Read-back: explode the final snapshot, fetch
+    * each sampled event's cents with a batch join (the sketch side is
+    * <= 64 rows per type — broadcast), then the (m+1)/2-smallest sampled
+    * cents is the median estimate. The oracle computes the identical
+    * bottom-64 per type directly. event_id is unique per corpus (the
+    * sketch's key contract); NULL values are excluded on both sides. */
+  private val q297 = Q(
+    "q297_stream_kmv_quantiles",
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    (event_id * 2654435761) % 1000000007 AS h
+      |  FROM events WHERE value IS NOT NULL),
+      |cnt AS (SELECT event_type, count(*) AS n_rows FROM e GROUP BY 1),
+      |sm AS (SELECT event_type, event_id, cents, row_number() OVER (
+      |         PARTITION BY event_type ORDER BY h, event_id) AS hr FROM e),
+      |sk AS (SELECT event_type, cents,
+      |         row_number() OVER (PARTITION BY event_type
+      |           ORDER BY cents, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS m
+      |       FROM sm WHERE hr <= 64)
+      |SELECT c.event_type AS event_type, CAST(c.n_rows AS BIGINT) AS n_rows,
+      |  CAST(s.cents AS BIGINT) AS est_median_cents
+      |FROM cnt c JOIN sk s ON s.event_type = c.event_type
+      |  AND s.rn = (s.m + 1) // 2
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bottomk",
+      exprs => graft.functions.TopKAgg(exprs(0), exprs(1), 64)
+        .toAggregateExpression(),
+      "scala_udf")
+    try {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_q297_ckpt").toString
+      val q = graft.Tables.eventsStream(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("negh",
+          expr("CAST(-((event_id * 2654435761) % 1000000007) AS DOUBLE)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("graft_bottomk(negh, event_id)").as("sk"))
+        .writeStream.format("memory").queryName("graft_q297")
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cents = graft.Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+      val sampled = s.table("graft_q297")
+        .select(col("event_type"), col("n_rows"),
+          explode(col("sk")).as("e"))
+        .select(col("event_type"), col("n_rows"),
+          col("e.id").as("event_id"))
+        .join(cents, "event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("cents", "event_id")
+      sampled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .filter(expr("rn = (m + 1) div 2"))
+        .select(col("event_type"), col("n_rows"),
+          col("cents").as("est_median_cents"))
+        .orderBy("event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
   val defs: Seq[Q] =
     Seq(q207, q221, q230, q234, q256, q259, q263, q264, q265, q266, q268,
-      q269, q273, q291)
+      q269, q273, q291, q297)
 }

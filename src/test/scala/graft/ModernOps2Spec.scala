@@ -118,4 +118,58 @@ class ModernOps2Spec extends AnyFunSuite {
     assert(rankOfEst > 0.25 && rankOfEst < 0.75,
       s"KMV median estimate $est (rank $rankOfEst) vs exact $exact")
   }
+
+  test("q295 scripted threshold search equals a plain-Scala loop") {
+    val got = SparkEntry.queries("q295_sql_scripting")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val prices = Tables.load(spark, dir, "orders")
+      .select("o_totalprice").collect()
+      .filter(!_.isNullAt(0)).map(_.getDouble(0))
+    var thr = 1000.0; var iters = 0L
+    var n = prices.count(_ > thr).toLong
+    while (n >= 100) {
+      thr *= 2; iters += 1; n = prices.count(_ > thr).toLong
+    }
+    assert(got.toSeq === Seq((thr.toLong, n, iters)))
+  }
+
+  test("q296 SQL UDF + TVF equal the inlined spelling") {
+    val got = SparkEntry.queries("q296_sql_udf_tvf")(spark, dir).collect()
+    Tables.registerAll(spark, dir)
+    val inlined = spark.sql(
+      """SELECT q.qtr AS qtr,
+        |  CASE WHEN o.o_totalprice IS NULL THEN 'null'
+        |       WHEN o.o_totalprice < 50000 THEN 'lo'
+        |       WHEN o.o_totalprice < 200000 THEN 'mid'
+        |       ELSE 'hi' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS STRING)
+        |    AS revenue
+        |FROM orders o JOIN (SELECT * FROM VALUES (1, 1, 3), (2, 4, 6),
+        |  (3, 7, 9), (4, 10, 12) AS t(qtr, mlo, mhi)) q
+        |  ON month(o.o_orderdate) BETWEEN q.mlo AND q.mhi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    assert(got.toSeq === inlined.toSeq)
+    assert(got.length === 12, "4 quarters x 3 bands on sf0.001")
+  }
+
+  test("q297 streaming KMV sketch equals a plain-Scala bottom-64 replay") {
+    val got = SparkEntry.queries("q297_stream_kmv_quantiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val base = Tables.load(spark, dir, "events")
+      .filter(col("value").isNotNull)
+      .select("event_id", "event_type", "value").collect().map { r =>
+        val cents = java.math.BigDecimal.valueOf(r.getDouble(2))
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+        val id = r.getLong(0)
+        (r.getString(1), id, (id * 2654435761L) % 1000000007L, cents)
+      }
+    val expect = base.groupBy(_._1).map { case (t, rs) =>
+      val sample = rs.sortBy(r => (r._3, r._2)).take(64)
+        .map(r => (r._4, r._2)).sorted
+      (t, rs.length.toLong, sample((sample.length + 1) / 2 - 1)._1)
+    }
+    assert(got.toSeq.sorted === expect.toSeq.sorted)
+  }
 }

@@ -438,6 +438,38 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("cols="), "column pruning marker missing:\n" + p)
   }
 
+  test("q292 semantic dedup pairs come from a cell equi-join, no cartesian") {
+    val p = planOf("q292_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "within-cell pair generation degenerated to a cartesian:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "cell-scoped pair join is not an equi-join:\n" + p)
+  }
+
+  test("q293 hybrid retrieval broadcasts every bounded side") {
+    val p = planOf("q293_hybrid_retrieval_rrf")
+    assert(!p.contains("CartesianProduct"),
+      "retrieval fused a cartesian:\n" + p)
+    // query terms, df table, n_docs scalar, and the query-vector batch
+    // are all bounded — each lands as a broadcast, so the only corpus
+    // passes are the token scan and one embedding scan
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "bounded retrieval sides did not broadcast:\n" + p)
+  }
+
+  test("q294 KMV rollup re-aggregates sketches, never rescans the base") {
+    val df = SparkEntry.queries("q294_kmv_quantile_rollup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // one orders scan feeds the month level; year/all re-aggregate the
+    // exploded month sketches (<= 64 rows per month), so exactly ONE
+    // base-table scan may appear in the plan
+    val scans = "Scan parquet".r.findAllIn(p).size +
+      "BatchScan".r.findAllIn(p).size
+    assert(scans <= 1, s"hierarchy rescans the base table ($scans scans):\n" + p)
+    assert(p.contains("graft_topk"), "sketch aggregate missing from plan")
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
