@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Relational4.defs ++ operators.VectorOps2.defs ++
       operators.AnalyticsOps.defs ++ operators.ModernOps.defs ++
       operators.ModernOps2.defs ++ operators.ModernOps3.defs ++
+      operators.ModernOps4.defs ++ operators.ModernOps5.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
