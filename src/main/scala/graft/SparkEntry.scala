@@ -26,7 +26,9 @@ object SparkEntry {
       operators.AnalyticsOps.defs ++ operators.ModernOps.defs ++
       operators.ModernOps2.defs ++ operators.ModernOps3.defs ++
       operators.ModernOps4.defs ++ operators.ModernOps5.defs ++
-      streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs
+      operators.ModernOps6.defs ++ operators.ModernOps7.defs ++
+      streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
+      streaming.StreamingOps3.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
