@@ -27,6 +27,7 @@ object SparkEntry {
       operators.ModernOps2.defs ++ operators.ModernOps3.defs ++
       operators.ModernOps4.defs ++ operators.ModernOps5.defs ++
       operators.ModernOps6.defs ++ operators.ModernOps7.defs ++
+      operators.ModernOps8.defs ++ operators.ModernOps9.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs
 

@@ -35,13 +35,13 @@ object ModernOps4 {
   /** Codegen polynomial token hash (see [[graft.functions.PolyHash]]);
     * mod at every step keeps intermediates < 2^36 so Spark long and
     * DuckDB int128 agree bit-for-bit. */
-  private def polyHash(c: Column, seed: Int, mult: Int): Column = {
+  private[operators] def polyHash(c: Column, seed: Int, mult: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.PolyHash(Bridge.expr(c), seed, mult, 2147483647L))
   }
 
   /** The same fold spelled for DuckDB (per-token, inline). */
-  private def duckPolyHash(w: String, seed: Int, mult: Int): String =
+  private[operators] def duckPolyHash(w: String, seed: Int, mult: Int): String =
     s"""list_reduce(list_prepend(CAST($seed AS BIGINT),
        |    list_transform(range(1, length($w) + 1),
        |                   i -> CAST(ord(substring($w, i, 1)) AS BIGINT))),

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-9 surfaces, part 8 — robust statistics and layout evolution:
+  *
+  *  - q312 Theil–Sen robust trend per key: the median of pairwise
+  *    slopes — outlier-proof where q214's least-squares is not. The
+  *    pair surface is per-key (days², key-bounded), never corpus-wide;
+  *  - q313 CUSUM change detection per key: the cumulative-sum drift
+  *    statistic folded over each user's centered daily series in EXACT
+  *    integers (scaled by n so no division ever happens inside the
+  *    recursion);
+  *  - q314 partition-spec evolution: history laid out by MONTH, new
+  *    data by DAY (the Iceberg partition-evolution story); one reader
+  *    prunes BOTH layouts with their own partition columns and a
+  *    residual predicate re-check, so correctness never depends on the
+  *    pruning.
+  */
+object ModernOps8 {
+
+  // ------------- q312: Theil–Sen robust trend per user
+
+  /** Daily per-user series in exact integer ten-thousandths (DECIMAL
+    * sums × 10000), day index = days since epoch. Slope of each day
+    * pair is ONE IEEE division of exact integers (both engines divide
+    * the same bigints); the per-user estimate is the LOWER MEDIAN of
+    * the sorted slopes — deterministic without averaging. Pair count
+    * is days-per-user squared: key-bounded, not corpus-bounded, the
+    * property that lets a 100 TB event log compute per-entity robust
+    * trends in one hash aggregate + one linear HOF pass. */
+  private val q312 = Q(
+    "q312_theilsen_trend",
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    date_diff('day', DATE '1970-01-01',
+      |      CAST(date_trunc('day', ts) AS DATE)) AS di,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |arr AS (
+      |  SELECT user_id, count(*) AS n_days,
+      |    list({'di': di, 'c': c} ORDER BY di) AS pts
+      |  FROM daily GROUP BY user_id),
+      |sl AS (
+      |  SELECT user_id, n_days,
+      |    list_sort(flatten(list_transform(pts, (p, i) ->
+      |      list_transform(pts[i+1:],
+      |        q -> CAST(q.c - p.c AS DOUBLE)
+      |           / CAST(q.di - p.di AS DOUBLE))))) AS slopes
+      |  FROM arr WHERE n_days >= 2)
+      |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+      |  CAST(len(slopes) AS BIGINT) AS n_pairs,
+      |  slopes[(len(slopes) + 1) // 2] AS slope
+      |FROM sl ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .as("di"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("di"), col("c")))).as("pts"))
+      .filter(col("n_days") >= 2)
+      .withColumn("slopes", expr(
+        """array_sort(flatten(transform(pts, (p, i) ->
+          |  transform(slice(pts, i + 2, size(pts)),
+          |    q -> CAST(q.c - p.c AS DOUBLE)
+          |       / CAST(q.di - p.di AS DOUBLE)))))""".stripMargin))
+      .select(col("user_id"), col("n_days"),
+        size(col("slopes")).cast("long").as("n_pairs"),
+        expr("element_at(slopes, CAST((size(slopes) + 1) div 2 AS INT))")
+          .as("slope"))
+      .orderBy("user_id")
+  }
+
+  // ------------- q313: CUSUM change detection per user
+
+  /** One-sided CUSUM over the centered series, all-integer: with n
+    * days and total T, day value x contributes D = n·x − T (the
+    * centered residual scaled by n — exact), and the fold keeps
+    * S ← max(0, S + D) plus the running max. A change point shows up
+    * as max-S spiking; S never divides, so the recursion is a bigint
+    * fold both engines replay bit-for-bit. The normalized statistic
+    * (per-day units) is one final IEEE division. */
+  private val q313 = Q(
+    "q313_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ser AS (
+      |  SELECT user_id, count(*) AS n, sum(x) AS t,
+      |    list(x ORDER BY d) AS xs
+      |  FROM daily GROUP BY user_id),
+      |cus AS (
+      |  SELECT user_id, n, t,
+      |    list_reduce(list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+      |        list_transform(xs, x -> [n * x - t, CAST(0 AS BIGINT)])),
+      |      (acc, e) -> [greatest(CAST(0 AS BIGINT), acc[1] + e[1]),
+      |        greatest(acc[2], greatest(CAST(0 AS BIGINT), acc[1] + e[1]))])
+      |      AS sm
+      |  FROM ser)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+      |  CAST(sm[2] AS BIGINT) AS cusum_max,
+      |  CAST(sm[2] AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 10000
+      |    AS cusum_per_day
+      |FROM cus ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg((sum(col("value").cast(DecimalType(18, 4))) * 10000)
+        .cast("long").as("x"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("t"),
+        expr("transform(array_sort(collect_list(struct(d, x))), e -> e.x)")
+          .as("xs"))
+      .withColumn("sm", expr(
+        """aggregate(xs,
+          |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS m),
+          |  (acc, x) -> struct(
+          |    greatest(CAST(0 AS BIGINT), acc.s + (n * x - t)) AS s,
+          |    greatest(acc.m,
+          |      greatest(CAST(0 AS BIGINT), acc.s + (n * x - t))) AS m))"""
+          .stripMargin))
+      .select(col("user_id"), col("n").cast("long").as("n_days"),
+        col("sm.m").as("cusum_max"),
+        (col("sm.m").cast("double") / (col("n").cast("double") * col("n"))
+          / 10000).as("cusum_per_day"))
+      .orderBy("user_id")
+  }
+
+  // ------------- q314: partition-spec evolution
+
+  private val EvoCutoff = "1997-01-01"
+  private val EvoLo = "1996-10-01"
+  private val EvoHi = "1997-03-01"
+
+  /** Write both layout generations and return their dirs. Exposed for
+    * the spec's pruning audit. */
+  private[graft] def writeEvolvedLayouts(
+      s: SparkSession, dir: String): (String, String) = {
+    val v1 = java.nio.file.Files
+      .createTempDirectory("graft_q314_bymonth").toString
+    val v2 = java.nio.file.Files
+      .createTempDirectory("graft_q314_byday").toString
+    val fact = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_shipdate"))
+    val cutoff = lit(EvoCutoff).cast("timestamp")
+    fact.filter(col("l_shipdate") < cutoff)
+      .withColumn("pm", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("pm").parquet(v1)
+    fact.filter(col("l_shipdate") >= cutoff || col("l_shipdate").isNull)
+      .withColumn("pd", date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("pd").parquet(v2)
+    (v1, v2)
+  }
+
+  /** One logical table across two partition-spec generations: history
+    * partitioned by MONTH, post-cutover data by DAY (Iceberg partition
+    * evolution). The reader pushes each generation's own partition
+    * predicate (month-string range / day-string range — ISO strings
+    * order like dates) so directory pruning works on BOTH, then
+    * re-applies the exact timestamp predicate as a residual — pruning
+    * is a performance contract, never a correctness one (spec pins
+    * both). The oracle filters the base table. */
+  private val q314 = Q(
+    "q314_partition_evolution",
+    s"""SELECT l_returnflag,
+       |  CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+       |    AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$EvoLo 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '$EvoHi 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val (v1, v2) = writeEvolvedLayouts(s, dir)
+    val pred = col("l_shipdate") >= lit(EvoLo).cast("timestamp") &&
+      col("l_shipdate") < lit(EvoHi).cast("timestamp")
+    val hist = s.read.parquet(v1)
+      .filter(col("pm") >= EvoLo.substring(0, 7) &&
+        col("pm") <= EvoHi.substring(0, 7))           // partition prune
+      .filter(pred)                                   // residual re-check
+      .select("l_returnflag", "l_extendedprice")
+    val cur = s.read.parquet(v2)
+      .filter(col("pd") >= EvoLo && col("pd") < EvoHi) // partition prune
+      .filter(pred)
+      .select("l_returnflag", "l_extendedprice")
+    hist.unionByName(cur)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)))
+          .cast("string").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[Q] = Seq(q312, q313, q314)
+}
