@@ -236,7 +236,8 @@ object VectorOps {
     * assign+re-center rounds reproduce the Spark centroids BIT-EXACTLY
     * in SQL — every FP step (one multiply, round-half-away, integer sum,
     * one multiply + divide) is engine-identical. */
-  private[operators] def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+  private[operators] def kmeansOracleCtes(k: Int, iters: Int, dim: Int,
+      srcWhere: String = ""): String = {
     val S = "1073741824.0" // KMeansLite.MeanScale
     val C = "4294967296.0" // KMeansLite.QClamp — overflow guard, see there
     def d2(v: String, cv: String) =
@@ -272,7 +273,7 @@ object VectorOps {
     }.mkString(",\n")
     s"""WITH vv AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings $srcWhere),
        |c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS cv
        |  FROM (SELECT vec_id, v FROM vv ORDER BY vec_id LIMIT $k)),
