@@ -206,9 +206,12 @@ object ModernOps11 {
     val toksd = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
-    val rk = toksd.groupBy("w").agg(count(lit(1)).as("f"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("f", "w")))
+    // Global rarity rank over the vocabulary WITHOUT a single-partition
+    // window (the vocab is corpus-sized at 100x; ScalableRank keeps the
+    // ordering pass range-partitioned).
+    val rk = ScalableRank.withRank(
+      toksd.groupBy("w").agg(count(lit(1)).as("f")), "r",
+      col("f"), col("w"))
       .select("w", "r")
     val dt = toksd.join(rk, "w")
       .groupBy("doc_id")

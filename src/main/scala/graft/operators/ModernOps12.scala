@@ -184,9 +184,9 @@ object ModernOps12 {
     val toksd = base
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "").distinct()
-    val rk = toksd.groupBy("w").agg(count(lit(1)).as("f"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("f", "w")))
+    val rk = ScalableRank.withRank(
+      toksd.groupBy("w").agg(count(lit(1)).as("f")), "r",
+      col("f"), col("w"))
       .select("w", "r")
     val dt = toksd.join(rk, "w")
       .groupBy("doc_id")
@@ -195,23 +195,10 @@ object ModernOps12 {
         expr("element_at(rs, 1) * 1000000L") +
           coalesce(expr("try_element_at(rs, 2)"), lit(0)))
     // Contiguous global index in (k, doc_id) order WITHOUT a global
-    // window: range-repartition + per-partition offsets (q267 pattern).
-    val parts = 8
-    val sorted = dt.select(col("k"), col("doc_id"))
-      .repartitionByRange(parts, col("k"), col("doc_id"))
-      .sortWithinPartitions("k", "doc_id")
-      .as[(Long, Long)]
-      .localCheckpoint() // pin sampled range boundaries across passes
-    val counts = sorted.rdd
-      .mapPartitionsWithIndex { case (i, it) =>
-        Iterator((i, it.size.toLong)) }
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = s.sparkContext.broadcast(offsets)
-    val rn = sorted.mapPartitions { it =>
-      val base0 = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.zipWithIndex.map { case ((_, id), i) => (base0 + i + 1, id) }
-    }.toDF("rn", "doc_id")
+    // window (ScalableRank = the factored q267 pattern).
+    val rn = ScalableRank.withRank(dt.select(col("k"), col("doc_id")),
+      "rn", col("k"), col("doc_id"))
+      .select("rn", "doc_id")
     // Each doc probes its w-1 successors by index: explode + equi-join
     // keeps the candidate surface O(w·n) with no range-join fallback.
     val probes = rn.select(col("doc_id").as("d1"), col("rn").as("rn1"),
