@@ -31,7 +31,8 @@ object SparkEntry {
       operators.ModernOps10.defs ++ operators.ModernOps11.defs ++
       operators.ModernOps12.defs ++ operators.ModernOps13.defs ++
       operators.ModernOps14.defs ++ operators.ModernOps15.defs ++
-      operators.ModernOps16.defs ++
+      operators.ModernOps16.defs ++ operators.ModernOps17.defs ++
+      operators.ModernOps18.defs ++ operators.ModernOps19.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs
 
