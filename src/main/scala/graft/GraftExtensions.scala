@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectParser((_, delegate) => new graft.plans.DialectParser(delegate))
     functions.GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
