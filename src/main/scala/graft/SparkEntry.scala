@@ -34,7 +34,7 @@ object SparkEntry {
       operators.ModernOps16.defs ++ operators.ModernOps17.defs ++
       operators.ModernOps18.defs ++ operators.ModernOps19.defs ++
       operators.ModernOps20.defs ++ operators.ModernOps21.defs ++
-      operators.ModernOps22.defs ++
+      operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs
 
