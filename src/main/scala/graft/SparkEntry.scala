@@ -35,8 +35,9 @@ object SparkEntry {
       operators.ModernOps18.defs ++ operators.ModernOps19.defs ++
       operators.ModernOps20.defs ++ operators.ModernOps21.defs ++
       operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
+      operators.ModernOps24.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
-      streaming.StreamingOps3.defs
+      streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
