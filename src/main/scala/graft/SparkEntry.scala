@@ -35,7 +35,8 @@ object SparkEntry {
       operators.ModernOps18.defs ++ operators.ModernOps19.defs ++
       operators.ModernOps20.defs ++ operators.ModernOps21.defs ++
       operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
-      operators.ModernOps24.defs ++
+      operators.ModernOps24.defs ++ operators.ModernOps25.defs ++
+      operators.ModernOps26.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
