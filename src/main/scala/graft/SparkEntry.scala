@@ -36,7 +36,7 @@ object SparkEntry {
       operators.ModernOps20.defs ++ operators.ModernOps21.defs ++
       operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
       operators.ModernOps24.defs ++ operators.ModernOps25.defs ++
-      operators.ModernOps26.defs ++
+      operators.ModernOps26.defs ++ operators.ModernOps27.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
