@@ -37,7 +37,7 @@ object SparkEntry {
       operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
       operators.ModernOps24.defs ++ operators.ModernOps25.defs ++
       operators.ModernOps26.defs ++ operators.ModernOps27.defs ++
-      operators.ModernOps28.defs ++
+      operators.ModernOps28.defs ++ operators.ModernOps29.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
