@@ -116,5 +116,93 @@ object StreamingOps4 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q357)
+  /** q372: UPDATE-mode emission contract. A streaming count per
+    * (event_type, day) drains three chronological chunks (one file →
+    * one micro-batch each, coalesce(1) + AvailableNow), and foreachBatch
+    * captures every emitted row. Update mode must emit a key exactly in
+    * the batches where its aggregate CHANGED — so per key the emission
+    * count equals the number of chunks containing at least one of its
+    * events, and the last emission carries the full total. The DuckDB
+    * oracle replays the thirds split arithmetically and computes both
+    * numbers from the batch table — pinning the changed-keys-only
+    * contract that makes update-mode sinks (upsert stores) affordable:
+    * per batch you ship deltas, never the whole state. */
+  private val q372 = Q(
+    "q372_stream_update_mode",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) AS us, CAST(ts AS DATE) AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      |chunked AS (
+      |  SELECT event_type, day,
+      |    CASE WHEN us <= lo + (hi - lo) // 3 THEN 0
+      |         WHEN us <= lo + 2 * ((hi - lo) // 3) + 1 THEN 1
+      |         ELSE 2 END AS chunk
+      |  FROM e CROSS JOIN bounds)
+      |SELECT event_type,
+      |  CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_emissions
+      |FROM chunked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    s.conf.set("spark.sql.streaming.schemaInference", "false")
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q372_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val (loUs, hiUs) = {
+        val r = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.schema(ev.schema).parquet(stage)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+              id: Long) =>
+            batch.withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(sink)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // one FILE per chunk → one micro-batch per drain: the emission
+      // count below is deterministic
+      val thirds = Seq(
+        (loUs, loUs + (hiUs - loUs) / 3),
+        (loUs + (hiUs - loUs) / 3 + 1, loUs + 2 * ((hiUs - loUs) / 3) + 1),
+        (loUs + 2 * ((hiUs - loUs) / 3) + 1 + 1, hiUs))
+      thirds.foreach { case (a, b) =>
+        ev.filter(unix_micros(col("ts")).between(a, b))
+          .coalesce(1).write.mode("append").parquet(stage)
+        drain()
+      }
+      val emitted = s.read.parquet(sink)
+      emitted.groupBy("event_type", "day")
+        .agg(max(struct(col("batch_id"), col("n"))).getField("n").as("n"),
+          countDistinct("batch_id").as("n_emissions"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("day"),
+          col("n").cast("long").as("n"),
+          col("n_emissions").cast("long").as("n_emissions"))
+        .orderBy("event_type", "day")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372)
 }
