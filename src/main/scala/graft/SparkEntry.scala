@@ -38,7 +38,7 @@ object SparkEntry {
       operators.ModernOps24.defs ++ operators.ModernOps25.defs ++
       operators.ModernOps26.defs ++ operators.ModernOps27.defs ++
       operators.ModernOps28.defs ++ operators.ModernOps29.defs ++
-      operators.ModernOps30.defs ++
+      operators.ModernOps30.defs ++ operators.ModernOps31.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
