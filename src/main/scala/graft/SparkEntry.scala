@@ -40,7 +40,7 @@ object SparkEntry {
       operators.ModernOps28.defs ++ operators.ModernOps29.defs ++
       operators.ModernOps30.defs ++ operators.ModernOps31.defs ++
       operators.ModernOps32.defs ++ operators.ModernOps33.defs ++
-      operators.ModernOps34.defs ++
+      operators.ModernOps34.defs ++ operators.ModernOps35.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
