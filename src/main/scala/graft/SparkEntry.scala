@@ -41,6 +41,7 @@ object SparkEntry {
       operators.ModernOps30.defs ++ operators.ModernOps31.defs ++
       operators.ModernOps32.defs ++ operators.ModernOps33.defs ++
       operators.ModernOps34.defs ++ operators.ModernOps35.defs ++
+      operators.ModernOps36.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
