@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     ext.injectParser((_, delegate) => new graft.plans.DialectParser(delegate))
+    ext.injectResolutionRule(s => new graft.plans.ActivityCountFallback(s))
     functions.GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name), new ExpressionInfo("graft.functions", name), b))

@@ -24,6 +24,18 @@ import graft.lineage.SqlPreprocessor
   * identifiers, schemas) delegates untouched: dialect divergence
   * lives at statement level.
   *
+  * Two Teradata-isms parse CLEANLY in Spark and would only fail later
+  * at analysis, so the text-rewrite fallback never sees them; they are
+  * handled on the parsed TREE instead (which is also more precise than
+  * any regex — literals and identifiers are distinct node kinds):
+  *  - 2-arg `max(a,b)`/`min(a,b)` → `greatest`/`least`, rewritten here
+  *    post-parse (Spark's max/min are strictly 1-arg, so no valid
+  *    standard query changes meaning);
+  *  - bare `ACTIVITY_COUNT` parses as a column reference — resolved by
+  *    [[ActivityCountFallback]], an analyzer rule that substitutes
+  *    `CAST(0 AS BIGINT)` ONLY when no child output resolves the name,
+  *    so real columns named activity_count always win.
+  *
   * Attached via [[graft.GraftExtensions]] (injectParser).
   */
 class DialectParser(delegate: ParserInterface) extends ParserInterface {
@@ -37,11 +49,26 @@ class DialectParser(delegate: ParserInterface) extends ParserInterface {
         if (rewritten == sqlText) throw e else parse(rewritten)
     }
 
+  /** Teradata 2-arg max/min → greatest/least, on the parsed tree.
+    * Spark's aggregate max/min are 1-arg (2-arg forms fail analysis),
+    * so the match — plain 2-argument call, no DISTINCT/FILTER — can
+    * only hit the Teradata form. */
+  private def rewriteTeradataMaxMin(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    plan.transformAllExpressionsWithSubqueries {
+      case f @ UnresolvedFunction(Seq(n), args, false, None, false, Nil, _)
+          if args.length == 2 &&
+            (n.equalsIgnoreCase("max") || n.equalsIgnoreCase("min")) =>
+        f.copy(nameParts =
+          Seq(if (n.equalsIgnoreCase("max")) "greatest" else "least"))
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    dialectFallback(sqlText, delegate.parsePlan)
+    rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parsePlan))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    dialectFallback(sqlText, delegate.parseQuery)
+    rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parseQuery))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -123,6 +123,23 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case a: AttributeReference if mv.dims.contains(a.name) =>
         Alias(mvAttr(a.name).getOrElse(return None), a.name)(exprId = a.exprId)
       case ne =>
+        // Fail closed BEFORE substituting: every aggregate call in this
+        // output expression must be one of the decomposable forms below.
+        // Without this pre-check, an unrecognized aggregate over a dim
+        // column (count(dim), avg(dim) — duplicate-sensitive over MV
+        // group rows) would have its dim reference rewritten by the
+        // catch-all case, pass the subsetOf(mvOut) check, and silently
+        // aggregate over MV groups instead of fact rows.
+        val allAggsDecomposable =
+          ne.collect { case ae: AggregateExpression => ae }.forall {
+            case AggregateExpression(Sum(e, _), Complete, false, None, _) =>
+              reSum(e).isDefined
+            case AggregateExpression(
+                Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+              mvAttr(mv.cntCol).isDefined
+            case _ => false
+          }
+        if (!allAggsDecomposable) return None
         var ok = true
         val replaced = ne.transformUp {
           case ae @ AggregateExpression(Sum(e, _), Complete, false, None, _) =>

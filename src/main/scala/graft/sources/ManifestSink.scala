@@ -37,9 +37,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * atomically (create-no-overwrite) around the manifest
   * read-merge-write; a second committer arriving while the lock is
   * held FAILS LOUDLY rather than silently losing the other commit's
-  * manifest entries. (A crashed driver can leave the lock behind —
-  * delete `_commit.lock` manually after verifying no commit is in
-  * flight.) The manifest replace itself is delete-then-rename: readers
+  * manifest entries. The lock body records (timestamp, writeId); a lock
+  * older than 10 minutes — a crashed driver, since commits take
+  * seconds — is broken automatically so the path self-heals.
+  * The manifest replace itself is delete-then-rename: readers
   * racing a commit can observe a missing manifest for an instant, but
   * never a torn one.
   *
@@ -108,16 +109,21 @@ private class ManifestBatchWrite(path: String, schema: StructType,
   // path never see (or clean up) each other's in-flight files
   private val writeId = java.util.UUID.randomUUID().toString
 
-  private def fs(): FileSystem = {
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+  // resolved ON THE DRIVER (this class is constructed there) so
+  // session-level spark.hadoop.* settings — e.g. s3a credentials set
+  // only on the SparkConf — reach executor-side writers too, via the
+  // SerializableConfiguration shipped in the DataWriterFactory
+  private val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
-    new Path(path).getFileSystem(conf)
-  }
+      .getOrElse(new Configuration()))
+
+  private def fs(): FileSystem =
+    new Path(path).getFileSystem(hadoopConf.value)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, writeId, schema)
+    new ManifestWriterFactory(path, writeId, schema, hadoopConf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
@@ -126,16 +132,41 @@ private class ManifestBatchWrite(path: String, schema: StructType,
     val lock = new Path(dir, "_commit.lock")
     // exclusive create — the atomic primitive HDFS/local FS both give us.
     // Racing committers fail loudly instead of losing manifest entries.
-    val lockStream =
-      try f.create(lock, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"ManifestSink: concurrent commit in flight at $path " +
-              "(_commit.lock exists); retry after it completes, or delete " +
-              "the lock if a crashed driver left it behind", e)
+    // The lock body carries (epoch-millis, writeId): a lock older than
+    // the staleness bound (a crashed driver — commits take seconds, not
+    // minutes) is broken automatically, once; a FRESH lock still fails
+    // loudly with its age and owner in the message.
+    def tryLock(): java.io.OutputStream =
+      try f.create(lock, false) catch { case _: java.io.IOException => null }
+    var lockStream = tryLock()
+    if (lockStream == null) {
+      val staleMs = 10 * 60 * 1000L
+      val body =
+        try {
+          val in = f.open(lock)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+          } finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val heldSince = body.split(' ').headOption.flatMap(s =>
+        scala.util.Try(s.toLong).toOption)
+      val ageMs = heldSince.map(System.currentTimeMillis() - _)
+      if (ageMs.exists(_ > staleMs)) {
+        f.delete(lock, false) // stale: crashed driver left it behind
+        lockStream = tryLock()
       }
+      if (lockStream == null)
+        throw new IllegalStateException(
+          s"ManifestSink: concurrent commit in flight at $path " +
+            s"(_commit.lock held${ageMs.map(a => s" for ${a / 1000}s").getOrElse("")}" +
+            s"${if (body.nonEmpty) s" by [$body]" else ""}); retry after it " +
+            "completes, or delete the lock if a crashed driver left it behind")
+    }
     try {
+      lockStream.write(
+        s"${System.currentTimeMillis()} $writeId".getBytes("UTF-8"))
       lockStream.close()
       val manifestPath = new Path(dir, "manifest.json")
       // Overwrite (SupportsTruncate): previous committed files vanish
@@ -199,15 +230,17 @@ private class ManifestBatchWrite(path: String, schema: StructType,
 }
 
 private class ManifestWriterFactory(path: String, writeId: String,
-    schema: StructType)
+    schema: StructType,
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name =
         f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv"
-      // executors resolve the FS from the cluster's Hadoop defaults —
-      // works for file:/ in local mode and hdfs:/s3a: on a cluster
-      private val fs = new Path(path).getFileSystem(new Configuration())
+      // executors resolve the FS from the DRIVER's Hadoop conf (shipped
+      // via SerializableConfiguration) so session-level spark.hadoop.*
+      // settings — s3a credentials, endpoint overrides — apply here too
+      private val fs = new Path(path).getFileSystem(hadoopConf.value)
       private val tmpDir = new Path(new Path(path), s"_tmp-$writeId")
       fs.mkdirs(tmpDir)
       private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(

@@ -96,9 +96,11 @@ object StreamingOps4 {
           .write.mode("append").parquet(stage)
         drain()
       }
-      // sentinel far past the data: watermark clears every real window
-      ev.limit(1)
-        .withColumn("ts", col("ts") + expr("INTERVAL 2400 HOURS"))
+      // sentinel strictly past the data: derived from the MAX-ts row
+      // (not an arbitrary row) so the watermark provably advances past
+      // the last real hour window at any corpus time span
+      ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 3 HOURS"))
         .write.mode("append").parquet(stage)
       drain()
       s.read.parquet(sink)

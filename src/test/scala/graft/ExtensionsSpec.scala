@@ -91,6 +91,25 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (3), (1), (2) t(x) QUALIFY r <= 2""".stripMargin)
         .selectExpr("x").as[Int].collect().toSet
       assert(qual == Set(1, 2), "QUALIFY not rewritten")
+      // Teradata-isms that parse CLEANLY and only die at analysis:
+      // 2-arg max/min (tree rewrite to greatest/least in the parser)
+      val g = spark.sql("SELECT max(2, 5) AS g, min(2, 5) AS l")
+        .collect().head
+      assert((g.getInt(0), g.getInt(1)) == ((5, 2)),
+        "2-arg max/min not rewritten to greatest/least")
+      // …while real 1-arg aggregates and string literals stay native
+      assert(spark.sql("SELECT max(x) FROM VALUES (1), (7) t(x)")
+        .as[Int].head() == 7)
+      assert(spark.sql("SELECT 'max(a,b)' AS s").as[String].head() == "max(a,b)")
+      // bare ACTIVITY_COUNT resolves to the 0 register constant…
+      assert(spark.sql("SELECT ACTIVITY_COUNT AS n").as[Long].head() == 0L)
+      assert(spark.sql(
+        "SELECT x + ACTIVITY_COUNT AS y FROM VALUES (4L) t(x)")
+        .as[Long].head() == 4L)
+      // …but a REAL column named activity_count always wins
+      assert(spark.sql(
+        "SELECT activity_count FROM VALUES (9L) t(activity_count)")
+        .as[Long].head() == 9L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

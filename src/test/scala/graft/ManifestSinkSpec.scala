@@ -69,4 +69,33 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(total() === n, "overwrite did not truncate")
     assert(partFiles() === 2, "overwrite left stale part files")
   }
+
+  test("fresh commit lock fails loudly; stale lock is broken automatically") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_lock").toString
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "region")
+      .select(col("r_regionkey").cast("long").as("k"))
+    def write(): Unit = df.coalesce(1).write
+      .format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val lock = java.nio.file.Paths.get(out, "_commit.lock")
+    // a FRESH lock (now, other-writer id) must abort the commit
+    java.nio.file.Files.write(lock,
+      s"${System.currentTimeMillis()} other-writer".getBytes("UTF-8"))
+    val e = intercept[Exception](write())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("concurrent commit in flight")),
+      s"expected loud lock failure, got: $e")
+    // a STALE lock (crashed driver, >10 min old) self-heals
+    java.nio.file.Files.write(lock,
+      s"${System.currentTimeMillis() - 11 * 60 * 1000L} dead-writer"
+        .getBytes("UTF-8"))
+    write()
+    assert(!java.nio.file.Files.exists(lock), "lock survived the commit")
+    val totalRows = spark.read.option("multiLine", "true")
+      .json(s"$out/manifest.json").selectExpr("total_rows").head().getLong(0)
+    assert(totalRows === df.count())
+  }
 }

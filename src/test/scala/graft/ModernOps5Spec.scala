@@ -132,4 +132,33 @@ class ModernOps5Spec extends AnyFunSuite {
         "sum(l_quantity) is not in the MV; the rewrite must decline")
     } finally spark.conf.set("spark.graft.mvRewrite", "false")
   }
+
+  test("q304 rule declines duplicate-sensitive aggregates over a dim column") {
+    // count(dim) / avg(dim) reference ONLY MV-covered columns, so a
+    // references-based check alone would let them through — but they
+    // are duplicate-sensitive: aggregating over MV group rows instead
+    // of fact rows gives wrong answers. The rule must fail closed.
+    operators.ModernOps5.buildAndRegisterMv(spark, dir)
+    operators.ModernOps5.ensureMvRule(spark)
+    spark.conf.set("spark.graft.mvRewrite", "true")
+    try {
+      val fact = Tables.load(spark, dir, "lineitem")
+      for (agg <- Seq(
+          count(col("l_returnflag")).as("n"),
+          avg(length(col("l_returnflag"))).as("a"))) {
+        val df = fact.groupBy("l_returnflag").agg(agg)
+        assert(scanPaths(df).exists(_.endsWith("lineitem.parquet")),
+          s"duplicate-sensitive $agg over a dim must still scan the fact table")
+      }
+      // and the values must match the rule-off truth
+      val dup = fact.groupBy("l_returnflag")
+        .agg(count(col("l_returnflag")).as("n")).orderBy("l_returnflag")
+      val got = dup.collect().map(r => (r.getString(0), r.getLong(1)))
+      spark.conf.set("spark.graft.mvRewrite", "false")
+      val want = fact.groupBy("l_returnflag")
+        .agg(count(col("l_returnflag")).as("n")).orderBy("l_returnflag")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(got.toSeq === want.toSeq)
+    } finally spark.conf.set("spark.graft.mvRewrite", "false")
+  }
 }
