@@ -41,7 +41,8 @@ object SparkEntry {
       operators.ModernOps30.defs ++ operators.ModernOps31.defs ++
       operators.ModernOps32.defs ++ operators.ModernOps33.defs ++
       operators.ModernOps34.defs ++ operators.ModernOps35.defs ++
-      operators.ModernOps36.defs ++
+      operators.ModernOps36.defs ++ operators.TokenizerOps.defs ++
+      operators.CorpusOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 
@@ -57,4 +58,15 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     defs.collect { case Q(n, _, Some(o)) => n -> o }.toMap
+
+  /** Queries whose wall time at bench scale is dominated by FIXED
+    * micro-batch / drain choreography (checkpoint setup, AvailableNow
+    * restarts), not by data volume — the streaming surface. Emitted in
+    * the bench JSON (`fixed_cost_bound`) so ranking tools don't read
+    * their setup cost as data-scale work; their state is
+    * watermark-bounded, so the per-row cost stays flat at scale. */
+  def fixedCostBound: Set[String] =
+    (streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
+      streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs)
+      .map(_.name).toSet
 }

@@ -56,58 +56,115 @@ object MultimodalOps {
        |             + strpos('123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) AS BIGINT)) AS bl
        |  FROM hb)""".stripMargin
 
+  case class HeaderOut(
+      doc_id: Long, format: String, width: Int, height: Int,
+      channels: Int, bit_depth: Int, n_bytes: Int)
+
+  /** Build a REAL container payload for a document (PNG for even ids,
+    * JFIF/JPEG for odd — genuine signatures, IHDR/SOF0, CRC32s — see
+    * [[graft.functions.MediaCodecs]]), carrying the text bytes as the
+    * opaque body. Deterministic per doc, so the DuckDB oracle can
+    * predict every header field arithmetically. */
+  private[graft] def buildContainer(doc_id: Long, body: Array[Byte]): Array[Byte] = {
+    val d = math.abs(doc_id)
+    val w = (d % 640 + 1).toInt
+    val h = (d % 480 + 1).toInt
+    if (d % 2 == 0) {
+      val colorType = (d % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+      graft.functions.MediaCodecs.wrapPng(w, h, colorType, body)
+    } else {
+      val nComp = if (d % 3 == 0) 1 else 3
+      graft.functions.MediaCodecs.wrapJpeg(w, h, nComp, body)
+    }
+  }
+
+  /** Oracle-side formulas for the constructed container fields (DuckDB
+    * syntax), shared by q50/q51: format, channels, n_bytes.
+    * PNG size = 61 + body (sig 8, IHDR 25, tEXt 12+4+body, IEND 12);
+    * JPEG size = 36 + 3*nComp + body (SOI, APP0 18, SOF0 10+3n, COM
+    * 4+body, EOI). */
+  private val fmtSql = "CASE WHEN abs(doc_id) % 2 = 0 THEN 'png' ELSE 'jpeg' END"
+  private val chSql =
+    """CASE WHEN abs(doc_id) % 2 = 0
+      | THEN CASE abs(doc_id) % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+      | ELSE CASE WHEN abs(doc_id) % 3 = 0 THEN 1 ELSE 3 END END""".stripMargin
+  private val nBytesSql =
+    s"""CASE WHEN abs(doc_id) % 2 = 0
+       | THEN 61 + octet_length(encode(COALESCE(text, '')))
+       | ELSE 36 + 3 * (CASE WHEN abs(doc_id) % 3 = 0 THEN 1 ELSE 3 END)
+       |      + octet_length(encode(COALESCE(text, ''))) END""".stripMargin
+
+  /** Real container headers, real parsing: each document's text bytes
+    * are wrapped in a genuine PNG or JFIF container (magic, IHDR/SOF0
+    * big-endian dimensions, channel layout, CRC32s), then the metadata
+    * is recovered by [[graft.functions.MediaCodecs.parseHeader]] —
+    * actual chunk/marker walking, not arithmetic on the input. The
+    * oracle predicts every field from the deterministic construction;
+    * any parser offset/endianness error diverges. Batched typed
+    * mapPartitions = the mapInPandas decode shape. */
   private val q50 = Q(
     "q50_multimodal_meta",
-    s"""${byteListCte()},
-      |meta AS (
-      |  SELECT doc_id, len AS n_bytes,
-      |    CAST(COALESCE(list_sum(bl), 0) % 997 AS BIGINT) AS checksum,
-      |    COALESCE(bl[1], 0) % 3 AS fb
-      |  FROM bytes)
-      |SELECT doc_id, n_bytes, checksum,
-      |  CAST(n_bytes % 640 + 1 AS INT) AS fake_width,
-      |  CAST(checksum % 480 AS INT) + 1 AS fake_height,
-      |  CASE fb WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-      |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    // documents.text stands in for the media payload. Batched typed
-    // pipeline: binary column in, metadata record out.
+    s"""SELECT doc_id, $fmtSql AS format,
+      |  CAST(abs(doc_id) % 640 + 1 AS INT) AS width,
+      |  CAST(abs(doc_id) % 480 + 1 AS INT) AS height,
+      |  CAST($chSql AS INT) AS channels,
+      |  8 AS bit_depth,
+      |  CAST($nBytesSql AS INT) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val media = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"))
       .as[MediaIn]
-    media.mapPartitions { it =>
-      // one "decoder" per partition, records in batches of 64 — the
-      // mapInPandas batch shape; the stub is where a codec would live.
-      it.grouped(64).flatMap(batch => batch.map(decodeStub))
-    }.toDF()
-      .select(col("doc_id"), col("n_bytes"), col("checksum"),
-        col("fake_width"), col("fake_height"), col("format"))
+      .mapPartitions { it =>
+        // one decoder per partition, records in batches of 64 — the
+        // mapInPandas batch shape; encode real container, parse it back
+        it.grouped(64).flatMap(_.map { m =>
+          val bytes = buildContainer(m.doc_id, m.payload)
+          val hdr = graft.functions.MediaCodecs.parseHeader(bytes)
+          HeaderOut(m.doc_id, hdr.format, hdr.width, hdr.height,
+            hdr.channels, hdr.bitDepth, bytes.length)
+        })
+      }.toDF()
       .orderBy("doc_id")
   }
 
-  /** Aggregate media stats per (format) — the downstream-pipeline shape:
-    * decode once, aggregate metadata columns relationally. */
+  /** Aggregate media stats per format — decode once (real header
+    * parse), aggregate metadata relationally: counts, byte totals, and
+    * declared pixel volume (the capacity-planning numbers a media
+    * pipeline reads off its catalog). */
   private val q51 = Q(
     "q51_multimodal_stats",
-    s"""${byteListCte()},
-      |meta AS (
-      |  SELECT CASE COALESCE(bl[1], 0) % 3
-      |           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-      |         len AS n_bytes
-      |  FROM bytes)
-      |SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-      |  CAST(MIN(n_bytes) AS INT) AS min_bytes, CAST(MAX(n_bytes) AS INT) AS max_bytes
+    s"""WITH meta AS (
+      |  SELECT $fmtSql AS format, $chSql AS channels,
+      |    CAST(abs(doc_id) % 640 + 1 AS BIGINT)
+      |      * CAST(abs(doc_id) % 480 + 1 AS BIGINT) AS px,
+      |    CAST($nBytesSql AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT format, COUNT(*) AS n,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(MIN(n_bytes) AS INT) AS min_bytes,
+      |  CAST(MAX(n_bytes) AS INT) AS max_bytes,
+      |  CAST(SUM(px * channels) AS BIGINT) AS total_samples
       |FROM meta GROUP BY format ORDER BY format""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"))
       .as[MediaIn]
-      .mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
+      .mapPartitions(_.grouped(64).flatMap(_.map { m =>
+        val bytes = buildContainer(m.doc_id, m.payload)
+        val hdr = graft.functions.MediaCodecs.parseHeader(bytes)
+        HeaderOut(m.doc_id, hdr.format, hdr.width, hdr.height,
+          hdr.channels, hdr.bitDepth, bytes.length)
+      }))
       .groupBy("format")
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).cast("long").as("total_bytes"),
         min(col("n_bytes")).cast("int").as("min_bytes"),
-        max(col("n_bytes")).cast("int").as("max_bytes"))
+        max(col("n_bytes")).cast("int").as("max_bytes"),
+        sum(col("width").cast("long") * col("height") * col("channels"))
+          .cast("long").as("total_samples"))
       .orderBy("format")
   }
 
@@ -369,5 +426,64 @@ object MultimodalOps {
       .orderBy("d1", "d2")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258)
+  case class PngRt(
+      doc_id: Long, w: Int, h: Int, n_px: Int,
+      sum_px: Long, min_px: Int, max_px: Int, ckw: Long)
+
+  /** q387: REAL PNG pixel codec round trip. Per document a synthetic
+    * 8-bit grayscale image (dims and pixels deterministic in doc_id) is
+    * encoded as a genuine, viewer-openable PNG — zlib-deflated IDAT,
+    * per-row filters cycling None/Sub/Up — then decoded back by
+    * [[graft.functions.MediaCodecs.decodePngGray]] (chunk walk, inflate,
+    * defilter), and the stats are computed from the DECODED pixels. The
+    * oracle computes the same stats from the generation formula, so a
+    * single wrong byte anywhere in the codec path (filter math,
+    * scanline offsets, inflate plumbing) diverges. The order-weighted
+    * checksum pins pixel POSITIONS, not just the multiset. Dims are
+    * capped at 32x24 so the all-docs oracle stays linear. */
+  private val q387 = Q(
+    "q387_png_pixel_roundtrip",
+    """WITH dims AS (
+      |  SELECT doc_id, abs(doc_id) % 1000003 AS d,
+      |    CAST(abs(doc_id) % 32 + 1 AS INT) AS w,
+      |    CAST(abs(doc_id) % 24 + 1 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    list_transform(range(0, CAST(w AS BIGINT) * h),
+      |      i -> (d * 31 + i * 7) % 256) AS pl
+      |  FROM dims)
+      |SELECT doc_id, w, h, CAST(w * h AS INT) AS n_px,
+      |  CAST(list_sum(pl) AS BIGINT) AS sum_px,
+      |  CAST(list_min(pl) AS INT) AS min_px,
+      |  CAST(list_max(pl) AS INT) AS max_px,
+      |  CAST(list_sum(list_transform(range(1, CAST(w AS BIGINT) * h + 1),
+      |    i -> pl[CAST(i AS INT)] * i)) % 1000003 AS BIGINT) AS ckw
+      |FROM px ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map { id =>
+        val d = math.abs(id) % 1000003
+        val w = (math.abs(id) % 32 + 1).toInt
+        val h = (math.abs(id) % 24 + 1).toInt
+        val pixels = Array.tabulate(w * h)(i =>
+          ((d * 31 + i.toLong * 7) % 256).toByte)
+        val png = graft.functions.MediaCodecs.encodePngGray(w, h, pixels)
+        val (dw, dh, dec) = graft.functions.MediaCodecs.decodePngGray(png)
+        var sum = 0L; var mn = 255; var mx = 0; var ckw = 0L
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i) & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          ckw = (ckw + v.toLong * (i + 1)) % 1000003
+          i += 1
+        }
+        PngRt(id, dw, dh, dw * dh, sum, mn, mx, ckw)
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258, q387)
 }

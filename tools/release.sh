@@ -1,0 +1,94 @@
+#!/bin/bash
+# One-command artifact refresh — keeps the committed JSON artifacts in
+# sync with the query surface so a round can never ship stale numbers.
+#
+#   tools/release.sh            # correctness gate (sf0.01) + BENCH_full.json (sf0.1)
+#   tools/release.sh --sweep    # ... plus 10x/100x value sweeps (SWEEP_10x/100x.json)
+#   tools/release.sh --curve q40,q321   # ... plus merge these queries into
+#                                       # SCALE_CURVE_100x.json (3 filtered benches)
+#
+# Scale corpora are expected at /tmp/sfsmoke10 and /tmp/sfsmoke100
+# (tools/gen_10x.py); --sweep regenerates them if missing.
+set -e
+cd "$(dirname "$0")/.."
+
+SWEEP=0; CURVE=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --sweep) SWEEP=1 ;;
+    --curve) CURVE="$2"; shift ;;
+    *) echo "unknown arg: $1" >&2; exit 2 ;;
+  esac
+  shift
+done
+
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+
+echo "== compile"
+sbt -batch compile > /tmp/release_compile.log 2>&1 || { tail -30 /tmp/release_compile.log; exit 1; }
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+
+run_bench() {  # $1=sfDir $2=outJson [$3=SPARK_GRAFT_ONLY filter]
+  SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  SPARK_GRAFT_ONLY="${3:-}" \
+    java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
+      2>/tmp/release_bench_err.log | tail -1 > "$2"
+  python3 - "$2" <<'EOF'
+import json, sys
+d = json.load(open(sys.argv[1]))
+errs = d.get("errors", [])
+print(f"   {len(d['queries'])} queries, {d['value']:.1f}s total, errors: {errs}")
+if errs: sys.exit(1)
+EOF
+}
+
+echo "== correctness gate (sf0.01, full surface)"
+bash tools/verify_local.sh /root/testdata/sf0.01 /tmp/release_verify \
+  | tail -3
+
+echo "== BENCH_full.json (sf0.1, full surface)"
+run_bench /root/testdata/sf0.1 BENCH_full.json
+
+if [ "$SWEEP" = 1 ]; then
+  [ -d /tmp/sfsmoke10 ]  || python3 tools/gen_10x.py /root/testdata/sf0.01 /tmp/sfsmoke10 10
+  [ -d /tmp/sfsmoke100 ] || python3 tools/gen_10x.py /root/testdata/sf0.01 /tmp/sfsmoke100 100
+  for SCALE in 10 100; do
+    DIRV=/tmp/release_sweep_$SCALE
+    echo "== SWEEP_${SCALE}x (value-verify at /tmp/sfsmoke$SCALE)"
+    rm -rf "$DIRV"
+    SPARK_GRAFT_CPUS=32 java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
+      -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Verify \
+      /tmp/sfsmoke$SCALE "$DIRV" 2>/tmp/release_sweep_err.log \
+      || { tail -30 /tmp/release_sweep_err.log; exit 1; }
+    python3 tools/sweep_check.py /tmp/sfsmoke$SCALE "$DIRV" 1800 SWEEP_${SCALE}x.json
+  done
+fi
+
+if [ -n "$CURVE" ]; then
+  echo "== scale curve for: $CURVE"
+  run_bench /root/testdata/sf0.1 /tmp/curve_1x.json  "$CURVE"
+  run_bench /tmp/sfsmoke10       /tmp/curve_10x.json "$CURVE"
+  run_bench /tmp/sfsmoke100      /tmp/curve_100x.json "$CURVE"
+  python3 tools/scale_curve.py /tmp/curve_1x.json /tmp/curve_10x.json \
+    /tmp/curve_100x.json /tmp/curve_new.json
+  python3 - <<'EOF'
+import json
+new = json.load(open("/tmp/curve_new.json"))
+try:
+    cur = json.load(open("SCALE_CURVE_100x.json"))
+except FileNotFoundError:
+    cur = {"queries": {}, "super_linear": []}
+cur["queries"].update(new["queries"])
+cur["super_linear"] = sorted(
+    (set(cur.get("super_linear", [])) - set(new["queries"])) |
+    set(new["super_linear"]))
+cur.setdefault("note", new.get("note"))
+cur["dirs"] = new.get("dirs", cur.get("dirs"))
+json.dump(cur, open("SCALE_CURVE_100x.json", "w"), indent=1)
+print(f"   merged {len(new['queries'])} queries into SCALE_CURVE_100x.json "
+      f"({len(cur['queries'])} total), super_linear={cur['super_linear']}")
+EOF
+fi
+
+echo "== done"

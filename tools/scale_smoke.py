@@ -30,6 +30,12 @@ def main():
     a, b, out = sys.argv[1], sys.argv[2], sys.argv[3]
     ja, jb = load(a), load(b)
     qa, qb = ja["queries"], jb["queries"]
+    # fixed-cost-bound queries (streaming drain choreography) are flagged
+    # by graft.Bench itself in the bench JSON: their wall time is micro-
+    # batch setup, not data work, so they're annotated (ratios stay
+    # visible) but kept out of the data-scale top ranks.
+    fixed_cost = set(ja.get("fixed_cost_bound", []) +
+                     jb.get("fixed_cost_bound", []))
     rows, flagged = {}, []
     for name in sorted(set(qa) & set(qb)):
         if name.startswith(FIXTURE_BOUND_PREFIXES):
@@ -40,12 +46,18 @@ def main():
             continue
         ratio = round(tb / ta, 2)
         rows[name] = {"a": round(ta, 3), "b": round(tb, 3), "ratio": ratio}
+        if name in fixed_cost:
+            rows[name]["fixed_cost"] = True
         if ratio > RATIO_FLAG:
             flagged.append(name)
+    top_data = sorted(
+        ((n, r["b"]) for n, r in rows.items() if n not in fixed_cost),
+        key=lambda t: -t[1])[:10]
     doc = {
         "dirA": ja.get("sf"), "dirB": jb.get("sf"),
         "queries": rows,
         "super_linear": flagged,
+        "top10_data_scale": [{"q": n, "sec": s} for n, s in top_data],
         "note": f"10x rows on the same 32-core host; ratio > {RATIO_FLAG} flagged",
     }
     with open(out, "w") as f:
