@@ -42,7 +42,7 @@ object SparkEntry {
       operators.ModernOps32.defs ++ operators.ModernOps33.defs ++
       operators.ModernOps34.defs ++ operators.ModernOps35.defs ++
       operators.ModernOps36.defs ++ operators.TokenizerOps.defs ++
-      operators.CorpusOps.defs ++
+      operators.CorpusOps.defs ++ operators.LayoutOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
 

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-layout surface: Z-order clustering and table profiling — the
+  * operators that decide HOW 100 TB gets laid out on disk, next to the
+  * zone-map/bloom skipping ops that exploit the layout afterwards.
+  */
+object LayoutOps {
+
+  // ------------- q391: Z-order (Morton) clustering
+
+  /** Bit-spread for a 16-bit value (insert a zero between every bit) —
+    * the classic magic-number interleave, identical arithmetic in
+    * Spark SQL and DuckDB (`&`, `|`, `<<` on BIGINT). */
+  private def spread(x: String): String = {
+    val a = s"(($x | ($x << 8)) & 16711935)"        // 0x00FF00FF
+    val b = s"(($a | ($a << 4)) & 252645135)"       // 0x0F0F0F0F
+    val c = s"(($b | ($b << 2)) & 858993459)"       // 0x33333333
+    s"(($c | ($c << 1)) & 1431655765)"              // 0x55555555
+  }
+
+  private def zExpr(d1: String, d2: String): String =
+    s"(${spread(d1)} | (${spread(d2)} << 1))"
+
+  /** Z-order layout audit: interleave (partkey, suppkey) into a Morton
+    * key, cut the table into 32 z-ranges, and report each range's
+    * bounding box in BOTH dimensions. The point of Z-ordering — one
+    * clustered layout serves range predicates on EITHER key — is
+    * visible in the output: every bucket's span in each dimension is
+    * ~sqrt(bucket share) of the domain, instead of one dimension
+    * clustered and the other spanning everything. In production the
+    * bucket cut is `repartitionByRange(z)` at write time (no global
+    * sort materialized — range exchange + per-file zone maps); here the
+    * cut is an exact ntile over a unique total order so the oracle can
+    * replay it bit-for-bit. */
+  private val q391 = Q(
+    "q391_zorder_layout",
+    s"""WITH z AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    l_partkey % 65536 AS d1, l_suppkey % 65536 AS d2,
+       |    ${zExpr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zv
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT d1, d2, zv,
+       |    ntile(32) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS bucket
+       |  FROM z)
+       |SELECT CAST(bucket AS INT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(zv) AS BIGINT) AS z_lo, CAST(max(zv) AS BIGINT) AS z_hi,
+       |  CAST(min(d1) AS BIGINT) AS d1_lo, CAST(max(d1) AS BIGINT) AS d1_hi,
+       |  CAST(min(d2) AS BIGINT) AS d2_lo, CAST(max(d2) AS BIGINT) AS d2_hi
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 65536 AS d1, l_suppkey % 65536 AS d2,
+         |    ${zExpr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zv
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT d1, d2, zv,
+         |    ntile(32) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS bucket
+         |  FROM z)
+         |SELECT CAST(bucket AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(zv) AS BIGINT) AS z_lo, CAST(max(zv) AS BIGINT) AS z_hi,
+         |  CAST(min(d1) AS BIGINT) AS d1_lo, CAST(max(d1) AS BIGINT) AS d1_hi,
+         |  CAST(min(d2) AS BIGINT) AS d2_lo, CAST(max(d2) AS BIGINT) AS d2_hi
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  // ------------- q392: one-pass table profiler
+
+  /** Per-column profile of `orders` — the ANALYZE-style summary every
+    * ingestion pipeline snapshots before and after a backfill: rows,
+    * nulls, exact NDV, lexicographic min/max of the canonical string
+    * form, and average length in exact integer hundredths. One melt
+    * (explode of (name, value) pairs — linear, no per-column rescans)
+    * then one aggregation keyed by column name; count(DISTINCT) rides
+    * the same shuffle. Doubles are canonicalized through DECIMAL cents
+    * before stringification so both engines print identical forms. */
+  private val q392 = Q(
+    "q392_table_profile",
+    """WITH m AS (
+      |  SELECT col, v FROM (
+      |    SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+      |    UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+      |    UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+      |    UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |    UNION ALL SELECT 'o_orderday',
+      |      substr(CAST(o_orderdate AS VARCHAR), 1, 10) FROM orders
+      |    UNION ALL SELECT 'o_total_cents',
+      |      CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+      |           AS VARCHAR) FROM orders))
+      |SELECT col,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+      |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(COALESCE(sum(length(v)), 0) * 100 // greatest(count(v), 1)
+      |       AS BIGINT) AS avg_len_x100
+      |FROM m GROUP BY col ORDER BY col""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH m AS (
+        |  SELECT stack(6,
+        |    'o_orderkey', CAST(o_orderkey AS STRING),
+        |    'o_custkey', CAST(o_custkey AS STRING),
+        |    'o_orderstatus', o_orderstatus,
+        |    'o_orderpriority', o_orderpriority,
+        |    'o_orderday', substr(CAST(o_orderdate AS STRING), 1, 10),
+        |    'o_total_cents',
+        |      CAST(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+        |           AS STRING)) AS (col, v)
+        |  FROM orders)
+        |SELECT col,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) - count(v) AS BIGINT) AS n_null,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  CAST(COALESCE(sum(length(v)), 0) * 100 div greatest(count(v), 1)
+        |       AS BIGINT) AS avg_len_x100
+        |FROM m GROUP BY col ORDER BY col""".stripMargin)
+  }
+
+  val defs: Seq[Q] = Seq(q391, q392)
+}
