@@ -52,23 +52,36 @@ object LayoutOps {
        |  CAST(min(d1) AS BIGINT) AS d1_lo, CAST(max(d1) AS BIGINT) AS d1_hi,
        |  CAST(min(d2) AS BIGINT) AS d2_lo, CAST(max(d2) AS BIGINT) AS d2_hi
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+    // The ORACLE uses a true ntile window; the Spark side must not — a
+    // global window funnels the table through ONE partition (the 100x
+    // run measured 70 s exactly there). Instead: ScalableRank (range
+    // repartition + driver prefix-sum of partition tallies) gives the
+    // same global 1..N row numbers with full parallelism, and the
+    // bucket comes from ntile's published row-number formula — the
+    // first (N mod k) tiles get ceil(N/k) rows, the rest floor(N/k).
     Tables.registerAll(s, dir)
-    s.sql(
-      s"""WITH z AS (
-         |  SELECT l_orderkey, l_linenumber,
-         |    l_partkey % 65536 AS d1, l_suppkey % 65536 AS d2,
-         |    ${zExpr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zv
-         |  FROM lineitem),
-         |b AS (
-         |  SELECT d1, d2, zv,
-         |    ntile(32) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS bucket
-         |  FROM z)
-         |SELECT CAST(bucket AS INT) AS bucket,
-         |  CAST(count(*) AS BIGINT) AS n,
-         |  CAST(min(zv) AS BIGINT) AS z_lo, CAST(max(zv) AS BIGINT) AS z_hi,
-         |  CAST(min(d1) AS BIGINT) AS d1_lo, CAST(max(d1) AS BIGINT) AS d1_hi,
-         |  CAST(min(d2) AS BIGINT) AS d2_lo, CAST(max(d2) AS BIGINT) AS d2_hi
-         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)
+    val z = s.sql(
+      s"""SELECT l_orderkey, l_linenumber,
+         |  l_partkey % 65536 AS d1, l_suppkey % 65536 AS d2,
+         |  ${zExpr("(l_partkey % 65536)", "(l_suppkey % 65536)")} AS zv
+         |FROM lineitem""".stripMargin)
+    val ranked = ScalableRank.withRank(
+      z, "rk", col("zv"), col("l_orderkey"), col("l_linenumber"))
+    val n = ranked.count()
+    val k = 32L
+    val q = n / k; val m = n % k; val cut = (q + 1) * m
+    ranked
+      .withColumn("bucket",
+        when(col("rk") <= cut,
+          expr(s"CAST((rk - 1) div ${q + 1} AS INT) + 1"))
+          .otherwise(
+            expr(s"CAST($m + (rk - 1 - $cut) div ${math.max(q, 1L)} AS INT) + 1")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("zv").cast("long").as("z_lo"), max("zv").cast("long").as("z_hi"),
+        min("d1").cast("long").as("d1_lo"), max("d1").cast("long").as("d1_hi"),
+        min("d2").cast("long").as("d2_lo"), max("d2").cast("long").as("d2_hi"))
+      .orderBy("bucket")
   }
 
   // ------------- q392: one-pass table profiler
