@@ -597,7 +597,63 @@ object SourceOps {
         countDistinct("n_regionkey").as("n_regions"))
   }
 
+  /** q393: manifest-sink TIME TRAVEL through the DSv2 read path. Two
+    * committed appends (region rows, then nation rows) → three reads:
+    * snapshot v1, snapshot v2, and the latest manifest — each reading
+    * EXACTLY its manifest's file list, never a directory listing, so
+    * v1 is byte-identical no matter how many later appends land (the
+    * snapshot-isolation property object stores can't give a listing
+    * reader). The oracle recomputes each snapshot's aggregate from the
+    * source tables. */
+  private val q393 = Q(
+    "q393_sink_time_travel",
+    """WITH a AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name FROM region),
+      |b AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation),
+      |v1 AS (SELECT * FROM a),
+      |v2 AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+      |SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(name) AS min_name,
+      |  max(name) AS max_name FROM v1
+      |UNION ALL
+      |SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+      |  min(name), max(name) FROM v2
+      |UNION ALL
+      |SELECT 3, CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+      |  min(name), max(name) FROM v2
+      |ORDER BY version""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q393_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    write(Tables.load(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name")))
+    write(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name")))
+    def readVersion(v: Option[Int]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema("k LONG, name STRING").option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    Seq(Some(1) -> 1, Some(2) -> 2, None -> 3).map { case (v, label) =>
+      readVersion(v).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("name")).as("min_name"), max(col("name")).as("max_name"))
+        .select(lit(label).as("version"), col("n_rows"), col("sum_k"),
+          col("min_name"), col("max_name"))
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272)
+      q194, q237, q255, q262, q270, q272, q393)
 }

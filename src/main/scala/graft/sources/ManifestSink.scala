@@ -169,15 +169,27 @@ private class ManifestBatchWrite(path: String, schema: StructType,
         s"${System.currentTimeMillis()} $writeId".getBytes("UTF-8"))
       lockStream.close()
       val manifestPath = new Path(dir, "manifest.json")
+      // version numbering is monotonic ACROSS truncates (computed
+      // before the truncate deletes the old version manifests): a
+      // truncate expires old snapshots, it never recycles their ids
+      val vRe = """manifest-v(\d+)\.json""".r
+      val maxExistingV = f.listStatus(dir).map(_.getPath.getName).collect {
+        case vRe(v) => v.toLong
+      }.foldLeft(0L)(math.max)
       // Overwrite (SupportsTruncate): previous committed files vanish
       // with the old manifest. Append: the old manifest's entries are
       // carried into the new one, so the manifest ALWAYS describes the
       // full committed content — readers never need to list the dir.
       val previous: Seq[(String, Long, Long)] =
         if (truncate) {
+          // truncate purges HISTORY too (the expire-snapshots analog):
+          // version manifests reference the deleted part files, so they
+          // must die with them — time travel spans appends since the
+          // last truncate
           f.listStatus(dir).filter { st =>
             val n = st.getPath.getName
-            n.startsWith("part-") || n == "manifest.json"
+            n.startsWith("part-") || n == "manifest.json" ||
+              (n.startsWith("manifest-v") && n.endsWith(".json"))
           }.foreach(st => f.delete(st.getPath, false))
           Nil
         } else if (!f.exists(manifestPath)) Nil
@@ -218,6 +230,19 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       if (!f.rename(manifestTmp, manifestPath))
         throw new java.io.IOException(
           s"ManifestSink: failed to publish manifest at $manifestPath")
+      // snapshot history: every commit also publishes an IMMUTABLE
+      // numbered manifest (time travel — ManifestSource option
+      // "version"). Numbering under the commit lock, so no races; the
+      // write is temp + rename so a version file is never seen torn.
+      val nextV = maxExistingV + 1
+      val vTmp = new Path(dir, s"_manifest-v$nextV.tmp")
+      val vOut = f.create(vTmp, true)
+      try vOut.write(
+        s"""{"total_rows":$total,"files":$manifest}""".getBytes("UTF-8"))
+      finally vOut.close()
+      if (!f.rename(vTmp, new Path(dir, s"manifest-v$nextV.json")))
+        throw new java.io.IOException(
+          s"ManifestSink: failed to publish manifest-v$nextV at $path")
       // losers' temp files (failed/speculative attempts) die with the dir
       f.delete(tmpDir, true)
     } finally f.delete(lock, false)

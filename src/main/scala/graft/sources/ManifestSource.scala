@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** DSv2 batch READ over a [[ManifestSink]] directory — the other half
+  * of the connector: reads EXACTLY the files the manifest lists, never
+  * a directory listing, so a reader racing a concurrent append sees a
+  * consistent committed snapshot (the property object-store listings
+  * cannot give you). With `option("version", n)` it reads the
+  * immutable `manifest-v{n}.json` snapshot instead of the latest —
+  * time travel across appends (truncate expires history).
+  *
+  *  - one input partition per manifest file — split parallelism follows
+  *    the commit's own file layout;
+  *  - column pruning via SupportsPushDownRequiredColumns: every CSV
+  *    field is still tokenized (the format is row-major), but only the
+  *    requested columns are parsed/converted and shipped;
+  *  - the CSV dialect is the sink's own (quote `"`, escape `\`,
+  *    unquoted empty = NULL), so sink→source round-trips are exact;
+  *  - executors resolve the FileSystem from the driver's Hadoop conf
+  *    (SerializableConfiguration), matching the sink's write path.
+  *
+  * Usage:
+  * {{{
+  * spark.read.format("graft.sources.ManifestSource")
+  *   .schema("k LONG, name STRING").option("path", dir)
+  *   .option("version", 1).load()
+  * }}}
+  */
+class ManifestSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "ManifestSource requires an explicit read schema (.schema(...))")
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("ManifestSource requires option 'path'"))
+    val version = Option(properties.get("version")).map(_.toLong)
+    new ManifestReadTable(path, version, schema)
+  }
+}
+
+private class ManifestReadTable(
+    path: String, version: Option[Long], readSchema: StructType)
+  extends Table with SupportsRead {
+  override def name(): String =
+    s"manifest_source($path${version.map(v => s"@v$v").getOrElse("")})"
+  override def schema(): StructType = readSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = readSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new ManifestScan(
+        path, version, readSchema, required)
+    }
+}
+
+private class ManifestScan(
+    path: String, version: Option[Long],
+    fullSchema: StructType, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val manifestName =
+      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
+    val mp = new Path(dir, manifestName)
+    if (!fs.exists(mp))
+      throw new java.io.FileNotFoundException(
+        s"ManifestSource: $manifestName not found at $path" +
+          version.map(_ => " (expired by truncate, or never committed?)")
+            .getOrElse(""))
+    val in = fs.open(mp)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => ManifestFilePartition(s"$path/${m.group(1)}", m.group(2).toLong)
+        : InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ManifestReaderFactory(fullSchema, required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+}
+
+private case class ManifestFilePartition(file: String, rows: Long)
+  extends InputPartition
+
+private class ManifestReaderFactory(
+    fullSchema: StructType, required: StructType,
+    hadoopConf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ManifestFilePartition]
+    new PartitionReader[InternalRow] {
+      private val fs = new Path(part.file).getFileSystem(hadoopConf.value)
+      private val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(new Path(part.file)), "UTF-8"))
+      // positions (in file field order) of the required columns
+      private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+      private var current: InternalRow = _
+      private var readCount = 0L
+
+      override def next(): Boolean = {
+        val line = reader.readLine()
+        if (line == null) {
+          if (readCount != part.rows)
+            throw new java.io.IOException(
+              s"ManifestSource: ${part.file} has $readCount rows, " +
+                s"manifest says ${part.rows} — torn or tampered file")
+          false
+        } else {
+          readCount += 1
+          val fields = splitCsv(line)
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < fieldIdx.length) {
+            val raw = fields(fieldIdx(i))
+            vals(i) =
+              if (raw == null) null
+              else required.fields(i).dataType match {
+                case LongType => raw.toLong
+                case IntegerType => raw.toInt
+                case DoubleType => raw.toDouble
+                case StringType => UTF8String.fromString(raw)
+                case dt => throw new UnsupportedOperationException(
+                  s"ManifestSource: unsupported read type $dt")
+              }
+            i += 1
+          }
+          current = InternalRow.fromSeq(vals.toIndexedSeq)
+          true
+        }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+
+      /** Inverse of the sink's CSV dialect: fields separated by commas;
+        * a field starting with `"` is quoted with `\"`/`\\` escapes;
+        * an unquoted empty field is NULL (Spark CSV default). */
+      private def splitCsv(line: String): Array[String] = {
+        val out = Array.newBuilder[String]
+        var i = 0
+        val n = line.length
+        while (i <= n) {
+          if (i < n && line.charAt(i) == '"') {
+            val sb = new StringBuilder
+            i += 1
+            var done = false
+            while (!done) {
+              val c = line.charAt(i)
+              if (c == '\\') { sb.append(line.charAt(i + 1)); i += 2 }
+              else if (c == '"') { i += 1; done = true }
+              else { sb.append(c); i += 1 }
+            }
+            out += sb.toString()
+            i += 1 // skip the comma (or step past end)
+          } else {
+            val next = line.indexOf(',', i)
+            val end = if (next < 0) n else next
+            val raw = line.substring(i, end)
+            out += (if (raw.isEmpty) null else raw)
+            i = end + 1
+          }
+        }
+        out.result()
+      }
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 read path + time travel over the manifest sink: exact dialect
+  * round trip (quotes, escapes, NULLs), snapshot isolation of version
+  * reads across later appends, column pruning, and the torn-file
+  * guard. */
+class ManifestSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_msrc").toString
+    new java.io.File(d).delete() // sink mkdirs it
+    d
+  }
+
+  test("sink -> source round trip preserves tricky strings and NULLs") {
+    import spark.implicits._
+    val out = freshDir()
+    val rows = Seq(
+      (1L, "plain"),
+      (2L, "has,comma"),
+      (3L, "has\"quote"),
+      (4L, "back\\slash"),
+      (5L, null.asInstanceOf[String]))
+    rows.toDF("k", "s").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val back = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, s STRING").option("path", out).load()
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .sortBy(_._1)
+    assert(back.toSeq == rows)
+  }
+
+  test("version reads are immutable snapshots across appends") {
+    import spark.implicits._
+    val out = freshDir()
+    def append(ks: Seq[Long]): Unit =
+      ks.toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    append(Seq(1L, 2L))
+    val v1Before = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 1).load()
+      .as[Long].collect().sorted.toSeq
+    append(Seq(3L, 4L, 5L))
+    val v1After = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 1).load()
+      .as[Long].collect().sorted.toSeq
+    assert(v1Before == Seq(1L, 2L) && v1After == Seq(1L, 2L),
+      "v1 must be identical before and after the second append")
+    val v2 = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 2).load()
+      .as[Long].collect().sorted.toSeq
+    assert(v2 == Seq(1L, 2L, 3L, 4L, 5L))
+    // latest == newest version
+    val latest = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+      .as[Long].collect().sorted.toSeq
+    assert(latest == v2)
+    // truncate expires history (v1 gone — ids are NOT recycled): the
+    // post-truncate commit becomes v3, and reading v1 fails loudly
+    Seq(9L).toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("overwrite").save()
+    val v3 = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 3).load()
+      .as[Long].collect().toSeq
+    assert(v3 == Seq(9L))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out).option("version", 1).load()
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("manifest-v1.json")), e.toString)
+  }
+
+  test("column pruning reaches the scan") {
+    import spark.implicits._
+    val out = freshDir()
+    Seq((1L, "a", 10.5), (2L, "b", 20.25)).toDF("k", "s", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, s STRING, v DOUBLE").option("path", out).load()
+      .select("v")
+    assert(df.as[Double].collect().sorted.toSeq == Seq(10.5, 20.25))
+    assert(df.queryExecution.executedPlan.toString.contains("v#") &&
+      !df.queryExecution.executedPlan.toString.matches("(?s).*ReadSchema.*s.*"))
+    // the scan's read schema is just the pruned column
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.head.scan.readSchema().fieldNames.toSeq == Seq("v"))
+  }
+
+  test("a file shorter than its manifest row count fails loudly") {
+    import spark.implicits._
+    val out = freshDir()
+    Seq(1L, 2L, 3L).toDF("k").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    // truncate the data file behind the manifest's back (drop the
+    // local-FS .crc sidecar too, so OUR row-count guard fires rather
+    // than Hadoop's checksum layer — on object stores there is no
+    // sidecar and this guard is the only tamper detection)
+    val part = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.write(part.toPath, "1\n".getBytes("UTF-8"))
+    new java.io.File(out, s".${part.getName}.crc").delete()
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out).load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("torn or tampered")), e.toString)
+  }
+}
