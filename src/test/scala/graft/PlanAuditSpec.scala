@@ -470,6 +470,61 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("graft_topk"), "sketch aggregate missing from plan")
   }
 
+  test("q388 BPE argmax is a bounded top-1, not a global sort") {
+    val p = planOf("q388_bpe_train")
+    // the per-round argmax inside the trainer is orderBy().limit(1) —
+    // TakeOrderedAndProject — and the final 8-row merge table needs no
+    // global machinery; the executed plan here is the collected result
+    assert(!p.contains("CartesianProduct"), "pair counting fused a cartesian")
+  }
+
+  test("q389 PII redaction is pure codegen scan work — no shuffle, no UDF") {
+    val df = SparkEntry.queries("q389_pii_redact")(spark, dir)
+    df.collect() // finalize AQE so codegen spans print
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "redaction pass introduced a shuffle:\n" + p)
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("UDF"),
+      "redaction uses a non-codegen UDF:\n" + p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"),
+      "redaction not codegen'd:\n" + p)
+  }
+
+  test("q390 packing shuffles once on the shard key, then streams groups") {
+    val df = SparkEntry.queries("q390_context_packing")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapGroups"), "packing fold not planned as MapGroups")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"packing must shuffle exactly once on the shard key ($shuffles):\n" + p)
+  }
+
+  test("q391 bucket cut has no window and no single-partition funnel") {
+    val df = SparkEntry.queries("q391_zorder_layout")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "z-bucket cut regressed to a global window:\n" + p)
+    assert(!p.contains("Exchange SinglePartition"),
+      "z-bucket cut funnels through one partition:\n" + p)
+  }
+
+  test("q392 profiler reads the table once") {
+    val df = SparkEntry.queries("q392_table_profile")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).size +
+      "BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"profiler rescans per column ($scans scans):\n" + p)
+  }
+
+  test("q50 header decode is a single-scan typed mapPartitions pipeline") {
+    val df = SparkEntry.queries("q50_multimodal_meta")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MapPartitions"), "decode not planned as MapPartitions")
+    val scans = "Scan parquet".r.findAllIn(p).size +
+      "BatchScan".r.findAllIn(p).size
+    assert(scans == 1, s"decode rescans the documents table ($scans):\n" + p)
+  }
+
   test("every query has a DuckDB oracle unless whitelisted with a property test") {
     // Guard against zero-check entries (VERDICT r3 item 8): a query with
     // no oracle MUST be on this list, and each listed query must have a
