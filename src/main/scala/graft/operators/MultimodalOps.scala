@@ -485,5 +485,88 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258, q387)
+  case class AHash(doc_id: Long, h_hi: Long, h_lo: Long)
+
+  /** q394: perceptual average-hash (aHash) image dedup THROUGH the real
+    * codec: per document a 32x24 gray image (pixels seeded by
+    * abs(doc_id)%97, so ~n/97 documents share an identical image —
+    * planted dup groups) is encoded as a genuine PNG, decoded back
+    * (inflate + defilter), downsampled 8x8 by exact integer block sums,
+    * and each bit compares its block mean to the global mean with the
+    * cross-multiplied integer test (64*blockSum > totalSum — no
+    * division, no floats). Groups come from ONE shuffle on the 64-bit
+    * hash (split hi/lo to stay in portable BIGINT range) — exactly how
+    * image dedup runs at 100 TB: linear scan + hash groupBy, no pair
+    * joins. The oracle computes the same bits from the pixel FORMULA,
+    * so the Spark side's hash is only right if the whole
+    * encode→decode→downsample path is. */
+  private val q394 = Q(
+    "q394_ahash_image_dedup",
+    """WITH d AS (SELECT doc_id, abs(doc_id) % 97 AS seed FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 768), i -> (seed * 31 + i * 7) % 256) AS pl
+      |  FROM d),
+      |tot AS (SELECT doc_id, pl, list_sum(pl) AS total FROM px),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 64), b -> CASE WHEN
+      |      64 * list_sum(list_transform(range(0, 12), j ->
+      |        pl[CAST(((b // 8) * 3 + j // 4) * 32
+      |               + (b % 8) * 4 + j % 4 + 1 AS INT)]))
+      |      > total THEN 1 ELSE 0 END) AS bv
+      |  FROM tot),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_sum(list_transform(range(0, 32),
+      |      b -> bv[CAST(b + 33 AS INT)] * (1::BIGINT << CAST(b AS INT)))) AS h_hi,
+      |    list_sum(list_transform(range(0, 32),
+      |      b -> bv[CAST(b + 1 AS INT)] * (1::BIGINT << CAST(b AS INT)))) AS h_lo
+      |  FROM bits)
+      |SELECT CAST(h_hi AS BIGINT) AS h_hi, CAST(h_lo AS BIGINT) AS h_lo,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_docs
+      |FROM h GROUP BY h_hi, h_lo HAVING count(*) > 1
+      |ORDER BY h_hi, h_lo, first_doc""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val W = 32; val H = 24
+    val hashes = Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map { id =>
+        val seed = math.abs(id) % 97
+        val pixels = Array.tabulate(W * H)(i =>
+          ((seed * 31 + i.toLong * 7) % 256).toByte)
+        val png = graft.functions.MediaCodecs.encodePngGray(W, H, pixels)
+        val (_, _, dec) = graft.functions.MediaCodecs.decodePngGray(png)
+        var total = 0L
+        var i = 0
+        while (i < dec.length) { total += (dec(i) & 0xff); i += 1 }
+        var hLo = 0L; var hHi = 0L
+        var b = 0
+        while (b < 64) {
+          val bx = b % 8; val by = b / 8
+          var blockSum = 0L
+          var j = 0
+          while (j < 12) {
+            val x = bx * 4 + j % 4; val y = by * 3 + j / 4
+            blockSum += (dec(y * W + x) & 0xff)
+            j += 1
+          }
+          if (64L * blockSum > total) {
+            if (b < 32) hLo |= 1L << b else hHi |= 1L << (b - 32)
+          }
+          b += 1
+        }
+        AHash(id, hHi, hLo)
+      }))
+    hashes.toDF()
+      .groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), sum("doc_id").as("sum_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("h_hi", "h_lo", "first_doc")
+  }
+
+  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258, q387, q394)
 }
