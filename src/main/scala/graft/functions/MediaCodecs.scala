@@ -207,6 +207,94 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  // ------------------------------------------------- WAV (RIFF/PCM16)
+
+  /** Encode 16-bit mono PCM samples as a REAL RIFF/WAVE file —
+    * canonical 44-byte header (RIFF size, fmt chunk with PCM tag,
+    * channel count, sample rate, byte rate, block align, bits) and a
+    * little-endian data chunk. Any standard audio tool plays it. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1)                 // PCM
+    le16(1)                 // mono
+    le32(sampleRate)
+    le32(sampleRate * 2)    // byte rate
+    le16(2)                 // block align
+    le16(16)                // bits per sample
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    samples.foreach(s => le16(s & 0xffff))
+    out.toByteArray
+  }
+
+  final case class WavHeader(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nSamples: Int)
+
+  private def readLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def readLe32(b: Array[Byte], off: Int): Int =
+    readLe16(b, off) | (readLe16(b, off + 2) << 16)
+
+  /** Parse a RIFF/WAVE container by ACTUALLY walking its chunks
+    * (little-endian sizes, word-aligned) to fmt and data; returns the
+    * header and the decoded 16-bit samples. Rejects non-RIFF,
+    * non-PCM, and truncated payloads loudly. */
+  def decodeWavPcm16(bytes: Array[Byte]): (WavHeader, Array[Short]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Short] = null
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val id = new String(bytes, i, 4, "US-ASCII")
+      val len = readLe32(bytes, i + 4)
+      id match {
+        case "fmt " =>
+          require(readLe16(bytes, i + 8) == 1, "not PCM")
+          channels = readLe16(bytes, i + 10)
+          rate = readLe32(bytes, i + 12)
+          bits = readLe16(bytes, i + 22)
+          require(bits == 16, s"unsupported bit depth $bits")
+        case "data" =>
+          require(i + 8 + len <= bytes.length, "truncated data chunk")
+          samples = Array.tabulate(len / 2)(j =>
+            readLe16(bytes, i + 8 + 2 * j).toShort)
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(samples != null && rate > 0, "missing fmt or data chunk")
+    (WavHeader(rate, channels, bits, samples.length), samples)
+  }
+
+  // -------------------------------------------------- pixel transforms
+
+  /** Nearest-neighbor downscale of a row-major gray image — exact
+    * integer source mapping (srcX = dstX*srcW/dstW, floor), so the
+    * result is bit-deterministic and oracle-replayable. */
+  def resizeNearestGray(
+      src: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    val dst = new Array[Byte](dstW * dstH)
+    var y = 0
+    while (y < dstH) {
+      val sy = y * srcH / dstH
+      var x = 0
+      while (x < dstW) {
+        dst(y * dstW + x) = src(sy * srcW + x * srcW / dstW)
+        x += 1
+      }
+      y += 1
+    }
+    dst
+  }
+
   /** Decode a gray/8 PNG produced by [[encodePngGray]] (or any
     * conformant gray/8 PNG using filters 0–2): walks chunks, inflates
     * the concatenated IDAT stream, reverses per-row filters. Returns

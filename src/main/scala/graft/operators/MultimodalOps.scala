@@ -568,5 +568,125 @@ object MultimodalOps {
       .orderBy("h_hi", "h_lo", "first_doc")
   }
 
-  val defs: Seq[Q] = Seq(q50, q51, q119, q120, q154, q258, q387, q394)
+  case class WavStats(
+      doc_id: Long, sample_rate: Int, bits: Int, n_samples: Int,
+      sum_s: Long, min_s: Int, max_s: Int, abs_energy: Long, zero_cross: Long)
+
+  /** q395: REAL audio codec round trip — per document a seeded 16-bit
+    * PCM signal is encoded as a genuine RIFF/WAVE file (canonical
+    * 44-byte header, little-endian everywhere) and decoded back by
+    * actually walking the RIFF chunks; the stats — including zero
+    * crossings, the classic cheap audio feature — are computed from the
+    * DECODED samples. The oracle replays the signal formula, so any
+    * endianness/offset/alignment error in the codec diverges. The WAV
+    * twin of q387's PNG round trip: the audio modality stops being
+    * stub-backed. */
+  private val q395 = Q(
+    "q395_wav_audio_stats",
+    """WITH d AS (
+      |  SELECT doc_id, abs(doc_id) % 1000003 AS sd,
+      |    CAST(abs(doc_id) % 800 + 100 AS INT) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, n), i -> (sd * 31 + i * 7) % 2048 - 1024)
+      |      AS sl
+      |  FROM d)
+      |SELECT doc_id, 8000 AS sample_rate, 16 AS bits, n AS n_samples,
+      |  CAST(list_sum(sl) AS BIGINT) AS sum_s,
+      |  CAST(list_min(sl) AS INT) AS min_s,
+      |  CAST(list_max(sl) AS INT) AS max_s,
+      |  CAST(list_sum(list_transform(sl, x -> abs(x))) AS BIGINT)
+      |    AS abs_energy,
+      |  CAST(COALESCE(list_sum(list_transform(range(1, n), i ->
+      |    CASE WHEN (sl[CAST(i AS INT)] < 0) <> (sl[CAST(i + 1 AS INT)] < 0)
+      |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map { id =>
+        val sd = math.abs(id) % 1000003
+        val n = (math.abs(id) % 800 + 100).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((sd * 31 + i.toLong * 7) % 2048 - 1024).toShort)
+        val wav = graft.functions.MediaCodecs.encodeWavPcm16(8000, samples)
+        val (hdr, dec) = graft.functions.MediaCodecs.decodeWavPcm16(wav)
+        var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+        var energy = 0L; var zc = 0L
+        var i = 0
+        while (i < dec.length) {
+          val v = dec(i).toInt
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          energy += math.abs(v)
+          if (i > 0 && ((dec(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        WavStats(id, hdr.sampleRate, hdr.bitsPerSample, hdr.nSamples,
+          sum, mn, mx, energy, zc)
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  case class ResizeOut(doc_id: Long, out_w: Int, out_h: Int, sum_px: Long, ckw: Long)
+
+  /** q396: REAL pixel resize — decode the q387-style PNG through the
+    * actual codec, then nearest-neighbor downscale with exact integer
+    * source mapping (srcX = dstX*srcW/dstW floor). Replaces q120's
+    * metadata-only resize with real pixel work; the oracle replays the
+    * identical index arithmetic on the generation formula, so the
+    * output is right only if decode AND resampling both are. */
+  private val q396 = Q(
+    "q396_image_resize_real",
+    """WITH dims AS (
+      |  SELECT doc_id, abs(doc_id) % 1000003 AS d,
+      |    CAST(abs(doc_id) % 32 + 1 AS INT) AS w,
+      |    CAST(abs(doc_id) % 24 + 1 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, least(w, 8) AS ow, least(h, 6) AS oh,
+      |    list_transform(range(0, CAST(w AS BIGINT) * h),
+      |      i -> (d * 31 + i * 7) % 256) AS pl
+      |  FROM dims),
+      |rs AS (
+      |  SELECT doc_id, ow, oh,
+      |    list_transform(range(0, CAST(ow AS BIGINT) * oh), k ->
+      |      pl[CAST(((k // ow) * h // oh) * w + ((k % ow) * w // ow) + 1
+      |              AS INT)]) AS rl
+      |  FROM px)
+      |SELECT doc_id, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+      |  CAST(list_sum(rl) AS BIGINT) AS sum_px,
+      |  CAST(list_sum(list_transform(range(1, CAST(ow AS BIGINT) * oh + 1),
+      |    k -> rl[CAST(k AS INT)] * k)) % 1000003 AS BIGINT) AS ckw
+      |FROM rs ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.grouped(64).flatMap(_.map { id =>
+        val d = math.abs(id) % 1000003
+        val w = (math.abs(id) % 32 + 1).toInt
+        val h = (math.abs(id) % 24 + 1).toInt
+        val pixels = Array.tabulate(w * h)(i =>
+          ((d * 31 + i.toLong * 7) % 256).toByte)
+        val png = graft.functions.MediaCodecs.encodePngGray(w, h, pixels)
+        val (dw, dh, dec) = graft.functions.MediaCodecs.decodePngGray(png)
+        val ow = math.min(dw, 8); val oh = math.min(dh, 6)
+        val rs = graft.functions.MediaCodecs.resizeNearestGray(dec, dw, dh, ow, oh)
+        var sum = 0L; var ckw = 0L
+        var k = 0
+        while (k < rs.length) {
+          val v = rs(k) & 0xff
+          sum += v
+          ckw = (ckw + v.toLong * (k + 1)) % 1000003
+          k += 1
+        }
+        ResizeOut(id, ow, oh, sum, ckw)
+      }))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q50, q51, q119, q120, q154, q258, q387, q394, q395, q396)
 }

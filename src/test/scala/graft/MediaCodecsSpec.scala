@@ -74,6 +74,48 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(((jp(27) & 0xff) << 8 | (jp(28) & 0xff)) == 1024)
   }
 
+  test("encodeWavPcm16 produces a spec-conformant WAV (AudioSystem check)") {
+    val samples = Array.tabulate(500)(i => ((i * 37) % 2048 - 1024).toShort)
+    val wav = MediaCodecs.encodeWavPcm16(8000, samples)
+    // the JDK's own sampled-audio stack must parse our container
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getSampleRate == 8000f)
+    assert(fmt.getChannels == 1)
+    assert(fmt.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == 500L)
+    // and the PCM payload round-trips bit-exact through OUR decoder
+    val (hdr, dec) = MediaCodecs.decodeWavPcm16(wav)
+    assert(hdr == MediaCodecs.WavHeader(8000, 1, 16, 500))
+    assert(dec.toSeq == samples.toSeq)
+  }
+
+  test("decodeWavPcm16 skips unknown chunks and rejects junk") {
+    // splice a LIST chunk between fmt and data: parser must skip it
+    val samples = Array[Short](1, -2, 3)
+    val wav = MediaCodecs.encodeWavPcm16(44100, samples)
+    val headerEnd = 36 // RIFF(12) + fmt(8+16)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(headerEnd) ++ list ++ wav.drop(headerEnd)
+    // patch the RIFF size (not validated by our parser, but keep honest)
+    val (hdr, dec) = MediaCodecs.decodeWavPcm16(spliced)
+    assert(hdr.sampleRate == 44100 && dec.toSeq == samples.toSeq)
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWavPcm16("not audio at all".getBytes)
+    }
+  }
+
+  test("resizeNearestGray maps sources with exact floor arithmetic") {
+    // 4x2 -> 2x1: dst(x) takes src(x*4/2, 0*2/1) = src(2x, 0)
+    val src = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val out = MediaCodecs.resizeNearestGray(src, 4, 2, 2, 1)
+    assert(out.toSeq == Seq[Byte](10, 30))
+    // identity resize is a no-op
+    assert(MediaCodecs.resizeNearestGray(src, 4, 2, 4, 2).toSeq == src.toSeq)
+  }
+
   test("corrupt and foreign payloads quarantine as unknown") {
     val cases = Seq(
       Array.emptyByteArray,
