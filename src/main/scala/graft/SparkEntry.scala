@@ -68,5 +68,8 @@ object SparkEntry {
   def fixedCostBound: Set[String] =
     (streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs)
-      .map(_.name).toSet
+      .map(_.name).toSet ++
+      // non-streaming-package queries whose cost is drain choreography
+      // or fixed-size fixtures, not corpus volume
+      Set("q393_sink_time_travel", "q397_manifest_stream_tail")
 }

@@ -653,7 +653,57 @@ object SourceOps {
     }.reduce(_.unionByName(_)).orderBy("version")
   }
 
+  /** q397: the manifest sink tailed as a STREAM — each micro-batch is
+    * the file diff between committed manifest versions (commits ARE
+    * the change stream, the snapshot-tailing pattern). Two appends,
+    * two AvailableNow drains sharing one checkpoint: the second drain
+    * must process ONLY the second commit's files — the version offset
+    * in the checkpoint gives exactly-once at file granularity across
+    * restarts, with no directory listing anywhere. The final count
+    * proves no re-read (35 would mean batch A was double-counted). */
+  private val q397 = Q(
+    "q397_manifest_stream_tail",
+    """WITH allrows AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS k, r_name AS name FROM region
+      |  UNION ALL
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(name) AS min_name, max(name) AS max_name
+      |FROM allrows""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new java.io.File(s"/tmp/graft_q397_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val src = s"$base/src"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", src).mode("append").save()
+    def drain(): Unit = {
+      val q = s.readStream.format("graft.sources.ManifestSource")
+        .schema("k LONG, name STRING").option("path", src).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    write(Tables.load(s, dir, "region")
+      .select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name")))
+    drain()
+    write(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name")))
+    drain() // restart from the checkpointed version offset
+    s.read.schema("k LONG, name STRING").parquet(sink)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("name")).as("min_name"), max(col("name")).as("max_name"))
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272, q393)
+      q194, q237, q255, q262, q270, q272, q393, q397)
 }

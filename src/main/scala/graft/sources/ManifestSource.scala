@@ -62,7 +62,7 @@ private class ManifestReadTable(
     s"manifest_source($path${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = readSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -80,19 +80,47 @@ private class ManifestScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Streaming face: each micro-batch is the file-level DIFF between
+    * two committed manifest versions — the snapshot-tailing pattern
+    * (a table's commits ARE its change stream). Appends only add
+    * files, so the diff is exactly the new files; offsets are plain
+    * version numbers, so restarts resume exactly-once at file
+    * granularity from the checkpoint. A truncate expires the version
+    * history and a running stream fails loudly rather than silently
+    * re-reading rewritten data. */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, fullSchema, required)
+
   override def planInputPartitions(): Array[InputPartition] = {
+    val manifestName =
+      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
+    ManifestRead.files(path, manifestName)
+      .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new ManifestReaderFactory(fullSchema, required,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] object ManifestRead {
+  /** (file, rows) entries of one manifest, via the driver's Hadoop
+    * conf. Throws FileNotFoundException when the manifest is absent
+    * (never committed, or the version was expired by a truncate). */
+  def files(path: String, manifestName: String): Seq[(String, Long)] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val manifestName =
-      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
     val mp = new Path(dir, manifestName)
     if (!fs.exists(mp))
       throw new java.io.FileNotFoundException(
-        s"ManifestSource: $manifestName not found at $path" +
-          version.map(_ => " (expired by truncate, or never committed?)")
-            .getOrElse(""))
+        s"ManifestSource: $manifestName not found at $path " +
+          "(expired by truncate, or never committed?)")
     val in = fs.open(mp)
     val txt = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -103,8 +131,57 @@ private class ManifestScan(
     } finally in.close()
     """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
       .findAllMatchIn(txt)
-      .map(m => ManifestFilePartition(s"$path/${m.group(1)}", m.group(2).toLong)
-        : InputPartition)
+      .map(m => (m.group(1), m.group(2).toLong))
+      .toSeq
+  }
+
+  /** Highest committed manifest version at `path` (0 = none). */
+  def latestVersion(path: String): Long = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(path)
+    if (!fs.exists(dir)) return 0L
+    val vRe = """manifest-v(\d+)\.json""".r
+    fs.listStatus(dir).map(_.getPath.getName).collect {
+      case vRe(v) => v.toLong
+    }.foldLeft(0L)(math.max)
+  }
+}
+
+/** Offset = committed manifest version (0 = before the first commit). */
+private case class ManifestOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private class ManifestMicroBatchStream(
+    path: String, fullSchema: StructType, required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def latestOffset(): Offset =
+    ManifestOffset(ManifestRead.latestVersion(path))
+
+  override def initialOffset(): Offset = ManifestOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(""""version"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestOffset].version
+    val e = end.asInstanceOf[ManifestOffset].version
+    if (e <= s) return Array.empty
+    val endFiles = ManifestRead.files(path, s"manifest-v$e.json")
+    val startFiles: Set[String] =
+      if (s == 0) Set.empty
+      else ManifestRead.files(path, s"manifest-v$s.json").map(_._1).toSet
+    // appends only ADD files, so the version diff is exactly the new
+    // files; a missing start manifest (truncated mid-stream) throws in
+    // ManifestRead.files — fail loudly, never re-read rewritten data
+    endFiles.filterNot(f => startFiles.contains(f._1))
+      .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
       .toArray
   }
 
@@ -113,6 +190,9 @@ private class ManifestScan(
     new ManifestReaderFactory(fullSchema, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class ManifestFilePartition(file: String, rows: Long)

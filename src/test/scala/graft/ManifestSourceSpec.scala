@@ -98,6 +98,37 @@ class ManifestSourceSpec extends AnyFunSuite {
     assert(scans.nonEmpty && scans.head.scan.readSchema().fieldNames.toSeq == Seq("v"))
   }
 
+  test("streaming tail processes each commit's files exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = freshDir(); val sink = freshDir(); val ckpt = freshDir()
+    def append(ks: Seq[Long]): Unit =
+      ks.toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", src).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", src).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    append(Seq(1L, 2L)); drain()
+    val after1 = spark.read.schema("k LONG").parquet(sink)
+      .as[Long].collect().sorted.toSeq
+    assert(after1 == Seq(1L, 2L))
+    append(Seq(3L, 4L)); append(Seq(5L)); drain()
+    val after2 = spark.read.schema("k LONG").parquet(sink)
+      .as[Long].collect().sorted.toSeq
+    // exactly once: 1,2 never re-read; the two new commits both land
+    assert(after2 == Seq(1L, 2L, 3L, 4L, 5L), s"got $after2")
+    // an idle drain with nothing new emits nothing
+    drain()
+    val after3 = spark.read.schema("k LONG").parquet(sink)
+      .as[Long].collect().sorted.toSeq
+    assert(after3 == after2)
+  }
+
   test("a file shorter than its manifest row count fails loudly") {
     import spark.implicits._
     val out = freshDir()
