@@ -65,32 +65,98 @@ private class ManifestReadTable(
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.Filter
       private var required: StructType = readSchema
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // accept the comparison/null filters we can evaluate during the
+      // CSV parse; everything else stays a Spark-side residual. The
+      // accepted ones are evaluated row-by-row in the reader BEFORE
+      // rows are materialized/shipped — on a wide table this is the
+      // difference between shipping every row and shipping matches.
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ok, rest) = filters.partition(ManifestFilters.supports(readSchema, _))
+        pushed = ok
+        rest
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new ManifestScan(
-        path, version, readSchema, required)
+        path, version, readSchema, required, pushed)
     }
+}
+
+private object ManifestFilters {
+  import org.apache.spark.sql.sources._
+
+  /** Inequalities are accepted for NUMERIC columns only: Java's
+    * String.compareTo orders by UTF-16 code units while Spark's
+    * UTF8String orders by UTF-8 bytes — they disagree on supplementary
+    * characters, and a trusted-but-wrong pushed filter silently drops
+    * rows. String columns push only equality and null tests (exact in
+    * both orders). */
+  def supports(schema: StructType, f: Filter): Boolean = {
+    def numeric(a: String): Boolean =
+      schema.fieldNames.contains(a) &&
+        (schema(schema.fieldIndex(a)).dataType match {
+          case LongType | IntegerType | DoubleType => true
+          case _ => false
+        })
+    f match {
+      case EqualTo(a, _) => schema.fieldNames.contains(a)
+      case GreaterThan(a, _) => numeric(a)
+      case GreaterThanOrEqual(a, _) => numeric(a)
+      case LessThan(a, _) => numeric(a)
+      case LessThanOrEqual(a, _) => numeric(a)
+      case IsNull(a) => schema.fieldNames.contains(a)
+      case IsNotNull(a) => schema.fieldNames.contains(a)
+      case _ => false
+    }
+  }
+
+  /** Evaluate one filter against the raw parsed CSV fields (null =
+    * NULL). Comparisons convert through the declared column type; a
+    * NULL operand fails every comparison (SQL 3VL: unknown rows are
+    * filtered). */
+  def eval(schema: StructType, fields: Array[String], f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def raw(a: String): String = fields(schema.fieldIndex(a))
+    def cmp(a: String, v: Any): Option[Int] = {
+      val r = raw(a)
+      if (r == null || v == null) None
+      else Some(schema(schema.fieldIndex(a)).dataType match {
+        case LongType => java.lang.Long.compare(r.toLong, v.asInstanceOf[Number].longValue())
+        case IntegerType => java.lang.Integer.compare(r.toInt, v.asInstanceOf[Number].intValue())
+        case DoubleType => java.lang.Double.compare(r.toDouble, v.asInstanceOf[Number].doubleValue())
+        case StringType => r.compareTo(v.toString)
+        case dt => throw new UnsupportedOperationException(s"filter on $dt")
+      })
+    }
+    f match {
+      case EqualTo(a, v) => cmp(a, v).contains(0)
+      case GreaterThan(a, v) => cmp(a, v).exists(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
+      case LessThan(a, v) => cmp(a, v).exists(_ < 0)
+      case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case IsNull(a) => raw(a) == null
+      case IsNotNull(a) => raw(a) != null
+      case other => throw new IllegalStateException(s"unpushable filter $other")
+    }
+  }
 }
 
 private class ManifestScan(
     path: String, version: Option[Long],
-    fullSchema: StructType, required: StructType) extends Scan with Batch {
+    fullSchema: StructType, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-
-  /** Streaming face: each micro-batch is the file-level DIFF between
-    * two committed manifest versions — the snapshot-tailing pattern
-    * (a table's commits ARE its change stream). Appends only add
-    * files, so the diff is exactly the new files; offsets are plain
-    * version numbers, so restarts resume exactly-once at file
-    * granularity from the checkpoint. A truncate expires the version
-    * history and a running stream fails loudly rather than silently
-    * re-reading rewritten data. */
-  override def toMicroBatchStream(checkpointLocation: String)
-    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ManifestMicroBatchStream(path, fullSchema, required)
+  override def description(): String =
+    s"ManifestScan PushedFilters: [${filters.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestName =
@@ -103,8 +169,21 @@ private class ManifestScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     new ManifestReaderFactory(fullSchema, required,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      filters)
   }
+
+  /** Streaming face: each micro-batch is the file-level DIFF between
+    * two committed manifest versions — the snapshot-tailing pattern
+    * (a table's commits ARE its change stream). Appends only add
+    * files, so the diff is exactly the new files; offsets are plain
+    * version numbers, so restarts resume exactly-once at file
+    * granularity from the checkpoint. A truncate expires the version
+    * history and a running stream fails loudly rather than silently
+    * re-reading rewritten data. */
+  override def toMicroBatchStream(checkpointLocation: String)
+    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ManifestMicroBatchStream(path, fullSchema, required, filters)
 }
 
 private[sources] object ManifestRead {
@@ -155,7 +234,8 @@ private case class ManifestOffset(version: Long)
 }
 
 private class ManifestMicroBatchStream(
-    path: String, fullSchema: StructType, required: StructType)
+    path: String, fullSchema: StructType, required: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -188,7 +268,8 @@ private class ManifestMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     new ManifestReaderFactory(fullSchema, required,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      filters)
   }
 
   override def commit(end: Offset): Unit = ()
@@ -200,7 +281,9 @@ private case class ManifestFilePartition(file: String, rows: Long)
 
 private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,
-    hadoopConf: SerializableConfiguration) extends PartitionReaderFactory {
+    hadoopConf: SerializableConfiguration,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+  extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[ManifestFilePartition]
@@ -214,35 +297,41 @@ private class ManifestReaderFactory(
       private var readCount = 0L
 
       override def next(): Boolean = {
-        val line = reader.readLine()
-        if (line == null) {
-          if (readCount != part.rows)
-            throw new java.io.IOException(
-              s"ManifestSource: ${part.file} has $readCount rows, " +
-                s"manifest says ${part.rows} — torn or tampered file")
-          false
-        } else {
-          readCount += 1
-          val fields = splitCsv(line)
-          val vals = new Array[Any](required.length)
-          var i = 0
-          while (i < fieldIdx.length) {
-            val raw = fields(fieldIdx(i))
-            vals(i) =
-              if (raw == null) null
-              else required.fields(i).dataType match {
-                case LongType => raw.toLong
-                case IntegerType => raw.toInt
-                case DoubleType => raw.toDouble
-                case StringType => UTF8String.fromString(raw)
-                case dt => throw new UnsupportedOperationException(
-                  s"ManifestSource: unsupported read type $dt")
-              }
-            i += 1
+        while (true) {
+          val line = reader.readLine()
+          if (line == null) {
+            if (readCount != part.rows)
+              throw new java.io.IOException(
+                s"ManifestSource: ${part.file} has $readCount rows, " +
+                  s"manifest says ${part.rows} — torn or tampered file")
+            return false
           }
-          current = InternalRow.fromSeq(vals.toIndexedSeq)
-          true
+          readCount += 1 // counts ALL physical rows (tamper guard)
+          val fields = splitCsv(line)
+          // pushed filters run here, on the raw parse, BEFORE any row
+          // is materialized or shipped
+          if (filters.forall(ManifestFilters.eval(fullSchema, fields, _))) {
+            val vals = new Array[Any](required.length)
+            var i = 0
+            while (i < fieldIdx.length) {
+              val raw = fields(fieldIdx(i))
+              vals(i) =
+                if (raw == null) null
+                else required.fields(i).dataType match {
+                  case LongType => raw.toLong
+                  case IntegerType => raw.toInt
+                  case DoubleType => raw.toDouble
+                  case StringType => UTF8String.fromString(raw)
+                  case dt => throw new UnsupportedOperationException(
+                    s"ManifestSource: unsupported read type $dt")
+                }
+              i += 1
+            }
+            current = InternalRow.fromSeq(vals.toIndexedSeq)
+            return true
+          }
         }
+        false
       }
 
       override def get(): InternalRow = current
