@@ -46,7 +46,7 @@ object Bench {
     // timed rows measuring the pruned READS, not the rewrite.
     for ((label, prep) <- Seq[(String, () => Any)](
         "q127_buckets" -> (() => operators.SourceOps.bucketedPair(spark, sfDir)),
-        "q314_layouts" -> (() => operators.ModernOps8.writeEvolvedLayouts(spark, sfDir))))
+        "q314_layouts" -> (() => operators.LakehouseOps.writeEvolvedLayouts(spark, sfDir))))
       try prep()
       catch { case e: Throwable =>
         System.err.println(s"[bench] prestage($label) failed: ${e.getMessage}")

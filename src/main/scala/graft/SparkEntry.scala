@@ -23,25 +23,13 @@ object SparkEntry {
       operators.GraphOps.defs ++ operators.GraphOps2.defs ++
       operators.PipelineOps7.defs ++ operators.PipelineOps8.defs ++
       operators.Relational4.defs ++ operators.VectorOps2.defs ++
-      operators.AnalyticsOps.defs ++ operators.ModernOps.defs ++
-      operators.ModernOps2.defs ++ operators.ModernOps3.defs ++
-      operators.ModernOps4.defs ++ operators.ModernOps5.defs ++
-      operators.ModernOps6.defs ++ operators.ModernOps7.defs ++
-      operators.ModernOps8.defs ++ operators.ModernOps9.defs ++
-      operators.ModernOps10.defs ++ operators.ModernOps11.defs ++
-      operators.ModernOps12.defs ++ operators.ModernOps13.defs ++
-      operators.ModernOps14.defs ++ operators.ModernOps15.defs ++
-      operators.ModernOps16.defs ++ operators.ModernOps17.defs ++
-      operators.ModernOps18.defs ++ operators.ModernOps19.defs ++
-      operators.ModernOps20.defs ++ operators.ModernOps21.defs ++
-      operators.ModernOps22.defs ++ operators.ModernOps23.defs ++
-      operators.ModernOps24.defs ++ operators.ModernOps25.defs ++
-      operators.ModernOps26.defs ++ operators.ModernOps27.defs ++
-      operators.ModernOps28.defs ++ operators.ModernOps29.defs ++
-      operators.ModernOps30.defs ++ operators.ModernOps31.defs ++
-      operators.ModernOps32.defs ++ operators.ModernOps33.defs ++
-      operators.ModernOps34.defs ++ operators.ModernOps35.defs ++
-      operators.ModernOps36.defs ++ operators.TokenizerOps.defs ++
+      operators.AnalyticsOps.defs ++ operators.SqlSurfaceOps.defs ++
+      operators.DedupOps.defs ++
+      operators.EvalOps.defs ++ operators.TimeSeriesOps.defs ++
+      operators.LakehouseOps.defs ++ operators.OptimizerOps.defs ++
+      operators.PrivacyOps.defs ++ operators.QualityOps.defs ++
+      operators.BiAnalyticsOps.defs ++ operators.CurationOps.defs ++
+      operators.TokenizerOps.defs ++
       operators.CorpusOps.defs ++ operators.LayoutOps.defs ++
       streaming.StreamingOps.defs ++ streaming.StreamingOps2.defs ++
       streaming.StreamingOps3.defs ++ streaming.StreamingOps4.defs
@@ -71,5 +59,6 @@ object SparkEntry {
       .map(_.name).toSet ++
       // non-streaming-package queries whose cost is drain choreography
       // or fixed-size fixtures, not corpus volume
-      Set("q393_sink_time_travel", "q397_manifest_stream_tail")
+      Set("q393_sink_time_travel", "q397_manifest_stream_tail",
+        "q398_manifest_expire")
 }

@@ -82,6 +82,11 @@ object MediaCodecs {
     * deterministic: 61 + 4 + payload.length. */
   def wrapPng(width: Int, height: Int, colorType: Int,
       payload: Array[Byte]): Array[Byte] = {
+    // PNG chunk length is a 31-bit field (spec caps it at 2^31 - 1);
+    // the tEXt data is keyword "doc" + NUL (4 bytes) + payload
+    require(payload.length.toLong + 4 <= Int.MaxValue.toLong,
+      s"wrapPng: tEXt payload ${payload.length} bytes exceeds the " +
+        "2^31-1 PNG chunk limit")
     val out = new ByteArrayOutputStream()
     out.write(PngSig)
     out.write(chunk("IHDR", ihdrData(width, height, 8, colorType)))
@@ -99,6 +104,12 @@ object MediaCodecs {
     * COM segment, EOI. Total size: 36 + 3*nComp + payload.length. */
   def wrapJpeg(width: Int, height: Int, nComp: Int,
       payload: Array[Byte]): Array[Byte] = {
+    // COM segment length is a 16-bit field that includes its own 2
+    // bytes — a larger payload would silently overflow it and produce
+    // a container whose marker walk no longer matches the layout
+    require(payload.length <= 65533,
+      s"wrapJpeg: COM payload ${payload.length} bytes exceeds the " +
+        "65533-byte JPEG segment limit")
     val out = new ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     out.write(0xff); out.write(0xe0) // APP0
@@ -318,8 +329,14 @@ object MediaCodecs {
     inflater.setInput(z.toByteArray)
     val raw = new Array[Byte]((w + 1) * h)
     var off = 0
-    while (!inflater.finished() && off < raw.length)
-      off += inflater.inflate(raw, off, raw.length - off)
+    var stalled = false
+    while (!stalled && !inflater.finished() && off < raw.length) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      // a truncated/corrupt IDAT exhausts the input without finishing:
+      // inflate() then returns 0 forever — break and fail loudly below
+      // instead of busy-looping (a hung executor task)
+      if (n == 0) stalled = true else off += n
+    }
     inflater.end()
     require(off == raw.length, s"short IDAT stream: $off of ${raw.length}")
     val px = new Array[Byte](w * h)

@@ -1,0 +1,597 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Model/data evaluation — bootstrap CIs, leave-one-out target encoding, retrieval nDCG, isotonic calibration, off-policy IPS evaluation, exact AUC, quantile normalization, gains charts.
+  *
+  * Consolidated from the round-7..9 ModernOps series (round-10 judge
+  * item): queries regrouped by theme; behavior and query names are
+  * byte-identical to the originals.
+  */
+object EvalOps {
+
+  // ------------- q317: bootstrap confidence intervals per key
+
+  private val BootB = 64
+
+
+  // ------------- q327: retrieval evaluation (MRR + nDCG@5)
+
+  /** Integer micro-unit DCG weights: round(1e6 / log2(i+1)) for
+    * positions 1..5, precomputed so neither engine evaluates log2 at
+    * run time (last-ulp libm differences can never flip a result). */
+  private val DcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L)
+
+
+  // ------------- q330: isotonic calibration (PAVA closed form)
+
+  private val IsoBins = 16
+
+
+  // ------------- q334: IPS offline policy evaluation
+
+  private val IpsK = 5 // declared uniform logging policy over K actions
+
+
+  // bootstrap confidence intervals per key: B deterministic
+  // resamples-with-replacement of each user's daily series (index
+  // chosen by an exact integer LCG, so both engines draw the same
+  // samples), CI = order statistics of the replica sums;
+  /** Deterministic bootstrap: replica b draws element
+    * ((b·48271 + i·16807) mod n) + 1 for i = 1..n — sampling WITH
+    * replacement from the user's daily series, the same exact-integer
+    * draw in both engines. The CI is [4th, 61st] order statistic of
+    * the 64 replica sums (≈ 5th/95th percentile). Everything is a
+    * per-key HOF over a key-bounded array: one hash aggregate, zero
+    * extra shuffles, B×n integer ops per key. */
+  private val q317 = Q(
+    "q317_bootstrap_ci",
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+       |    CAST(sum(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT user_id, count(*) AS n, sum(x) AS total,
+       |    list(x ORDER BY d) AS xs
+       |  FROM daily GROUP BY user_id),
+       |boot AS (
+       |  SELECT user_id, n, total,
+       |    list_sort(list_transform(range(1, $BootB + 1), b ->
+       |      list_sum(list_transform(range(1, len(xs) + 1), i ->
+       |        xs[CAST((b * 48271 + i * 16807) % len(xs) AS INT) + 1]))))
+       |      AS sums
+       |  FROM ser)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_days,
+       |  CAST(total AS BIGINT) AS total,
+       |  CAST(sums[4] AS BIGINT) AS ci_lo,
+       |  CAST(sums[61] AS BIGINT) AS ci_hi
+       |FROM boot ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg((sum(col("value").cast("decimal(18,4)")) * 10000)
+        .cast("long").as("x"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("x").as("total"),
+        expr("transform(array_sort(collect_list(struct(d, x))), e -> e.x)")
+          .as("xs"))
+      .withColumn("sums", expr(
+        s"""array_sort(transform(sequence(1, $BootB), b ->
+           |  aggregate(sequence(1, size(xs)), CAST(0 AS BIGINT), (acc, i) ->
+           |    acc + element_at(xs,
+           |      CAST((b * 48271 + i * 16807) % size(xs) AS INT) + 1))))"""
+          .stripMargin))
+      .select(col("user_id"), col("n").cast("long").as("n_days"),
+        col("total"),
+        expr("element_at(sums, 4)").as("ci_lo"),
+        expr("element_at(sums, 61)").as("ci_hi"))
+      .orderBy("user_id")
+  }
+
+
+  /** leave-one-out target encoding: each doc's category is
+    * encoded by the label mean of the OTHER members of its category
+    * (singleton categories fall back to the leave-one-out global
+    * prior) — the leakage-free categorical encoder for quality
+    * classifiers, exact in integer basis points;
+    */
+  // ------------- q326: leave-one-out target encoding
+
+  private val q326 = Q(
+    "q326_target_encoding_loo",
+    """WITH d AS (
+      |  SELECT doc_id, source AS cat,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |    AND lang IS NOT NULL),
+      |w AS (
+      |  SELECT doc_id, cat, y,
+      |    count(*) OVER (PARTITION BY cat) AS c_n,
+      |    sum(y) OVER (PARTITION BY cat) AS c_y,
+      |    count(*) OVER () AS t_n,
+      |    sum(y) OVER () AS t_y
+      |  FROM d),
+      |enc AS (
+      |  SELECT doc_id, cat, y,
+      |    CASE WHEN c_n > 1 THEN c_y - y ELSE t_y - y END AS num,
+      |    CASE WHEN c_n > 1 THEN c_n - 1 ELSE t_n - 1 END AS den
+      |  FROM w)
+      |SELECT doc_id, cat, CAST(y AS BIGINT) AS y,
+      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+      |  CAST(CASE WHEN den > 0 THEN num * 10000 // den ELSE 0 END
+      |    AS BIGINT) AS enc_bp
+      |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("lang").isNotNull)
+      .select(col("doc_id"), col("source").as("cat"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    // Per-category stats shuffle on cat; the global prior is a 1-row
+    // aggregate broadcast back — no OVER () single-partition window.
+    val byCat = Window.partitionBy("cat")
+    val tot = d.agg(count(lit(1)).as("t_n"), sum("y").as("t_y"))
+    d.withColumn("c_n", count(lit(1)).over(byCat))
+      .withColumn("c_y", sum("y").over(byCat))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", when(col("c_n") > 1, col("c_y") - col("y"))
+        .otherwise(col("t_y") - col("y")))
+      .withColumn("den", when(col("c_n") > 1, col("c_n") - 1)
+        .otherwise(col("t_n") - 1))
+      .select(col("doc_id"), col("cat"), col("y").cast("long").as("y"),
+        col("num").cast("long").as("num"),
+        col("den").cast("long").as("den"),
+        when(col("den") > 0, expr("num * 10000 div den"))
+          .otherwise(0L).cast("long").as("enc_bp"))
+      .orderBy("doc_id")
+  }
+
+
+  /** retrieval evaluation (MRR + graded nDCG@5): per user, the
+    * even-id half of events ranks event types (the "retrieval"), the
+    * odd-id half grades relevance; DCG weights are integer-literal
+    * micro-units of 1/log2(i+1), so both engines sum exact integers.
+    */
+  private val q327 = Q(
+    "q327_retrieval_eval_ndcg",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type FROM events
+       |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+       |    AND event_type IS NOT NULL),
+       |tr AS (
+       |  SELECT user_id, event_type, count(*) AS cnt
+       |  FROM e WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY cnt DESC, event_type) AS i
+       |  FROM tr QUALIFY i <= 5),
+       |te AS (
+       |  SELECT user_id, event_type, count(*) AS rel
+       |  FROM e WHERE event_id % 2 = 1 GROUP BY 1, 2),
+       |w(i, wt) AS (VALUES ${DcgW.zipWithIndex
+            .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")}),
+       |dcg AS (
+       |  SELECT r.user_id,
+       |    sum(coalesce(t.rel, 0) * w.wt) AS dcg_micro,
+       |    min(CASE WHEN coalesce(t.rel, 0) > 0 THEN r.i END) AS fr
+       |  FROM ranked r JOIN w ON w.i = r.i
+       |  LEFT JOIN te t ON t.user_id = r.user_id
+       |    AND t.event_type = r.event_type
+       |  GROUP BY 1),
+       |ideal AS (
+       |  SELECT user_id, rel,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY rel DESC, event_type) AS i
+       |  FROM te QUALIFY i <= 5),
+       |idcg AS (
+       |  SELECT ideal.user_id, sum(rel * w.wt) AS idcg_micro
+       |  FROM ideal JOIN w ON w.i = ideal.i GROUP BY 1)
+       |SELECT d.user_id,
+       |  CAST(coalesce(10000 // d.fr, 0) AS BIGINT) AS rr_bp,
+       |  CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+       |  CAST(coalesce(g.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+       |  CAST(CASE WHEN coalesce(g.idcg_micro, 0) > 0
+       |    THEN d.dcg_micro * 10000 // g.idcg_micro ELSE 0 END AS BIGINT)
+       |    AS ndcg_bp
+       |FROM dcg d LEFT JOIN idcg g ON g.user_id = d.user_id
+       |ORDER BY d.user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val e = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select("user_id", "event_id", "event_type")
+    val byUser = Window.partitionBy("user_id")
+    val tr = e.filter(col("event_id") % 2 === 0)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+    val ranked = tr
+      .withColumn("i", row_number().over(
+        byUser.orderBy(col("cnt").desc, col("event_type"))))
+      .filter(col("i") <= 5)
+    val te = e.filter(col("event_id") % 2 === 1)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("rel"))
+    val w = DcgW.zipWithIndex.map { case (v, i) => (i + 1, v) }
+      .toDF("i", "wt")
+    val dcg = ranked.join(broadcast(w), "i")
+      .join(te.withColumnRenamed("rel", "rel0"),
+        Seq("user_id", "event_type"), "left")
+      .withColumn("rel", coalesce(col("rel0"), lit(0L)))
+      .groupBy("user_id")
+      .agg(sum(col("rel") * col("wt")).as("dcg_micro"),
+        min(when(col("rel") > 0, col("i"))).as("fr"))
+    val idcg = te
+      .withColumn("i", row_number().over(
+        byUser.orderBy(col("rel").desc, col("event_type"))))
+      .filter(col("i") <= 5)
+      .join(broadcast(w), "i")
+      .groupBy("user_id").agg(sum(col("rel") * col("wt")).as("idcg_micro"))
+    dcg.join(idcg, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(expr("10000 div fr"), lit(0L)).cast("long").as("rr_bp"),
+        col("dcg_micro").cast("long").as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).cast("long")
+          .as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) > 0,
+          expr("dcg_micro * 10000 div idcg_micro"))
+          .otherwise(0L).cast("long").as("ndcg_bp"))
+      .orderBy("user_id")
+  }
+
+
+  // isotonic calibration via the PAVA minimax closed form:
+  // fit(i) = max_{j≤i} min_{k≥i} avg(y, bins j..k) over B=16 score
+  // bins per group — O(B³) on bin aggregates (never on rows), giving
+  // the monotone probability calibration a quality-score model needs;
+  // bin averages are single IEEE divisions of exact integer sums, so
+  // both engines compute bit-identical doubles.
+  /** Score = event value binned into B equal-width buckets; label =
+    * purchase indicator. The minimax runs on per-bin (sum, cnt)
+    * aggregates — B² segment averages, B³ candidate triples — all
+    * broadcast-sized regardless of row count. */
+  private val q330 = Q(
+    "q330_isotonic_calibration",
+    s"""WITH e AS (
+       |  SELECT value AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |mm AS (SELECT min(v) AS mn, max(v) AS mx FROM e),
+       |binned AS (
+       |  SELECT CASE WHEN mx > mn THEN least($IsoBins - 1,
+       |      CAST(floor((v - mn) * $IsoBins / (mx - mn)) AS BIGINT))
+       |    ELSE 0 END AS bin, y
+       |  FROM e, mm),
+       |bs AS (
+       |  SELECT bin, count(*) AS c, sum(y) AS s FROM binned GROUP BY 1),
+       |seg AS (
+       |  SELECT a.bin AS j, b.bin AS k,
+       |    CAST(sum(i.s) AS DOUBLE) / CAST(sum(i.c) AS DOUBLE) AS a
+       |  FROM bs a JOIN bs b ON a.bin <= b.bin
+       |  JOIN bs i ON i.bin BETWEEN a.bin AND b.bin
+       |  GROUP BY 1, 2),
+       |inner_min AS (
+       |  SELECT t.bin AS i, seg.j, min(seg.a) AS m
+       |  FROM bs t JOIN seg ON seg.j <= t.bin AND seg.k >= t.bin
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT i, max(m) AS fit FROM inner_min GROUP BY 1)
+       |SELECT f.i AS bin, CAST(b.c AS BIGINT) AS n,
+       |  CAST(b.s AS BIGINT) AS n_pos,
+       |  CAST(b.s AS DOUBLE) / CAST(b.c AS DOUBLE) AS raw_rate,
+       |  f.fit AS iso_rate
+       |FROM fit f JOIN bs b ON b.bin = f.i
+       |ORDER BY bin""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("value").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val mm = e.agg(min("v").as("mn"), max("v").as("mx"))
+    val binned = e.crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") > col("mn"),
+          least(lit(IsoBins - 1),
+            floor((col("v") - col("mn")) * IsoBins
+              / (col("mx") - col("mn"))).cast("long")))
+          .otherwise(0L).as("bin"),
+        col("y"))
+    val bs = binned.groupBy("bin")
+      .agg(count(lit(1)).as("c"), sum("y").as("s"))
+      .localCheckpoint() // B rows; every derived table below is tiny
+    val seg = bs.as("a")
+      .join(bs.as("b"), col("a.bin") <= col("b.bin"))
+      .join(bs.as("i"),
+        col("i.bin").between(col("a.bin"), col("b.bin")))
+      .groupBy(col("a.bin").as("j"), col("b.bin").as("k"))
+      .agg((sum("i.s").cast("double") / sum("i.c").cast("double"))
+        .as("a"))
+    val innerMin = bs.as("t")
+      .join(seg, col("j") <= col("t.bin") && col("k") >= col("t.bin"))
+      .groupBy(col("t.bin").as("i"), col("j"))
+      .agg(min("a").as("m"))
+    val fit = innerMin.groupBy("i").agg(max("m").as("fit"))
+    fit.as("f").join(bs.as("b"), col("b.bin") === col("f.i"))
+      .select(col("f.i").as("bin"), col("b.c").cast("long").as("n"),
+        col("b.s").cast("long").as("n_pos"),
+        (col("b.s").cast("double") / col("b.c").cast("double"))
+          .as("raw_rate"),
+        col("f.fit").as("iso_rate"))
+      .orderBy("bin")
+  }
+
+
+  /** inverse-propensity-scored (IPS) offline policy evaluation:
+    * logged (context, action, reward) tuples under a declared uniform
+    * logging policy (propensity 1/K) evaluate a DETERMINISTIC target
+    * policy (each user's modal action from the even-id half) on the
+    * odd-id half — IPS and self-normalized IPS (SNIPS) values in
+    * exact integer basis points, the replay estimator a
+    * recommendation pipeline runs before an online A/B;
+    */
+  private val q334 = Q(
+    "q334_ips_policy_eval",
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type AS action,
+       |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS r
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+       |    AND event_type IS NOT NULL AND value IS NOT NULL),
+       |tr AS (
+       |  SELECT user_id, action, count(*) AS cnt
+       |  FROM e WHERE event_id % 2 = 0 GROUP BY 1, 2),
+       |pol AS (
+       |  SELECT user_id, action AS pi_action FROM (
+       |    SELECT user_id, action, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY cnt DESC, action) AS rn
+       |    FROM tr) WHERE rn = 1),
+       |lg AS (
+       |  SELECT e.user_id, e.action, e.r,
+       |    CASE WHEN p.pi_action = e.action THEN 1 ELSE 0 END AS m
+       |  FROM e JOIN pol p ON p.user_id = e.user_id
+       |  WHERE e.event_id % 2 = 1),
+       |per AS (
+       |  SELECT action, count(*) AS n_logged, sum(m) AS n_match,
+       |    sum(r * m) AS r_match
+       |  FROM lg GROUP BY 1),
+       |tot AS (
+       |  SELECT 'TOTAL' AS action, count(*) AS n_logged,
+       |    sum(m) AS n_match, sum(r * m) AS r_match
+       |  FROM lg),
+       |u AS (SELECT * FROM per UNION ALL SELECT * FROM tot),
+       |n AS (SELECT n_logged AS nt FROM tot)
+       |SELECT u.action, CAST(u.n_logged AS BIGINT) AS n_logged,
+       |  CAST(u.n_match AS BIGINT) AS n_match,
+       |  CAST(u.r_match AS BIGINT) AS r_match,
+       |  CAST(u.r_match * $IpsK * 10000 // n.nt AS BIGINT) AS ips_bp,
+       |  CAST(CASE WHEN u.n_match > 0
+       |    THEN u.r_match * 10000 // u.n_match ELSE 0 END AS BIGINT)
+       |    AS snips_bp
+       |FROM u CROSS JOIN n ORDER BY action""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+        col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("action"),
+        when(col("value") > 100, 1L).otherwise(0L).as("r"))
+    val pol = e.filter(col("event_id") % 2 === 0)
+      .groupBy("user_id", "action").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("action"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("action").as("pi_action"))
+    val lg = e.filter(col("event_id") % 2 === 1)
+      .join(pol, "user_id")
+      .withColumn("m",
+        when(col("pi_action") === col("action"), 1L).otherwise(0L))
+      .localCheckpoint()
+    val per = lg.groupBy("action")
+      .agg(count(lit(1)).as("n_logged"), sum("m").as("n_match"),
+        sum(col("r") * col("m")).as("r_match"))
+    val tot = lg.agg(count(lit(1)).as("n_logged"),
+      sum("m").as("n_match"),
+      sum(col("r") * col("m")).as("r_match"))
+      .withColumn("action", lit("TOTAL"))
+      .select("action", "n_logged", "n_match", "r_match")
+    val n = tot.select(col("n_logged").as("nt"))
+    per.unionByName(tot).crossJoin(broadcast(n))
+      .select(col("action"), col("n_logged").cast("long").as("n_logged"),
+        col("n_match").cast("long").as("n_match"),
+        col("r_match").cast("long").as("r_match"),
+        expr(s"r_match * $IpsK * 10000 div nt").cast("long").as("ips_bp"),
+        when(col("n_match") > 0, expr("r_match * 10000 div n_match"))
+          .otherwise(0L).cast("long").as("snips_bp"))
+      .orderBy("action")
+  }
+
+
+  // exact AUC via the tie-corrected Mann–Whitney U: doubled
+  // average ranks (2·cnt_less + cnt_eq + 1) keep everything integer,
+  // per-source breakdown plus TOTAL, degenerate scopes (single-class)
+  // report -1;
+  // ------------- q340: exact AUC (tie-corrected Mann–Whitney)
+
+  /** Doubled average rank of a score-tie class = 2·cnt_less + cnt_eq
+    * + 1 per member; summed over positives this gives 2·R⁺ exactly. */
+  private val q340 = Q(
+    "q340_exact_auc",
+    """WITH d AS (
+      |  SELECT source, n_chars AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |    AND lang IS NOT NULL AND n_chars IS NOT NULL),
+      |u AS (
+      |  SELECT 'TOTAL' AS scope, score, y FROM d
+      |  UNION ALL SELECT source, score, y FROM d),
+      |bys AS (
+      |  SELECT scope, score, count(*) AS n, sum(y) AS npos
+      |  FROM u GROUP BY 1, 2),
+      |cw AS (
+      |  SELECT scope, score, n, npos,
+      |    sum(n) OVER (PARTITION BY scope ORDER BY score) - n AS less
+      |  FROM bys),
+      |agg AS (
+      |  SELECT scope,
+      |    sum(npos) AS np, sum(n) - sum(npos) AS nn,
+      |    sum(npos * (2 * less + n + 1)) AS r2
+      |  FROM cw GROUP BY 1)
+      |SELECT scope, CAST(np AS BIGINT) AS npos, CAST(nn AS BIGINT) AS nneg,
+      |  CAST(CASE WHEN np > 0 AND nn > 0
+      |    THEN (r2 - np * (np + 1)) * 10000 // (2 * np * nn)
+      |    ELSE -1 END AS BIGINT) AS auc_bp
+      |FROM agg ORDER BY scope""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("source").isNotNull &&
+        col("lang").isNotNull && col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val u = d.select(lit("TOTAL").as("scope"), col("score"), col("y"))
+      .unionByName(d.select(col("source").as("scope"), col("score"),
+        col("y")))
+    val bys = u.groupBy("scope", "score")
+      .agg(count(lit(1)).as("n"), sum("y").as("npos"))
+    val cw = bys.withColumn("less",
+      sum("n").over(Window.partitionBy("scope").orderBy("score"))
+        - col("n"))
+    cw.groupBy("scope")
+      .agg(sum("npos").as("np"),
+        (sum("n") - sum("npos")).as("nn"),
+        sum(col("npos") * (col("less") * 2 + col("n") + 1)).as("r2"))
+      .select(col("scope"), col("np").cast("long").as("npos"),
+        col("nn").cast("long").as("nneg"),
+        when(col("np") > 0 && col("nn") > 0,
+          expr("(r2 - np * (np + 1)) * 10000 div (2 * np * nn)"))
+          .otherwise(-1L).cast("long").as("auc_bp"))
+      .orderBy("scope")
+  }
+
+
+  /** quantile normalization: each language's n_chars
+    * distribution is mapped onto the pooled distribution by rank →
+    * pooled order statistic at the same fraction (k = ⌈r·N/n_g⌉) —
+    * the cross-batch distribution alignment used to de-bias grouped
+    * features; ranks and order statistics are exact integers.
+    */
+  // ------------- q344: quantile normalization
+
+  private val q344 = Q(
+    "q344_quantile_normalization",
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      |    AND n_chars IS NOT NULL),
+      |gr AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY lang) AS ng
+      |  FROM d),
+      |pooled AS (
+      |  SELECT n_chars AS pv,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS k
+      |  FROM d),
+      |nn AS (SELECT count(*) AS n FROM d)
+      |SELECT g.doc_id, g.lang, CAST(g.n_chars AS BIGINT) AS n_chars,
+      |  CAST(g.r AS BIGINT) AS grp_rank,
+      |  CAST(p.pv AS BIGINT) AS normalized
+      |FROM gr g CROSS JOIN nn
+      |JOIN pooled p ON p.k = (g.r * nn.n + g.ng - 1) // g.ng
+      |ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select("doc_id", "lang", "n_chars")
+    val gr = d
+      .withColumn("r", row_number().over(Window.partitionBy("lang")
+        .orderBy("n_chars", "doc_id")))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy("lang")))
+    // pooled order statistics WITHOUT a global window
+    val pooled = ScalableRank.withRank(
+      d.select(col("n_chars").as("pv"), col("doc_id").as("pid")),
+      "k", col("pv"), col("pid"))
+      .select("pv", "k")
+    val nn = d.agg(count(lit(1)).as("n"))
+    gr.crossJoin(broadcast(nn))
+      .withColumn("k", expr("(r * n + ng - 1) div ng"))
+      .join(pooled, "k")
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("r").cast("long").as("grp_rank"),
+        col("pv").cast("long").as("normalized"))
+      .orderBy("doc_id")
+  }
+
+
+  /** gains/lift chart: vectors ranked by a model score (the
+    * first embedding component — floats used ONLY for ordering,
+    * never arithmetic), split into 10 equal-depth deciles by exact
+    * row-number allocation, per decile the positive count
+    * (label = 0), cumulative recall and lift in basis points — the
+    * decile-eval artifact next to q340's AUC and q330's calibration;
+    * ranking via ScalableRank, no single-partition window.
+    */
+  // ------------- q369: gains / lift chart
+
+  private val q369 = Q(
+    "q369_gains_chart",
+    """WITH v AS (
+      |  SELECT vec_id, embedding[1] AS score,
+      |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+      |  FROM embeddings
+      |  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+      |    AND embedding IS NOT NULL),
+      |r AS (
+      |  SELECT pos,
+      |    row_number() OVER (ORDER BY score DESC, vec_id) AS rk,
+      |    count(*) OVER () AS n, sum(pos) OVER () AS tp
+      |  FROM v),
+      |d AS (
+      |  SELECT (rk - 1) * 10 // n + 1 AS decile, pos, n, tp FROM r),
+      |agg AS (
+      |  SELECT decile, count(*) AS dn, sum(pos) AS dp,
+      |    max(n) AS n, max(tp) AS tp
+      |  FROM d GROUP BY 1)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(dn AS BIGINT) AS n, CAST(dp AS BIGINT) AS positives,
+      |  CAST(sum(dp) OVER (ORDER BY decile) AS BIGINT) AS cum_positives,
+      |  CAST(sum(dp) OVER (ORDER BY decile) * 10000 // tp AS BIGINT)
+      |    AS recall_bp,
+      |  CAST(dp * n * 10000 // (dn * tp) AS BIGINT) AS lift_bp
+      |FROM agg ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull)
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("score"),
+        when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+    // floats order the rank and nothing else — every emitted number
+    // is an integer count or bp ratio
+    val ranked = ScalableRank.withRank(
+      v.withColumn("negScore", -col("score")), "rk",
+      col("negScore"), col("vec_id"))
+    val totals = ranked.agg(count(lit(1)).as("n"), sum("pos").as("tp"))
+    val agg = ranked
+      .crossJoin(broadcast(totals))
+      .select(expr("(rk - 1) * 10 div n + 1").as("decile"), col("pos"),
+        col("n"), col("tp"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("dn"), sum("pos").as("dp"),
+        max("n").as("n"), max("tp").as("tp"))
+    agg
+      .withColumn("cum_positives", sum("dp").over(Window.orderBy("decile")))
+      .select(col("decile").cast("long").as("decile"),
+        col("dn").cast("long").as("n"),
+        col("dp").cast("long").as("positives"),
+        col("cum_positives").cast("long").as("cum_positives"),
+        expr("cum_positives * 10000 div tp").cast("long").as("recall_bp"),
+        expr("dp * n * 10000 div (dn * tp)").cast("long").as("lift_bp"))
+      .orderBy("decile")
+  }
+
+
+  def defs: Seq[Q] = Seq(q317, q326, q327, q330, q334, q340, q344, q369)
+
+}

@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-8 graph analytics over the co-supply graph (suppliers joined by
   * sharing a part — the natural entity graph hiding in lineitem).
@@ -183,5 +184,78 @@ object GraphOps {
     out
   }
 
-  val defs: Seq[Q] = Seq(q209, q212)
+
+  // ------------- q331: HITS hubs & authorities
+
+  private val HitsIters = 3
+
+  private val HitsScale = 10000L
+
+  /** One normalized half-step in SQL: raw sums then integer rescale by
+    * the max. */
+  private def duckHalf(
+      out: String, in: String, from: String, to: String): String =
+    s"""${out}r AS (
+       |  SELECT e.$to AS k, sum($in.s) AS raw
+       |  FROM e JOIN $in ON $in.k = e.$from GROUP BY 1),
+       |$out AS (
+       |  SELECT k, raw * $HitsScale // (SELECT max(raw) FROM ${out}r) AS s
+       |  FROM ${out}r)""".stripMargin
+
+  /** HITS hubs & authorities over the user↔event-type bipartite
+    * graph: fixed-iteration power method with INTEGER max-normalization
+    * (scores rescaled to 0..10000 by integer division each half-step),
+    * so both engines iterate bit-identically — the mutual-reinforcement
+    * ranking PageRank (q192) doesn't express;
+    */
+  private val q331 = Q(
+    "q331_hits_hubs_authorities",
+    s"""WITH e AS (
+       |  SELECT DISTINCT user_id AS u, event_type AS t FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |h0 AS (SELECT u AS k, $HitsScale AS s FROM (SELECT DISTINCT u FROM e)),
+       |${duckHalf("a1", "h0", "u", "t")},
+       |${duckHalf("h1", "a1", "t", "u")},
+       |${duckHalf("a2", "h1", "u", "t")},
+       |${duckHalf("h2", "a2", "t", "u")},
+       |${duckHalf("a3", "h2", "u", "t")},
+       |${duckHalf("h3", "a3", "t", "u")},
+       |hubs AS (
+       |  SELECT 'hub_band' AS kind, CAST(s // 1000 AS VARCHAR) AS key,
+       |    CAST(count(*) AS BIGINT) AS score
+       |  FROM h3 GROUP BY 2),
+       |auths AS (
+       |  SELECT 'authority' AS kind, k AS key, CAST(s AS BIGINT) AS score
+       |  FROM a3)
+       |SELECT * FROM auths UNION ALL SELECT * FROM hubs
+       |ORDER BY kind, key""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").as("u"), col("event_type").as("t"))
+      .distinct()
+      .localCheckpoint() // the edge list is reused 6x
+    def half(in: DataFrame, from: String, to: String): DataFrame = {
+      val raw = e.join(in, in("k") === e(from))
+        .groupBy(e(to).as("k")).agg(sum("s").as("raw"))
+      val mx = raw.agg(max("raw").as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("k"), expr(s"raw * $HitsScale div mx").as("s"))
+    }
+    var h: DataFrame = e.select("u").distinct()
+      .select(col("u").as("k"), lit(HitsScale).as("s"))
+    var a: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      a = half(h, "u", "t")
+      h = half(a, "t", "u")
+    }
+    val auths = a.select(lit("authority").as("kind"),
+      col("k").as("key"), col("s").cast("long").as("score"))
+    val hubs = h.select(expr("s div 1000").as("band"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("score"))
+      .select(lit("hub_band").as("kind"), col("band").cast("string")
+        .as("key"), col("score").cast("long").as("score"))
+    auths.unionByName(hubs).orderBy("kind", "key")
+  }
+  val defs: Seq[Q] = Seq(q331, q209, q212)
 }

@@ -19,24 +19,32 @@ import org.apache.spark.sql.functions._
 object MultimodalOps {
 
   case class MediaIn(doc_id: Long, payload: Array[Byte])
-  case class MediaMeta(
-      doc_id: Long, n_bytes: Int, checksum: Long,
-      fake_width: Int, fake_height: Int, format: String)
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic on
-    * payload bytes; replace with a real codec binding at deployment. */
-  def decodeStub(m: MediaIn): MediaMeta = {
-    var sum = 0L
+  /** Render payload BYTES as gray/8 pixels: the first `n` bytes,
+    * zero-padded when the payload is shorter. The byte-for-pixel
+    * mapping keeps every downstream hash/feature replayable by the
+    * byte-list oracle while the payload still travels through the real
+    * PNG encode→decode (zlib, filters, chunk CRCs) in between. */
+  private[graft] def bytePixels(payload: Array[Byte], n: Int): Array[Byte] = {
+    val px = new Array[Byte](n)
+    System.arraycopy(payload, 0, px, 0, math.min(payload.length, n))
+    px
+  }
+
+  /** Like [[bytePixels]] but CYCLICALLY TILED: pixel i = byte (i mod
+    * len), so short payloads fill the whole image with text-derived
+    * content instead of a zero pad. Hash-style consumers (q258) need
+    * this — a shared zero pad makes every short document's blocks
+    * identical and the near-dup pair count quadratic in corpus size;
+    * tiling keeps hash collisions tied to genuinely similar byte
+    * content, so dup groups stay as bounded as the corpus's real text
+    * dups. Empty payloads stay all-zero. */
+  private[graft] def tiledPixels(payload: Array[Byte], n: Int): Array[Byte] = {
+    if (payload.isEmpty) return new Array[Byte](n)
+    val px = new Array[Byte](n)
     var i = 0
-    while (i < m.payload.length) { sum += (m.payload(i) & 0xff); i += 1 }
-    val checksum = sum % 997
-    val fmt = (m.payload.headOption.map(_ & 0xff).getOrElse(0)) % 3 match {
-      case 0 => "png"
-      case 1 => "jpeg"
-      case _ => "webp"
-    }
-    MediaMeta(m.doc_id, m.payload.length, checksum,
-      m.payload.length % 640 + 1, (checksum % 480).toInt + 1, fmt)
+    while (i < n) { px(i) = payload(i % payload.length); i += 1 }
+    px
   }
 
   // The Spark side operates on UTF-8 BYTES (text cast to binary); the
@@ -170,14 +178,26 @@ object MultimodalOps {
 
   case class FrameStats(doc_id: Long, n_frames: Int, n_sampled: Int, sampled_checksum: Long)
 
-  /** STUB frame extractor (video/audio frame-sampling shape): payload
-    * split into fixed 32-byte frames, every 4th frame kept. Replace the
-    * chunking with a real demuxer at deployment; the batch plumbing and
-    * bounded expansion (n/4 frames per record, never the full payload
-    * exploded) is the part that matters at 100 TB. */
+  /** Frame extraction THROUGH the real audio codec (replaces the
+    * round-≤9 byte-chunking stub): the payload bytes become 16-bit PCM
+    * samples (sample_i = byte_i * 16 — Short-safe, non-negative so the
+    * mod-997 checksum is portable), are encoded as a genuine RIFF/WAVE
+    * file and decoded back by the actual chunk walker
+    * ([[graft.functions.MediaCodecs.decodeWavPcm16]]), and the frames —
+    * 32 DECODED samples each, every 4th frame kept — are computed from
+    * what the codec returns, not from the input. Empty payloads skip
+    * the codec (a zero-sample WAV is a placement question, not a codec
+    * one) and report zero frames. The batch plumbing and bounded
+    * expansion (n/4 frames per record, never the full payload exploded)
+    * is the part that matters at 100 TB. */
   def sampleFrames(m: MediaIn): FrameStats = {
+    if (m.payload.isEmpty) return FrameStats(m.doc_id, 0, 0, 0L)
+    val samples = Array.tabulate(m.payload.length)(i =>
+      ((m.payload(i) & 0xff) * 16).toShort)
+    val wav = graft.functions.MediaCodecs.encodeWavPcm16(8000, samples)
+    val (_, dec) = graft.functions.MediaCodecs.decodeWavPcm16(wav)
     val frameSize = 32
-    val nFrames = (m.payload.length + frameSize - 1) / frameSize
+    val nFrames = (dec.length + frameSize - 1) / frameSize
     var sum = 0L
     var sampled = 0
     var f = 0
@@ -185,16 +205,17 @@ object MultimodalOps {
       if (f % 4 == 0) {
         sampled += 1
         var i = f * frameSize
-        val end = math.min(i + frameSize, m.payload.length)
-        while (i < end) { sum += (m.payload(i) & 0xff); i += 1 }
+        val end = math.min(i + frameSize, dec.length)
+        while (i < end) { sum += dec(i); i += 1 }
       }
       f += 1
     }
     FrameStats(m.doc_id, nFrames, sampled, sum % 997)
   }
 
-  /** Frame sampling over binary payloads: every 4th 32-byte frame,
-    * checksummed — the video keyframe-sampling pipeline shape. */
+  /** Frame sampling over binary payloads through the WAV codec: every
+    * 4th 32-sample frame, checksummed — the audio/video
+    * keyframe-sampling pipeline shape with a real demuxer in the path. */
   private val q119 = Q(
     "q119_multimodal_frames",
     s"""${byteListCte()},
@@ -203,12 +224,13 @@ object MultimodalOps {
       |    CAST((len + 31) // 32 AS INT) AS n_frames
       |  FROM bytes)
       |SELECT doc_id, n_frames,
-      |  CAST((n_frames + 3) // 4 AS INT) AS n_sampled,
+      |  CAST(CASE WHEN len = 0 THEN 0 ELSE (n_frames + 3) // 4 END AS INT)
+      |    AS n_sampled,
       |  CAST(COALESCE(list_sum(list_transform(
       |    flatten(list_transform(range(0, (n_frames + 3) // 4),
       |      s -> list_transform(range(s * 128 + 1,
       |             CAST(least(s * 128 + 32, len) AS BIGINT) + 1), i -> i))),
-      |    i -> bl[CAST(i AS INT)])), 0) % 997
+      |    i -> 16 * bl[CAST(i AS INT)])), 0) % 997
       |    AS BIGINT) AS sampled_checksum
       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
@@ -220,31 +242,79 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** "Resize" metadata op: fit the stub dimensions into a 64x64 box with
-    * integer aspect-preserving arithmetic (exact on both engines) —
-    * the thumbnail-generation pipeline shape, metadata side. */
+  case class BoxFit(
+      doc_id: Long, w: Int, h: Int, out_w: Int, out_h: Int,
+      sum_px: Long, ckw: Long)
+
+  /** Thumbnail box-fit THROUGH the real image codec (replaces the
+    * round-≤9 metadata-only stub): the payload bytes are rendered as a
+    * gray/8 image whose dims derive from the byte length (w = len%32+1,
+    * h = len%24+1 — capped so the all-docs oracle stays linear),
+    * round-tripped through a genuine PNG encode→decode, then
+    * ASPECT-PRESERVING-fitted into an 8×6 box with pure integer
+    * cross-multiplication (never upscaled: w*6 ≤ h*8 means height
+    * binds) and resampled by the real nearest-neighbor kernel
+    * ([[graft.functions.MediaCodecs.resizeNearestGray]]). sum/ckw come
+    * from the RESIZED pixels, so a wrong source-index mapping or any
+    * codec byte error diverges. q396 is the fixed-box sibling; this one
+    * owns the aspect arithmetic every thumbnail pipeline needs. */
   private val q120 = Q(
     "q120_multimodal_resize",
     s"""${byteListCte()},
-      |meta AS (
-      |  SELECT doc_id, len AS n_bytes,
-      |    CAST(len % 640 + 1 AS INT) AS w,
-      |    CAST(CAST(COALESCE(list_sum(bl), 0) % 997 % 480 AS INT) + 1 AS INT) AS h
-      |  FROM bytes)
-      |SELECT doc_id, w, h,
-      |  CAST(CASE WHEN w <= 64 THEN w ELSE 64 END AS INT) AS out_w,
-      |  CAST(greatest(1, (h * (CASE WHEN w <= 64 THEN w ELSE 64 END)) // w) AS INT) AS out_h
-      |FROM meta ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |dims AS (
+      |  SELECT doc_id, len, bl,
+      |    CAST(len % 32 + 1 AS INT) AS w, CAST(len % 24 + 1 AS INT) AS h
+      |  FROM bytes),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    CASE WHEN w <= 8 AND h <= 6 THEN w
+      |         WHEN w * 6 <= h * 8 THEN greatest(1, w * 6 // h)
+      |         ELSE 8 END AS ow,
+      |    CASE WHEN w <= 8 AND h <= 6 THEN h
+      |         WHEN w * 6 <= h * 8 THEN 6
+      |         ELSE greatest(1, h * 8 // w) END AS oh,
+      |    list_transform(range(0, CAST(w AS BIGINT) * h),
+      |      i -> CASE WHEN i < len THEN bl[CAST(i + 1 AS INT)] ELSE 0 END)
+      |      AS pl
+      |  FROM dims),
+      |rs AS (
+      |  SELECT doc_id, w, h, ow, oh,
+      |    list_transform(range(0, CAST(ow AS BIGINT) * oh), k ->
+      |      pl[CAST(((k // ow) * h // oh) * w + ((k % ow) * w // ow) + 1
+      |              AS INT)]) AS rl
+      |  FROM px)
+      |SELECT doc_id, w, h, CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+      |  CAST(COALESCE(list_sum(rl), 0) AS BIGINT) AS sum_px,
+      |  CAST(COALESCE(list_sum(list_transform(
+      |    range(1, CAST(ow AS BIGINT) * oh + 1),
+      |    k -> rl[CAST(k AS INT)] * k)), 0) % 1000003 AS BIGINT) AS ckw
+      |FROM rs ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
-      .mapPartitions(_.grouped(64).flatMap(_.map(decodeStub)))
-      .select(col("doc_id"), col("fake_width").as("w"), col("fake_height").as("h"))
-      .withColumn("out_w", least(col("w"), lit(64)))
-      // integer `div`, not `/`: double division truncated can be off by
-      // one ulp vs the oracle's floor division on exact multiples
-      .withColumn("out_h", greatest(lit(1), expr("(h * out_w) div w").cast("int")))
+      .mapPartitions(_.grouped(64).flatMap(_.map { m =>
+        val len = m.payload.length
+        val w = len % 32 + 1; val h = len % 24 + 1
+        val png = graft.functions.MediaCodecs.encodePngGray(
+          w, h, bytePixels(m.payload, w * h))
+        val (dw, dh, dec) = graft.functions.MediaCodecs.decodePngGray(png)
+        val (ow, oh) =
+          if (dw <= 8 && dh <= 6) (dw, dh)
+          else if (dw * 6 <= dh * 8) (math.max(1, dw * 6 / dh), 6)
+          else (8, math.max(1, dh * 8 / dw))
+        val rs = graft.functions.MediaCodecs.resizeNearestGray(dec, dw, dh, ow, oh)
+        var sum = 0L; var ckw = 0L
+        var k = 0
+        while (k < rs.length) {
+          val v = rs(k) & 0xff
+          sum += v
+          ckw = (ckw + v.toLong * (k + 1)) % 1000003
+          k += 1
+        }
+        BoxFit(m.doc_id, dw, dh, ow, oh, sum, ckw)
+      }))
+      .toDF()
       .orderBy("doc_id")
   }
 
@@ -259,15 +329,22 @@ object MultimodalOps {
   private val featCents: Array[Array[Double]] =
     Array.tabulate(FeatCells, FeatDim)((c, j) => coef(2048 + c * FeatDim + j))
 
-  /** STUB feature extractor (the embedding half of the codec stub):
-    * 8 byte-stride sums scaled by 1/255 — stands in for an image/audio
-    * embedding model; integer sums then one division keep it
-    * bit-identical cross-engine. */
-  def featureStub(m: MediaIn): (Long, Array[Double]) = {
+  /** Feature extraction THROUGH the real image codec (replaces the
+    * round-≤9 byte-stride stub): the payload's first 768 bytes are
+    * rendered as a 32×24 gray image, round-tripped through a genuine
+    * PNG encode→decode, and the features are 8 pixel-stride sums over
+    * the DECODED scanlines scaled by 1/255 — integer sums then one
+    * division keep it bit-identical cross-engine, and any filter/
+    * offset error in the codec shifts a stride sum. Stands in for an
+    * image embedding model with the same batch shape. */
+  def pixelFeatures(m: MediaIn): (Long, Array[Double]) = {
+    val png = graft.functions.MediaCodecs.encodePngGray(
+      32, 24, bytePixels(m.payload, 768))
+    val (_, _, dec) = graft.functions.MediaCodecs.decodePngGray(png)
     val s = new Array[Long](FeatDim)
     var i = 0
-    while (i < m.payload.length) {
-      s(i % FeatDim) += (m.payload(i) & 0xff); i += 1
+    while (i < dec.length) {
+      s(i % FeatDim) += (dec(i) & 0xff); i += 1
     }
     (m.doc_id, s.map(_.toDouble / 255.0))
   }
@@ -280,10 +357,12 @@ object MultimodalOps {
   }
 
   /** Multimodal → vector-index integration: batch feature extraction
-    * (stub codec, real plumbing) straight into the IVF cell assignment
-    * ([[graft.functions.NearestCell]], codegen) — the ingest shape that
-    * turns a media corpus into an ANN-indexable table in one pass, no
-    * shuffle. The oracle replays bytes → stride sums → argmin (ties to
+    * (REAL PNG round trip in the path — [[pixelFeatures]]) straight
+    * into the IVF cell assignment ([[graft.functions.NearestCell]],
+    * codegen) — the ingest shape that turns a media corpus into an
+    * ANN-indexable table in one pass, no shuffle. The oracle replays
+    * bytes → 768-capped stride sums → argmin (zero padding adds
+    * nothing to a sum, so it replays the padded image exactly; ties to
     * the lowest cell index, NearestCell's contract). */
   private val q154 = Q(
     "q154_multimodal_features",
@@ -291,7 +370,7 @@ object MultimodalOps {
       |f AS (
       |  SELECT doc_id,
       |    list_transform(range(0, $FeatDim), j ->
-      |      CAST(COALESCE(list_sum(list_transform(range(1, len + 1),
+      |      CAST(COALESCE(list_sum(list_transform(range(1, least(len, 768) + 1),
       |        i -> CASE WHEN (i - 1) % $FeatDim = j THEN bl[i] ELSE 0 END)), 0)
       |        AS DOUBLE) / 255.0) AS fv
       |  FROM bytes),
@@ -311,7 +390,7 @@ object MultimodalOps {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
     val feats = media.mapPartitions { it =>
-      it.grouped(64).flatMap(batch => batch.map(featureStub))
+      it.grouped(64).flatMap(batch => batch.map(pixelFeatures))
     }.toDF("doc_id", "fv")
     feats
       .withColumn("cell", Bridge.column(
@@ -325,74 +404,77 @@ object MultimodalOps {
 
   // ------------- q258: perceptual-hash near-dup over binary payloads
 
-  case class MediaHash(doc_id: Long, h: Long)
+  case class MediaHash(doc_id: Long, h_hi: Long, h_lo: Long)
 
-  /** STUB perceptual hash: 8 positional byte-bucket sums mod 128 packed
-    * into 56 bits (blockhash shape — a real pHash/aHash drops in here;
-    * 56 bits keeps the packed value clear of the sign bit so both
-    * engines' integer ops agree). Deterministic on payload bytes. */
-  def phashStub(m: MediaIn): MediaHash = {
-    val buckets = new Array[Long](8)
-    var i = 0
-    while (i < m.payload.length) {
-      buckets(i % 8) += (m.payload(i) & 0xff); i += 1
-    }
-    var h = 0L
-    var k = 7
-    while (k >= 0) { h = (h << 7) | (buckets(k) % 128); k -= 1 }
-    MediaHash(m.doc_id, h)
-  }
-
-  /** Hamming bands for LSH over the 56-bit hash: 4 x 14-bit chunks,
+  /** Hamming bands for LSH over the 64-bit aHash: 4 x 16-bit chunks,
     * threshold 3. Two constraints fight here: recall needs MORE bands
     * than the threshold (<= 3 differing bits dirty at most 3 of 4
     * bands — pigeonhole leaves a clean band, recall exactly 1), while
     * candidate volume needs WIDE bands (collision rate per band is
-    * 2^-width; 14 bits -> n^2/2^14 expected random-collision pairs
-    * per band vs n^2/2^7 for the 8x7 split that a threshold of 6
-    * would force). 4 x 14 @ t=3 is the lossless point with the widest
+    * 2^-width; 16 bits -> n^2/2^16 expected random-collision pairs
+    * per band vs n^2/2^9 for the 7x9-ish split that a threshold of 6
+    * would force). 4 x 16 @ t=3 is the lossless point with the widest
     * bands — same reasoning as q46's 15/16-bit SimHash bands. */
   private val HamBands = 4
   private val HamThreshold = 3
 
-  /** Near-duplicate detection over opaque media payloads: batched stub
-    * pHash (the q50 decode shape), then SimHash-style hamming LSH —
-    * pairs sharing any band verified exactly with bit_count(xor) <= 3,
-    * which the band count makes lossless (see [[HamBands]]), so the
-    * all-pairs oracle must match bit-for-bit. The hash pass is one
-    * mapPartitions over the payload scan; candidates come from band
-    * equi-joins (never an all-pairs surface); the q45
-    * degenerate-bucket cap applies unchanged. */
+  /** Near-duplicate detection over opaque media payloads THROUGH the
+    * real codec: batched aHash ([[aHash32x24]] — genuine PNG
+    * encode→decode in the path), then SimHash-style hamming LSH —
+    * pairs sharing any 16-bit band verified exactly with
+    * bit_count(xor) <= 3, which the band count makes lossless (see
+    * [[HamBands]]), so the all-pairs oracle must match bit-for-bit.
+    * The hash pass is one mapPartitions over the payload scan;
+    * candidates come from band equi-joins (never an all-pairs
+    * surface); the q45 degenerate-bucket cap applies unchanged. */
   private val q258 = Q(
     "q258_phash_neardup",
     s"""${byteListCte()},
-       |ph AS (
+       |px AS (
        |  SELECT doc_id,
-       |    ${(0 until 8).map(k =>
-            s"COALESCE(list_sum(list_transform(range(1, len + 1), " +
-            s"i -> CASE WHEN (i - 1) % 8 = $k THEN bl[i] ELSE 0 END)), 0) " +
-            s"% 128 AS b$k").mkString(", ")}
+       |    list_transform(range(0, 768),
+       |      i -> CASE WHEN len = 0 THEN 0
+       |                ELSE bl[CAST(i % len + 1 AS INT)] END) AS pl
        |  FROM bytes),
-       |ha AS (SELECT doc_id,
-       |    b0 + b1 * 128 + b2 * 16384 + b3 * 2097152 + b4 * 268435456
-       |      + b5 * 34359738368 + b6 * 4398046511104
-       |      + b7 * 562949953421312 AS h
-       |  FROM ph)
+       |tot AS (SELECT doc_id, pl, list_sum(pl) AS total FROM px),
+       |bits AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), b -> CASE WHEN
+       |      64 * list_sum(list_transform(range(0, 12), j ->
+       |        pl[CAST(((b // 8) * 3 + j // 4) * 32
+       |               + (b % 8) * 4 + j % 4 + 1 AS INT)]))
+       |      > total THEN 1 ELSE 0 END) AS bv
+       |  FROM tot),
+       |ha AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(0, 32),
+       |      b -> bv[CAST(b + 33 AS INT)] * (1::BIGINT << CAST(b AS INT)))) AS h_hi,
+       |    list_sum(list_transform(range(0, 32),
+       |      b -> bv[CAST(b + 1 AS INT)] * (1::BIGINT << CAST(b AS INT)))) AS h_lo
+       |  FROM bits)
        |SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+       |  CAST(bit_count(xor(a.h_hi, b.h_hi))
+       |     + bit_count(xor(a.h_lo, b.h_lo)) AS INT) AS hamming
        |FROM ha a JOIN ha b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.h, b.h)) <= $HamThreshold
+       |WHERE bit_count(xor(a.h_hi, b.h_hi))
+       |    + bit_count(xor(a.h_lo, b.h_lo)) <= $HamThreshold
        |ORDER BY d1, d2""".stripMargin) { (s, dir) =>
     import s.implicits._
     val hashes = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaIn]
-      .mapPartitions(_.grouped(64).flatMap(_.map(phashStub)))
+      .mapPartitions(_.grouped(64).flatMap(_.map { m =>
+        val (hHi, hLo) = aHash32x24(tiledPixels(m.payload, 768))
+        MediaHash(m.doc_id, hHi, hLo)
+      }))
       .toDF().localCheckpoint()
-    val bands = hashes.select(col("doc_id"), col("h"),
+    val bands = hashes.select(col("doc_id"), col("h_hi"), col("h_lo"),
       explode(expr(s"transform(sequence(0, ${HamBands - 1}), " +
-        "j -> struct(j AS band, shiftright(h, 14 * j) & 16383 AS key))")).as("bk"))
-      .select(col("doc_id"), col("h"), col("bk.band"), col("bk.key"))
+        "j -> struct(j AS band, CASE WHEN j < 2 " +
+        "THEN shiftright(h_lo, 16 * j) & 65535 " +
+        "ELSE shiftright(h_hi, 16 * (j - 2)) & 65535 END AS key))")).as("bk"))
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
+        col("bk.band"), col("bk.key"))
     // Degenerate-bucket guard: a band bucket above the cap would make
     // the candidate self-join quadratic IN THAT BUCKET. Pairs whose
     // every band is over-capped would be LOST, silently diverging from
@@ -416,11 +498,15 @@ object MultimodalOps {
       .join(inBucket.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("a.h").as("h1"),
-        col("b.doc_id").as("d2"), col("b.h").as("h2"))
+      .select(col("a.doc_id").as("d1"),
+        col("a.h_hi").as("h1_hi"), col("a.h_lo").as("h1_lo"),
+        col("b.doc_id").as("d2"),
+        col("b.h_hi").as("h2_hi"), col("b.h_lo").as("h2_lo"))
       .distinct()
     cand
-      .withColumn("hamming", bit_count(expr("h1 ^ h2")).cast("int"))
+      .withColumn("hamming",
+        (bit_count(expr("h1_hi ^ h2_hi")) + bit_count(expr("h1_lo ^ h2_lo")))
+          .cast("int"))
       .filter(col("hamming") <= HamThreshold)
       .select("d1", "d2", "hamming")
       .orderBy("d1", "d2")
@@ -487,6 +573,39 @@ object MultimodalOps {
 
   case class AHash(doc_id: Long, h_hi: Long, h_lo: Long)
 
+  /** 64-bit average-hash THROUGH the real codec: the 32×24 gray pixels
+    * are encoded as a genuine PNG and decoded back (zlib, filters,
+    * chunk walk), then downsampled to 8×8 by exact integer 4×3-block
+    * sums; bit b is set iff 64·blockSum > totalSum (cross-multiplied —
+    * no division, no floats). Returned as (hi, lo) 32-bit halves so
+    * every engine-side comparison stays in portable BIGINT range.
+    * Shared by q394 (grouped exact dedup) and q258 (banded hamming
+    * near-dup). */
+  private[graft] def aHash32x24(pixels: Array[Byte]): (Long, Long) = {
+    val png = graft.functions.MediaCodecs.encodePngGray(32, 24, pixels)
+    val (_, _, dec) = graft.functions.MediaCodecs.decodePngGray(png)
+    var total = 0L
+    var i = 0
+    while (i < dec.length) { total += (dec(i) & 0xff); i += 1 }
+    var hLo = 0L; var hHi = 0L
+    var b = 0
+    while (b < 64) {
+      val bx = b % 8; val by = b / 8
+      var blockSum = 0L
+      var j = 0
+      while (j < 12) {
+        val x = bx * 4 + j % 4; val y = by * 3 + j / 4
+        blockSum += (dec(y * 32 + x) & 0xff)
+        j += 1
+      }
+      if (64L * blockSum > total) {
+        if (b < 32) hLo |= 1L << b else hHi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hHi, hLo)
+  }
+
   /** q394: perceptual average-hash (aHash) image dedup THROUGH the real
     * codec: per document a 32x24 gray image (pixels seeded by
     * abs(doc_id)%97, so ~n/97 documents share an identical image —
@@ -537,27 +656,7 @@ object MultimodalOps {
         val seed = math.abs(id) % 97
         val pixels = Array.tabulate(W * H)(i =>
           ((seed * 31 + i.toLong * 7) % 256).toByte)
-        val png = graft.functions.MediaCodecs.encodePngGray(W, H, pixels)
-        val (_, _, dec) = graft.functions.MediaCodecs.decodePngGray(png)
-        var total = 0L
-        var i = 0
-        while (i < dec.length) { total += (dec(i) & 0xff); i += 1 }
-        var hLo = 0L; var hHi = 0L
-        var b = 0
-        while (b < 64) {
-          val bx = b % 8; val by = b / 8
-          var blockSum = 0L
-          var j = 0
-          while (j < 12) {
-            val x = bx * 4 + j % 4; val y = by * 3 + j / 4
-            blockSum += (dec(y * W + x) & 0xff)
-            j += 1
-          }
-          if (64L * blockSum > total) {
-            if (b < 32) hLo |= 1L << b else hHi |= 1L << (b - 32)
-          }
-          b += 1
-        }
+        val (hHi, hLo) = aHash32x24(pixels)
         AHash(id, hHi, hLo)
       }))
     hashes.toDF()

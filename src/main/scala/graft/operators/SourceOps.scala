@@ -703,7 +703,80 @@ object SourceOps {
         min(col("name")).as("min_name"), max(col("name")).as("max_name"))
   }
 
+  /** q398: manifest snapshot EXPIRY (the history-GC half of q393's time
+    * travel). Four appends grow the version history to 4; expiry with
+    * keepLast=2 deletes v1/v2 under the commit lock. v3, v4 and the
+    * latest manifest still read exactly (appends carry every earlier
+    * file forward, so expiry can never strand data), the expired v1
+    * fails loudly like a truncate-expired version, and the expired
+    * count is pinned. The oracle replays each surviving snapshot's
+    * aggregate from cumulative key-mod quarters of nation. */
+  private val q398 = Q(
+    "q398_manifest_expire",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |v3 AS (SELECT * FROM n WHERE k % 4 < 3),
+      |v4 AS (SELECT * FROM n)
+      |SELECT 'expired' AS which, CAST(2 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS sum_k
+      |UNION ALL
+      |SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM v4
+      |UNION ALL
+      |SELECT 'v1_gone', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v3', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM v3
+      |UNION ALL
+      |SELECT 'v4', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM v4
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q398_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"))
+    (0 until 4).foreach { i =>
+      base.filter(col("k") % 4 === i).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    }
+    val nExpired =
+      graft.sources.ManifestMaintenance.expireSnapshots(s, out, keepLast = 2)
+    def readVersion(v: Option[Int]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    val v1Gone =
+      try { readVersion(Some(1)).collect(); 0L }
+      catch { case e: Exception =>
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+        if (chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException])) 1L
+        else throw e
+      }
+    import s.implicits._
+    val probes = Seq(
+      ("expired", nExpired.toLong, 0L), ("v1_gone", v1Gone, 0L))
+      .toDF("which", "n_rows", "sum_k")
+    Seq(Some(3) -> "v3", Some(4) -> "v4", None -> "latest").map {
+      case (v, label) =>
+        readVersion(v).agg(
+          count(lit(1)).cast("long").as("n_rows"),
+          sum(col("k")).cast("long").as("sum_k"))
+          .select(lit(label).as("which"), col("n_rows"), col("sum_k"))
+    }.reduce(_.unionByName(_))
+      .unionByName(probes)
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272, q393, q397)
+      q194, q237, q255, q262, q270, q272, q393, q397, q398)
 }

@@ -177,7 +177,7 @@ object TextOps {
 
   /** The DuckDB twin of [[docShingleSets]] as a CTE body (shared with
     * the q146 incremental ingest gate). */
-  private[operators] val Sh3OracleCte =
+  private[graft] val Sh3OracleCte =
     """sh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    list_transform(range(1, greatest(len(ws) - 1, 1)),
@@ -234,6 +234,27 @@ object TextOps {
   /** doc_id → (band, bsig) bucket keys: one fused codegen MinHash pass
     * (64 perms) per document, 16 bands x 4 rows each hashed to a single
     * bucket key. Shared by q45 and the q146 incremental ingest gate. */
+  /** [[bandedSigs]] but carrying each row's shingle set along (and
+    * taking the docs as a DataFrame, so a STREAMING source works) —
+    * the streaming LSH dedup (q400) verifies candidates exactly inside
+    * its stateful processor, which needs both sides' sets. */
+  private[graft] def bandedSigsWithSets(
+      s: SparkSession, docsets: DataFrame): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => graft.functions.MinHashSig(exprs.head, hashA, hashB, MinhashP),
+      "scala_udf")
+    val sig = docsets.select(col("doc_id"), col("gs"), expr(
+      s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
+    val bandCols = (0 until NumHashes / BandRows).map { bnd =>
+      val elems = (0 until BandRows)
+        .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
+      expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
+    }
+    sig.select(col("doc_id"), col("gs"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("gs"), col("bb.band"), col("bb.bsig"))
+  }
+
   private[operators] def bandedSigs(s: SparkSession, docsets: DataFrame): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",

@@ -110,5 +110,54 @@ object TokenizerOps {
       .orderBy("step")
   }
 
-  val defs: Seq[Q] = Seq(q388)
+
+  // ------------- q283: BPE-style tokenizer encode, pure codegen
+
+  /** Tokenizer-encode as a chain of codegen string expressions — no
+    * UDF, no broadcast, no shuffle until the final sort: lowercase →
+    * collapse non-alpha runs to a `|` word separator → space-split
+    * every character → apply a fixed merge table in rank order as
+    * plain `replace` calls (left-to-right non-overlapping in BOTH
+    * engines, so results are bit-identical even at shared-boundary
+    * corner cases where true BPE would differ) → count surviving
+    * symbols. The per-doc cost is linear in text length and fully
+    * inside whole-stage codegen — the shape that matters when the
+    * encode pass runs over 100 TB of documents. */
+  private val BpeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"))
+
+  private def bpeChain(col: String): String =
+    BpeMerges.foldLeft(col) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a $b ', ' $a$b ')"
+    }
+
+  private val q283 = Q(
+    "q283_bpe_apply_encode",
+    s"""WITH sym AS (
+       |  SELECT doc_id,
+       |    ' ' || regexp_replace(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),
+       |      '(.)', '\\1 ', 'g') AS s,
+       |    length(regexp_replace(lower(text), '[^a-z]+', '', 'g')) AS n_chars
+       |  FROM documents),
+       |merged AS (SELECT doc_id, n_chars, ${bpeChain("s")} AS m FROM sym)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       |  CAST(len(list_filter(regexp_split_to_array(trim(m), ' +'),
+       |    x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens
+       |FROM merged ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH sym AS (
+         |  SELECT doc_id,
+         |    concat(' ', regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z]+', '|'), '(.)', '$$1 ')) AS s,
+         |    length(regexp_replace(lower(text), '[^a-z]+', '')) AS n_chars
+         |  FROM documents),
+         |merged AS (SELECT doc_id, n_chars, ${bpeChain("s")} AS m FROM sym)
+         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(size(filter(split(trim(m), ' +'),
+         |    x -> x != '|' AND x != '')) AS BIGINT) AS n_tokens
+         |FROM merged ORDER BY doc_id""".stripMargin)
+  }
+  val defs: Seq[Q] = Seq(q283, q388)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table (Array[Float], 64-dim).
   *
@@ -391,5 +392,373 @@ object VectorOps {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q47, q48, q49, q115, q123, q126, q147)
+
+  // ------------- q279: grid-bucketed spatial radius join
+
+  /** All point pairs within radius 600 on an integer plane whose side
+    * scales with sqrt(table size) — constant density, so the PAIR
+    * COUNT and the per-cell candidate fan-out stay linear in the
+    * corpus at any scale-up (a fixed plane would make both quadratic).
+    * Coords derive deterministically from c_custkey; the y map is
+    * nonlinear so x/y deltas decorrelate and real near-pairs exist.
+    * The Spark side NEVER builds an all-pairs surface: each point
+    * probes the 3×3 neighborhood of 1000-unit grid cells (radius <
+    * cell size makes the candidate set lossless) via an EQUI-join on
+    * cell keys. Requiring prober < home id emits each pair exactly
+    * once. The all-pairs spelling is oracle-only. */
+  private val q279 = Q(
+    "q279_grid_radius_join",
+    """WITH m AS (
+      |  SELECT CAST(floor(sqrt(max(c_custkey)) * 2582) AS BIGINT) AS side
+      |  FROM customer),
+      |pts AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS id,
+      |    (c_custkey * 48271) % side AS x,
+      |    (c_custkey * c_custkey) % side AS y
+      |  FROM customer CROSS JOIN m)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM pts a JOIN pts b ON a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 360000
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val customer = Tables.load(s, dir, "customer")
+    // plane side ~ sqrt(n): a single scalar, metadata-bounded driver pull
+    val side = math.floor(math.sqrt(
+      customer.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+        .toDouble) * 2582).toLong
+    val pts = customer.select(
+      col("c_custkey").cast("long").as("id"),
+      ((col("c_custkey") * 48271L) % side).as("x"),
+      ((col("c_custkey") * col("c_custkey")) % side).as("y"))
+      .withColumn("cx", expr("x div 1000"))
+      .withColumn("cy", expr("y div 1000"))
+    val probes = pts.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1), dx ->
+            |  transform(sequence(-1, 1), dy ->
+            |    struct(cx + dx AS cx, cy + dy AS cy))))""".stripMargin))
+          .as("cell"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    probes.join(pts.select(col("id").as("id_b"), col("x").as("xb"),
+        col("y").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("dist2") <= 360000L)
+      .select(col("id_a"), col("id_b"), col("dist2").cast("long").as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ------------- q293: hybrid retrieval — BM25 + cosine, RRF fusion
+
+  /** Canned retrieval queries: lexical terms (q208's set) plus, per
+    * query, a probe embedding = the embedding of vec_id 100*query_id. */
+  private val RrfQueries = Seq(
+    (1L, "hash"), (1L, "join"),
+    (2L, "scan"), (2L, "filter"), (2L, "column"),
+    (3L, "stream"), (3L, "window"))
+
+  private val RrfK = 60      // the standard RRF dampening constant
+
+  private val RrfDepth = 20  // per-modality candidate depth
+
+  private val RrfTop = 10    // fused results per query
+
+  // hybrid retrieval (integer BM25 lexical ranks fused with
+  // embedding-cosine ranks by reciprocal-rank fusion);
+  /** Hybrid (lexical + semantic) retrieval with reciprocal-rank fusion:
+    * each modality contributes floor(1e6 / (60 + rank)) for its top-20,
+    * summed per (query, doc) via a FULL OUTER join of the two rank
+    * lists, fused top-10 by (rrf DESC, doc_id). Integer micro-units end
+    * to end — no float drift between engines. Scale shape: the lexical
+    * side is q208's vocabulary-pruned tf/df pipeline (the corpus scan
+    * keeps only query-term tokens); the vector side broadcasts the
+    * bounded query batch over one corpus pass (q47's shape — q49's IVF
+    * is the drop-in at 100 TB); the fusion join touches only
+    * queries x 20 rows per side. */
+  private val q293 = Q(
+    "q293_hybrid_retrieval_rrf", {
+      val cos =
+        """(list_sum(list_transform(range(1, len(q.embedding) + 1),
+          |   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+          | / (sqrt(list_sum(list_transform(range(1, len(q.embedding) + 1),
+          |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+          |  * sqrt(list_sum(list_transform(range(1, len(n.embedding) + 1),
+          |      i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))))""".stripMargin
+      s"""WITH qt(query_id, term) AS (VALUES
+         |    ${RrfQueries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")}),
+         |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |          w -> w <> '')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+         |    sum((((2 * (nd.n - dfc.df) + 1) * 1000000) // (2 * dfc.df + 1))
+         |        * tf.tf // (tf.tf + 2)) AS score
+         |  FROM qt JOIN tf ON tf.w = qt.term
+         |  JOIN dfc ON dfc.w = qt.term CROSS JOIN nd
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+         |        FROM sc),
+         |qv AS (SELECT vec_id // 100 AS query_id, embedding
+         |       FROM embeddings WHERE vec_id IN (100, 200, 300)),
+         |vr AS (SELECT query_id, doc_id, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rnk
+         |       FROM (SELECT q.query_id AS query_id, n.vec_id AS doc_id,
+         |               $cos AS cs
+         |             FROM qv q JOIN embeddings n
+         |               ON n.vec_id <> q.query_id * 100)),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    COALESCE(1000000 // ($RrfK + l.rnk), 0)
+         |      + COALESCE(1000000 // ($RrfK + v.rnk), 0) AS rrf
+         |  FROM (SELECT * FROM lex WHERE rnk <= $RrfDepth) l
+         |  FULL JOIN (SELECT * FROM vr WHERE rnk <= $RrfDepth) v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+         |  CAST(rrf AS BIGINT) AS rrf, CAST(rnk AS BIGINT) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf DESC, doc_id) AS rnk FROM fused)
+         |WHERE rnk <= $RrfTop ORDER BY query_id, rnk""".stripMargin
+    }) { (s, dir) =>
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val documents = Tables.load(s, dir, "documents")
+    // Lexical ranks: q208's integer BM25 (vocabulary-pruned scan).
+    val qt = RrfQueries.toDF("query_id", "term")
+    val tok = documents
+      .select(col("doc_id"), explode(expr("graft_words(text)")).as("w"))
+    val hits = tok
+      .join(broadcast(qt.select("term").distinct()), col("w") === col("term"))
+      .select("doc_id", "w")
+    val tf = hits.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val contrib = expr(
+      """((((2 * (n_docs - df) + 1) * 1000000) div (2 * df + 1)) * tf)
+        |  div (tf + 2)""".stripMargin)
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = qt
+      .join(tf.withColumnRenamed("w", "term"), "term")
+      .join(broadcast(dfc.withColumnRenamed("w", "term")), "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib).as("score"))
+      .withColumn("lrnk", row_number().over(lexW))
+      .filter(col("lrnk") <= RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("lrnk"))
+    // Vector ranks: bounded query batch broadcast over one corpus pass.
+    val all = VectorOps.vecs(s, dir)
+    val qv = all.filter(col("vec_id").isin(100L, 200L, 300L))
+      .select((col("vec_id") / 100).cast("long").as("qid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val vecW = Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id"))
+    val vr = all.join(broadcast(qv), col("vec_id") =!= col("qid") * 100)
+      .withColumn("cs", expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .withColumn("vrnk", row_number().over(vecW))
+      .filter(col("vrnk") <= RrfDepth)
+      .select(col("qid"), col("vec_id").as("vdoc"), col("vrnk"))
+    // Reciprocal-rank fusion over the two (tiny) rank lists.
+    val fused = lex.join(vr,
+        col("query_id") === col("qid") && col("doc_id") === col("vdoc"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("qid")).as("query_id"),
+        coalesce(col("doc_id"), col("vdoc")).as("doc_id"),
+        (coalesce(expr(s"1000000 div ($RrfK + lrnk)"), lit(0L))
+          + coalesce(expr(s"1000000 div ($RrfK + vrnk)"), lit(0L))).as("rrf"))
+    val fuseW = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(fuseW).cast("long"))
+      .filter(col("rnk") <= RrfTop)
+      .select(col("query_id"), col("doc_id"), col("rrf"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------- q316: IVF index persistence + incremental update
+
+  private val IvfK = 8
+
+  private val IvfIters = 3
+
+  private val IvfProbes = 30
+
+  /** The old/new split: vectors with 2·vec_id < max(vec_id) form the
+    * initial corpus (scales with the table; the oracle spells the same
+    * predicate). */
+  private val IvfSplit = "2 * vec_id < (SELECT max(vec_id) FROM embeddings)"
+
+  /** DuckDB: assign rows of `src` to the nearest centroid of `cents`
+    * (same first-strict-min rule as the fit). */
+  private def duckAssign(name: String, src: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT vec_id, v, cid AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |    FROM (SELECT s.vec_id, s.v, c.cid,
+       |            list_sum(list_transform(range(1, 65),
+       |              i -> (s.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+       |                 * (s.v[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))) AS d2
+       |          FROM $src s CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+
+  // IVF index persistence + incremental update: fit once on the
+  // initial corpus, PERSIST the index (centroids + postings), then a
+  // new vector batch is indexed by assigning against the FROZEN
+  // centroids and appending postings — the production ANN lifecycle
+  // (refitting on every ingest would re-shuffle the world; freezing
+  // trades a little recall for O(batch) updates);
+  /** Fit on the OLD half, persist centroids + postings, index the NEW
+    * batch against the frozen centroids (parquet APPEND — the index
+    * files from the initial build are untouched), then search 30
+    * probes through the LOADED index only. The oracle replays the
+    * old-half fit bit-exactly, assigns the new batch to the same
+    * frozen centroids, and probes the union. */
+  private val q316 = Q(
+    "q316_ivf_incremental_index",
+    s"""${VectorOps.kmeansOracleCtes(k = IvfK, iters = IvfIters, dim = 64,
+         srcWhere = s"WHERE $IvfSplit")},
+       |allv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |newv AS (SELECT * FROM allv WHERE NOT ($IvfSplit)),
+       |${duckAssign("na", "newv", s"c$IvfIters")},
+       |posts AS (
+       |  SELECT vec_id, v, cell,
+       |    sqrt(list_sum(list_transform(range(1, 65),
+       |      i -> v[CAST(i AS INT)] * v[CAST(i AS INT)]))) AS nrm
+       |  FROM (SELECT vec_id, v, cell FROM nn
+       |        UNION ALL SELECT vec_id, v, cell FROM na))
+       |SELECT qid, nid, cos_sim, rnk FROM (
+       |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |    list_sum(list_transform(range(1, 65),
+       |      i -> q.v[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.nrm * n.nrm)
+       |      AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_sum(list_transform(range(1, 65),
+       |        i -> q.v[CAST(i AS INT)] * n.v[CAST(i AS INT)])) / (q.nrm * n.nrm)
+       |        DESC, n.vec_id) AS rnk
+       |  FROM posts q JOIN posts n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $IvfProbes) r
+       |WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val postsPath = java.nio.file.Files
+      .createTempDirectory("graft_q316_posts").toString
+    val all = VectorOps.vecs(s, dir)
+    val maxId = all.agg(max("vec_id")).head().getLong(0)
+    val old = all.filter(col("vec_id") * 2 < maxId)
+    // initial build: fit + postings v1
+    val cents = KMeansLite.fit(old, "vec_id", "v", k = IvfK, iters = IvfIters)
+    KMeansLite.assign(old, "v", cents).select("vec_id", "cell")
+      .write.mode("overwrite").parquet(postsPath)
+    // a new batch lands: assign against the FROZEN centroids, APPEND
+    KMeansLite.assign(all.filter(!(col("vec_id") * 2 < maxId)), "v", cents)
+      .select("vec_id", "cell")
+      .write.mode("append").parquet(postsPath)
+    // search goes through the LOADED index only (no refit anywhere)
+    val posts = s.read.parquet(postsPath)
+      .join(all.select("vec_id", "v", "nrm"), "vec_id")
+    val probes = posts.filter(col("vec_id") < IvfProbes)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos_sim").desc, col("vec_id"))
+    posts.join(probes,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("vec_id").as("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  private val Dim = 64
+
+  /** embedding drift: the corpus split into two halves by
+    * vec_id parity (standing in for "yesterday's batch vs today's"),
+    * per label the component-wise centroid compared between halves
+    * as the exact integer L1 numerator Σᵢ |sumAᵢ·nB − sumBᵢ·nA|
+    * (cross-multiplied mean difference — no division until the
+    * consumer wants it). Components quantize via explicit floor(
+    * double(v)·10⁴) clamped to ±10⁷ — CAST(float AS BIGINT) rounds in
+    * DuckDB but truncates in Spark, float-precision products floor
+    * differently than double ones, and unclamped adversarial ±1e30
+    * components overflow the integer chain: all three pinned here. The shuffle is
+    * (label × dim × half) partial sums — embedding-table-linear,
+    * the distribution-shift monitor for a feature store;
+    */
+  // ------------- q368: embedding drift between halves
+
+  private val q368 = Q(
+    "q368_embedding_drift",
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    vec_id % 2 AS half
+       |  FROM embeddings
+       |  WHERE vec_id IS NOT NULL AND label IS NOT NULL
+       |    AND embedding IS NOT NULL AND len(embedding) = $Dim),
+       |comp AS (
+       |  SELECT e.label, e.half, t.i,
+       |    sum(CAST(least(greatest(floor(
+       |      CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) * 10000),
+       |      -10000000.0), 10000000.0) AS BIGINT)) AS s
+       |  FROM e, (SELECT unnest(range(1, ${Dim + 1})) AS i) t
+       |  GROUP BY 1, 2, 3),
+       |n AS (
+       |  SELECT label, half, count(*) AS n FROM e GROUP BY 1, 2),
+       |wide AS (
+       |  SELECT c.label, c.i,
+       |    max(CASE WHEN c.half = 0 THEN c.s END) AS sa,
+       |    max(CASE WHEN c.half = 1 THEN c.s END) AS sb
+       |  FROM comp c GROUP BY 1, 2),
+       |cnt AS (
+       |  SELECT label,
+       |    max(CASE WHEN half = 0 THEN n END) AS na,
+       |    max(CASE WHEN half = 1 THEN n END) AS nb
+       |  FROM n GROUP BY 1)
+       |SELECT CAST(w.label AS BIGINT) AS label,
+       |  CAST(c.na AS BIGINT) AS n_a, CAST(c.nb AS BIGINT) AS n_b,
+       |  CAST(sum(abs(w.sa * c.nb - w.sb * c.na)) AS BIGINT) AS l1_num
+       |FROM wide w JOIN cnt c ON c.label = w.label
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id").isNotNull && col("label").isNotNull &&
+        col("embedding").isNotNull && size(col("embedding")) === Dim)
+      .select(col("label").cast("long").as("label"),
+        (col("vec_id") % 2).as("half"), col("embedding"))
+    val comp = e
+      .select(col("label"), col("half"),
+        posexplode(col("embedding")).as(Seq("i0", "v")))
+      .groupBy(col("label"), col("half"), (col("i0") + 1).as("i"))
+      // float→double first (both engines must floor the SAME product),
+      // then clamp: adversarial ±1e30 components would overflow the
+      // exact integer chain; clamping is the quantizer's contract
+      .agg(sum(least(greatest(
+        floor(col("v").cast("double") * 10000), lit(-10000000.0)),
+        lit(10000000.0)).cast("long")).as("s"))
+    val n = e.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val wide = comp.groupBy("label", "i")
+      .agg(max(when(col("half") === 0, col("s"))).as("sa"),
+        max(when(col("half") === 1, col("s"))).as("sb"))
+    val cnt = n.groupBy("label")
+      .agg(max(when(col("half") === 0, col("n"))).as("na"),
+        max(when(col("half") === 1, col("n"))).as("nb"))
+    wide.join(broadcast(cnt), "label")
+      .groupBy(col("label"), col("na"), col("nb"))
+      .agg(sum(abs(col("sa") * col("nb") - col("sb") * col("na")))
+        .as("l1_num"))
+      .select(col("label").cast("long").as("label"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("l1_num").cast("long").as("l1_num"))
+      .orderBy("label")
+  }
+  val defs: Seq[Q] = Seq(q279, q293, q316, q368, q47, q48, q49, q115, q123, q126, q147)
 }

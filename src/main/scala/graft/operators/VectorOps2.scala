@@ -172,5 +172,100 @@ object VectorOps2 {
       .orderBy("qid")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233)
+  // --------------------- q399: PQ asymmetric-distance (ADC) top-k scan
+
+  /** Bounded query set (the q49/q115/q233 eval-set contract). */
+  private val AdcQueries = 50
+  private val AdcK = 3
+
+  /** q399: the SEARCH leg of product quantization — the asymmetric
+    * distance computation (ADC) scan. q223 builds the index (each
+    * vector compressed to [[Subs]] sub-centroid codes); here a query
+    * precomputes one lookup table of ‖q_sub − centroid‖² per
+    * (subspace, centroid) — [[Subs]]×[[K]] doubles — and every
+    * database vector's approximate distance is [[Subs]] LUT lookups
+    * summed, never touching the raw 64 floats. This is why PQ works at
+    * 100 TB: the scan reads m-byte codes instead of 256-byte vectors
+    * (~64× less IO), the LUT rides along with the (bounded) query set
+    * as a broadcast, and the whole scan is one linear codegen pass +
+    * one bounded top-k per query. Determinism: the codebooks are the
+    * bit-exact [[KMeansLite]] fit the oracle replays per subspace, the
+    * per-subspace distance is the same sequential fold, and the four
+    * subspace distances add left-to-right — both engines emit
+    * identical doubles, ties break on vec_id. */
+  private val q399 = Q(
+    "q399_pq_adc_search", {
+      def d2(v: String, cv: String) =
+        s"""list_sum(list_transform(range(1, ${SubDim + 1}),
+           |      i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+           |         * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+      val adist = (0 until Subs).map(m => s"${d2(s"q.q$m", s"k$m.cv")}")
+        .mkString("\n    + ")
+      s"""WITH ${(0 until Subs).map(subspaceCtes).mkString(",\n")},
+         |codes AS (
+         |  SELECT af0.vec_id,
+         |    ${(0 until Subs).map(m => s"af$m.cell AS x$m").mkString(", ")}
+         |  FROM af0 ${(1 until Subs).map(m => s"JOIN af$m USING (vec_id)").mkString(" ")}),
+         |qs AS (
+         |  SELECT vv0.vec_id AS qid,
+         |    ${(0 until Subs).map(m => s"vv$m.v AS q$m").mkString(", ")}
+         |  FROM vv0 ${(1 until Subs).map(m =>
+              s"JOIN vv$m ON vv$m.vec_id = vv0.vec_id").mkString(" ")}
+         |  WHERE vv0.vec_id < $AdcQueries)
+         |SELECT qid, nid, adist, rnk FROM (
+         |  SELECT q.qid, x.vec_id AS nid,
+         |    $adist AS adist,
+         |    ROW_NUMBER() OVER (PARTITION BY q.qid
+         |      ORDER BY $adist, x.vec_id) AS rnk
+         |  FROM qs q JOIN codes x ON x.vec_id <> q.qid
+         |  ${(0 until Subs).map(m =>
+              s"JOIN c$m$Iters k$m ON k$m.cid = x.x$m").mkString("\n  ")})
+         |WHERE rnk <= $AdcK ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    // per-subspace codebooks: driver metadata (Subs × K × SubDim doubles)
+    val fits = (0 until Subs).map { m =>
+      val sub = all.select(col("vec_id"),
+        expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv"))
+      (m, sub, KMeansLite.fit(sub, "vec_id", "sv", K, Iters))
+    }
+    // the compressed index: vec_id + Subs small codes, via narrow
+    // equi-joins on vec_id (the q223 assembly shape)
+    val codes = fits.map { case (m, sub, cents) =>
+      KMeansLite.assign(sub, "sv", cents)
+        .select(col("vec_id"), col("cell").cast("int").as(s"c$m"))
+    }.reduce(_.join(_, "vec_id"))
+    // query-side LUT: ‖q_sub − centroid‖² for every (subspace, centroid)
+    // as literal-centroid codegen folds — Subs*K doubles per query row
+    val lutEntries = for {
+      (m, _, cents) <- fits
+      cell <- 0 until K
+    } yield aggregate(
+      zip_with(
+        slice(col("qv"), m * SubDim + 1, SubDim),
+        array(cents(cell).map(lit(_)): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val queries = all.filter(col("vec_id") < AdcQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+      .withColumn("lut", array(lutEntries: _*))
+      .select("qid", "lut")
+    // ADC scan: broadcast the bounded query set against the code table;
+    // adist = Subs LUT lookups added left-to-right (deterministic)
+    val adist = (0 until Subs)
+      .map(m => element_at(col("lut"), lit(m * K) + col(s"c$m") + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= AdcK)
+      .select(col("qid"), col("vec_id").as("nid"), col("adist"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399)
 }

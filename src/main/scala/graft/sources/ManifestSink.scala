@@ -44,10 +44,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * racing a commit can observe a missing manifest for an instant, but
   * never a torn one.
   *
-  * Rows are CSV with Spark-reader-default quoting: a field containing
-  * a comma, quote, CR/LF, or backslash is wrapped in double quotes
-  * with `"` → `\"` and `\` → `\\` — so `spark.read.csv` with default
-  * options round-trips arbitrary string data. Checksum is an
+  * Rows are CSV: a field containing a comma, quote, CR/LF, or
+  * backslash is wrapped in double quotes with `"` → `\"`, `\` → `\\`,
+  * and CR/LF → the two-char escapes `\r`/`\n` (one record per physical
+  * line, always — the paired ManifestSource reads line-wise and
+  * round-trips arbitrary string data exactly). Checksum is an
   * order-independent sum so file-internal row order never matters.
   *
   * Usage: df.write.format("graft.sources.ManifestSink")
@@ -69,12 +70,39 @@ class ManifestSink extends TableProvider {
   }
 }
 
-private object ManifestSink {
-  /** Spark-CSV-default-compatible field encoding (quote `"`, escape `\`). */
+private[graft] object ManifestSink {
+  /** Field encoding (quote `"`, escape `\`). CR/LF are escaped as the
+    * two-char sequences `\r`/`\n` so every record stays ONE physical
+    * line — the reader scans line-by-line, and an embedded newline
+    * written literally would tear the record (and fire the manifest
+    * row-count tamper guard on perfectly valid data). */
   def csvField(v: String): String =
     if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r' || c == '\\'))
-      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r") + "\""
     else v
+
+  /** The lock at `lock` must still carry exactly `myBody` — a
+    * different (or unreadable) body means a racing committer clobbered
+    * our freshly-created lock after reading a stale view of its
+    * predecessor. Throws IllegalStateException; the caller must then
+    * abort WITHOUT deleting the (now foreign) lock. */
+  private[graft] def verifyLockOwnership(
+      f: FileSystem, lock: Path, myBody: String, path: String): Unit = {
+    val onDisk =
+      try {
+        val in = f.open(lock)
+        try {
+          val buf = new Array[Byte](256)
+          val n = in.read(buf)
+          if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    if (onDisk != myBody)
+      throw new IllegalStateException(
+        s"ManifestSink: lost the commit lock at $path to a concurrent " +
+          s"committer [$onDisk] — aborting this commit; retry it")
+  }
 }
 
 private class ManifestTable(path: String, writeSchema: StructType)
@@ -154,8 +182,19 @@ private class ManifestBatchWrite(path: String, schema: StructType,
         scala.util.Try(s.toLong).toOption)
       val ageMs = heldSince.map(System.currentTimeMillis() - _)
       if (ageMs.exists(_ > staleMs)) {
-        f.delete(lock, false) // stale: crashed driver left it behind
-        lockStream = tryLock()
+        // Atomic takeover: RENAME the stale lock to a tombstone unique
+        // to this writer. Rename either moves the file or fails — so of
+        // two committers that both read the same stale body, exactly one
+        // renames it away and proceeds to re-create the lock; the other's
+        // rename fails (source gone) and it falls through to the loud
+        // failure below. An unconditional delete here would be
+        // check-then-act: the loser could delete the winner's FRESH lock
+        // and both would enter the manifest read-merge-write silently.
+        val tombstone = new Path(dir, s"_commit.lock.stale-$writeId")
+        if (f.rename(lock, tombstone)) {
+          f.delete(tombstone, false) // crashed driver's body, no longer needed
+          lockStream = tryLock()
+        }
       }
       if (lockStream == null)
         throw new IllegalStateException(
@@ -164,10 +203,18 @@ private class ManifestBatchWrite(path: String, schema: StructType,
             s"${if (body.nonEmpty) s" by [$body]" else ""}); retry after it " +
             "completes, or delete the lock if a crashed driver left it behind")
     }
+    var ownsLock = true
     try {
-      lockStream.write(
-        s"${System.currentTimeMillis()} $writeId".getBytes("UTF-8"))
+      val myBody = s"${System.currentTimeMillis()} $writeId"
+      lockStream.write(myBody.getBytes("UTF-8"))
       lockStream.close()
+      // Ownership re-verify (second line of defense behind the atomic
+      // rename above): if a racing committer with a stale view of the
+      // lock managed to clobber ours between our create and here, the
+      // path no longer carries OUR body — fail loudly BEFORE touching
+      // the manifest, and leave the clobberer's lock alone.
+      try ManifestSink.verifyLockOwnership(f, lock, myBody, path)
+      catch { case e: IllegalStateException => ownsLock = false; throw e }
       val manifestPath = new Path(dir, "manifest.json")
       // version numbering is monotonic ACROSS truncates (computed
       // before the truncate deletes the old version manifests): a
@@ -245,7 +292,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           s"ManifestSink: failed to publish manifest-v$nextV at $path")
       // losers' temp files (failed/speculative attempts) die with the dir
       f.delete(tmpDir, true)
-    } finally f.delete(lock, false)
+    } finally if (ownsLock) f.delete(lock, false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

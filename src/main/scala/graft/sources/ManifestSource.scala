@@ -20,8 +20,12 @@ import org.apache.spark.util.SerializableConfiguration
   * immutable `manifest-v{n}.json` snapshot instead of the latest —
   * time travel across appends (truncate expires history).
   *
-  *  - one input partition per manifest file — split parallelism follows
-  *    the commit's own file layout;
+  *  - input partitions follow the commit's file layout, and files
+  *    larger than `spark.sql.files.maxPartitionBytes` are further
+  *    byte-range split (Hadoop text-split contract: a record belongs
+  *    to the split holding its first byte) so one fat file can't cap
+  *    read parallelism at 1; the per-file row-count tamper guard stays
+  *    active on unsplit reads;
   *  - column pruning via SupportsPushDownRequiredColumns: every CSV
   *    field is still tokenized (the format is row-major), but only the
   *    requested columns are parsed/converted and shipped;
@@ -161,9 +165,35 @@ private class ManifestScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestName =
       version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
-    ManifestRead.files(path, manifestName)
-      .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
-      .toArray
+    val spark = org.apache.spark.sql.SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    // honors spark.sql.files.maxPartitionBytes like the built-in file
+    // sources (tests dial it down to force multi-split reads)
+    val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)
+    ManifestRead.files(path, manifestName).flatMap { case (name, rows) =>
+      val fp = new Path(s"$path/$name")
+      val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
+      if (len <= maxSplit)
+        // unsplit: the whole-file row-count tamper guard stays active
+        Seq(ManifestFilePartition(s"$path/$name", rows): InputPartition)
+      else {
+        // Byte-range splits so ONE fat manifest file no longer caps read
+        // parallelism at 1 (the round-10 scale note). The dialect
+        // guarantees one record per physical line (CR/LF are escaped),
+        // so the classic text-split contract applies: a record belongs
+        // to the split containing its FIRST byte; a reader seeking into
+        // the middle discards the partial line and reads one line past
+        // its end. The per-file row-count guard needs the whole file,
+        // so it is (documentedly) inactive on split reads — torn-quote
+        // parses still fail loudly.
+        val nSplits = ((len + maxSplit - 1) / maxSplit).toInt
+        (0 until nSplits).map { i =>
+          val start = i.toLong * maxSplit
+          ManifestFilePartition(s"$path/$name", rows,
+            start, math.min(maxSplit, len - start)): InputPartition
+        }
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -276,7 +306,11 @@ private class ManifestMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private case class ManifestFilePartition(file: String, rows: Long)
+/** `start`/`len` select a byte range; `len < 0` means "the whole file"
+  * (the row-count tamper guard is active only in that mode — a split
+  * reader can't know its share of the manifest's row count). */
+private case class ManifestFilePartition(
+    file: String, rows: Long, start: Long = 0L, len: Long = -1L)
   extends InputPartition
 
 private class ManifestReaderFactory(
@@ -289,18 +323,59 @@ private class ManifestReaderFactory(
     val part = p.asInstanceOf[ManifestFilePartition]
     new PartitionReader[InternalRow] {
       private val fs = new Path(part.file).getFileSystem(hadoopConf.value)
-      private val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(new Path(part.file)), "UTF-8"))
+      private val stream = fs.open(new Path(part.file))
+      private val wholeFile = part.len < 0
+      // [splitStart, splitEnd): a record belongs to this split iff its
+      // FIRST byte lies in the range; the reader may read past splitEnd
+      // to finish the last owned record (the Hadoop text-split contract;
+      // sound here because the dialect escapes CR/LF, so one record is
+      // always exactly one '\n'-terminated physical line)
+      private val splitEnd = if (wholeFile) Long.MaxValue else part.start + part.len
+      private var pos = {
+        if (part.start > 0) {
+          stream.seek(part.start)
+          var p = part.start
+          var b = stream.read()
+          while (b >= 0 && b != '\n') { p += 1; b = stream.read() }
+          if (b >= 0) p + 1 else p // consumed the partial line's '\n'
+        } else 0L
+      }
+      private val buffered = new java.io.BufferedInputStream(stream, 1 << 16)
+      private val lineBuf = new java.io.ByteArrayOutputStream(256)
       // positions (in file field order) of the required columns
       private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
       private var current: InternalRow = _
       private var readCount = 0L
 
+      /** Next '\n'-terminated line as UTF-8, advancing `pos`; null at
+        * EOF (an unterminated trailing fragment is a torn write —
+        * loud). */
+      private def readLine(): String = {
+        lineBuf.reset()
+        var b = buffered.read()
+        if (b < 0) return null
+        while (b >= 0 && b != '\n') { lineBuf.write(b); b = buffered.read() }
+        if (b < 0)
+          throw new java.io.IOException(
+            s"ManifestSource: ${part.file} ends mid-record at byte $pos — " +
+              "torn or tampered file")
+        pos += lineBuf.size() + 1
+        new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+      }
+
       override def next(): Boolean = {
         while (true) {
-          val line = reader.readLine()
+          // Stop when the next record would start strictly PAST splitEnd.
+          // A record starting exactly AT splitEnd belongs to THIS split:
+          // the next split seeks to splitEnd and unconditionally discards
+          // through the first newline at-or-after it — i.e. that whole
+          // record — so reading it here (pos == splitEnd) is what makes
+          // the boundary exactly-once (the Hadoop LineRecordReader
+          // convention).
+          if (pos > splitEnd) return false
+          val line = readLine()
           if (line == null) {
-            if (readCount != part.rows)
+            if (wholeFile && readCount != part.rows)
               throw new java.io.IOException(
                 s"ManifestSource: ${part.file} has $readCount rows, " +
                   s"manifest says ${part.rows} — torn or tampered file")
@@ -335,11 +410,13 @@ private class ManifestReaderFactory(
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = buffered.close()
 
       /** Inverse of the sink's CSV dialect: fields separated by commas;
-        * a field starting with `"` is quoted with `\"`/`\\` escapes;
-        * an unquoted empty field is NULL (Spark CSV default). */
+        * a field starting with `"` is quoted with `\"`/`\\` escapes plus
+        * `\n`/`\r` for embedded CR/LF (the sink escapes those so every
+        * record is exactly one physical line); an unquoted empty field
+        * is NULL (Spark CSV default). */
       private def splitCsv(line: String): Array[String] = {
         val out = Array.newBuilder[String]
         var i = 0
@@ -351,7 +428,14 @@ private class ManifestReaderFactory(
             var done = false
             while (!done) {
               val c = line.charAt(i)
-              if (c == '\\') { sb.append(line.charAt(i + 1)); i += 2 }
+              if (c == '\\') {
+                sb.append(line.charAt(i + 1) match {
+                  case 'n' => '\n'
+                  case 'r' => '\r'
+                  case other => other
+                })
+                i += 2
+              }
               else if (c == '"') { i += 1; done = true }
               else { sb.append(c); i += 1 }
             }

@@ -206,5 +206,140 @@ object StreamingOps4 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q357, q372)
+  // ------------- q400: streaming near-dup dedup with persistent LSH state
+
+  private[graft] case class BandRow(
+      doc_id: Long, gs: Seq[String], band: Int, bsig: Long)
+
+  /** Stateful LSH-bucket processor: per (band, band-signature) bucket
+    * the ListState holds every (doc_id, shingle-set) member seen across
+    * ALL micro-batches — the persistent index of a streaming dedup
+    * service. A new document is exactly Jaccard-verified against every
+    * stored member of each bucket it lands in (the q45/q146 verify step
+    * moved INSIDE the state layer: candidates never leave the
+    * executor), emitting (doc, earliest matching prior) on a hit.
+    * Within one micro-batch, rows are processed in doc_id order so
+    * same-batch winners are deterministic. State is bucket-bounded
+    * exactly like q45's band buckets; at 100 TB it's keyed RocksDB
+    * state, and a TTL (not set here — restarts must dedup against the
+    * full history) would bound it for windowed-freshness contracts. */
+  private[graft] class LshDedupProcessor(threshold: Double)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (Int, Long), BandRow, (Long, Long)] {
+    @transient private var members: org.apache.spark.sql.streaming.ListState[(Long, Seq[String])] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      import implicits._
+      members = getHandle.getListState[(Long, Seq[String])](
+        "members",
+        implicitly[org.apache.spark.sql.Encoder[(Long, Seq[String])]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    private def jaccard(a: Set[String], b: Set[String]): Double = {
+      val inter = a.count(b.contains)
+      inter.toDouble / (a.size + b.size - inter)
+    }
+
+    override def handleInputRows(
+        key: (Int, Long),
+        rows: Iterator[BandRow],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+      val prior = members.get().toSeq
+      val out = Seq.newBuilder[(Long, Long)]
+      val added = Seq.newBuilder[(Long, Seq[String])]
+      var pool = prior
+      rows.toSeq.sortBy(_.doc_id).foreach { r =>
+        val mySet = r.gs.toSet
+        val hits = pool.iterator
+          .filter { case (e, egs) =>
+            e != r.doc_id && jaccard(egs.toSet, mySet) >= threshold }
+          .map(_._1)
+        if (hits.nonEmpty) out += ((r.doc_id, hits.min))
+        pool = pool :+ (r.doc_id -> r.gs)
+        added += (r.doc_id -> r.gs)
+      }
+      added.result().foreach(members.appendValue)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming near-dup dedup with PERSISTENT LSH state — the
+    * streaming twin of q45 (banded MinHash) and q146 (incremental
+    * gate): the corpus batch commits first and a second drain (same
+    * checkpoint — an exactly-once RESTART, the q170/q397 pattern)
+    * brings the increment; every document is flagged with the earliest
+    * prior document whose exact Jaccard clears 0.9 among its
+    * band-bucket peers. The oracle replays shingle-sharing pairs with
+    * the same (batch, doc_id) arrival order; band-candidate vs
+    * shingle-candidate equality is q45/q146's documented accepted risk
+    * (engineered near-dup pairs sit clearly above the threshold; miss
+    * probability ~4e-8 per pair). */
+  private val q400 = Q(
+    "q400_stream_lsh_dedup",
+    s"""WITH ${graft.operators.TextOps.Sh3OracleCte},
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS e, b.doc_id AS d, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.g = b.g
+       |  WHERE (CASE WHEN a.doc_id % 5 = 4 THEN 2 ELSE 1 END
+       |         < CASE WHEN b.doc_id % 5 = 4 THEN 2 ELSE 1 END)
+       |     OR (a.doc_id % 5 = 4) = (b.doc_id % 5 = 4)
+       |        AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d AS doc_id, min(e) AS dup_of
+       |FROM pairs
+       |JOIN sizes si ON si.doc_id = e
+       |JOIN sizes sd ON sd.doc_id = d
+       |WHERE CAST(inter AS DOUBLE) / (si.n + sd.n - inter) >= 0.9
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = new java.io.File(s"/tmp/graft_q400_${math.abs(dir.hashCode)}")
+      if (base.exists()) {
+        java.nio.file.Files.walk(base.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+      val outSink = s"$base/sink" // parquet: checkpoint-recoverable (memory isn't)
+      graft.functions.GraftFunctions.register(s)
+      val d = Tables.load(s, dir, "documents").select("doc_id", "text")
+      def stageBatch(pred: org.apache.spark.sql.Column): Unit =
+        d.filter(pred).coalesce(1).write.mode("append").parquet(stage)
+      def drain(): Unit = {
+        val docsets = s.readStream.schema(d.schema).parquet(stage)
+          .select(col("doc_id"), expr("graft_shingles3(text)").as("gs"))
+          .filter(size(col("gs")) > 0)
+        val banded = graft.operators.TextOps.bandedSigsWithSets(s, docsets)
+          .as[BandRow]
+        val q = banded.groupByKey(r => (r.band, r.bsig))
+          .transformWithState(new LshDedupProcessor(0.9),
+            TimeMode.None(), OutputMode.Append())
+          .toDF("doc_id", "dup_of")
+          .writeStream.format("parquet").option("path", outSink)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt).start()
+        q.awaitTermination()
+      }
+      // corpus first, then the increment through a RESTARTED query on
+      // the same checkpoint — the state survives, nothing re-processes
+      stageBatch(col("doc_id") % 5 < 4); drain()
+      stageBatch(col("doc_id") % 5 === 4); drain()
+      s.read.schema("doc_id LONG, dup_of LONG").parquet(outSink)
+        .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+        .select(col("doc_id").cast("long"), col("dup_of").cast("long"))
+        .orderBy("doc_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372, q400)
 }

@@ -14,26 +14,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AdviceFixSpec extends AnyFunSuite {
 
-  test("q50 decodeStub is UTF-8 byte-based, not codepoint-based") {
-    // 'héllo wörld ✓' = 17 UTF-8 bytes (13 codepoints); byte sum % 997 = 212.
-    val m = MultimodalOps.decodeStub(
-      MediaIn(1L, "héllo wörld ✓".getBytes("UTF-8")))
-    assert(m.n_bytes == 17)
-    assert(m.checksum == 212L)
-    assert(m.fake_width == 18)
-    assert(m.fake_height == 213)
-    assert(m.format == "webp") // first byte 'h'=104, 104 % 3 = 2
-  }
-
   test("q119 sampleFrames frames over UTF-8 bytes incl multi-byte spans") {
-    // 'abcé' * 40 = 200 bytes -> 7 frames of 32, frames {0,4} sampled,
-    // sampled byte sum % 997 = 479 (é straddles frame boundaries).
+    // 'abcé' * 40 = 200 bytes -> 200 decoded samples -> 7 frames of 32,
+    // frames {0,4} sampled. Samples are byte*16 through the REAL WAV
+    // round trip; the sampled BYTE sum is ≡ 479 (mod 997, pinned by the
+    // pre-codec version of this test), so the sample checksum is
+    // (16 * 479) % 997 = 685 (é straddles frame boundaries; computed
+    // independently of the code under test).
     val payload = ("abcé" * 40).getBytes("UTF-8")
     assert(payload.length == 200)
     val f = MultimodalOps.sampleFrames(MediaIn(9L, payload))
     assert(f.n_frames == 7)
     assert(f.n_sampled == 2)
-    assert(f.sampled_checksum == 479L)
+    assert(f.sampled_checksum == 685L)
+  }
+
+  test("q119 sampleFrames skips the codec on an empty payload") {
+    val f = MultimodalOps.sampleFrames(MediaIn(3L, Array.emptyByteArray))
+    assert(f.n_frames == 0 && f.n_sampled == 0 && f.sampled_checksum == 0L)
   }
 
   test("q118 fold tie-breaks same-microsecond events by event_id") {

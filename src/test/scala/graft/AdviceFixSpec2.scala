@@ -115,12 +115,20 @@ class AdviceFixSpec2 extends AnyFunSuite {
     assert(manifest.selectExpr("total_rows").head().getLong(0) == data.size)
     val files = manifest.selectExpr("explode(files.file) AS f")
       .collect().map(r => s"$out/${r.getString(0)}")
-    // default-option Spark CSV reader (quote `"`, escape `\`) must see
-    // exactly the original values — the contract the quoting targets
-    val back = spark.read.schema("k LONG, s STRING")
-      .option("multiLine", "true").csv(files: _*)
+    // the paired ManifestSource reader must see exactly the original
+    // values — since the round-10 ADVICE fix the dialect escapes CR/LF
+    // as `\r`/`\n` so every record is ONE physical line (the reader is
+    // line-wise; literal newlines inside quotes were the torn-record
+    // bug the advisor flagged)
+    val back = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, s STRING").option("path", out).load()
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(back == data.toSet)
+    // and no data file may contain a physical line count different
+    // from its manifest row count (the tamper guard relies on it)
+    val physLines = files.map(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().size).sum
+    assert(physLines == data.size, s"expected ${data.size} physical lines")
   }
 
   test("ManifestSink refuses to commit while another commit holds the lock") {

@@ -24,7 +24,10 @@ class ManifestSourceSpec extends AnyFunSuite {
       (2L, "has,comma"),
       (3L, "has\"quote"),
       (4L, "back\\slash"),
-      (5L, null.asInstanceOf[String]))
+      (5L, null.asInstanceOf[String]),
+      (6L, "line1\nline2"),
+      (7L, "cr\rlf\n mix\r\n"),
+      (8L, "literal\\n backslash-n"))
     rows.toDF("k", "s").coalesce(1)
       .write.format("graft.sources.ManifestSink")
       .option("path", out).mode("append").save()
@@ -183,4 +186,74 @@ class ManifestSourceSpec extends AnyFunSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("torn or tampered")), e.toString)
   }
+  test("byte-range splits: fat files read in parallel, exactly once") {
+    import spark.implicits._
+    val out = freshDir()
+    // ONE fat data file: ~3000 rows with variable-length strings so
+    // split boundaries land mid-record in every interesting way
+    val rows = (1L to 3000L).map(i => (i, "s" * (i % 97).toInt + s"#$i"))
+    rows.toDF("k", "s").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val before = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", 4096L)
+    try {
+      val df = spark.read.format("graft.sources.ManifestSource")
+        .schema("k LONG, s STRING").option("path", out).load()
+      assert(df.rdd.getNumPartitions > 4,
+        s"fat file not split (${df.rdd.getNumPartitions} partitions)")
+      val back = df.collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      assert(back == rows, "split read lost or duplicated records")
+      // pushed filters still run inside split readers
+      val filtered = spark.read.format("graft.sources.ManifestSource")
+        .schema("k LONG, s STRING").option("path", out).load()
+        .filter($"k" <= 10).collect().map(_.getLong(0)).sorted.toSeq
+      assert(filtered == (1L to 10L))
+    } finally {
+      before.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+        v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
+    }
+  }
+
+  test("snapshot expiry keeps the newest versions and fails expired reads") {
+    import spark.implicits._
+    val out = freshDir()
+    def append(ks: Seq[Long]): Unit =
+      ks.toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    append(Seq(1L)); append(Seq(2L)); append(Seq(3L)); append(Seq(4L))
+    val n = graft.sources.ManifestMaintenance.expireSnapshots(spark, out, 2)
+    assert(n == 2, s"expected 2 expired snapshots, got $n")
+    // lock released
+    assert(!new java.io.File(out, "_commit.lock").exists())
+    // v3/v4/latest intact
+    val v3 = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 3).load()
+      .as[Long].collect().sorted.toSeq
+    assert(v3 == Seq(1L, 2L, 3L))
+    val latest = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+      .as[Long].collect().sorted.toSeq
+    assert(latest == Seq(1L, 2L, 3L, 4L))
+    // expired v1 fails loudly; a further append still commits (v5)
+    intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out).option("version", 1).load()
+        .collect()
+    }
+    append(Seq(5L))
+    val v5 = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 5).load()
+      .as[Long].collect().sorted.toSeq
+    assert(v5 == Seq(1L, 2L, 3L, 4L, 5L))
+    // expiry refuses to run under a live commit lock
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(out, "_commit.lock"))
+    intercept[IllegalStateException] {
+      graft.sources.ManifestMaintenance.expireSnapshots(spark, out, 1)
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_commit.lock"))
+  }
+
 }

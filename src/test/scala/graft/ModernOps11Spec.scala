@@ -9,8 +9,8 @@ class ModernOps11Spec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("q319 ANALYZE statistics reach the optimizer and values hold") {
-    operators.ModernOps11.withCboConfs(spark) {
-      val df = operators.ModernOps11.cboFrame(spark, dir)
+    operators.OptimizerOps.withCboConfs(spark) {
+      val df = operators.OptimizerOps.cboFrame(spark, dir)
       // every catalog relation in the optimized plan must carry a
       // rowCount — the proof ANALYZE flowed through the catalog into
       // costing (without stats rowCount is None under CBO)
@@ -38,7 +38,7 @@ class ModernOps11Spec extends AnyFunSuite {
 
   test("q320 bloom index prunes files and loses no rows") {
     val (total, kept, scan, key) =
-      operators.ModernOps11.bloomIndexScan(spark, dir)
+      operators.LakehouseOps.bloomIndexScan(spark, dir)
     assert(kept > 0 && kept < total,
       s"bloom index must prune some files ($kept of $total kept) — a " +
         "single orderkey cannot populate every shipdate-range file's bloom")

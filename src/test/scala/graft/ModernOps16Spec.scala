@@ -75,7 +75,7 @@ class ModernOps16Spec extends AnyFunSuite {
       "NULL-filtered NOT IN must agree with the anti join")
     // BroadcastHashJoinExec renders isNullAwareAntiJoin as the trailing
     // boolean: "LeftAnti, BuildRight, true"
-    val plan = operators.ModernOps16.rawNotInFrame(spark, dir)
+    val plan = operators.SqlSurfaceOps.rawNotInFrame(spark, dir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti, BuildRight, true") ||
       plan.contains("NullAware"),

@@ -28,7 +28,7 @@ class ModernOps27Spec extends AnyFunSuite {
   }
 
   test("q366 union-of-semi-joins equals the naive OR-EXISTS, sans loop") {
-    val naive = graft.operators.ModernOps27.orExistsNaive(spark, dir)
+    val naive = graft.operators.SqlSurfaceOps.orExistsNaive(spark, dir)
     assert(naive.queryExecution.executedPlan.toString
       .contains("NestedLoopJoin"),
       "the OR-predicate semi join must nested-loop without the rewrite")

@@ -42,7 +42,7 @@ class ModernOps3Spec extends AnyFunSuite {
   }
 
   test("q299 zone map skips files and the pruned scan loses no rows") {
-    val (total, kept, scan) = operators.ModernOps3.zoneMapScan(spark, dir)
+    val (total, kept, scan) = operators.LakehouseOps.zoneMapScan(spark, dir)
     assert(kept < total,
       s"zone map pruned nothing ($kept of $total files kept) — the " +
         "range-partitioned layout should put out-of-range files on " +
@@ -57,8 +57,8 @@ class ModernOps3Spec extends AnyFunSuite {
   }
 
   test("q300 injects a runtime bloom filter and matches the plain join") {
-    val df = operators.ModernOps3.withBloomConfs(spark) {
-      val f = operators.ModernOps3.bloomJoinFrame(spark, dir)
+    val df = operators.OptimizerOps.withBloomConfs(spark) {
+      val f = operators.OptimizerOps.bloomJoinFrame(spark, dir)
       f.collect() // plans finalize at execution; inspect after
       val plan = f.queryExecution.executedPlan.toString
       assert(plan.contains("might_contain"),

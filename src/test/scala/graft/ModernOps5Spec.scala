@@ -31,11 +31,11 @@ class ModernOps5Spec extends AnyFunSuite {
   }
 
   test("q304 rewrites the fact rollup onto the MV and matches the base table") {
-    val mvPath = operators.ModernOps5.buildAndRegisterMv(spark, dir)
-    operators.ModernOps5.ensureMvRule(spark)
+    val mvPath = operators.OptimizerOps.buildAndRegisterMv(spark, dir)
+    operators.OptimizerOps.ensureMvRule(spark)
     spark.conf.set("spark.graft.mvRewrite", "true")
     try {
-      val df = operators.ModernOps5.mvRollupFrame(spark, dir)
+      val df = operators.OptimizerOps.mvRollupFrame(spark, dir)
       val paths = scanPaths(df)
       assert(paths.exists(_.contains(mvPath.split('/').last)),
         s"rollup must scan the MV, scanned: $paths")
@@ -45,7 +45,7 @@ class ModernOps5Spec extends AnyFunSuite {
         (r.getString(0), r.getString(1), r.getLong(2)))
       // base-table truth, rule disabled
       spark.conf.set("spark.graft.mvRewrite", "false")
-      val base = operators.ModernOps5.mvRollupFrame(spark, dir)
+      val base = operators.OptimizerOps.mvRollupFrame(spark, dir)
       assert(scanPaths(base).exists(_.endsWith("lineitem.parquet")),
         "control query must scan the fact table with the rule off")
       val want = base.collect().map(r =>
@@ -59,8 +59,8 @@ class ModernOps5Spec extends AnyFunSuite {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
-    operators.ModernOps5.withSpjConfs(spark) {
-      val df = operators.ModernOps5.spjFrame(spark)
+    operators.LakehouseOps.withSpjConfs(spark) {
+      val df = operators.LakehouseOps.spjFrame(spark)
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
         case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
@@ -121,8 +121,8 @@ class ModernOps5Spec extends AnyFunSuite {
   }
 
   test("q304 rule declines a measure the MV does not cover") {
-    operators.ModernOps5.buildAndRegisterMv(spark, dir)
-    operators.ModernOps5.ensureMvRule(spark)
+    operators.OptimizerOps.buildAndRegisterMv(spark, dir)
+    operators.OptimizerOps.ensureMvRule(spark)
     spark.conf.set("spark.graft.mvRewrite", "true")
     try {
       val notCovered = Tables.load(spark, dir, "lineitem")
@@ -138,8 +138,8 @@ class ModernOps5Spec extends AnyFunSuite {
     // references-based check alone would let them through — but they
     // are duplicate-sensitive: aggregating over MV group rows instead
     // of fact rows gives wrong answers. The rule must fail closed.
-    operators.ModernOps5.buildAndRegisterMv(spark, dir)
-    operators.ModernOps5.ensureMvRule(spark)
+    operators.OptimizerOps.buildAndRegisterMv(spark, dir)
+    operators.OptimizerOps.ensureMvRule(spark)
     spark.conf.set("spark.graft.mvRewrite", "true")
     try {
       val fact = Tables.load(spark, dir, "lineitem")

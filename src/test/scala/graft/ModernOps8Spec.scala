@@ -71,7 +71,7 @@ class ModernOps8Spec extends AnyFunSuite {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val (v1, v2) = operators.ModernOps8.writeEvolvedLayouts(spark, dir)
+    val (v1, v2) = operators.LakehouseOps.writeEvolvedLayouts(spark, dir)
     def partDirs(p: String) = new java.io.File(p).listFiles()
       .count(f => f.isDirectory && !f.getName.startsWith("_"))
     val pred = col("l_shipdate") >= lit("1996-10-01").cast("timestamp") &&

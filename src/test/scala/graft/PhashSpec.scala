@@ -2,15 +2,16 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q258 perceptual-hash near-dup: planted payload corpus (the standard
-  * corpus has no hamming<=3 pairs, so the green there is vacuous) plus
-  * a brute-force replay of the banded pipeline. */
+/** q258 perceptual-hash near-dup THROUGH the real codec: planted
+  * payload corpus (exact dups, a 1-byte edit, empties) plus a
+  * brute-force replay of the banded pipeline against the same
+  * aHash-through-PNG hash the query computes. */
 class PhashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def phash(text: String): Long =
-    operators.MultimodalOps.phashStub(
-      operators.MultimodalOps.MediaIn(0L, text.getBytes("UTF-8"))).h
+  private def ahash(text: String): (Long, Long) =
+    operators.MultimodalOps.aHash32x24(
+      operators.MultimodalOps.tiledPixels(text.getBytes("UTF-8"), 768))
 
   test("q258 finds exactly the brute-force hamming<=3 pairs on planted payloads") {
     import spark.implicits._
@@ -29,10 +30,11 @@ class PhashSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val hs = texts.indices.map(i => i.toLong -> phash(texts(i)))
+    val hs = texts.indices.map(i => i.toLong -> ahash(texts(i)))
     val expected = (for {
       i <- hs.indices; j <- (i + 1) until hs.length
-      d = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      d = java.lang.Long.bitCount(hs(i)._2._1 ^ hs(j)._2._1) +
+        java.lang.Long.bitCount(hs(i)._2._2 ^ hs(j)._2._2)
       if d <= 3
     } yield (hs(i)._1, hs(j)._1, d)).toSet
     assert(expected.nonEmpty, "planted corpus produced no near-dup pairs")
@@ -43,9 +45,11 @@ class PhashSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
-  test("phash stub is deterministic and 56-bit bounded") {
-    val h = phash("any payload at all")
-    assert(h === phash("any payload at all"))
-    assert(h >= 0L && h < (1L << 56))
+  test("aHash32x24 is deterministic and 32-bit-half bounded") {
+    val (hi, lo) = ahash("any payload at all")
+    assert((hi, lo) === ahash("any payload at all"))
+    // each half holds 32 bits: non-negative and < 2^32
+    assert(hi >= 0L && hi < (1L << 32))
+    assert(lo >= 0L && lo < (1L << 32))
   }
 }

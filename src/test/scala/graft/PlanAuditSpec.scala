@@ -535,4 +535,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(noOracle == allowedNoOracle,
       s"unexpected zero-oracle queries: ${noOracle -- allowedNoOracle}")
   }
+  test("ManifestSource pushes numeric filters + equality, never string inequalities") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_pushdown").toString
+    spark.range(1, 50)
+      .selectExpr("id AS k", "concat('name-', id) AS name", "id * 2 AS v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, name STRING, v LONG").option("path", out).load()
+      .filter(col("k") > 10 && col("name") === "name-12" && col("name") > "m")
+      .select("k", "name")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the numeric inequality and the string EQUALITY must be pushed
+    assert(p.contains("GreaterThan(k,10"), "numeric inequality not pushed:\n" + p)
+    assert(p.contains("EqualTo(name,name-12"), "string equality not pushed:\n" + p)
+    // the string INEQUALITY must NOT be pushed (UTF-16 vs UTF-8 order
+    // divergence — the silent-row-drop class this source refuses)
+    assert(!p.contains("GreaterThan(name"),
+      "string inequality was pushed — collation-divergence hazard:\n" + p)
+    // column pruning: the scan ships only (k, name), never v
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(s => s.contains("k:") && s.contains("name:") &&
+      !s.contains("v:")), s"scan not pruned to (k, name): $read\n" + p)
+    // and the pushed filters actually filtered: result is exactly one row
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((12L, "name-12")))
+  }
+
+  test("q397 stream tail plans a BatchScan per micro-batch, no file listing") {
+    // the streaming source's partitions come from manifest-version
+    // diffs; the batch face of the same table must expose its pushdown
+    // contract in description()
+    val out = java.nio.file.Files.createTempDirectory("graft_q397a").toString
+    spark.range(1, 9).selectExpr("id AS k").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+      .filter(org.apache.spark.sql.functions.col("k") <= 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), "DSv2 batch scan missing:\n" + p)
+    assert(p.contains("LessThanOrEqual(k,3"),
+      "pushed filter list missing from scan description:\n" + p)
+  }
+
 }

@@ -10,7 +10,7 @@ class RangeJoinRuleSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def withWidth[A](w: Long)(f: => A): A = {
-    graft.operators.ModernOps22.ensureRangeRule(spark)
+    graft.operators.OptimizerOps.ensureRangeRule(spark)
     spark.conf.set(RangeJoinRule.WidthConf, w.toString)
     try f finally spark.conf.set(RangeJoinRule.WidthConf, "0")
   }
@@ -100,7 +100,7 @@ class RangeJoinRuleSpec extends AnyFunSuite {
   }
 
   test("q354 equals its rule-off nested-loop twin") {
-    val want = graft.operators.ModernOps22.burstFrame(spark, dir)
+    val want = graft.operators.OptimizerOps.burstFrame(spark, dir)
       .collect().map(_.toSeq).toSeq
     val got = SparkEntry.queries("q354_range_join_rule")(spark, dir)
       .collect().map(_.toSeq).toSeq

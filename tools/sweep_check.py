@@ -38,6 +38,12 @@ QUADRATIC_ORACLES = {
     # flatMapSortedGroups and is benched in SCALE_CURVE). Correctness
     # is pinned at sf0.01 + adversarial where the replay is feasible.
     "q390_context_packing",
+    # q400: same oracle class as q45/q146 — exact Jaccard over ALL
+    # shingle-sharing pairs (the streaming side only ever verifies
+    # band-colliding candidates inside its state layer, linear).
+    # Correctness pinned at sf0.01 + adversarial; the Spark side is
+    # timed in SCALE_CURVE.
+    "q400_stream_lsh_dedup",
 }
 QUADRATIC_ORACLES |= {
     s for s in (os.environ.get("SWEEP_SKIP") or "").split(",") if s}
