@@ -8,6 +8,30 @@ import org.apache.spark.sql.SparkSession
   * numbers reflect steady state rather than run order.
   */
 object Bench {
+
+  /** Accumulates executor task metrics so each bench row can carry its
+    * CAUSE alongside its seconds: shuffle read/write bytes and spill.
+    * Listener events post asynchronously; the small post-query settle
+    * (clearCache + System.gc + the next query's setup) absorbs the lag
+    * in practice — these are observability numbers for regression
+    * triage, not part of any correctness contract. */
+  private class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    private val shufRead = new java.util.concurrent.atomic.AtomicLong
+    private val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    private val spilled = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (shufRead.get, shufWrite.get, spilled.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,12 +76,15 @@ object Bench {
         System.err.println(s"[bench] prestage($label) failed: ${e.getMessage}")
       }
     val failed = Seq.newBuilder[String]
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     // Optional substring filter for local scale experiments; the driver
     // never sets it, so its full-run contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.split(',').exists(name.contains)) }
       .map { case (name, fn) =>
+      val m0 = listener.snapshot()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
@@ -75,16 +102,28 @@ object Bench {
       // measured window.
       spark.catalog.clearCache()
       System.gc()
-      name -> dt
+      val m1 = listener.snapshot()
+      val mb = 1024.0 * 1024.0
+      (name, dt,
+        ((m1._1 - m0._1) + (m1._2 - m0._2)) / mb, // shuffle read+write MB
+        (m1._3 - m0._3) / mb)                     // spill MB
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query cause metrics, a PARALLEL map so every existing consumer
+    // of "queries" (scale_curve, sweep tooling, round-over-round diffs)
+    // keeps parsing name->seconds unchanged
+    def r1(x: Double): Double = math.rint(x * 10) / 10
+    val qm = results.map { case (k, _, shufMb, spillMb) =>
+      "\"" + k + "\":{\"shuffle_mb\":" + r1(shufMb) +
+        ",\"spill_mb\":" + r1(spillMb) + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2.abs).sum else 0.0
     val errs = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val fixed = SparkEntry.fixedCostBound.toSeq.sorted
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"fixed_cost_bound":$fixed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"errors":$errs,"fixed_cost_bound":$fixed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -234,25 +234,35 @@ object TextOps {
   /** doc_id → (band, bsig) bucket keys: one fused codegen MinHash pass
     * (64 perms) per document, 16 bands x 4 rows each hashed to a single
     * bucket key. Shared by q45 and the q146 incremental ingest gate. */
-  /** [[bandedSigs]] but carrying each row's shingle set along (and
-    * taking the docs as a DataFrame, so a STREAMING source works) —
-    * the streaming LSH dedup (q400) verifies candidates exactly inside
-    * its stateful processor, which needs both sides' sets. */
+  /** [[bandedSigs]] but carrying each row's shingle set along as SORTED
+    * 64-bit HASHES (and taking the docs as a DataFrame, so a STREAMING
+    * source works) — the streaming LSH dedup (q400) verifies candidates
+    * exactly inside its stateful processor, which needs both sides'
+    * sets. Hashes, not strings: the set rides the shuffle once per band
+    * (16×) and then lives in keyed state, so an ~8-byte element instead
+    * of a full shingle string is the difference between a lean RocksDB
+    * index and multi-GB state at the 100x corpus. Jaccard over distinct
+    * xxhash64 values equals Jaccard over the shingles themselves unless
+    * two distinct shingles of a candidate pair collide in 64 bits
+    * (~|union|²/2⁻⁶⁴ per pair) — the same accepted-risk family as q45's
+    * band-miss bound, and far below it. */
   private[graft] def bandedSigsWithSets(
       s: SparkSession, docsets: DataFrame): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => graft.functions.MinHashSig(exprs.head, hashA, hashB, MinhashP),
       "scala_udf")
-    val sig = docsets.select(col("doc_id"), col("gs"), expr(
-      s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
+    val sig = docsets.select(col("doc_id"),
+      expr("sort_array(transform(gs, g -> xxhash64(g)))").as("hs"),
+      expr(
+        s"graft_minhash(transform(gs, g -> pmod(xxhash64(g), ${MinhashP}L)))").as("sig"))
     val bandCols = (0 until NumHashes / BandRows).map { bnd =>
       val elems = (0 until BandRows)
         .map(r => s"sig[${bnd * BandRows + r}]").mkString(", ")
       expr(s"named_struct('band', $bnd, 'bsig', xxhash64($elems, $bnd))")
     }
-    sig.select(col("doc_id"), col("gs"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("gs"), col("bb.band"), col("bb.bsig"))
+    sig.select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("hs"), col("bb.band"), col("bb.bsig"))
   }
 
   private[operators] def bandedSigs(s: SparkSession, docsets: DataFrame): DataFrame = {

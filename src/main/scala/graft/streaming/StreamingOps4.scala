@@ -209,15 +209,18 @@ object StreamingOps4 {
   // ------------- q400: streaming near-dup dedup with persistent LSH state
 
   private[graft] case class BandRow(
-      doc_id: Long, gs: Seq[String], band: Int, bsig: Long)
+      doc_id: Long, hs: Seq[Long], band: Int, bsig: Long)
 
   /** Stateful LSH-bucket processor: per (band, band-signature) bucket
-    * the ListState holds every (doc_id, shingle-set) member seen across
-    * ALL micro-batches — the persistent index of a streaming dedup
-    * service. A new document is exactly Jaccard-verified against every
-    * stored member of each bucket it lands in (the q45/q146 verify step
-    * moved INSIDE the state layer: candidates never leave the
-    * executor), emitting (doc, earliest matching prior) on a hit.
+    * the ListState holds every (doc_id, sorted shingle-hash set) member
+    * seen across ALL micro-batches — the persistent index of a
+    * streaming dedup service (8-byte hashed elements, not strings —
+    * see [[graft.operators.TextOps.bandedSigsWithSets]] for the state-
+    * size math and the negligible collision bound). A new document is
+    * exactly Jaccard-verified against every stored member of each
+    * bucket it lands in (the q45/q146 verify step moved INSIDE the
+    * state layer: candidates never leave the executor), emitting
+    * (doc, earliest matching prior) on a hit.
     * Within one micro-batch, rows are processed in doc_id order so
     * same-batch winners are deterministic. State is bucket-bounded
     * exactly like q45's band buckets; at 100 TB it's keyed RocksDB
@@ -226,21 +229,28 @@ object StreamingOps4 {
   private[graft] class LshDedupProcessor(threshold: Double)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       (Int, Long), BandRow, (Long, Long)] {
-    @transient private var members: org.apache.spark.sql.streaming.ListState[(Long, Seq[String])] = _
+    @transient private var members: org.apache.spark.sql.streaming.ListState[(Long, Array[Long])] = _
 
     override def init(
         outputMode: org.apache.spark.sql.streaming.OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       import implicits._
-      members = getHandle.getListState[(Long, Seq[String])](
+      members = getHandle.getListState[(Long, Array[Long])](
         "members",
-        implicitly[org.apache.spark.sql.Encoder[(Long, Seq[String])]],
+        implicitly[org.apache.spark.sql.Encoder[(Long, Array[Long])]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
     }
 
-    private def jaccard(a: Set[String], b: Set[String]): Double = {
-      val inter = a.count(b.contains)
-      inter.toDouble / (a.size + b.size - inter)
+    /** Exact Jaccard over two SORTED distinct-hash arrays (two-pointer
+      * intersection — no per-pair allocation in the state hot path). */
+    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
     }
 
     override def handleInputRows(
@@ -250,17 +260,17 @@ object StreamingOps4 {
       : Iterator[(Long, Long)] = {
       val prior = members.get().toSeq
       val out = Seq.newBuilder[(Long, Long)]
-      val added = Seq.newBuilder[(Long, Seq[String])]
+      val added = Seq.newBuilder[(Long, Array[Long])]
       var pool = prior
       rows.toSeq.sortBy(_.doc_id).foreach { r =>
-        val mySet = r.gs.toSet
+        val mine = r.hs.toArray
         val hits = pool.iterator
-          .filter { case (e, egs) =>
-            e != r.doc_id && jaccard(egs.toSet, mySet) >= threshold }
+          .filter { case (e, ehs) =>
+            e != r.doc_id && jaccard(ehs, mine) >= threshold }
           .map(_._1)
         if (hits.nonEmpty) out += ((r.doc_id, hits.min))
-        pool = pool :+ (r.doc_id -> r.gs)
-        added += (r.doc_id -> r.gs)
+        pool = pool :+ (r.doc_id -> mine)
+        added += (r.doc_id -> mine)
       }
       added.result().foreach(members.appendValue)
       out.result().iterator

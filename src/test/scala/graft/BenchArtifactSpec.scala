@@ -30,6 +30,24 @@ class BenchArtifactSpec extends AnyFunSuite {
         s"stale rows: ${stale.toSeq.sorted}. Run tools/release.sh to refresh.")
   }
 
+  test("BENCH_full.json carries {shuffle_mb, spill_mb} per query") {
+    val f = new java.io.File("BENCH_full.json")
+    assert(f.exists(), "BENCH_full.json missing — run tools/release.sh")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val qmBlock = """"query_metrics"\s*:\s*\{(.*?)\}\s*,\s*"errors"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(fail("no query_metrics object in BENCH_full.json — " +
+        "regenerate with tools/release.sh"))
+    val withMetrics =
+      """"(q[A-Za-z0-9_]+)"\s*:\s*\{"shuffle_mb":[-0-9.E]+,"spill_mb":[-0-9.E]+\}""".r
+        .findAllMatchIn(qmBlock).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- withMetrics
+    assert(missing.isEmpty,
+      s"queries without {shuffle_mb, spill_mb} rows: ${missing.toSeq.sorted}")
+  }
+
   test("every fixed-cost-bound name is a registered query") {
     val unknown = SparkEntry.fixedCostBound -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"fixedCostBound names not registered: $unknown")
