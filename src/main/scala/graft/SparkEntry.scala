@@ -60,5 +60,5 @@ object SparkEntry {
       // non-streaming-package queries whose cost is drain choreography
       // or fixed-size fixtures, not corpus volume
       Set("q393_sink_time_travel", "q397_manifest_stream_tail",
-        "q398_manifest_expire")
+        "q398_manifest_expire", "q401_manifest_compaction")
 }

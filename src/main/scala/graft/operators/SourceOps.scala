@@ -776,7 +776,100 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q401: manifest small-file COMPACTION + orphan cleanup — the
+    * rewrite_data_files / remove_orphan_files pair that completes the
+    * connector's maintenance story (q393 time travel, q397 tailing,
+    * q398 snapshot expiry). Four appends → compact to ONE file (a pure
+    * rewrite: checksum/row conservation asserted inside
+    * [[graft.sources.ManifestMaintenance.compact]]); time travel to a
+    * pre-compaction snapshot still reads exactly; orphan cleanup
+    * before expiry removes NOTHING (history still references the old
+    * files); expiry to the compaction version then lets cleanup
+    * reclaim exactly the four rewritten files, after which the latest
+    * snapshot still reads and the expired one fails loudly. */
+  private val q401 = Q(
+    "q401_manifest_compaction",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |v2 AS (SELECT * FROM n WHERE k % 4 < 2)
+      |SELECT 'expired' AS which, CAST(4 AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS sum_k
+      |UNION ALL SELECT 'files_after', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'files_before', CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'latest_postclean', CAST(count(*) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT 'latest_postcompact', CAST(count(*) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM n
+      |UNION ALL SELECT 'orphans_postexpire', CAST(4 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'orphans_preexpire', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'v2_gone', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v2_snapshot', CAST(count(*) AS BIGINT),
+      |  CAST(sum(k) AS BIGINT) FROM v2
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q401_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"))
+    (0 until 4).foreach { i =>
+      base.filter(col("k") % 4 === i).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    }
+    val (nBefore, nAfter) =
+      graft.sources.ManifestMaintenance.compact(s, out, "k LONG")
+    def readVersion(v: Option[Int]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    // aggregates materialize EAGERLY (first(), not a lazy plan): the
+    // maintenance calls below DELETE the very snapshots these read, so
+    // a lazy plan evaluated at the end would read post-expiry state
+    def agg(label: String, df: org.apache.spark.sql.DataFrame): (String, Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("k")).cast("long").as("sum_k")).first()
+      (label, r.getLong(0), r.getLong(1))
+    }
+    val postCompact = agg("latest_postcompact", readVersion(None))
+    val v2Snap = agg("v2_snapshot", readVersion(Some(2)))
+    // history still pins every old file: cleanup may remove nothing yet
+    val orphansPre = graft.sources.ManifestMaintenance.removeOrphans(s, out)
+    val nExpired =
+      graft.sources.ManifestMaintenance.expireSnapshots(s, out, keepLast = 1)
+    val orphansPost = graft.sources.ManifestMaintenance.removeOrphans(s, out)
+    val postClean = agg("latest_postclean", readVersion(None))
+    val v2Gone =
+      try { readVersion(Some(2)).collect(); 0L }
+      catch { case e: Exception =>
+        def chain(t: Throwable): Seq[Throwable] =
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+        if (chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException])) 1L
+        else throw e
+      }
+    import s.implicits._
+    (Seq(postCompact, v2Snap, postClean) ++ Seq(
+      ("files_before", nBefore.toLong, 0L),
+      ("files_after", nAfter.toLong, 0L),
+      ("orphans_preexpire", orphansPre.toLong, 0L),
+      ("expired", nExpired.toLong, 0L),
+      ("orphans_postexpire", orphansPost.toLong, 0L),
+      ("v2_gone", v2Gone, 0L)))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272, q393, q397, q398)
+      q194, q237, q255, q262, q270, q272, q393, q397, q398, q401)
 }

@@ -31,8 +31,10 @@ object VectorOps2 {
 
   /** DuckDB replay of one subspace's fit+assign (suffix `m` keeps CTE
     * names unique inside one WITH). Mirrors VectorOps.kmeansOracleCtes
-    * with the vector source sliced to the subspace. */
-  private def subspaceCtes(m: Int): String = {
+    * with the vector source sliced to the subspace. `vvBody` overrides
+    * the subvector source (default: the contiguous PQ slice) — the OPQ
+    * variant (q402) supplies a permuted-dimension gather instead. */
+  private def subspaceCtes(m: Int, vvBody: String = null): String = {
     val S = "1073741824.0" // KMeansLite.MeanScale
     val C = "4294967296.0" // KMeansLite.QClamp
     val lo = m * SubDim + 1
@@ -64,10 +66,12 @@ object VectorOps2 {
       assignCte(s"a$m$t", s"c$m${t - 1}", keepD2 = false) + ",\n" +
         centerCte(s"c$m$t", s"a$m$t", s"c$m${t - 1}")
     }.mkString(",\n")
+    val vv = Option(vvBody).getOrElse(
+      s"""SELECT vec_id,
+         |    list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings""".stripMargin)
     s"""vv$m AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  $vv),
        |c${m}0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
        |         v AS cv
@@ -78,7 +82,7 @@ object VectorOps2 {
 
   private val q223 = Q(
     "q223_product_quantization",
-    s"""WITH ${(0 until Subs).map(subspaceCtes).mkString(",\n")}
+    s"""WITH ${(0 until Subs).map(m => subspaceCtes(m)).mkString(",\n")}
        |SELECT af0.vec_id AS vec_id,
        |  CAST(af0.cell AS BIGINT) AS c0, CAST(af1.cell AS BIGINT) AS c1,
        |  CAST(af2.cell AS BIGINT) AS c2, CAST(af3.cell AS BIGINT) AS c3,
@@ -201,7 +205,7 @@ object VectorOps2 {
            |         * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
       val adist = (0 until Subs).map(m => s"${d2(s"q.q$m", s"k$m.cv")}")
         .mkString("\n    + ")
-      s"""WITH ${(0 until Subs).map(subspaceCtes).mkString(",\n")},
+      s"""WITH ${(0 until Subs).map(m => subspaceCtes(m)).mkString(",\n")},
          |codes AS (
          |  SELECT af0.vec_id,
          |    ${(0 until Subs).map(m => s"af$m.cell AS x$m").mkString(", ")}
@@ -267,5 +271,106 @@ object VectorOps2 {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399)
+  // --------------- q402: OPQ-style energy-balanced dimension allocation
+
+  /** Clamp/scale for the per-dimension energy statistic: |q| ≤ 2^21, so
+    * q² ≤ 2^42 and a 200k-row sum stays < 2^60 (overflow-proof through
+    * the 100x corpus AND the adversarial ±1e30 components, which the
+    * clamp absorbs — the KMeansLite QClamp lesson applied to squares). */
+  private val OpqClamp = 2048.0
+  private val OpqScale = 1024.0
+
+  /** q402: the OPQ idea at its deployable core — PQ quality depends on
+    * how DIMENSIONS are allocated to subspaces, so instead of q223's
+    * naive contiguous slices the dimensions are ranked by an exact
+    * integer energy statistic (Σ quantized², order-independent — the
+    * only cross-engine-safe "variance") and dealt into the [[Subs]]
+    * subspaces in SNAKE order (1,2,3,4,4,3,2,1,…), balancing total
+    * energy per subspace the way full OPQ's learned rotation balances
+    * it continuously. Everything downstream is q223's machinery on the
+    * permuted gathers: per-subspace KMeansLite codebooks, 4-byte codes,
+    * sequential-fold quantization error. The permutation is data-
+    * derived yet bit-exactly replayable: integer energies, total
+    * (energy DESC, dim) order, pure-arithmetic snake assignment. */
+  private val q402 = Q(
+    "q402_opq_balanced_pq", {
+      val qx = "CAST(round(least(greatest(" +
+        s"CAST(embedding[CAST(i AS INT)] AS DOUBLE), -$OpqClamp), $OpqClamp)" +
+        s" * $OpqScale) AS BIGINT)"
+      val opqVv = (m: Int) =>
+        s"""SELECT e.vec_id,
+           |    list_transform(g.dims,
+           |      d -> CAST(e.embedding[CAST(d AS INT)] AS DOUBLE)) AS v
+           |  FROM embeddings e CROSS JOIN grp g WHERE g.grp = $m""".stripMargin
+      s"""WITH en AS (
+         |  SELECT i AS dim, SUM(($qx) * ($qx)) AS e
+         |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT dim, ROW_NUMBER() OVER (ORDER BY e DESC, dim) - 1 AS r0
+         |  FROM en),
+         |ga AS (
+         |  SELECT dim, CASE WHEN (r0 // $Subs) % 2 = 0 THEN r0 % $Subs
+         |                   ELSE $Subs - 1 - (r0 % $Subs) END AS grp
+         |  FROM rk),
+         |grp AS (SELECT grp, list(dim ORDER BY dim) AS dims FROM ga GROUP BY 1),
+         |${(0 until Subs).map(m => subspaceCtes(m, opqVv(m))).mkString(",\n")}
+         |SELECT af0.vec_id AS vec_id,
+         |  CAST(af0.cell AS BIGINT) AS c0, CAST(af1.cell AS BIGINT) AS c1,
+         |  CAST(af2.cell AS BIGINT) AS c2, CAST(af3.cell AS BIGINT) AS c3,
+         |  CAST(((af0.cell * $K + af1.cell) * $K + af2.cell) * $K + af3.cell
+         |    AS BIGINT) AS code,
+         |  af0.d2 + af1.d2 + af2.d2 + af3.d2 AS qerr
+         |FROM af0 JOIN af1 USING (vec_id) JOIN af2 USING (vec_id)
+         |JOIN af3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+    val all = VectorOps.vecs(s, dir)
+    // 1. per-dimension integer energies — one aggregation, 64 longs to
+    //    the driver (metadata, like KMeansLite's centroids)
+    def qx(j: Int) =
+      s"CAST(round(least(greatest(element_at(v, $j), -$OpqClamp), " +
+        s"$OpqClamp) * $OpqScale) AS BIGINT)"
+    val eRow = all.agg(
+      sum(expr(s"(${qx(1)}) * (${qx(1)})")).as("e1"),
+      (2 to 64).map(j => sum(expr(s"(${qx(j)}) * (${qx(j)})")).as(s"e$j")): _*)
+      .first()
+    val energies = (0 until 64).map(i => eRow.getLong(i))
+    // 2. snake-deal dims (1-based) into Subs groups, ascending in-group
+    val ranked = (1 to 64).sortBy(j => (-energies(j - 1), j))
+    val dimsOf = Array.fill(Subs)(Seq.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (dim, r0) =>
+      val g = if ((r0 / Subs) % 2 == 0) r0 % Subs else Subs - 1 - (r0 % Subs)
+      dimsOf(g) += dim
+    }
+    val groups = dimsOf.map(_.result().sorted)
+    // 3. q223's PQ machinery over the permuted gathers
+    val parts = (0 until Subs).map { m =>
+      val gather = groups(m).map(d => s"element_at(v, $d)").mkString(", ")
+      val sub = all.select(col("vec_id"), expr(s"array($gather)").as("sv"))
+      val cents = KMeansLite.fit(sub, "vec_id", "sv", K, Iters)
+      KMeansLite.assign(sub, "sv", cents)
+        .join(broadcast(s.createDataFrame(
+          s.sparkContext.parallelize(cents.zipWithIndex.map {
+            case (cv, i) => org.apache.spark.sql.Row(i, cv.toSeq) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("cv",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))), "cell")
+        .select(col("vec_id"), col("cell").cast("long").as(s"c$m"),
+          expr(s"""aggregate(sequence(1, $SubDim), CAST(0 AS DOUBLE),
+                  |  (acc, i) -> acc + (element_at(sv, i) - element_at(cv, i))
+                  |            * (element_at(sv, i) - element_at(cv, i)))"""
+            .stripMargin).as(s"d$m"))
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        expr(s"((c0 * $K + c1) * $K + c2) * $K + c3").as("code"),
+        (col("d0") + col("d1") + col("d2") + col("d3")).as("qerr"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402)
 }

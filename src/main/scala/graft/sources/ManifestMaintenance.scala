@@ -52,4 +52,168 @@ object ManifestMaintenance {
       expire.length
     } finally fs.delete(lock, false)
   }
+
+  /** Small-file COMPACTION (the rewrite_data_files analog): reads the
+    * CURRENT snapshot through the DSv2 source (distributed), rewrites
+    * it as `targetFiles` coalesced part files via the sink's own writer
+    * (same dialect, same order-independent checksums), and publishes a
+    * new manifest version listing ONLY the compacted files. Old part
+    * files stay on disk — every retained version manifest still reads
+    * exactly its own snapshot (time travel is untouched) — until
+    * [[expireSnapshots]] + [[removeOrphans]] reclaim them.
+    *
+    * Safety: the distributed rewrite runs OUTSIDE the lock (it can be
+    * long); the publish step takes `_commit.lock` and re-reads the
+    * manifest — if a concurrent append changed the file set since the
+    * rewrite began, it aborts loudly (optimistic concurrency, retry).
+    * Conservation guard: the sum of per-file checksums and row counts
+    * is invariant under a pure rewrite (checksums are order-independent
+    * sums of row-line hashes), so any lost/duplicated/reformatted row
+    * fails the publish before it happens.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, schemaDdl: String, targetFiles: Int = 1): (Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = ManifestRead.files(path, "manifest.json")
+    if (before.length <= targetFiles) return (before.length, before.length)
+    // distributed rewrite into a scratch manifest dir: the sink's own
+    // writer produces the part files AND their (rows, checksum) entries
+    val scratch = s"$path/_compact-${java.util.UUID.randomUUID()}"
+    spark.read.format("graft.sources.ManifestSource")
+      .schema(schemaDdl).option("path", path).load()
+      .coalesce(targetFiles)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", scratch).mode("append").save()
+    val compacted = ManifestRead.files(scratch, "manifest.json")
+    val compactedChecksums = readChecksums(fs, new Path(scratch, "manifest.json"))
+    // ---- publish under the commit lock
+    val lock = new Path(dir, "_commit.lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          fs.delete(new Path(scratch), true)
+          throw new IllegalStateException(
+            s"ManifestMaintenance: a commit is in flight at $path; " +
+              "retry compaction after it completes")
+      }
+    try {
+      lockStream.write(
+        s"${System.currentTimeMillis()} compact".getBytes("UTF-8"))
+      lockStream.close()
+      val now = ManifestRead.files(path, "manifest.json")
+      if (now.map(_._1).toSet != before.map(_._1).toSet) {
+        fs.delete(new Path(scratch), true)
+        throw new IllegalStateException(
+          s"ManifestMaintenance: concurrent commit changed $path during " +
+            "compaction — rewrite is stale; retry")
+      }
+      val beforeChecksums = readChecksums(fs, new Path(dir, "manifest.json"))
+      require(
+        now.map(_._2).sum == compacted.map(_._2).sum &&
+          beforeChecksums.values.sum == compactedChecksums.values.sum,
+        s"ManifestMaintenance: compaction conservation check failed at " +
+          s"$path (rows ${now.map(_._2).sum} -> ${compacted.map(_._2).sum}, " +
+          s"checksum ${beforeChecksums.values.sum} -> " +
+          s"${compactedChecksums.values.sum}) — aborting publish")
+      compacted.foreach { case (name, _) =>
+        if (!fs.rename(new Path(s"$scratch/$name"), new Path(dir, name)))
+          throw new java.io.IOException(
+            s"ManifestMaintenance: failed to move compacted file $name")
+      }
+      val entries = compacted.map { case (name, rows) =>
+        s"""{"file":"$name","rows":$rows,"checksum":${compactedChecksums(name)}}"""
+      }.mkString("[", ",", "]")
+      val total = compacted.map(_._2).sum
+      // "compaction":true = a PURE REWRITE (dataChange=false in Delta
+      // terms): the streaming tail must NOT re-emit these files as new
+      val body = s"""{"total_rows":$total,"compaction":true,"files":$entries}"""
+      val vRe = """manifest-v(\d+)\.json""".r
+      val nextV = fs.listStatus(dir).map(_.getPath.getName).collect {
+        case vRe(v) => v.toLong
+      }.foldLeft(0L)(math.max) + 1
+      // same torn-free publish discipline as the sink: write temp, swap
+      val tmp = new Path(dir, s"_compact-manifest-$nextV.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      fs.delete(new Path(dir, "manifest.json"), false)
+      if (!fs.rename(tmp, new Path(dir, "manifest.json")))
+        throw new java.io.IOException(
+          s"ManifestMaintenance: failed to publish compacted manifest")
+      val vTmp = new Path(dir, s"_compact-manifest-v$nextV.tmp")
+      val vOut = fs.create(vTmp, true)
+      try vOut.write(body.getBytes("UTF-8")) finally vOut.close()
+      if (!fs.rename(vTmp, new Path(dir, s"manifest-v$nextV.json")))
+        throw new java.io.IOException(
+          s"ManifestMaintenance: failed to publish manifest-v$nextV")
+      fs.delete(new Path(scratch), true)
+      (before.length, compacted.length)
+    } finally fs.delete(lock, false)
+  }
+
+  /** Orphan-file cleanup (the remove_orphan_files analog): deletes
+    * `part-*.csv` files referenced by NO surviving manifest — neither
+    * the current one nor any retained `manifest-v{n}.json` — plus
+    * crashed writers' `_tmp-*` staging dirs older than 10 minutes.
+    * Runs under `_commit.lock`, so no committer is mid-publish while
+    * files are judged; uncommitted in-flight data lives in `_tmp-*`
+    * dirs (never as root `part-*`), so a live writer can't lose files.
+    * Returns the number of data files deleted. */
+  def removeOrphans(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0
+    val lock = new Path(dir, "_commit.lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalStateException(
+            s"ManifestMaintenance: a commit is in flight at $path; " +
+              "retry orphan cleanup after it completes")
+      }
+    try {
+      lockStream.write(
+        s"${System.currentTimeMillis()} remove-orphans".getBytes("UTF-8"))
+      lockStream.close()
+      val vRe = """manifest-v(\d+)\.json""".r
+      val manifests = fs.listStatus(dir).map(_.getPath.getName).filter(n =>
+        n == "manifest.json" || vRe.findFirstIn(n).contains(n))
+      val referenced = manifests.flatMap(m =>
+        ManifestRead.files(path, m).map(_._1)).toSet
+      var removed = 0
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("part-") && n.endsWith(".csv") && !referenced(n)) {
+          fs.delete(st.getPath, false); removed += 1
+        } else if (st.isDirectory && n.startsWith("_tmp-") &&
+          System.currentTimeMillis() - st.getModificationTime > 10 * 60 * 1000L) {
+          fs.delete(st.getPath, true)
+        }
+      }
+      removed
+    } finally fs.delete(lock, false)
+  }
+
+  /** file -> checksum entries of one manifest. */
+  private def readChecksums(
+      fs: org.apache.hadoop.fs.FileSystem, mp: Path): Map[String, Long] = {
+    val in = fs.open(mp)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+    """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(3).toLong)
+      .toMap
+  }
 }

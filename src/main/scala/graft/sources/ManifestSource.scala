@@ -244,6 +244,22 @@ private[sources] object ManifestRead {
       .toSeq
   }
 
+  /** True iff the named manifest carries the `"compaction":true` flag —
+    * a pure rewrite whose files the streaming tail must not re-emit. */
+  def isCompaction(path: String, manifestName: String): Boolean = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val mp = new Path(new Path(path), manifestName)
+    if (!fs.exists(mp)) return false
+    val in = fs.open(mp)
+    val head = try {
+      val buf = new Array[Byte](256)
+      val n = in.read(buf)
+      if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+    } finally in.close()
+    head.contains("\"compaction\":true")
+  }
+
   /** Highest committed manifest version at `path` (0 = none). */
   def latestVersion(path: String): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -283,16 +299,26 @@ private class ManifestMicroBatchStream(
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
     if (e <= s) return Array.empty
-    val endFiles = ManifestRead.files(path, s"manifest-v$e.json")
-    val startFiles: Set[String] =
+    // Walk every version step in (s, e]: an APPEND contributes exactly
+    // its new files; a COMPACTION version (flagged "compaction":true —
+    // a pure rewrite, dataChange=false in Delta terms) contributes
+    // NOTHING — its files carry rows the stream already emitted, and
+    // the endpoint diff alone would re-emit the whole dataset. A
+    // missing mid-range manifest (expired while the stream was down)
+    // throws in ManifestRead.files — fail loudly, never re-read
+    // rewritten data.
+    val out = Seq.newBuilder[InputPartition]
+    var prev: Set[String] =
       if (s == 0) Set.empty
       else ManifestRead.files(path, s"manifest-v$s.json").map(_._1).toSet
-    // appends only ADD files, so the version diff is exactly the new
-    // files; a missing start manifest (truncated mid-stream) throws in
-    // ManifestRead.files — fail loudly, never re-read rewritten data
-    endFiles.filterNot(f => startFiles.contains(f._1))
-      .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
-      .toArray
+    (s + 1) to e foreach { v =>
+      val cur = ManifestRead.files(path, s"manifest-v$v.json")
+      if (!ManifestRead.isCompaction(path, s"manifest-v$v.json"))
+        cur.filterNot(f => prev.contains(f._1)).foreach(f =>
+          out += ManifestFilePartition(s"$path/${f._1}", f._2))
+      prev = cur.map(_._1).toSet
+    }
+    out.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

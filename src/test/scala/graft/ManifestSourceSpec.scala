@@ -256,4 +256,77 @@ class ManifestSourceSpec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_commit.lock"))
   }
 
+  test("a streaming tail never re-emits a compaction's rewritten files") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = freshDir(); val sink = freshDir(); val ckpt = freshDir()
+    def append(ks: Seq[Long]): Unit =
+      ks.toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", src).mode("append").save()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", src).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    append(Seq(1L, 2L)); append(Seq(3L)); drain()
+    // compact 2 files -> 1 (a pure rewrite) while the stream is down
+    val (b, a) = graft.sources.ManifestMaintenance.compact(spark, src, "k LONG")
+    assert(b == 2 && a == 1)
+    // then a real append lands
+    append(Seq(4L, 5L)); drain()
+    val got = spark.read.schema("k LONG").parquet(sink)
+      .as[Long].collect().sorted.toSeq
+    // exactly once: the compaction's rewritten file (holding 1,2,3) must
+    // NOT re-emit; only the genuine append is new
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L), s"got $got")
+    // and the batch faces agree: latest == everything
+    val latest = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", src).load()
+      .as[Long].collect().sorted.toSeq
+    assert(latest == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("compaction conserves rows+checksums and aborts on a live lock") {
+    import spark.implicits._
+    val out = freshDir()
+    def append(ks: Seq[Long]): Unit =
+      ks.toDF("k").coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    append(Seq(1L, 2L)); append(Seq(3L, 4L)); append(Seq(5L))
+    // live lock -> loud refusal, scratch cleaned up
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(out, "_commit.lock"))
+    intercept[IllegalStateException] {
+      graft.sources.ManifestMaintenance.compact(spark, out, "k LONG")
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_commit.lock"))
+    assert(!new java.io.File(out).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("_compact-")),
+      "aborted compaction left its scratch dir behind")
+    val (b, a) = graft.sources.ManifestMaintenance.compact(spark, out, "k LONG")
+    assert(b == 3 && a == 1)
+    assert(!new java.io.File(out, "_commit.lock").exists())
+    // the compacted snapshot reads exactly; pre-compaction v1 still does
+    val latest = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+      .as[Long].collect().sorted.toSeq
+    assert(latest == Seq(1L, 2L, 3L, 4L, 5L))
+    val v1 = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).option("version", 1).load()
+      .as[Long].collect().sorted.toSeq
+    assert(v1 == Seq(1L, 2L))
+    // orphan cleanup: nothing while history references the old files;
+    // after expiring to just the compaction snapshot, exactly 3 reclaimed
+    assert(graft.sources.ManifestMaintenance.removeOrphans(spark, out) == 0)
+    graft.sources.ManifestMaintenance.expireSnapshots(spark, out, 1)
+    assert(graft.sources.ManifestMaintenance.removeOrphans(spark, out) == 3)
+    val still = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+      .as[Long].collect().sorted.toSeq
+    assert(still == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
 }

@@ -67,4 +67,41 @@ class VectorOps2Spec extends AnyFunSuite {
     assert(meanErr(fitted) <= meanErr(init),
       "2 k-means iterations did not reduce quantization error")
   }
+  test("q402 OPQ allocation: 4 disjoint 16-dim groups, top energies spread") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q402_opq_balanced_pq")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length > 0)
+    // codes well-formed: c_m in [0, 4), code = base-4 packing
+    rows.foreach { r =>
+      val cs = (1 to 4).map(r.getLong)
+      assert(cs.forall(c => c >= 0 && c < 4))
+      assert(r.getLong(5) == ((cs(0) * 4 + cs(1)) * 4 + cs(2)) * 4 + cs(3))
+      assert(r.getDouble(6) >= 0.0)
+    }
+    // the snake allocation itself: replicate the energy ranking here and
+    // check the four highest-energy dims land in four DIFFERENT groups
+    // (the balancing property a contiguous slice does not have)
+    val all = graft.Tables.load(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    def qx(j: Int) =
+      s"CAST(round(least(greatest(element_at(v, $j), -2048.0), 2048.0) " +
+        "* 1024.0) AS BIGINT)"
+    val eRow = all.agg(
+      sum(expr(s"(${qx(1)}) * (${qx(1)})")).as("e1"),
+      (2 to 64).map(j => sum(expr(s"(${qx(j)}) * (${qx(j)})")).as(s"e$j")): _*)
+      .first()
+    val energies = (0 until 64).map(eRow.getLong)
+    val ranked = (1 to 64).sortBy(j => (-energies(j - 1), j))
+    val group = ranked.zipWithIndex.map { case (dim, r0) =>
+      dim -> (if ((r0 / 4) % 2 == 0) r0 % 4 else 3 - (r0 % 4))
+    }.toMap
+    assert(group.values.groupBy(identity).forall(_._2.size == 16),
+      "groups must have exactly 16 dims each")
+    assert(ranked.take(4).map(group).toSet.size == 4,
+      "the 4 highest-energy dims must spread across all 4 subspaces")
+    // snake second pass reverses: ranks 4..7 also cover all groups
+    assert(ranked.slice(4, 8).map(group).toSet.size == 4)
+  }
+
 }
