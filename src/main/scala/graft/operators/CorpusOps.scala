@@ -126,5 +126,126 @@ object CorpusOps {
       .orderBy("lang", "doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q389, q390)
+  // ------------- q403: RAG-style overlapping chunking
+
+  private val ChunkLen = 64
+  private val ChunkStride = 48 // 16-token overlap between neighbors
+
+  /** q403: retrieval-ingestion chunking — every document split into
+    * [[ChunkLen]]-token windows advancing by [[ChunkStride]] (the
+    * overlap keeps answers that straddle a boundary retrievable), the
+    * standard RAG corpus-prep step. Chunk count is closed-form
+    * (1 + ⌈(n−L)/S⌉ for n > L), per-chunk content is pinned by a
+    * polynomial fingerprint of its tokens (mod at every step — the
+    * q53 cross-engine fold), and the per-document aggregate keeps the
+    * output linear in documents, not chunks, so the oracle sweeps at
+    * 100x. One projection + one explode + one re-aggregation — no
+    * shuffle beyond the groupBy, no UDF. */
+  private val q403 = Q(
+    "q403_chunk_overlap",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |d AS (SELECT doc_id, ws, len(ws) AS n,
+       |        CASE WHEN len(ws) <= $ChunkLen THEN 1
+       |             ELSE 1 + (len(ws) - $ChunkLen + $ChunkStride - 1)
+       |                  // $ChunkStride END AS k
+       |      FROM tok WHERE len(ws) > 0),
+       |st AS (SELECT doc_id, ws, n,
+       |         unnest(range(0, k)) * $ChunkStride AS s FROM d),
+       |ch AS (
+       |  SELECT doc_id, n,
+       |    ws[CAST(s + 1 AS INT):CAST(least(s + $ChunkLen, n) AS INT)] AS cw
+       |  FROM st)
+       |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(len(cw)) AS BIGINT) AS sum_chunk_tokens,
+       |  CAST(sum(list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |    list_transform(cw, w -> CAST(length(w) * 31 + ord(w) AS BIGINT))),
+       |    (acc, x) -> (acc * 1000003 + x) % 2147483647)) % 2147483647
+       |    AS BIGINT) AS chunks_fp
+       |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+    val nChunks = expr(
+      s"""CASE WHEN n <= $ChunkLen THEN 1
+         |     ELSE 1 + CAST((n - $ChunkLen + $ChunkStride - 1) AS BIGINT)
+         |          div $ChunkStride END""".stripMargin)
+    d.withColumn("n_chunks_c", nChunks)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(expr(s"transform(sequence(0, n_chunks_c - 1), " +
+          s"c -> slice(ws, CAST(c * $ChunkStride + 1 AS INT), $ChunkLen))"))
+          .as("cw"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_chunks"),
+        sum(size(col("cw"))).cast("long").as("sum_chunk_tokens"),
+        sum(expr(
+          """aggregate(
+            |  transform(cw, w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)),
+            |  7L, (acc, x) -> (acc * 1000003 + x) % 2147483647)"""
+            .stripMargin)).mod(2147483647L).cast("long").as("chunks_fp"))
+      .orderBy("doc_id")
+  }
+
+  // ------------- q404: bigram-novelty quality gate
+
+  private val RareMax = 2 // corpus bigram count <= 2 => "rare"
+
+  /** q404: count-based language-model quality gating without the
+    * cross-engine log-float trap — a document's NOVELTY is the share
+    * of its bigrams that are rare in the whole corpus (count ≤
+    * [[RareMax]]); boilerplate scores near 0, lorem-noise near 10⁴ bp.
+    * The corpus bigram table is one explode+groupBy (the q246 BPE
+    * pair-count shape), docs join their own bigrams back against it —
+    * an equi-join on the bigram key, linear at any scale — and the
+    * output is pure integer basis points. The add-1-smoothed log-prob
+    * variant of this gate differs only in the final map; the counts
+    * pipeline IS the operator. */
+  private val q404 = Q(
+    "q404_bigram_novelty_gate",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |ix AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(1, CAST(greatest(len(ws), 1) AS BIGINT))) AS i
+       |  FROM tok),
+       |bg AS (
+       |  SELECT doc_id,
+       |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] AS b
+       |  FROM ix),
+       |cnt AS (SELECT b, COUNT(*) AS c FROM bg GROUP BY 1)
+       |SELECT g.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(count(*) FILTER (WHERE cnt.c <= $RareMax) AS BIGINT) AS n_rare,
+       |  CAST(count(*) FILTER (WHERE cnt.c <= $RareMax) * 10000
+       |    // count(*) AS BIGINT) AS rare_bp
+       |FROM bg g JOIN cnt ON cnt.b = g.b
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val tok = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    // CASE-guard, not greatest(): Spark's sequence(1, 0) DESCENDS
+    val bg = tok
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(ws) >= 2
+          |  THEN transform(sequence(1, size(ws) - 1),
+          |    i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("b"))
+    val cnt = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    bg.join(cnt, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") <= RareMax, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams").cast("long"),
+        col("n_rare").cast("long"),
+        expr("n_rare * 10000 div n_bigrams").cast("long").as("rare_bp"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q389, q390, q403, q404)
 }
