@@ -372,5 +372,73 @@ object VectorOps2 {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399, q402)
+  // ------------- q405: Matryoshka (truncated-dimension) recall eval
+
+  private val MrlDims = Seq(16, 32, 64)
+
+  /** q405: Matryoshka-representation evaluation — how much top-k
+    * retrieval survives TRUNCATING the embedding to its leading 16/32
+    * dimensions (the MRL deployment question: a 4× smaller index and
+    * 4× cheaper scan vs recall). For each query (the q233 eval-set
+    * contract: bounded query count broadcast against the corpus, never
+    * corpus²) the exact top-3 under each prefix length is compared to
+    * the full-dimension top-3; output is integer hit counts in basis
+    * points. Determinism: prefix cosines are sequential folds over the
+    * same doubles on both engines, ranking ties break on vec_id, and
+    * only integer counts are emitted (the q47–q49 rule). */
+  private val q405 = Q(
+    "q405_matryoshka_recall", {
+      def cosD(d: Int, a: String, b: String) =
+        s"""(list_sum(list_transform(range(1, ${d + 1}),
+           |   i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(range(1, ${d + 1}),
+           |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE))))
+           |  * sqrt(list_sum(list_transform(range(1, ${d + 1}),
+           |      i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))""".stripMargin
+      def topk(d: Int) =
+        s"""SELECT qid, nid FROM (
+           |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${cosD(d, "q", "n")} DESC, n.vec_id) AS rnk
+           |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+           |  WHERE q.vec_id < 50) r WHERE rnk <= $RecallK""".stripMargin
+      s"""WITH full64 AS (${topk(64)}),
+         |${MrlDims.map(d => s"t$d AS (${topk(d)})").mkString(",\n")}
+         |${MrlDims.map(d =>
+           s"""SELECT f.qid AS qid, $d AS dim,
+              |  CAST(count(t$d.nid) AS BIGINT) AS n_hits,
+              |  CAST(count(t$d.nid) * 10000 // count(*) AS BIGINT) AS recall_bp
+              |FROM full64 f LEFT JOIN t$d
+              |  ON t$d.qid = f.qid AND t$d.nid = f.nid
+              |GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")}
+         |ORDER BY qid, dim""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    def topk(d: Int): DataFrame = all
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim",
+        expr(s"graft_dot(slice(qv, 1, $d), slice(v, 1, $d))") /
+          (sqrt(expr(s"graft_dot(slice(qv, 1, $d), slice(qv, 1, $d))")) *
+            sqrt(expr(s"graft_dot(slice(v, 1, $d), slice(v, 1, $d))"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= RecallK)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val full = topk(64)
+    MrlDims.map { d =>
+      full.join(topk(d).withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+        .select(col("qid"), lit(d).cast("int").as("dim"),
+          col("n_hits").cast("long"),
+          expr("n_hits * 10000 div k").cast("long").as("recall_bp"))
+    }.reduce(_.unionByName(_))
+      .orderBy("qid", "dim")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405)
 }

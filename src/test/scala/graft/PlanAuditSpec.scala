@@ -582,4 +582,24 @@ class PlanAuditSpec extends AnyFunSuite {
       "pushed filter list missing from scan description:\n" + p)
   }
 
+  test("q399 ADC scan: LUT broadcasts with the query set, no cartesian") {
+    val df = SparkEntry.queries("q399_pq_adc_search")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "ADC scan fell back to a cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounded query set (with its LUT) must broadcast:\n" + p)
+  }
+
+  test("q402 OPQ build: per-subspace joins stay equi-joins, no cartesian") {
+    val df = SparkEntry.queries("q402_opq_balanced_pq")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "OPQ assembly fused a cartesian:\n" + p)
+    // code assembly is narrow equi-joins on vec_id
+    assert(p.contains("vec_id"), p)
+  }
+
 }
