@@ -102,6 +102,7 @@ object ManifestMaintenance {
               "retry compaction after it completes")
       }
     try {
+      try {
       lockStream.write(
         s"${System.currentTimeMillis()} compact".getBytes("UTF-8"))
       lockStream.close()
@@ -152,6 +153,13 @@ object ManifestMaintenance {
           s"ManifestMaintenance: failed to publish manifest-v$nextV")
       fs.delete(new Path(scratch), true)
       (before.length, compacted.length)
+      } catch { case e: Throwable =>
+        // a failed publish must not strand the scratch dir; any files
+        // already moved in are unreferenced and removeOrphans reclaims
+        // them (the manifest was never swapped, so no reader sees them)
+        fs.delete(new Path(scratch), true)
+        throw e
+      }
     } finally fs.delete(lock, false)
   }
 
