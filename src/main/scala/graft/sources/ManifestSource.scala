@@ -443,40 +443,50 @@ private class ManifestReaderFactory(
         * `\n`/`\r` for embedded CR/LF (the sink escapes those so every
         * record is exactly one physical line); an unquoted empty field
         * is NULL (Spark CSV default). */
-      private def splitCsv(line: String): Array[String] = {
-        val out = Array.newBuilder[String]
-        var i = 0
-        val n = line.length
-        while (i <= n) {
-          if (i < n && line.charAt(i) == '"') {
-            val sb = new StringBuilder
-            i += 1
-            var done = false
-            while (!done) {
-              val c = line.charAt(i)
-              if (c == '\\') {
-                sb.append(line.charAt(i + 1) match {
-                  case 'n' => '\n'
-                  case 'r' => '\r'
-                  case other => other
-                })
-                i += 2
-              }
-              else if (c == '"') { i += 1; done = true }
-              else { sb.append(c); i += 1 }
-            }
-            out += sb.toString()
-            i += 1 // skip the comma (or step past end)
-          } else {
-            val next = line.indexOf(',', i)
-            val end = if (next < 0) n else next
-            val raw = line.substring(i, end)
-            out += (if (raw.isEmpty) null else raw)
-            i = end + 1
+      private def splitCsv(line: String): Array[String] =
+        ManifestDialect.splitCsv(line)
+    }
+  }
+}
+
+/** The sink's CSV dialect as PURE functions, shared by the reader and
+  * the ScalaCheck round-trip property (ManifestDialectPropertySpec):
+  * fields separated by commas; a field needing escapes is wrapped in
+  * `"` with `\"`/`\\` plus `\n`/`\r` for CR/LF (so a record is always
+  * exactly one physical line); an unquoted empty field is NULL. */
+private[graft] object ManifestDialect {
+  def splitCsv(line: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    val n = line.length
+    while (i <= n) {
+      if (i < n && line.charAt(i) == '"') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          val c = line.charAt(i)
+          if (c == '\\') {
+            sb.append(line.charAt(i + 1) match {
+              case 'n' => '\n'
+              case 'r' => '\r'
+              case other => other
+            })
+            i += 2
           }
+          else if (c == '"') { i += 1; done = true }
+          else { sb.append(c); i += 1 }
         }
-        out.result()
+        out += sb.toString()
+        i += 1 // skip the comma (or step past end)
+      } else {
+        val next = line.indexOf(',', i)
+        val end = if (next < 0) n else next
+        val raw = line.substring(i, end)
+        out += (if (raw.isEmpty) null else raw)
+        i = end + 1
       }
     }
+    out.result()
   }
 }
