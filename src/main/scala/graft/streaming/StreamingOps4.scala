@@ -351,5 +351,89 @@ object StreamingOps4 {
     } finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  val defs: Seq[Q] = Seq(q357, q372, q400)
+  // ------------- q406: stream-static SCD2 enrichment at event time
+
+  /** q406: every event enriched with the dimension version valid AT ITS
+    * EVENT TIME — the stream-static SCD2 join (q333's point-in-time
+    * batch join moved into the stream, q174's SCD2 dimension as the
+    * static side). The dimension is a broadcast range join
+    * (bucket equality + ts ∈ [valid_from, valid_to)): stateless, so at
+    * 100 TB the stream side never keys state and the dim rides along as
+    * a broadcast — the standard streaming-enrichment shape. The fixture
+    * dimension has two deterministic epochs split at the corpus's
+    * mid-timestamp (tier rotates at the cutover), so the oracle replays
+    * the join exactly; outputs are pure integers. */
+  private val q406 = Q(
+    "q406_stream_scd2_enrich",
+    """WITH b AS (
+      |  SELECT CAST(min(epoch_us(date_trunc('microseconds', ts))) AS BIGINT) AS lo,
+      |         CAST(max(epoch_us(date_trunc('microseconds', ts))) AS BIGINT) AS hi
+      |  FROM events),
+      |bk AS (SELECT unnest(range(0, 10)) AS bucket),
+      |dim AS (
+      |  SELECT bucket, CAST(bucket % 3 AS INT) AS tier,
+      |    CAST(-4611686018427387904 AS BIGINT) AS vfrom,
+      |    (SELECT (lo + hi) // 2 FROM b) AS vto
+      |  FROM bk
+      |  UNION ALL
+      |  SELECT bucket, CAST((bucket + 1) % 3 AS INT) AS tier,
+      |    (SELECT (lo + hi) // 2 FROM b) AS vfrom,
+      |    CAST(4611686018427387904 AS BIGINT) AS vto
+      |  FROM bk),
+      |e AS (
+      |  SELECT ((user_id % 10) + 10) % 10 AS bucket,
+      |    epoch_us(date_trunc('microseconds', ts)) AS us,
+      |    ((user_id % 1000003) + 1000003) % 1000003 AS uk
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+      |SELECT d.tier AS tier, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(e.uk) AS BIGINT) AS sum_uk,
+      |  CAST(count(DISTINCT e.bucket) AS BIGINT) AS n_buckets
+      |FROM e JOIN dim d
+      |  ON d.bucket = e.bucket AND e.us >= d.vfrom AND e.us < d.vto
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new java.io.File(s"/tmp/graft_q406_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+    val outSink = s"$base/sink"
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"))
+    val Array(lo, hi) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .first() match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val mid = Math.floorDiv(lo + hi, 2L) // DuckDB // floors too
+    val half = 4611686018427387904L // 2^62: clear of any real timestamp
+    val dim = (0 until 10).flatMap { b =>
+      Seq((b.toLong, b % 3, -half, mid), (b.toLong, (b + 1) % 3, mid, half))
+    }.toDF("dbucket", "tier", "vfrom", "vto")
+    ev.write.mode("append").parquet(stage)
+    val q = s.readStream.schema(ev.schema).parquet(stage)
+      .select(
+        expr("((user_id % 10) + 10) % 10").as("bucket"),
+        unix_micros(col("ts")).as("us"),
+        expr("((user_id % 1000003) + 1000003) % 1000003").as("uk"))
+      // stream-static SCD2 range join: broadcast dim, stateless stream
+      .join(broadcast(dim),
+        col("bucket") === col("dbucket") &&
+          col("us") >= col("vfrom") && col("us") < col("vto"))
+      .select("tier", "bucket", "uk")
+      .writeStream.format("parquet").option("path", outSink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.schema("tier INT, bucket LONG, uk LONG").parquet(outSink)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("uk")).cast("long").as("sum_uk"),
+        countDistinct(col("bucket")).cast("long").as("n_buckets"))
+      .orderBy("tier")
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372, q400, q406)
 }
