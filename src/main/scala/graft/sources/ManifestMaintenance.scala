@@ -166,7 +166,8 @@ object ManifestMaintenance {
   /** Orphan-file cleanup (the remove_orphan_files analog): deletes
     * `part-*.csv` files referenced by NO surviving manifest — neither
     * the current one nor any retained `manifest-v{n}.json` — plus
-    * crashed writers' `_tmp-*` staging dirs older than 10 minutes.
+    * crashed writers' `_tmp-*` staging dirs and crashed compactions'
+    * `_compact-*` scratch dirs older than 10 minutes.
     * Runs under `_commit.lock`, so no committer is mid-publish while
     * files are judged; uncommitted in-flight data lives in `_tmp-*`
     * dirs (never as root `part-*`), so a live writer can't lose files.
@@ -199,8 +200,14 @@ object ManifestMaintenance {
         val n = st.getPath.getName
         if (n.startsWith("part-") && n.endsWith(".csv") && !referenced(n)) {
           fs.delete(st.getPath, false); removed += 1
-        } else if (st.isDirectory && n.startsWith("_tmp-") &&
+        } else if (st.isDirectory &&
+          (n.startsWith("_tmp-") || n.startsWith("_compact-")) &&
           System.currentTimeMillis() - st.getModificationTime > 10 * 60 * 1000L) {
+          // _compact-* : a hard-crashed compaction (killed before its
+          // in-code catch ran) strands a full rewritten copy of the
+          // dataset in its scratch dir; a LIVE compaction never holds
+          // a scratch dir past its lock-protected publish, so the age
+          // threshold is safe
           fs.delete(st.getPath, true)
         }
       }

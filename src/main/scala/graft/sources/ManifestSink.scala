@@ -93,9 +93,15 @@ private[graft] object ManifestSink {
       try {
         val in = f.open(lock)
         try {
+          // loop to fill the window — a short read (legal for any
+          // InputStream) would truncate the body and fail the
+          // ownership compare in the SAFE direction, but fix it
+          // anyway so a real owner never aborts spuriously
           val buf = new Array[Byte](256)
-          val n = in.read(buf)
-          if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+          var off = 0
+          var n = in.read(buf, 0, buf.length)
+          while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+          if (off > 0) new String(buf, 0, off, "UTF-8") else ""
         } finally in.close()
       } catch { case _: java.io.IOException => "" }
     if (onDisk != myBody)

@@ -253,9 +253,15 @@ private[sources] object ManifestRead {
     if (!fs.exists(mp)) return false
     val in = fs.open(mp)
     val head = try {
+      // InputStream.read may legally return fewer bytes than asked
+      // (common on HDFS/S3) — loop until the 256-byte window is full
+      // or EOF, else a short read could truncate before the
+      // "compaction":true token and misclassify a rewrite as an append.
       val buf = new Array[Byte](256)
-      val n = in.read(buf)
-      if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+      var off = 0
+      var n = in.read(buf, 0, buf.length)
+      while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+      if (off > 0) new String(buf, 0, off, "UTF-8") else ""
     } finally in.close()
     head.contains("\"compaction\":true")
   }
@@ -299,18 +305,26 @@ private class ManifestMicroBatchStream(
     val s = start.asInstanceOf[ManifestOffset].version
     val e = end.asInstanceOf[ManifestOffset].version
     if (e <= s) return Array.empty
-    // Walk every version step in (s, e]: an APPEND contributes exactly
-    // its new files; a COMPACTION version (flagged "compaction":true —
-    // a pure rewrite, dataChange=false in Delta terms) contributes
-    // NOTHING — its files carry rows the stream already emitted, and
-    // the endpoint diff alone would re-emit the whole dataset. A
-    // missing mid-range manifest (expired while the stream was down)
-    // throws in ManifestRead.files — fail loudly, never re-read
-    // rewritten data.
+    // A brand-new stream (s == 0) gets INITIAL-SNAPSHOT semantics: emit
+    // the end version's file set directly — every committed row appears
+    // exactly once there (compactions included), and the early history
+    // may have been expired by ManifestMaintenance.expireSnapshots, so
+    // a per-version walk from v1 would FileNotFound on GC'd manifests.
+    if (s == 0)
+      return ManifestRead.files(path, s"manifest-v$e.json")
+        .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
+        .toArray
+    // Restart (s > 0): walk every version step in (s, e]. An APPEND
+    // contributes exactly its new files; a COMPACTION version (flagged
+    // "compaction":true — a pure rewrite, dataChange=false in Delta
+    // terms) contributes NOTHING — its files carry rows the stream
+    // already emitted, and the endpoint diff alone would re-emit the
+    // whole dataset. A missing mid-range manifest (expired while the
+    // stream was down) throws in ManifestRead.files — fail loudly,
+    // never re-read rewritten data.
     val out = Seq.newBuilder[InputPartition]
     var prev: Set[String] =
-      if (s == 0) Set.empty
-      else ManifestRead.files(path, s"manifest-v$s.json").map(_._1).toSet
+      ManifestRead.files(path, s"manifest-v$s.json").map(_._1).toSet
     (s + 1) to e foreach { v =>
       val cur = ManifestRead.files(path, s"manifest-v$v.json")
       if (!ManifestRead.isCompaction(path, s"manifest-v$v.json"))

@@ -51,8 +51,21 @@ echo "== BENCH_full.json (sf0.1, full surface)"
 run_bench /root/testdata/sf0.1 BENCH_full.json
 
 if [ "$SWEEP" = 1 ]; then
-  [ -d /tmp/sfsmoke10 ]  || python3 tools/gen_10x.py /root/testdata/sf0.01 /tmp/sfsmoke10 10
-  [ -d /tmp/sfsmoke100 ] || python3 tools/gen_10x.py /root/testdata/sf0.01 /tmp/sfsmoke100 100
+  # 100x = gen_10x applied twice (the script replicates its INPUT 10x;
+  # it takes no factor argument — passing one was silently ignored and
+  # produced a 10x corpus labeled 100x)
+  [ -d /tmp/sfsmoke10 ]  || python3 tools/gen_10x.py /root/testdata/sf0.01 /tmp/sfsmoke10
+  [ -d /tmp/sfsmoke100 ] || python3 tools/gen_10x.py /tmp/sfsmoke10 /tmp/sfsmoke100
+  # guard: assert the corpora really are 10x / 100x of sf0.01 lineitem
+  python3 - <<'PYEOF'
+import duckdb
+con = duckdb.connect()
+base = con.execute("SELECT count(*) FROM '/root/testdata/sf0.01/lineitem.parquet'").fetchone()[0]
+for d, f in (("/tmp/sfsmoke10", 10), ("/tmp/sfsmoke100", 100)):
+    n = con.execute(f"SELECT count(*) FROM '{d}/lineitem.parquet'").fetchone()[0]
+    assert n == base * f, f"{d}: lineitem has {n} rows, expected {base*f} ({f}x of {base})"
+    print(f"{d}: lineitem {n} rows = {f}x OK")
+PYEOF
   for SCALE in 10 100; do
     DIRV=/tmp/release_sweep_$SCALE
     echo "== SWEEP_${SCALE}x (value-verify at /tmp/sfsmoke$SCALE)"
