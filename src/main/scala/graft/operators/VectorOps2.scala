@@ -440,5 +440,160 @@ object VectorOps2 {
       .orderBy("qid", "dim")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405)
+  // --------------------- q407: IVF × PQ — the production index shape
+
+  /** Probe cells per query and ADC-candidate refine depth. */
+  private val IvfPqProbe = 2
+  private val IvfPqRefine = 10
+  private val IvfPqK = 3
+
+  /** q407: the COMPOSED production ANN index — IVF routing (q126's
+    * coarse quantizer) over PQ compressed codes (q399's ADC scan) with
+    * an exact re-rank, i.e. FAISS's IVFPQ shape (no-residual variant):
+    *
+    *   1. route: each query picks its [[IvfPqProbe]] nearest coarse
+    *      cells from the driver-held k-means centroids (literal folds —
+    *      no join, no shuffle);
+    *   2. scan: ONLY those cells' PQ codes are ADC-scanned — the probe
+    *      is an equi-join on the cell id, so at 100 TB the scan touches
+    *      nprobe/k of the corpus and reads m-byte codes, not raw
+    *      vectors; the per-query LUT ([[Subs]]×[[K]] doubles) rides
+    *      along with the broadcast query set;
+    *   3. refine: the top [[IvfPqRefine]] ADC candidates per query are
+    *      re-ranked EXACTLY — a narrow equi-join of the bounded
+    *      candidate list back to the raw vectors.
+    *
+    * Neither leg alone is what a production vector index runs; this is
+    * both. Determinism: coarse fit and subspace codebooks are the
+    * bit-exact [[KMeansLite]] replays (q115/q399 precedent), probe
+    * selection and ADC distances are the same sequential folds on both
+    * engines, all ranks tie-break on vec_id. */
+  private val q407 = Q(
+    "q407_ivfpq_search", {
+      def d2s(v: String, cv: String) =
+        s"""list_sum(list_transform(range(1, ${SubDim + 1}),
+           |      i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+           |         * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+      val adist = (0 until Subs).map(m => d2s(s"q.q$m", s"k$m.cv"))
+        .mkString("\n    + ")
+      val dot = """list_sum(list_transform(range(1, 65),
+                  |      i -> q.qv[CAST(i AS INT)] * n.v[CAST(i AS INT)]))"""
+        .stripMargin
+      s"""${VectorOps.kmeansOracleCtes(k = 8, iters = 3, dim = 64)},
+         |${(0 until Subs).map(m => subspaceCtes(m)).mkString(",\n")},
+         |codes AS (
+         |  SELECT af0.vec_id,
+         |    ${(0 until Subs).map(m => s"af$m.cell AS x$m").mkString(", ")}
+         |  FROM af0 ${(1 until Subs).map(m => s"JOIN af$m USING (vec_id)").mkString(" ")}),
+         |idx AS (
+         |  SELECT n.vec_id, n.cell,
+         |    ${(0 until Subs).map(m => s"x.x$m").mkString(", ")}
+         |  FROM nn n JOIN codes x USING (vec_id)),
+         |qs AS (
+         |  SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm,
+         |    ${(0 until Subs).map(m =>
+              s"q.v[${m * SubDim + 1}:${(m + 1) * SubDim}] AS q$m").mkString(", ")}
+         |  FROM nn q WHERE q.vec_id < $AdcQueries),
+         |qp AS (
+         |  SELECT qid, pcell FROM (
+         |    SELECT q.qid, c.cid AS pcell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])
+         |             * (q.qv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]))), c.cid) AS prn
+         |    FROM qs q CROSS JOIN c3 c) WHERE prn <= $IvfPqProbe),
+         |cand AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.qid, n.vec_id AS nid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY $adist, n.vec_id) AS arn
+         |    FROM qs q JOIN qp p ON p.qid = q.qid
+         |    JOIN idx n ON n.cell = p.pcell AND n.vec_id <> q.qid
+         |    ${(0 until Subs).map(m =>
+              s"JOIN c$m$Iters k$m ON k$m.cid = n.x$m").mkString("\n    ")})
+         |  WHERE arn <= $IvfPqRefine)
+         |SELECT qid, nid, cos_sim, rnk FROM (
+         |  SELECT c.qid, c.nid,
+         |    $dot / (q.qnrm * n.nrm) AS cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY c.qid
+         |      ORDER BY $dot / (q.qnrm * n.nrm) DESC, c.nid) AS rnk
+         |  FROM cand c JOIN qs q ON q.qid = c.qid
+         |  JOIN nn n ON n.vec_id = c.nid)
+         |WHERE rnk <= $IvfPqK ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    // coarse quantizer: 8 cells, centroids are driver metadata
+    val ivfCents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cells = KMeansLite.assign(all, "v", ivfCents)
+      .select(col("vec_id"), col("cell"))
+    // PQ codebooks per subspace (no-residual: codes are independent of
+    // the coarse assignment, so both fits replay independently)
+    val fits = (0 until Subs).map { m =>
+      val sub = all.select(col("vec_id"),
+        expr(s"slice(v, ${m * SubDim + 1}, $SubDim)").as("sv"))
+      (m, sub, KMeansLite.fit(sub, "vec_id", "sv", K, Iters))
+    }
+    // the index: one coarse cell + Subs byte-sized codes per vector —
+    // at scale this is the ONLY table the scan reads
+    val codes = fits.map { case (m, sub, cents) =>
+      KMeansLite.assign(sub, "sv", cents)
+        .select(col("vec_id"), col("cell").cast("int").as(s"c$m"))
+    }.reduce(_.join(_, "vec_id"))
+    val index = cells.join(codes, "vec_id")
+    // query side: probe-cell routing from literal centroids (top-2 by
+    // the same sequential d2 fold, ties to the lower cid via struct
+    // sort) + the ADC LUT, both computed in one codegen projection
+    val probeEntries = ivfCents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        aggregate(
+          zip_with(col("qv"), array(cv.map(lit(_)): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(i).as("cid"))
+    }
+    val lutEntries = for {
+      (m, _, cents) <- fits
+      cell <- 0 until K
+    } yield aggregate(
+      zip_with(
+        slice(col("qv"), m * SubDim + 1, SubDim),
+        array(cents(cell).map(lit(_)): _*),
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0),
+      (acc, x) => acc + x)
+    val queries = all.filter(col("vec_id") < AdcQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+      .withColumn("lut", array(lutEntries: _*))
+      .withColumn("probe",
+        explode(slice(array_sort(array(probeEntries: _*)), 1, IvfPqProbe)))
+      .select(col("qid"), col("qv"), col("qnrm"), col("lut"),
+        col("probe.cid").as("pcell"))
+    // ADC scan over ONLY the probed cells: an equi-join on the cell id
+    // (each vector lives in exactly one cell — no duplicate candidates)
+    val adist = (0 until Subs)
+      .map(m => element_at(col("lut"), lit(m * K) + col(s"c$m") + 1))
+      .reduce(_ + _)
+    val aw = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    val cand = index.join(broadcast(queries),
+        col("cell") === col("pcell") && col("vec_id") =!= col("qid"))
+      .withColumn("adist", adist)
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= IvfPqRefine)
+      .select(col("qid"), col("vec_id").as("nid"), col("qv"), col("qnrm"))
+    // exact re-rank of the bounded candidate list against raw vectors
+    val rw = Window.partitionBy("qid").orderBy(col("cos_sim").desc, col("nid"))
+    all.select(col("vec_id").as("nid"), col("v"), col("nrm"))
+      .join(broadcast(cand), "nid")
+      .withColumn("cos_sim",
+        expr("graft_dot(qv, v)") / (col("qnrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= IvfPqK)
+      .select(col("qid"), col("nid"), col("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407)
 }

@@ -592,6 +592,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "bounded query set (with its LUT) must broadcast:\n" + p)
   }
 
+  test("q407 IVFPQ: cell-pruned equi-join scan, broadcast probes, no cartesian") {
+    val df = SparkEntry.queries("q407_ivfpq_search")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "IVFPQ scan fell back to a cartesian:\n" + p)
+    // the ADC scan must be the cell equi-join (probed cells only), with
+    // the bounded query set (probes + LUT) broadcast to the code table
+    assert(p.contains("BroadcastExchange"),
+      "query probes (with LUT) must broadcast:\n" + p)
+    assert(p.toLowerCase.contains("pcell"),
+      "cell-routing equi-join key missing from the plan:\n" + p)
+  }
+
   test("q402 OPQ build: per-subspace joins stay equi-joins, no cartesian") {
     val df = SparkEntry.queries("q402_opq_balanced_pq")(spark, dir)
     df.collect()

@@ -104,4 +104,30 @@ class VectorOps2Spec extends AnyFunSuite {
     assert(ranked.slice(4, 8).map(group).toSet.size == 4)
   }
 
+  test("q407 IVFPQ: results come only from the query's probed cells") {
+    val rows = SparkEntry.queries("q407_ivfpq_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // exactly top-3 per query, ranks 1..3
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == Seq(1L, 2L, 3L), s"query $qid")
+    }
+    // independent replay of the routing: refit the coarse quantizer,
+    // recompute each query's 2 nearest cells, and check every returned
+    // neighbor lives in one of them (the cell-pruned-scan property)
+    val all = Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val cents = operators.KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val vecs = all.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.minBy(i => (l2sq(v, cents(i)), i))
+    def probesOf(v: Array[Double]): Set[Int] =
+      cents.indices.sortBy(i => (l2sq(v, cents(i)), i)).take(2).toSet
+    rows.foreach { case (qid, nid, _) =>
+      assert(probesOf(vecs(qid)).contains(cellOf(vecs(nid))),
+        s"neighbor $nid of query $qid is outside the probed cells")
+    }
+  }
+
 }
