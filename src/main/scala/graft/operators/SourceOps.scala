@@ -869,7 +869,86 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q408: manifest row-level DELETE, merge-on-read — the lakehouse
+    * verb the connector was missing (q393 time travel, q397 tailing,
+    * q398 expiry, q401 compaction). Two appends; a predicate delete
+    * records positional delete vectors (no data file rewritten);
+    * the latest snapshot reads net of deletes while the pre-delete
+    * snapshot still reads gross (MoR isolation); an overlapping
+    * re-delete matches nothing (the matching scan itself reads through
+    * the dvs, so positions stay unique); compaction then applies the
+    * deletes physically under the net-of-deletes conservation guard
+    * and the compacted snapshot reads identically. */
+  private val q408 = Q(
+    "q408_manifest_mor_delete",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |surv AS (SELECT * FROM n WHERE k % 5 <> 0)
+      |SELECT 'deleted' AS which,
+      |  CAST((SELECT count(*) FROM n WHERE k % 5 = 0) AS BIGINT) AS n_rows,
+      |  CAST(0 AS BIGINT) AS sum_k
+      |UNION ALL SELECT 'files_after', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'files_before', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'latest', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM surv
+      |UNION ALL
+      |SELECT 'postcompact', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM surv
+      |UNION ALL SELECT 'redelete', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'v2_snapshot', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM n
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q408_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"))
+    (0 until 2).foreach { i =>
+      base.filter(col("k") % 2 === i).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    }
+    val nDeleted = graft.sources.ManifestMaintenance.delete(
+      s, out, "k LONG", "k % 5 = 0")
+    def readVersion(v: Option[Int]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema("k LONG").option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    // aggregates materialize EAGERLY (q401 precedent): later
+    // maintenance calls mutate the very snapshots these read
+    def agg(label: String, df: org.apache.spark.sql.DataFrame): (String, Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("k")).cast("long").as("sum_k")).first()
+      (label, r.getLong(0), r.getLong(1))
+    }
+    val latest = agg("latest", readVersion(None))
+    val v2 = agg("v2_snapshot", readVersion(Some(2)))
+    val nRedelete = graft.sources.ManifestMaintenance.delete(
+      s, out, "k LONG", "k % 5 = 0")
+    val (nBefore, nAfter) =
+      graft.sources.ManifestMaintenance.compact(s, out, "k LONG")
+    val postCompact = agg("postcompact", readVersion(None))
+    import s.implicits._
+    (Seq(latest, v2, postCompact) ++ Seq(
+      ("deleted", nDeleted, 0L),
+      ("redelete", nRedelete, 0L),
+      ("files_before", nBefore.toLong, 0L),
+      ("files_after", nAfter.toLong, 0L)))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272, q393, q397, q398, q401)
+      q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408)
 }

@@ -53,6 +53,128 @@ object ManifestMaintenance {
     } finally fs.delete(lock, false)
   }
 
+  /** Row-level DELETE, merge-on-read (the delete-vector analog): rows
+    * matching `predicate` (a SQL expression over the table's columns)
+    * are recorded as POSITIONAL delete vectors — (dataFile,
+    * recordByteOffset, lineHash) rows, written distributed through the
+    * sink's own writer — and a new manifest version carries the data
+    * entries unchanged plus the dv entries. No data file is rewritten:
+    * readers apply the dvs at scan time (batch, time travel, and the
+    * streaming tail all skip deleted records), and [[compact]] later
+    * rewrites the survivors physically, consuming the dvs.
+    *
+    * The matching scan runs through the DSv2 source WITH the current
+    * dvs applied, so re-deleting (or an overlapping predicate) never
+    * records the same position twice — dv positions stay unique, which
+    * keeps `gross − dvRows = net` exact. The byte offset is stable
+    * row identity: data files are immutable between compactions, and
+    * the lineHash term lets compact's checksum conservation stay exact
+    * net-of-deletes.
+    *
+    * Concurrency: the scan runs outside the lock; the publish takes
+    * `_commit.lock`, then verifies the scanned data files AND the dv
+    * set are unchanged (an append is fine — its new files can't match
+    * a scan that never saw them — but a compaction/truncate/delete
+    * invalidates positions; abort loudly, retry). Returns the number
+    * of rows deleted. */
+  def delete(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, schemaDdl: String, predicate: String): Long = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = ManifestRead.files(path, "manifest.json")
+    val beforeDvs = ManifestRead.dvs(path, "manifest.json")
+    // distributed matched-position scan (current dvs applied by the
+    // source, so already-deleted rows can never match again)
+    val scratch = s"$path/_tmp-delete-${java.util.UUID.randomUUID()}"
+    spark.read.format("graft.sources.ManifestSource")
+      .schema(schemaDdl).option("path", path)
+      .option("metadata", "true").load()
+      .where(predicate)
+      .selectExpr("_mf_file", "_mf_pos", "_mf_linehash")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", scratch).mode("append").save()
+    val dvParts = ManifestRead.files(scratch, "manifest.json")
+      .filter(_._2 > 0) // empty task files carry no positions
+    val dvChecksums = readChecksums(fs, new Path(scratch, "manifest.json"))
+    val deleted = dvParts.map(_._2).sum
+    if (deleted == 0) { fs.delete(new Path(scratch), true); return 0L }
+    // ---- publish under the commit lock
+    val lock = new Path(dir, "_commit.lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case _: java.io.IOException =>
+          fs.delete(new Path(scratch), true)
+          throw new IllegalStateException(
+            s"ManifestMaintenance: a commit is in flight at $path; " +
+              "retry the delete after it completes")
+      }
+    try {
+      try {
+        lockStream.write(
+          s"${System.currentTimeMillis()} delete".getBytes("UTF-8"))
+        lockStream.close()
+        val now = ManifestRead.files(path, "manifest.json")
+        val nowDvs = ManifestRead.dvs(path, "manifest.json")
+        if (!before.map(_._1).toSet.subsetOf(now.map(_._1).toSet) ||
+          nowDvs.map(_._1) != beforeDvs.map(_._1))
+          throw new IllegalStateException(
+            s"ManifestMaintenance: concurrent rewrite/delete changed " +
+              s"$path during the delete scan — positions are stale; retry")
+        // move the position files in under dv- names
+        val moved = dvParts.zipWithIndex.map { case ((name, rows), i) =>
+          val dvName = s"dv-${java.util.UUID.randomUUID()}-$i.csv"
+          if (!fs.rename(new Path(s"$scratch/$name"), new Path(dir, dvName)))
+            throw new java.io.IOException(
+              s"ManifestMaintenance: failed to move delete vector $name")
+          (dvName, rows, dvChecksums(name))
+        }
+        val allDvs = nowDvs ++ moved
+        val cs = readChecksums(fs, new Path(dir, "manifest.json"))
+        val dataEntries = now.map { case (name, rows) =>
+          s"""{"file":"$name","rows":$rows,"checksum":${cs(name)}}"""
+        }
+        publish(fs, dir,
+          s"""{"total_rows":${now.map(_._2).sum},""" +
+            s""""files":${dataEntries.mkString("[", ",", "]")},""" +
+            s""""deletes":${
+              allDvs.sortBy(_._1).map { case (n, r, c) =>
+                s"""{"dv":"$n","rows":$r,"checksum":$c}"""
+              }.mkString("[", ",", "]")}}""")
+        fs.delete(new Path(scratch), true)
+        deleted
+      } catch { case e: Throwable =>
+        fs.delete(new Path(scratch), true)
+        throw e
+      }
+    } finally fs.delete(lock, false)
+  }
+
+  /** Write-complete-then-swap of `manifest.json` AND the next numbered
+    * version manifest (the sink's torn-free publish discipline).
+    * Caller must hold `_commit.lock`. */
+  private def publish(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, body: String): Unit = {
+    val vRe = """manifest-v(\d+)\.json""".r
+    val nextV = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case vRe(v) => v.toLong
+    }.foldLeft(0L)(math.max) + 1
+    val tmp = new Path(dir, s"_manifest-pub-$nextV.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(dir, "manifest.json"), false)
+    if (!fs.rename(tmp, new Path(dir, "manifest.json")))
+      throw new java.io.IOException(
+        s"ManifestMaintenance: failed to publish manifest at $dir")
+    val vTmp = new Path(dir, s"_manifest-pub-v$nextV.tmp")
+    val vOut = fs.create(vTmp, true)
+    try vOut.write(body.getBytes("UTF-8")) finally vOut.close()
+    if (!fs.rename(vTmp, new Path(dir, s"manifest-v$nextV.json")))
+      throw new java.io.IOException(
+        s"ManifestMaintenance: failed to publish manifest-v$nextV at $dir")
+  }
+
   /** Small-file COMPACTION (the rewrite_data_files analog): reads the
     * CURRENT snapshot through the DSv2 source (distributed), rewrites
     * it as `targetFiles` coalesced part files via the sink's own writer
@@ -79,7 +201,11 @@ object ManifestMaintenance {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val before = ManifestRead.files(path, "manifest.json")
-    if (before.length <= targetFiles) return (before.length, before.length)
+    val beforeDvs = ManifestRead.dvs(path, "manifest.json")
+    // with delete vectors pending, compaction must run even at the
+    // target file count — it is what applies the deletes physically
+    if (before.length <= targetFiles && beforeDvs.isEmpty)
+      return (before.length, before.length)
     // distributed rewrite into a scratch manifest dir: the sink's own
     // writer produces the part files AND their (rows, checksum) entries
     val scratch = s"$path/_compact-${java.util.UUID.randomUUID()}"
@@ -107,19 +233,30 @@ object ManifestMaintenance {
         s"${System.currentTimeMillis()} compact".getBytes("UTF-8"))
       lockStream.close()
       val now = ManifestRead.files(path, "manifest.json")
-      if (now.map(_._1).toSet != before.map(_._1).toSet) {
+      val nowDvs = ManifestRead.dvs(path, "manifest.json")
+      if (now.map(_._1).toSet != before.map(_._1).toSet ||
+        nowDvs.map(_._1) != beforeDvs.map(_._1)) {
         fs.delete(new Path(scratch), true)
         throw new IllegalStateException(
           s"ManifestMaintenance: concurrent commit changed $path during " +
             "compaction — rewrite is stale; retry")
       }
       val beforeChecksums = readChecksums(fs, new Path(dir, "manifest.json"))
+      // Conservation, NET of pending deletes: a pure rewrite preserves
+      // every surviving row, so rows must match gross − deleted and the
+      // order-independent checksum must match the before-sum minus the
+      // deleted rows' line hashes (recorded per-row in the dvs exactly
+      // for this). With no dvs both reduce to strict equality.
+      val dvRows = nowDvs.map(_._2).sum
+      val dvHashSum = dvLineHashSum(fs, dir, nowDvs.map(_._1))
       require(
-        now.map(_._2).sum == compacted.map(_._2).sum &&
-          beforeChecksums.values.sum == compactedChecksums.values.sum,
+        now.map(_._2).sum - dvRows == compacted.map(_._2).sum &&
+          beforeChecksums.values.sum - dvHashSum ==
+            compactedChecksums.values.sum,
         s"ManifestMaintenance: compaction conservation check failed at " +
-          s"$path (rows ${now.map(_._2).sum} -> ${compacted.map(_._2).sum}, " +
-          s"checksum ${beforeChecksums.values.sum} -> " +
+          s"$path (rows ${now.map(_._2).sum} - $dvRows deleted -> " +
+          s"${compacted.map(_._2).sum}, " +
+          s"checksum ${beforeChecksums.values.sum} - $dvHashSum -> " +
           s"${compactedChecksums.values.sum}) — aborting publish")
       compacted.foreach { case (name, _) =>
         if (!fs.rename(new Path(s"$scratch/$name"), new Path(dir, name)))
@@ -193,12 +330,16 @@ object ManifestMaintenance {
       val vRe = """manifest-v(\d+)\.json""".r
       val manifests = fs.listStatus(dir).map(_.getPath.getName).filter(n =>
         n == "manifest.json" || vRe.findFirstIn(n).contains(n))
+      // both data files and delete vectors count as referenced while
+      // ANY surviving manifest (current or retained history) lists them
       val referenced = manifests.flatMap(m =>
-        ManifestRead.files(path, m).map(_._1)).toSet
+        ManifestRead.files(path, m).map(_._1) ++
+          ManifestRead.dvs(path, m).map(_._1)).toSet
       var removed = 0
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("part-") && n.endsWith(".csv") && !referenced(n)) {
+        if ((n.startsWith("part-") || n.startsWith("dv-")) &&
+          n.endsWith(".csv") && !referenced(n)) {
           fs.delete(st.getPath, false); removed += 1
         } else if (st.isDirectory &&
           (n.startsWith("_tmp-") || n.startsWith("_compact-")) &&
@@ -213,6 +354,27 @@ object ManifestMaintenance {
       }
       removed
     } finally fs.delete(lock, false)
+  }
+
+  /** Sum of the deleted rows' line hashes across `dvNames` — the exact
+    * amount a physical delete removes from the order-independent file
+    * checksum sum. */
+  private def dvLineHashSum(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      dvNames: Seq[String]): Long = {
+    var sum = 0L
+    dvNames.foreach { dv =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(new Path(dir, dv)), "UTF-8"))
+      try {
+        var l = in.readLine()
+        while (l != null) {
+          sum += ManifestDialect.splitCsv(l)(2).toLong
+          l = in.readLine()
+        }
+      } finally in.close()
+    }
+    sum
   }
 
   /** file -> checksum entries of one manifest. */

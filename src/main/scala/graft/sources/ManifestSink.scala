@@ -180,8 +180,10 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           val in = f.open(lock)
           try {
             val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            if (n > 0) new String(buf, 0, n, "UTF-8") else ""
+            var off = 0
+            var n = in.read(buf, 0, buf.length)
+            while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+            if (off > 0) new String(buf, 0, off, "UTF-8") else ""
           } finally in.close()
         } catch { case _: java.io.IOException => "" }
       val heldSince = body.split(' ').headOption.flatMap(s =>
@@ -233,7 +235,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       // with the old manifest. Append: the old manifest's entries are
       // carried into the new one, so the manifest ALWAYS describes the
       // full committed content — readers never need to list the dir.
-      val previous: Seq[(String, Long, Long)] =
+      val previous: (Seq[(String, Long, Long)], Seq[(String, Long, Long)]) =
         if (truncate) {
           // truncate purges HISTORY too (the expire-snapshots analog):
           // version manifests reference the deleted part files, so they
@@ -241,11 +243,12 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           // last truncate
           f.listStatus(dir).filter { st =>
             val n = st.getPath.getName
-            n.startsWith("part-") || n == "manifest.json" ||
+            n.startsWith("part-") || n.startsWith("dv-") ||
+              n == "manifest.json" ||
               (n.startsWith("manifest-v") && n.endsWith(".json"))
           }.foreach(st => f.delete(st.getPath, false))
-          Nil
-        } else if (!f.exists(manifestPath)) Nil
+          (Nil, Nil)
+        } else if (!f.exists(manifestPath)) (Nil, Nil)
         else {
           val in = f.open(manifestPath)
           val txt = try {
@@ -255,11 +258,21 @@ private class ManifestBatchWrite(path: String, schema: StructType,
             while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
             buf.toString("UTF-8")
           } finally in.close()
-          """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-            .findAllMatchIn(txt)
-            .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
-            .toSeq
+          val dataEntries =
+            """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+              .findAllMatchIn(txt)
+              .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+              .toSeq
+          // delete vectors survive appends (merge-on-read: only a
+          // compaction consumes them, only a truncate purges them)
+          val dvEntries =
+            """\{"dv":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+              .findAllMatchIn(txt)
+              .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
+              .toSeq
+          (dataEntries, dvEntries)
         }
+      val (prevData, prevDvs) = previous
       val commits = messages.map(_.asInstanceOf[ManifestCommit])
       val tmpDir = new Path(dir, s"_tmp-$writeId")
       commits.foreach { c =>
@@ -267,10 +280,14 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           throw new java.io.IOException(
             s"ManifestSink: failed to move committed file ${c.file} into $path")
       }
-      val all = previous ++ commits.map(c => (c.file, c.rows, c.checksum))
+      val all = prevData ++ commits.map(c => (c.file, c.rows, c.checksum))
       val manifest = all.sortBy(_._1).map { case (fn, r, cs) =>
         s"""{"file":"$fn","rows":$r,"checksum":$cs}"""
-      }.mkString("[", ",", "]")
+      }.mkString("[", ",", "]") + (
+        if (prevDvs.isEmpty) ""
+        else prevDvs.sortBy(_._1).map { case (fn, r, cs) =>
+          s"""{"dv":"$fn","rows":$r,"checksum":$cs}"""
+        }.mkString(""","deletes":[""", ",", "]"))
       val total = all.map(_._2).sum
       // write complete, then swap into place (delete-then-rename: no
       // reader ever sees a torn manifest)

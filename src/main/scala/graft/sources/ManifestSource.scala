@@ -55,16 +55,34 @@ class ManifestSource extends TableProvider {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("ManifestSource requires option 'path'"))
     val version = Option(properties.get("version")).map(_.toLong)
-    new ManifestReadTable(path, version, schema)
+    val withMeta = Option(properties.get("metadata")).exists(_.toBoolean)
+    new ManifestReadTable(path, version, schema, withMeta)
   }
 }
 
+private[sources] object ManifestMeta {
+  /** Row-identity metadata exposed with `option("metadata", "true")`:
+    * the containing data file, the record's byte offset in it (stable
+    * under byte-range splits — it IS the split bookkeeping), and the
+    * raw line's hash (the same per-row term the sink's
+    * order-independent file checksum sums). Positional delete vectors
+    * are built from exactly these three. */
+  val fields: Array[StructField] = Array(
+    StructField("_mf_file", StringType, nullable = false),
+    StructField("_mf_pos", LongType, nullable = false),
+    StructField("_mf_linehash", LongType, nullable = false))
+  val names: Set[String] = fields.map(_.name).toSet
+}
+
 private class ManifestReadTable(
-    path: String, version: Option[Long], readSchema: StructType)
+    path: String, version: Option[Long], readSchema: StructType,
+    withMeta: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String =
     s"manifest_source($path${version.map(v => s"@v$v").getOrElse("")})"
-  override def schema(): StructType = readSchema
+  override def schema(): StructType =
+    if (withMeta) StructType(readSchema.fields ++ ManifestMeta.fields)
+    else readSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
@@ -72,7 +90,7 @@ private class ManifestReadTable(
     new ScanBuilder with SupportsPushDownRequiredColumns
       with SupportsPushDownFilters {
       import org.apache.spark.sql.sources.Filter
-      private var required: StructType = readSchema
+      private var required: StructType = schema()
       private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
@@ -87,8 +105,17 @@ private class ManifestReadTable(
         rest
       }
       override def pushedFilters(): Array[Filter] = pushed
-      override def build(): Scan = new ManifestScan(
-        path, version, readSchema, required, pushed)
+      override def build(): Scan = {
+        // metadata columns are not in the file — split the pruned set
+        // into parsed data columns and appended identity columns
+        // (table schema orders data first, so Spark's pruned struct
+        // keeps that order)
+        val dataReq = StructType(
+          required.fields.filterNot(f => ManifestMeta.names(f.name)))
+        val metaReq = required.fields.map(_.name)
+          .filter(ManifestMeta.names)
+        new ManifestScan(path, version, readSchema, dataReq, pushed, metaReq)
+      }
     }
 }
 
@@ -154,19 +181,25 @@ private object ManifestFilters {
 private class ManifestScan(
     path: String, version: Option[Long],
     fullSchema: StructType, required: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    metaCols: Seq[String] = Nil)
   extends Scan with Batch {
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = StructType(
+    required.fields ++ ManifestMeta.fields.filter(f => metaCols.contains(f.name)))
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestScan PushedFilters: [${filters.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${readSchema().catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestName =
       version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
+    // merge-on-read: every partition of this snapshot applies the
+    // snapshot's delete vectors (positions of deleted rows) at scan
+    // time — deleted rows are skipped record-by-record, never shipped
+    val dvFiles = ManifestRead.dvs(path, manifestName).map(_._1)
     // honors spark.sql.files.maxPartitionBytes like the built-in file
     // sources (tests dial it down to force multi-split reads)
     val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)
@@ -175,7 +208,8 @@ private class ManifestScan(
       val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
       if (len <= maxSplit)
         // unsplit: the whole-file row-count tamper guard stays active
-        Seq(ManifestFilePartition(s"$path/$name", rows): InputPartition)
+        Seq(ManifestFilePartition(s"$path/$name", rows,
+          dvFiles = dvFiles): InputPartition)
       else {
         // Byte-range splits so ONE fat manifest file no longer caps read
         // parallelism at 1 (the round-10 scale note). The dialect
@@ -190,7 +224,7 @@ private class ManifestScan(
         (0 until nSplits).map { i =>
           val start = i.toLong * maxSplit
           ManifestFilePartition(s"$path/$name", rows,
-            start, math.min(maxSplit, len - start)): InputPartition
+            start, math.min(maxSplit, len - start), dvFiles): InputPartition
         }
       }
     }.toArray
@@ -200,7 +234,7 @@ private class ManifestScan(
     val spark = org.apache.spark.sql.SparkSession.active
     new ManifestReaderFactory(fullSchema, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      filters)
+      filters, metaCols)
   }
 
   /** Streaming face: each micro-batch is the file-level DIFF between
@@ -217,10 +251,10 @@ private class ManifestScan(
 }
 
 private[sources] object ManifestRead {
-  /** (file, rows) entries of one manifest, via the driver's Hadoop
-    * conf. Throws FileNotFoundException when the manifest is absent
-    * (never committed, or the version was expired by a truncate). */
-  def files(path: String, manifestName: String): Seq[(String, Long)] = {
+  /** Full text of one manifest, via the driver's Hadoop conf. Throws
+    * FileNotFoundException when the manifest is absent (never
+    * committed, or the version was expired by a truncate). */
+  private def text(path: String, manifestName: String): String = {
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(path)
@@ -231,16 +265,30 @@ private[sources] object ManifestRead {
         s"ManifestSource: $manifestName not found at $path " +
           "(expired by truncate, or never committed?)")
     val in = fs.open(mp)
-    val txt = try {
+    try {
       val buf = new java.io.ByteArrayOutputStream()
       val chunk = new Array[Byte](8192)
       var n = in.read(chunk)
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toString("UTF-8")
     } finally in.close()
+  }
+
+  /** (file, rows) DATA-file entries of one manifest. */
+  def files(path: String, manifestName: String): Seq[(String, Long)] = {
     """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-      .findAllMatchIn(txt)
+      .findAllMatchIn(text(path, manifestName))
       .map(m => (m.group(1), m.group(2).toLong))
+      .toSeq
+  }
+
+  /** (dvFile, rows, checksum) DELETE-VECTOR entries of one manifest —
+    * each dv file lists (dataFile, recordByteOffset, lineHash) rows of
+    * deleted records. Empty for manifests without deletes. */
+  def dvs(path: String, manifestName: String): Seq[(String, Long, Long)] = {
+    """\{"dv":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
+      .findAllMatchIn(text(path, manifestName))
+      .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
       .toSeq
   }
 
@@ -310,9 +358,15 @@ private class ManifestMicroBatchStream(
     // exactly once there (compactions included), and the early history
     // may have been expired by ManifestMaintenance.expireSnapshots, so
     // a per-version walk from v1 would FileNotFound on GC'd manifests.
+    // deletes committed up to the END version apply to every emitted
+    // file (merge-on-read); rows deleted AFTER a file was already
+    // emitted are not retracted — the append-stream contract (a delete
+    // version adds no files, so it produces an empty micro-batch)
+    val dvFiles = ManifestRead.dvs(path, s"manifest-v$e.json").map(_._1)
     if (s == 0)
       return ManifestRead.files(path, s"manifest-v$e.json")
-        .map(f => ManifestFilePartition(s"$path/${f._1}", f._2): InputPartition)
+        .map(f => ManifestFilePartition(s"$path/${f._1}", f._2,
+          dvFiles = dvFiles): InputPartition)
         .toArray
     // Restart (s > 0): walk every version step in (s, e]. An APPEND
     // contributes exactly its new files; a COMPACTION version (flagged
@@ -329,7 +383,8 @@ private class ManifestMicroBatchStream(
       val cur = ManifestRead.files(path, s"manifest-v$v.json")
       if (!ManifestRead.isCompaction(path, s"manifest-v$v.json"))
         cur.filterNot(f => prev.contains(f._1)).foreach(f =>
-          out += ManifestFilePartition(s"$path/${f._1}", f._2))
+          out += ManifestFilePartition(s"$path/${f._1}", f._2,
+            dvFiles = dvFiles))
       prev = cur.map(_._1).toSet
     }
     out.result().toArray
@@ -348,15 +403,19 @@ private class ManifestMicroBatchStream(
 
 /** `start`/`len` select a byte range; `len < 0` means "the whole file"
   * (the row-count tamper guard is active only in that mode — a split
-  * reader can't know its share of the manifest's row count). */
+  * reader can't know its share of the manifest's row count). `dvFiles`
+  * names the snapshot's delete-vector files (table-dir-relative); the
+  * reader skips records whose byte offset a dv lists for its file. */
 private case class ManifestFilePartition(
-    file: String, rows: Long, start: Long = 0L, len: Long = -1L)
+    file: String, rows: Long, start: Long = 0L, len: Long = -1L,
+    dvFiles: Seq[String] = Nil)
   extends InputPartition
 
 private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,
     hadoopConf: SerializableConfiguration,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    metaCols: Seq[String] = Nil)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -364,6 +423,29 @@ private class ManifestReaderFactory(
     new PartitionReader[InternalRow] {
       private val fs = new Path(part.file).getFileSystem(hadoopConf.value)
       private val stream = fs.open(new Path(part.file))
+      private val fileName = new Path(part.file).getName
+      // deleted record offsets for THIS data file (merge-on-read): dv
+      // files are small relative to data (one short line per deleted
+      // row), so each reader streams them and keeps only its own
+      // file's offsets; at larger delete volumes the dv files would be
+      // bucketed by data-file prefix so a reader opens only its bucket
+      private val deletedPos: java.util.HashSet[java.lang.Long] = {
+        val set = new java.util.HashSet[java.lang.Long]()
+        val tableDir = new Path(part.file).getParent
+        part.dvFiles.foreach { dv =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(new Path(tableDir, dv)), "UTF-8"))
+          try {
+            var l = in.readLine()
+            while (l != null) {
+              val f = splitCsv(l)
+              if (f(0) == fileName) set.add(f(1).toLong)
+              l = in.readLine()
+            }
+          } finally in.close()
+        }
+        set
+      }
       private val wholeFile = part.len < 0
       // [splitStart, splitEnd): a record belongs to this split iff its
       // FIRST byte lies in the range; the reader may read past splitEnd
@@ -413,6 +495,7 @@ private class ManifestReaderFactory(
           // the boundary exactly-once (the Hadoop LineRecordReader
           // convention).
           if (pos > splitEnd) return false
+          val recStart = pos // this record's byte offset = its identity
           val line = readLine()
           if (line == null) {
             if (wholeFile && readCount != part.rows)
@@ -421,29 +504,43 @@ private class ManifestReaderFactory(
                   s"manifest says ${part.rows} — torn or tampered file")
             return false
           }
-          readCount += 1 // counts ALL physical rows (tamper guard)
-          val fields = splitCsv(line)
-          // pushed filters run here, on the raw parse, BEFORE any row
-          // is materialized or shipped
-          if (filters.forall(ManifestFilters.eval(fullSchema, fields, _))) {
-            val vals = new Array[Any](required.length)
-            var i = 0
-            while (i < fieldIdx.length) {
-              val raw = fields(fieldIdx(i))
-              vals(i) =
-                if (raw == null) null
-                else required.fields(i).dataType match {
-                  case LongType => raw.toLong
-                  case IntegerType => raw.toInt
-                  case DoubleType => raw.toDouble
-                  case StringType => UTF8String.fromString(raw)
-                  case dt => throw new UnsupportedOperationException(
-                    s"ManifestSource: unsupported read type $dt")
+          readCount += 1 // counts ALL physical rows (tamper guard:
+          // manifest row counts are GROSS — deletes never rewrite data
+          // files, so deleted rows still count as physical lines)
+          val deleted = !deletedPos.isEmpty && deletedPos.contains(recStart)
+          if (!deleted) {
+            val fields = splitCsv(line)
+            // pushed filters run here, on the raw parse, BEFORE any row
+            // is materialized or shipped
+            if (filters.forall(ManifestFilters.eval(fullSchema, fields, _))) {
+              val vals = new Array[Any](required.length + metaCols.length)
+              var i = 0
+              while (i < fieldIdx.length) {
+                val raw = fields(fieldIdx(i))
+                vals(i) =
+                  if (raw == null) null
+                  else required.fields(i).dataType match {
+                    case LongType => raw.toLong
+                    case IntegerType => raw.toInt
+                    case DoubleType => raw.toDouble
+                    case StringType => UTF8String.fromString(raw)
+                    case dt => throw new UnsupportedOperationException(
+                      s"ManifestSource: unsupported read type $dt")
+                  }
+                i += 1
+              }
+              // row-identity metadata (delete vectors are built from it)
+              metaCols.foreach { m =>
+                vals(i) = m match {
+                  case "_mf_file" => UTF8String.fromString(fileName)
+                  case "_mf_pos" => recStart
+                  case "_mf_linehash" => line.hashCode.toLong
                 }
-              i += 1
+                i += 1
+              }
+              current = InternalRow.fromSeq(vals.toIndexedSeq)
+              return true
             }
-            current = InternalRow.fromSeq(vals.toIndexedSeq)
-            return true
           }
         }
         false
