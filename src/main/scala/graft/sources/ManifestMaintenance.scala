@@ -175,12 +175,17 @@ object ManifestMaintenance {
         s"ManifestMaintenance: failed to publish manifest-v$nextV at $dir")
   }
 
-  /** Small-file COMPACTION (the rewrite_data_files analog): reads the
-    * CURRENT snapshot through the DSv2 source (distributed), rewrites
-    * it as `targetFiles` coalesced part files via the sink's own writer
-    * (same dialect, same order-independent checksums), and publishes a
-    * new manifest version listing ONLY the compacted files. Old part
-    * files stay on disk — every retained version manifest still reads
+  /** Small-file COMPACTION (the rewrite_data_files analog): bin-packs
+    * the CURRENT snapshot's data files into size-bounded groups
+    * (first-fit decreasing; budget = `targetBytes`, or total size /
+    * `targetFiles` when unset), rewrites each group with its own task
+    * through the DSv2 source+sink pair (same dialect, same
+    * order-independent checksums; pending delete vectors are applied —
+    * and consumed — by the rewrite), and publishes a new manifest
+    * version listing ONLY the compacted files. One task never rewrites
+    * more than one group, so compaction parallelism scales with the
+    * table instead of collapsing to a single funnel. Old part files
+    * stay on disk — every retained version manifest still reads
     * exactly its own snapshot (time travel is untouched) — until
     * [[expireSnapshots]] + [[removeOrphans]] reclaim them.
     *
@@ -196,7 +201,8 @@ object ManifestMaintenance {
     * Returns (filesBefore, filesAfter). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, schemaDdl: String, targetFiles: Int = 1): (Int, Int) = {
+      path: String, schemaDdl: String, targetFiles: Int = 1,
+      targetBytes: Long = 0L): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -206,12 +212,39 @@ object ManifestMaintenance {
     // target file count — it is what applies the deletes physically
     if (before.length <= targetFiles && beforeDvs.isEmpty)
       return (before.length, before.length)
+    // BIN-PACK the input files into size-bounded groups (first-fit
+    // decreasing, budget = targetBytes or total/targetFiles): each
+    // group is rewritten by its OWN task reading only its own files
+    // (a files-subset scan coalesced to 1, unioned across groups), so
+    // one task never funnels the whole table — the rewrite is as
+    // parallel as the group count and no shuffle moves any row
+    val sizes = before.map { case (name, _) =>
+      (name, fs.getFileStatus(new Path(dir, name)).getLen)
+    }
+    val totalBytes = sizes.map(_._2).sum
+    val budget = math.max(1L,
+      if (targetBytes > 0) targetBytes
+      else (totalBytes + targetFiles - 1) / targetFiles)
+    val bins = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
+    sizes.sortBy { case (name, sz) => (-sz, name) }.foreach { case (name, sz) =>
+      bins.indexWhere(_._2 + sz <= budget) match {
+        case -1 =>
+          bins += ((scala.collection.mutable.ArrayBuffer(name), sz))
+        case i =>
+          bins(i)._1 += name
+          bins(i) = (bins(i)._1, bins(i)._2 + sz)
+      }
+    }
+    val groups = bins.map(_._1.toSeq).toSeq
+    if (groups.length == before.length && beforeDvs.isEmpty)
+      return (before.length, before.length) // nothing to merge
     // distributed rewrite into a scratch manifest dir: the sink's own
     // writer produces the part files AND their (rows, checksum) entries
     val scratch = s"$path/_compact-${java.util.UUID.randomUUID()}"
     spark.read.format("graft.sources.ManifestSource")
-      .schema(schemaDdl).option("path", path).load()
-      .coalesce(targetFiles)
+      .schema(schemaDdl).option("path", path)
+      .option("groups", groups.map(_.mkString(",")).mkString(";")).load()
       .write.format("graft.sources.ManifestSink")
       .option("path", scratch).mode("append").save()
     val compacted = ManifestRead.files(scratch, "manifest.json")

@@ -56,7 +56,13 @@ class ManifestSource extends TableProvider {
       throw new IllegalArgumentException("ManifestSource requires option 'path'"))
     val version = Option(properties.get("version")).map(_.toLong)
     val withMeta = Option(properties.get("metadata")).exists(_.toBoolean)
-    new ManifestReadTable(path, version, schema, withMeta)
+    // internal (maintenance): plan one input partition per bin-packed
+    // FILE GROUP (";"-separated groups of ","-separated file names) —
+    // compaction reads one group per task instead of funneling the
+    // whole table through one read
+    val groups = Option(properties.get("groups"))
+      .map(_.split(';').toSeq.map(_.split(',').toSeq))
+    new ManifestReadTable(path, version, schema, withMeta, groups)
   }
 }
 
@@ -76,7 +82,7 @@ private[sources] object ManifestMeta {
 
 private class ManifestReadTable(
     path: String, version: Option[Long], readSchema: StructType,
-    withMeta: Boolean = false)
+    withMeta: Boolean = false, groups: Option[Seq[Seq[String]]] = None)
   extends Table with SupportsRead {
   override def name(): String =
     s"manifest_source($path${version.map(v => s"@v$v").getOrElse("")})"
@@ -114,7 +120,8 @@ private class ManifestReadTable(
           required.fields.filterNot(f => ManifestMeta.names(f.name)))
         val metaReq = required.fields.map(_.name)
           .filter(ManifestMeta.names)
-        new ManifestScan(path, version, readSchema, dataReq, pushed, metaReq)
+        new ManifestScan(path, version, readSchema, dataReq, pushed, metaReq,
+          groups)
       }
     }
 }
@@ -182,7 +189,8 @@ private class ManifestScan(
     path: String, version: Option[Long],
     fullSchema: StructType, required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    metaCols: Seq[String] = Nil)
+    metaCols: Seq[String] = Nil,
+    groups: Option[Seq[Seq[String]]] = None)
   extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     required.fields ++ ManifestMeta.fields.filter(f => metaCols.contains(f.name)))
@@ -203,7 +211,21 @@ private class ManifestScan(
     // honors spark.sql.files.maxPartitionBytes like the built-in file
     // sources (tests dial it down to force multi-split reads)
     val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)
-    ManifestRead.files(path, manifestName).flatMap { case (name, rows) =>
+    val entries = ManifestRead.files(path, manifestName)
+    // grouped mode (compaction): ONE partition per bin-packed group,
+    // whole files only — each group is one task's rewrite unit
+    groups.foreach { gs =>
+      val rowsOf = entries.toMap
+      return gs.map { g =>
+        ManifestGroupPartition(path,
+          g.map(n => (n, rowsOf.getOrElse(n,
+            throw new IllegalArgumentException(
+              s"ManifestSource: grouped file $n not in $manifestName")))),
+          dvFiles): InputPartition
+      }.toArray
+    }
+    entries
+      .flatMap { case (name, rows) =>
       val fp = new Path(s"$path/$name")
       val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
       if (len <= maxSplit)
@@ -411,6 +433,12 @@ private case class ManifestFilePartition(
     dvFiles: Seq[String] = Nil)
   extends InputPartition
 
+/** A bin-packed GROUP of whole files read by ONE task (compaction's
+  * scan shape: parallelism = group count, no shuffle, no funnel). */
+private case class ManifestGroupPartition(
+    tableDir: String, files: Seq[(String, Long)], dvFiles: Seq[String] = Nil)
+  extends InputPartition
+
 private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,
     hadoopConf: SerializableConfiguration,
@@ -418,8 +446,34 @@ private class ManifestReaderFactory(
     metaCols: Seq[String] = Nil)
   extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[ManifestFilePartition]
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case g: ManifestGroupPartition =>
+      // chain the group's files through one reader after another —
+      // each file keeps its own whole-file tamper guard and dv skips
+      new PartitionReader[InternalRow] {
+        private val it = g.files.iterator
+        private var cur: PartitionReader[InternalRow] = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              val (name, rows) = it.next()
+              cur = createReader(ManifestFilePartition(
+                s"${g.tableDir}/$name", rows, dvFiles = g.dvFiles))
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): InternalRow = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    case part: ManifestFilePartition => createFileReader(part)
+  }
+
+  private def createFileReader(
+      part: ManifestFilePartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val fs = new Path(part.file).getFileSystem(hadoopConf.value)
       private val stream = fs.open(new Path(part.file))

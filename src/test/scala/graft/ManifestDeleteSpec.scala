@@ -117,6 +117,27 @@ class ManifestDeleteSpec extends AnyFunSuite {
     assert(readAll(out) == Seq(1L -> "a", 3L -> "c"))
   }
 
+  test("compaction bin-packs by bytes: groups rewrite independently") {
+    val out = freshDir()
+    // four ~equal files; a byte budget of ~half the total must yield 2
+    // output files (2 groups), not 1 — and conserve rows + checksums
+    (1 to 4).foreach(i => append(out,
+      (1 to 10).map(j => (i * 100L + j, s"row-$i-$j"))))
+    val sizes = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length())
+    assert(sizes.length == 4)
+    val budget = sizes.sum / 2
+    val (b, a) = graft.sources.ManifestMaintenance.compact(
+      spark, out, "k LONG, s STRING", targetBytes = budget)
+    assert(b == 4 && a == 2, s"expected 4 -> 2 files, got $b -> $a")
+    val back = readAll(out)
+    assert(back.length == 40 && back.map(_._1).distinct.length == 40)
+    // a budget no file pair fits under leaves the layout alone
+    val (b2, a2) = graft.sources.ManifestMaintenance.compact(
+      spark, out, "k LONG, s STRING", targetBytes = 1L)
+    assert(b2 == 2 && a2 == 2)
+  }
+
   test("streaming: bootstrap is net of deletes; appends tail net too") {
     import org.apache.spark.sql.streaming.Trigger
     val src = freshDir(); val sink = freshDir(); val ckpt = freshDir()
