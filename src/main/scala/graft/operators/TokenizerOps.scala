@@ -159,5 +159,159 @@ object TokenizerOps {
          |    x -> x != '|' AND x != '')) AS BIGINT) AS n_tokens
          |FROM merged ORDER BY doc_id""".stripMargin)
   }
-  val defs: Seq[Q] = Seq(q283, q388)
+  // ------------- q409: unigram-LM tokenizer trainer (SentencePiece leg)
+
+  private val UniMaxPiece = 3
+  private val UniMultiVocab = 256
+  private val UniIters = 2
+  private val UniTopOut = 40
+
+  /** Shared recursion: enumerate EVERY segmentation of every word under
+    * the cost table `costs`, take the (cost, np, cutmask) minimum per
+    * word — cutmask uniquely identifies a segmentation, so the winner
+    * is total-order unique — and sum the winning pieces' word counts.
+    * The Spark side's DP provably picks the same winner (the triple is
+    * integer and extension-monotone; see
+    * [[graft.functions.UnigramViterbi]]). */
+  private def uniViterbiCtes(it: Int, costs: String): String = {
+    val lens = (1 to UniMaxPiece).map(l => s"($l)").mkString(",")
+    s"""r$it AS (
+       |  SELECT w, cnt, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np,
+       |    CAST(0 AS BIGINT) AS cutmask, CAST('' AS VARCHAR) AS pieces
+       |  FROM words
+       |  UNION ALL
+       |  SELECT e.w, e.cnt, e.pos + e.l, e.cost + v.cost, e.np + 1,
+       |    e.cutmask + CASE WHEN e.pos + e.l < length(e.w)
+       |      THEN (CAST(1 AS BIGINT) << (e.pos + e.l)) ELSE 0 END,
+       |    e.pieces || v.piece || ','
+       |  FROM (SELECT r$it.*, l, substr(r$it.w, r$it.pos + 1, l) AS cand
+       |        FROM r$it CROSS JOIN (VALUES $lens) t(l)
+       |        WHERE r$it.pos + l <= length(r$it.w)) e
+       |  JOIN $costs v ON v.piece = e.cand),
+       |seg$it AS MATERIALIZED (
+       |  SELECT w, cnt, pieces FROM (
+       |    SELECT w, cnt, pieces, ROW_NUMBER() OVER (
+       |      PARTITION BY w ORDER BY cost, np, cutmask) AS rn
+       |    FROM r$it WHERE pos = length(w)) WHERE rn = 1),
+       |u$it AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |    SELECT cnt, unnest(string_split(rtrim(pieces, ','), ',')) AS piece
+       |    FROM seg$it)
+       |  GROUP BY piece)""".stripMargin
+  }
+
+  private def unigramOracle: String = {
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) BETWEEN 2 AND ${graft.functions.UnigramViterbi.MaxWordLen}
+       |  GROUP BY w),
+       |subs AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(
+       |      range(1, length(w) + 1),
+       |      i -> list_transform(
+       |        range(1, least($UniMaxPiece, length(w) - i + 1) + 1),
+       |        l -> substr(w, CAST(i AS INT), CAST(l AS INT)))))) AS piece
+       |    FROM words)
+       |  GROUP BY piece),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, n FROM subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, n FROM (
+       |    SELECT piece, n, ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS r
+       |    FROM subs WHERE length(piece) >= 2) WHERE r <= $UniMultiVocab),
+       |c1 AS MATERIALIZED (
+       |  SELECT piece, CAST(64 - length(bin(n)) AS BIGINT) AS cost FROM v0),
+       |${uniViterbiCtes(1, "c1")},
+       |c2 AS MATERIALIZED (
+       |  SELECT v0.piece,
+       |    CAST(64 - length(bin(COALESCE(u1.n, 0) + 1)) AS BIGINT) AS cost
+       |  FROM v0 LEFT JOIN u1 ON u1.piece = v0.piece),
+       |${uniViterbiCtes(2, "c2")}
+       |SELECT CAST(r AS BIGINT) AS rank, piece, n FROM (
+       |  SELECT piece, n, ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS r
+       |  FROM u2)
+       |WHERE r <= $UniTopOut ORDER BY rank""".stripMargin
+  }
+
+  /** q409: a SentencePiece-style UNIGRAM-LM tokenizer trainer — the
+    * non-BPE leg of subword vocabulary induction (Kudo 2018,
+    * "Subword Regularization"). Hard-EM, everything integer so both
+    * engines are bit-exact:
+    *
+    *  - candidate vocab = all single characters + the top
+    *    [[UniMultiVocab]] multi-character substrings (length ≤
+    *    [[UniMaxPiece]]) by multiplicity-weighted corpus count;
+    *  - E-step: Viterbi-best segmentation of each distinct word under
+    *    integer piece costs `64 − bitLength(count)` (a quantized
+    *    −log2 — the length(bin(n)) portability trick), ties broken by
+    *    (fewer pieces, lowest cut-bitmask); piece usage is summed
+    *    weighted by word frequency;
+    *  - M-step: counts ← usage + 1 (add-one smoothing keeps every
+    *    vocab piece alive so segmentability is invariant);
+    *  - [[UniIters]] rounds, then the top [[UniTopOut]] pieces by
+    *    final usage.
+    *
+    * Scale design (q388's): train on the DISTINCT word table weighted
+    * by frequency, one distributed Viterbi pass + one vocab-bounded
+    * aggregation per round (the driver holds only the ≤ 26 +
+    * [[UniMultiVocab]] piece/count pairs — centroid-style metadata);
+    * the per-word DP runs as a primitive loop called from codegen
+    * ([[graft.functions.UnigramViterbi]]). The oracle replays the same
+    * rounds by enumerating all segmentations per word and taking the
+    * identical (cost, np, cutmask) minimum — exponential in word
+    * length, hence the shared `MaxWordLen` bound. */
+  private val q409 = Q("q409_unigram_lm_train", unigramOracle) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import graft.functions.UnigramViterbi
+    def bitLen(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(n)
+    val words = Tables.load(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")).between(2, UnigramViterbi.MaxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // init counts: every substring occurrence (with multiplicity),
+    // weighted by word frequency — one explode + one aggregation;
+    // the result is vocab-alphabet bounded (≤ 26 + 26² + 26³ rows)
+    val subs = words.select(col("cnt"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)),
+         |  i -> transform(sequence(1, least($UniMaxPiece, length(w) - i + 1)),
+         |    l -> substring(w, i, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val singles = subs.filter(_._1.length == 1)
+    val multis = subs.filter(_._1.length >= 2)
+      .sortBy { case (p, n) => (-n, p) }.take(UniMultiVocab)
+    var vocabCounts: Array[(String, Long)] = singles ++ multis
+    if (vocabCounts.isEmpty) {
+      // a corpus with no [a-z] words trains nothing (adversarial edge)
+      Seq.empty[(Long, String, Long)].toDF("rank", "piece", "n")
+    } else {
+      var usage: Array[(String, Long)] = Array.empty
+      for (_ <- 1 to UniIters) {
+        val costs = vocabCounts
+          .map { case (p, n) => (p, 64 - bitLen(n)) }
+        // one distributed pass: Viterbi-segment every distinct word,
+        // weight the winning pieces by word frequency
+        usage = words.withColumn("pieces",
+            Bridge.column(UnigramViterbi(Bridge.expr(col("w")), costs)))
+          .select(col("cnt"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum("cnt").as("n"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val u = usage.toMap
+        vocabCounts = vocabCounts.map { case (p, _) =>
+          (p, u.getOrElse(p, 0L) + 1L) } // add-one smoothing
+      }
+      usage.sortBy { case (p, n) => (-n, p) }.take(UniTopOut)
+        .zipWithIndex
+        .map { case ((p, n), i) => (i + 1L, p, n) }.toSeq
+        .toDF("rank", "piece", "n")
+        .orderBy("rank")
+    }
+  }
+
+  val defs: Seq[Q] = Seq(q283, q388, q409)
 }
