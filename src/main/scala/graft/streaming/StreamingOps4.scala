@@ -435,5 +435,110 @@ object StreamingOps4 {
       .orderBy("tier")
   }
 
-  val defs: Seq[Q] = Seq(q357, q372, q400, q406)
+  /** DuckDB replay of the codegen PolyHash fold (mod at every step
+    * keeps intermediates < 2^36 — the cross-engine int128 rule). */
+  private def duckPoly(g: String): String =
+    s"""list_reduce(list_prepend(CAST(29 AS BIGINT),
+       |    list_transform(range(1, length($g) + 1),
+       |                   i -> CAST(ord(substring($g, i, 1)) AS BIGINT))),
+       |  (acc, c) -> (acc * 33 + c) % 2147483647)""".stripMargin
+
+  /** q410: STREAMING decontamination gate — the stream twin of q131's
+    * batch eval-set filter, the shape a live ingestion pipeline runs:
+    * training documents arrive as a stream and only documents sharing
+    * NO word-5-gram with the benchmark set (doc_id % 10 = 7, the q131
+    * convention) are emitted — first-seen-clean, exactly once.
+    *
+    * Scale design: the eval-set gram hashes are BOUNDED (benchmarks
+    * are small by nature), so they ride along as a sorted driver-side
+    * array probed by a codegen binary search per document
+    * ([[graft.functions.AnyInSortedSet]]) — the stream stays STATELESS
+    * (no state store, no shuffle, no watermark; a 100 TB/day feed is
+    * one codegen projection + filter). Hashing is the shared PolyHash
+    * fold, computed identically in both engines, so even a collision
+    * (which would contaminate a clean doc) is bit-reproducible.
+    * Restart exactly-once: two AvailableNow drains on ONE checkpoint
+    * with the second half of the corpus staged between them; the final
+    * counts match the oracle only if every doc was emitted exactly
+    * once. */
+  private val q410 = Q(
+    "q410_stream_decontamination",
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(ws) - 3, 1)),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |         ws[i+3] || ' ' || ws[i+4]))) AS g
+       |  FROM tok WHERE len(ws) >= 5),
+       |hh AS MATERIALIZED (
+       |  SELECT doc_id, ${duckPoly("g")} AS h FROM sh),
+       |bench AS (SELECT DISTINCT h FROM hh WHERE doc_id % 10 = 7),
+       |contam AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id FROM hh t JOIN bench b ON b.h = t.h
+       |  WHERE t.doc_id % 10 <> 7),
+       |train AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7),
+       |clean AS (SELECT doc_id FROM train
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+       |SELECT 'clean' AS which, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sum_doc_id FROM clean
+       |UNION ALL
+       |SELECT 'contam', CAST(count(*) AS BIGINT),
+       |  CAST(COALESCE(sum(doc_id), 0) AS BIGINT) FROM contam
+       |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.graftbridge.Bridge
+    graft.functions.GraftFunctions.register(s)
+    val base = new java.io.File(s"/tmp/graft_q410_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+    val outSink = s"$base/sink"
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val hashExpr =
+      "transform(graft_shingles5(text), g -> graft_polyhash(g, 29, 33, 2147483647))"
+    // benchmark gram hashes: eval sets are small by nature — sorted
+    // driver metadata, the k-means-centroid contract
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+      .select(explode(expr(hashExpr)).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    def drain(): Unit = {
+      val st = s.readStream.schema(train.schema).parquet(stage)
+      // NULL text / < 5 tokens → no grams → clean (coalesce keeps them)
+      val flagged =
+        if (bench.isEmpty) st.withColumn("contam", lit(false))
+        else st.withColumn("contam", coalesce(
+          Bridge.column(graft.functions.AnyInSortedSet(
+            Bridge.expr(expr(hashExpr)), bench)), lit(false)))
+      val q = flagged.filter(!col("contam")).select("doc_id")
+        .writeStream.format("parquet").option("path", outSink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    train.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(stage)
+    drain()
+    train.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(stage)
+    drain() // same checkpoint: only the new half may emit
+    val cleanAgg = s.read.schema("doc_id LONG").parquet(outSink)
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("sd")).first()
+    val trainAgg = train
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("sd")).first()
+    import s.implicits._
+    Seq(
+      ("clean", cleanAgg.getLong(0), cleanAgg.getLong(1)),
+      ("contam", trainAgg.getLong(0) - cleanAgg.getLong(0),
+        trainAgg.getLong(1) - cleanAgg.getLong(1)))
+      .toDF("which", "n_docs", "sum_doc_id")
+      .orderBy("which")
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372, q400, q406, q410)
 }
