@@ -948,7 +948,93 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q411: manifest UPSERT (MERGE INTO), merge-on-read — matched keys
+    * supersede via delete vectors, unmatched keys insert, both
+    * published as ONE atomic manifest version (readers never see a
+    * half-merge). Complements q408's delete: together they are the
+    * full MoR DML verb set. The pre-upsert snapshot still reads the
+    * old values (time travel); compaction applies the supersedes
+    * physically under the net-of-deletes conservation guard. */
+  private val q411 = Q(
+    "q411_manifest_upsert",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |up AS (
+      |  SELECT k, 'U' || CAST(k AS VARCHAR) AS v FROM n WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k + 100, 'N' || CAST(k + 100 AS VARCHAR) FROM n WHERE k < 5),
+      |fin AS (
+      |  SELECT n.k, COALESCE(u.v, n.v) AS v
+      |  FROM n LEFT JOIN up u ON u.k = n.k
+      |  UNION ALL
+      |  SELECT k, v FROM up WHERE k NOT IN (SELECT k FROM n))
+      |SELECT 'latest' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k FROM fin
+      |UNION ALL
+      |SELECT 'latest_upd', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM fin
+      |WHERE v = 'U' || CAST(k AS VARCHAR) OR v = 'N' || CAST(k AS VARCHAR)
+      |UNION ALL
+      |SELECT 'postcompact', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM fin
+      |UNION ALL
+      |SELECT 'pre', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM n
+      |UNION ALL
+      |SELECT 'superseded',
+      |  CAST((SELECT count(*) FROM n WHERE k % 3 = 0) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'upserted', CAST((SELECT count(*) FROM up) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q411_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    base.coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    val updates = base.filter(col("k") % 3 === 0)
+      .select(col("k"), concat(lit("U"), col("k").cast("string")).as("v"))
+      .unionByName(base.filter(col("k") < 5)
+        .select((col("k") + 100).as("k"),
+          concat(lit("N"), (col("k") + 100).cast("string")).as("v")))
+    val (nSup, nUps) = graft.sources.ManifestMaintenance.upsert(
+      s, out, "k LONG, v STRING", Seq("k"), updates)
+    def readVersion(v: Option[Int]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema("k LONG, v STRING").option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    def agg(label: String, df: org.apache.spark.sql.DataFrame): (String, Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("k")).cast("long").as("sum_k")).first()
+      (label, r.getLong(0), r.getLong(1))
+    }
+    val latest = agg("latest", readVersion(None))
+    val latestUpd = agg("latest_upd", readVersion(None).filter(
+      col("v") === concat(lit("U"), col("k").cast("string")) ||
+        col("v") === concat(lit("N"), col("k").cast("string"))))
+    val pre = agg("pre", readVersion(Some(1)))
+    graft.sources.ManifestMaintenance.compact(s, out, "k LONG, v STRING")
+    val postCompact = agg("postcompact", readVersion(None))
+    import s.implicits._
+    (Seq(latest, latestUpd, pre, postCompact) ++ Seq(
+      ("superseded", nSup, 0L), ("upserted", nUps, 0L)))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
-      q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408)
+      q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
+      q411)
 }

@@ -80,40 +80,103 @@ object ManifestMaintenance {
   def delete(
       spark: org.apache.spark.sql.SparkSession,
       path: String, schemaDdl: String, predicate: String): Long = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val before = ManifestRead.files(path, "manifest.json")
-    val beforeDvs = ManifestRead.dvs(path, "manifest.json")
     // distributed matched-position scan (current dvs applied by the
     // source, so already-deleted rows can never match again)
-    val scratch = s"$path/_tmp-delete-${java.util.UUID.randomUUID()}"
-    spark.read.format("graft.sources.ManifestSource")
+    val matched = spark.read.format("graft.sources.ManifestSource")
       .schema(schemaDdl).option("path", path)
       .option("metadata", "true").load()
       .where(predicate)
       .selectExpr("_mf_file", "_mf_pos", "_mf_linehash")
-      .write.format("graft.sources.ManifestSink")
-      .option("path", scratch).mode("append").save()
-    val dvParts = ManifestRead.files(scratch, "manifest.json")
-      .filter(_._2 > 0) // empty task files carry no positions
-    val dvChecksums = readChecksums(fs, new Path(scratch, "manifest.json"))
-    val deleted = dvParts.map(_._2).sum
-    if (deleted == 0) { fs.delete(new Path(scratch), true); return 0L }
-    // ---- publish under the commit lock
-    val lock = new Path(dir, "_commit.lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          fs.delete(new Path(scratch), true)
-          throw new IllegalStateException(
-            s"ManifestMaintenance: a commit is in flight at $path; " +
-              "retry the delete after it completes")
-      }
+    mutate(spark, path, matched, None, "delete")._1
+  }
+
+  /** UPSERT, merge-on-read (the MERGE INTO analog): table rows whose
+    * `keyCols` match an incoming update row are superseded (recorded as
+    * delete vectors), and ALL update rows are appended as new data
+    * files — both in ONE committed manifest version, so readers see the
+    * merge atomically: matched keys carry their new values, unmatched
+    * keys insert. No data file is rewritten; [[compact]] later applies
+    * the supersedes physically. The matching scan reads through current
+    * dvs (a twice-upserted key supersedes the LATEST version of the
+    * row, never re-deletes the same position). Returns
+    * (supersededRows, upsertedRows). */
+  def upsert(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, schemaDdl: String, keyCols: Seq[String],
+      updates: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .fieldNames.toSeq
+    val tbl = spark.read.format("graft.sources.ManifestSource")
+      .schema(schemaDdl).option("path", path)
+      .option("metadata", "true").load()
+    // superseded rows: key-match against the incoming batch (left-semi
+    // equi-join — shuffles on the key only, never materializes values)
+    val matched = tbl
+      .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .selectExpr("_mf_file", "_mf_pos", "_mf_linehash")
+    mutate(spark, path, matched, Some(updates.select(cols.map(col): _*)),
+      "upsert")
+  }
+
+  /** Shared merge-on-read mutation: record `matchedPos` rows —
+    * (_mf_file, _mf_pos, _mf_linehash) of rows to supersede — as new
+    * delete vectors, optionally append `inserts` as new data files,
+    * and publish BOTH in one manifest version. Scans/writes run
+    * distributed OUTSIDE the lock; the publish takes `_commit.lock`
+    * and verifies the data-file set and dv list are unchanged since
+    * the scan (appends are fine; rewrites/deletes invalidate positions
+    * — abort loudly, retry). Returns (deletedRows, insertedRows). */
+  private def mutate(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      matchedPos: org.apache.spark.sql.DataFrame,
+      inserts: Option[org.apache.spark.sql.DataFrame],
+      opName: String): (Long, Long) = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val before = ManifestRead.files(path, "manifest.json")
+    val beforeDvs = ManifestRead.dvs(path, "manifest.json")
+    val tag = java.util.UUID.randomUUID()
+    val scratchDv = s"$path/_tmp-$opName-dv-$tag"
+    val scratchIns = s"$path/_tmp-$opName-ins-$tag"
+    def cleanup(): Unit = {
+      fs.delete(new Path(scratchDv), true)
+      fs.delete(new Path(scratchIns), true)
+    }
     try {
+      matchedPos.write.format("graft.sources.ManifestSink")
+        .option("path", scratchDv).mode("append").save()
+      val dvParts = ManifestRead.files(scratchDv, "manifest.json")
+        .filter(_._2 > 0) // empty task files carry no positions
+      val dvChecksums = readChecksums(fs, new Path(scratchDv, "manifest.json"))
+      val deleted = dvParts.map(_._2).sum
+      val insParts = inserts match {
+        case None => Nil
+        case Some(df) =>
+          df.write.format("graft.sources.ManifestSink")
+            .option("path", scratchIns).mode("append").save()
+          ManifestRead.files(scratchIns, "manifest.json").filter(_._2 > 0)
+      }
+      val insChecksums =
+        if (insParts.isEmpty) Map.empty[String, Long]
+        else readChecksums(fs, new Path(scratchIns, "manifest.json"))
+      val inserted = insParts.map(_._2).sum
+      if (deleted == 0 && inserted == 0) { cleanup(); return (0L, 0L) }
+      // ---- publish under the commit lock
+      val lock = new Path(dir, "_commit.lock")
+      val lockStream =
+        try fs.create(lock, false)
+        catch {
+          case _: java.io.IOException =>
+            cleanup()
+            throw new IllegalStateException(
+              s"ManifestMaintenance: a commit is in flight at $path; " +
+                s"retry the $opName after it completes")
+        }
       try {
         lockStream.write(
-          s"${System.currentTimeMillis()} delete".getBytes("UTF-8"))
+          s"${System.currentTimeMillis()} $opName".getBytes("UTF-8"))
         lockStream.close()
         val now = ManifestRead.files(path, "manifest.json")
         val nowDvs = ManifestRead.dvs(path, "manifest.json")
@@ -121,34 +184,48 @@ object ManifestMaintenance {
           nowDvs.map(_._1) != beforeDvs.map(_._1))
           throw new IllegalStateException(
             s"ManifestMaintenance: concurrent rewrite/delete changed " +
-              s"$path during the delete scan — positions are stale; retry")
-        // move the position files in under dv- names
-        val moved = dvParts.zipWithIndex.map { case ((name, rows), i) =>
-          val dvName = s"dv-${java.util.UUID.randomUUID()}-$i.csv"
-          if (!fs.rename(new Path(s"$scratch/$name"), new Path(dir, dvName)))
+              s"$path during the $opName scan — positions are stale; retry")
+        // move position files in under dv- names, insert files as-is
+        // (task-uuid names can't collide with committed files)
+        val movedDvs = dvParts.zipWithIndex.map { case ((name, rows), i) =>
+          val dvName = s"dv-$tag-$i.csv"
+          if (!fs.rename(new Path(s"$scratchDv/$name"), new Path(dir, dvName)))
             throw new java.io.IOException(
               s"ManifestMaintenance: failed to move delete vector $name")
           (dvName, rows, dvChecksums(name))
         }
-        val allDvs = nowDvs ++ moved
-        val cs = readChecksums(fs, new Path(dir, "manifest.json"))
-        val dataEntries = now.map { case (name, rows) =>
-          s"""{"file":"$name","rows":$rows,"checksum":${cs(name)}}"""
+        insParts.foreach { case (name, _) =>
+          if (!fs.rename(new Path(s"$scratchIns/$name"), new Path(dir, name)))
+            throw new java.io.IOException(
+              s"ManifestMaintenance: failed to move inserted file $name")
         }
+        val allDvs = nowDvs ++ movedDvs
+        val cs = readChecksums(fs, new Path(dir, "manifest.json"))
+        val dataEntries =
+          (now.map { case (name, rows) => (name, rows, cs(name)) } ++
+            insParts.map { case (name, rows) =>
+              (name, rows, insChecksums(name)) })
+            .sortBy(_._1)
+            .map { case (name, rows, c) =>
+              s"""{"file":"$name","rows":$rows,"checksum":$c}"""
+            }
         publish(fs, dir,
-          s"""{"total_rows":${now.map(_._2).sum},""" +
+          s"""{"total_rows":${now.map(_._2).sum + inserted},""" +
             s""""files":${dataEntries.mkString("[", ",", "]")},""" +
             s""""deletes":${
               allDvs.sortBy(_._1).map { case (n, r, c) =>
                 s"""{"dv":"$n","rows":$r,"checksum":$c}"""
               }.mkString("[", ",", "]")}}""")
-        fs.delete(new Path(scratch), true)
-        deleted
+        cleanup()
+        (deleted, inserted)
       } catch { case e: Throwable =>
-        fs.delete(new Path(scratch), true)
+        cleanup()
         throw e
-      }
-    } finally fs.delete(lock, false)
+      } finally fs.delete(lock, false)
+    } catch { case e: Throwable =>
+      cleanup()
+      throw e
+    }
   }
 
   /** Write-complete-then-swap of `manifest.json` AND the next numbered

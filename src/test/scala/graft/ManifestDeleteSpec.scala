@@ -185,6 +185,47 @@ class ManifestDeleteSpec extends AnyFunSuite {
     assert(!plain.columns.contains("_mf_pos"))
   }
 
+  test("upsert: matched keys supersede, unmatched insert, one version") {
+    import spark.implicits._
+    val out = freshDir()
+    append(out, Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    def versions(): Int = new java.io.File(out).listFiles()
+      .count(_.getName.matches("manifest-v\\d+\\.json"))
+    val v0 = versions()
+    val (sup, ins) = graft.sources.ManifestMaintenance.upsert(
+      spark, out, "k LONG, s STRING", Seq("k"),
+      Seq(2L -> "B2", 3L -> "B3", 9L -> "N9").toDF("k", "s"))
+    assert(sup == 2L && ins == 3L)
+    // the merge is ONE atomic version
+    assert(versions() == v0 + 1)
+    assert(readAll(out) == Seq(
+      1L -> "a", 2L -> "B2", 3L -> "B3", 4L -> "d", 9L -> "N9"))
+    // pre-upsert snapshot unchanged
+    assert(readAll(out, Some(1)) ==
+      Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+    // re-upsert the same key: supersedes the LATEST version of the row
+    // (the scan reads through dvs — no duplicate positions)
+    val (sup2, ins2) = graft.sources.ManifestMaintenance.upsert(
+      spark, out, "k LONG, s STRING", Seq("k"),
+      Seq(2L -> "C2").toDF("k", "s"))
+    assert(sup2 == 1L && ins2 == 1L)
+    assert(readAll(out) == Seq(
+      1L -> "a", 2L -> "C2", 3L -> "B3", 4L -> "d", 9L -> "N9"))
+    // compaction applies all supersedes physically
+    val (_, a) = graft.sources.ManifestMaintenance.compact(
+      spark, out, "k LONG, s STRING")
+    assert(a == 1)
+    val mtxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json")), "UTF-8")
+    assert(!mtxt.contains("\"dv\":"))
+    assert(readAll(out) == Seq(
+      1L -> "a", 2L -> "C2", 3L -> "B3", 4L -> "d", 9L -> "N9"))
+    // an empty update batch commits nothing
+    assert(graft.sources.ManifestMaintenance.upsert(
+      spark, out, "k LONG, s STRING", Seq("k"),
+      Seq.empty[(Long, String)].toDF("k", "s")) == ((0L, 0L)))
+  }
+
   test("delete aborts loudly on a live commit lock") {
     val out = freshDir()
     append(out, Seq(1L -> "a"))
