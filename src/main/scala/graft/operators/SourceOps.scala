@@ -1033,8 +1033,66 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q412: CDC CHANGE FEED over the connector — every row the table
+    * gained or lost across a version range, reconstructable:
+    * `state(from) + inserts − deletes = state(to)`. The fixture drives
+    * all four verb shapes through one range: append (v2), predicate
+    * delete (v3 — dv rows materialize as full old rows via the
+    * (file, offset) identity), upsert (v4 — update rows insert, the
+    * superseded originals delete), compaction (v5 — a pure rewrite,
+    * contributes NOTHING to the feed). The oracle reconstructs the
+    * exact expected change rows from the same arithmetic. */
+  private val q412 = Q(
+    "q412_manifest_change_feed",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL)
+      |SELECT op, version, k, v FROM (
+      |  SELECT 'insert' AS op, CAST(2 AS BIGINT) AS version, k, v
+      |  FROM n WHERE k % 2 = 1
+      |  UNION ALL
+      |  SELECT 'insert', CAST(4 AS BIGINT), k, 'U' || CAST(k AS VARCHAR)
+      |  FROM n WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT 'insert', CAST(4 AS BIGINT), CAST(200 AS BIGINT), 'N200'
+      |  UNION ALL
+      |  SELECT 'delete', CAST(3 AS BIGINT), k, v FROM n WHERE k % 5 = 0
+      |  UNION ALL
+      |  SELECT 'delete', CAST(4 AS BIGINT), k, v
+      |  FROM n WHERE k % 3 = 0 AND k % 5 <> 0)
+      |ORDER BY op, version, k""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q412_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    def append(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    append(base.filter(col("k") % 2 === 0)) // v1
+    append(base.filter(col("k") % 2 === 1)) // v2
+    graft.sources.ManifestMaintenance.delete( // v3
+      s, out, "k LONG, v STRING", "k % 5 = 0")
+    import s.implicits._
+    val updates = base.filter(col("k") % 3 === 0)
+      .select(col("k"), concat(lit("U"), col("k").cast("string")).as("v"))
+      .unionByName(Seq((200L, "N200")).toDF("k", "v"))
+    graft.sources.ManifestMaintenance.upsert( // v4
+      s, out, "k LONG, v STRING", Seq("k"), updates)
+    graft.sources.ManifestMaintenance.compact(s, out, "k LONG, v STRING") // v5
+    graft.sources.ManifestMaintenance.changes(s, out, "k LONG, v STRING", 1L, 5L)
+      .orderBy("op", "version", "k")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411)
+      q411, q412)
 }

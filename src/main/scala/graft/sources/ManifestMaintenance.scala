@@ -228,6 +228,93 @@ object ManifestMaintenance {
     }
   }
 
+  /** CDC CHANGE FEED between two committed versions (the
+    * table_changes / readChangeFeed analog): every row the table
+    * gained or lost in (fromV, toV], as (op, version, <data columns>)
+    * rows satisfying the reconstruction identity
+    * `state(fromV) + inserts − deletes = state(toV)`.
+    *
+    * The walk mirrors the streaming tail: an APPEND/UPSERT version
+    * contributes its new files' rows (GROSS — rows deleted later in
+    * the range still count as inserts, then again as deletes) as
+    * op='insert'; new delete-vector entries contribute op='delete'
+    * rows MATERIALIZED by reading the target files at the dv's own
+    * version with dvs disabled and joining on (file, offset) — the
+    * offset is row identity, so the emitted delete carries the full
+    * old row; a COMPACTION version is a pure rewrite and contributes
+    * nothing. Requires retained history (an expired mid-range
+    * manifest or reclaimed pre-compaction file fails loudly — the
+    * streaming-tail contract). */
+  def changes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, schemaDdl: String,
+      fromV: Long, toV: Long): org.apache.spark.sql.DataFrame = {
+    require(fromV >= 1 && toV >= fromV,
+      s"changes: need 1 <= fromV <= toV, got ($fromV, $toV)")
+    import org.apache.spark.sql.functions._
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+      .fieldNames.toSeq
+    var prevFiles = ManifestRead.files(path, s"manifest-v$fromV.json")
+      .map(_._1).toSet
+    var prevDvs = ManifestRead.dvs(path, s"manifest-v$fromV.json")
+      .map(_._1).toSet
+    val insertsByV = Seq.newBuilder[(Long, Seq[String])]
+    val dvsByV = Seq.newBuilder[(Long, Seq[String])]
+    ((fromV + 1) to toV).foreach { v =>
+      val m = s"manifest-v$v.json"
+      val cur = ManifestRead.files(path, m).map(_._1)
+      val curDvs = ManifestRead.dvs(path, m).map(_._1)
+      if (!ManifestRead.isCompaction(path, m)) {
+        val nf = cur.filterNot(prevFiles)
+        if (nf.nonEmpty) insertsByV += ((v, nf))
+      }
+      val nd = curDvs.filterNot(prevDvs)
+      if (nd.nonEmpty) dvsByV += ((v, nd))
+      prevFiles = cur.toSet
+      prevDvs = curDvs.toSet
+    }
+    def readFiles(v: Long, files: Seq[String], withMeta: Boolean) = {
+      val r = spark.read.format("graft.sources.ManifestSource")
+        .schema(schemaDdl).option("path", path)
+        .option("version", v)
+        .option("groups", files.mkString(";")) // one whole file per task
+        .option("skipdvs", "true")
+      (if (withMeta) r.option("metadata", "true") else r).load()
+    }
+    val insertDfs = insertsByV.result().map { case (v, fs) =>
+      readFiles(v, fs, withMeta = false)
+        .select(lit("insert").as("op") +: lit(v).as("version") +:
+          cols.map(col): _*)
+    }
+    val deleteDfs = dvsByV.result().map { case (v, dvs) =>
+      // dv rows are (dataFile, offset, lineHash) — names and numbers,
+      // no quoting, so a plain csv read round-trips them
+      val pos = spark.read.schema("f STRING, p LONG, h LONG")
+        .csv(dvs.map(d => s"$path/$d"): _*)
+        .select(col("f"), col("p"))
+      // only the files this version's dvs actually target (file-name
+      // metadata — bounded like a manifest listing)
+      val targets = pos.select("f").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      readFiles(v, targets, withMeta = true)
+        .join(pos,
+          col("_mf_file") === col("f") && col("_mf_pos") === col("p"))
+        .select(lit("delete").as("op") +: lit(v).as("version") +:
+          cols.map(col): _*)
+    }
+    val all = insertDfs ++ deleteDfs
+    if (all.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("version",
+            org.apache.spark.sql.types.LongType)) ++
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).fields)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else all.reduce(_ unionByName _)
+  }
+
   /** Write-complete-then-swap of `manifest.json` AND the next numbered
     * version manifest (the sink's torn-free publish discipline).
     * Caller must hold `_commit.lock`. */

@@ -62,7 +62,11 @@ class ManifestSource extends TableProvider {
     // whole table through one read
     val groups = Option(properties.get("groups"))
       .map(_.split(';').toSeq.map(_.split(',').toSeq))
-    new ManifestReadTable(path, version, schema, withMeta, groups)
+    // internal (CDC): read GROSS rows, ignoring the snapshot's delete
+    // vectors — the change-feed reader materializes deleted rows by
+    // (file, offset), which the normal merge-on-read path would hide
+    val skipDvs = Option(properties.get("skipdvs")).exists(_.toBoolean)
+    new ManifestReadTable(path, version, schema, withMeta, groups, skipDvs)
   }
 }
 
@@ -82,7 +86,8 @@ private[sources] object ManifestMeta {
 
 private class ManifestReadTable(
     path: String, version: Option[Long], readSchema: StructType,
-    withMeta: Boolean = false, groups: Option[Seq[Seq[String]]] = None)
+    withMeta: Boolean = false, groups: Option[Seq[Seq[String]]] = None,
+    skipDvs: Boolean = false)
   extends Table with SupportsRead {
   override def name(): String =
     s"manifest_source($path${version.map(v => s"@v$v").getOrElse("")})"
@@ -121,7 +126,7 @@ private class ManifestReadTable(
         val metaReq = required.fields.map(_.name)
           .filter(ManifestMeta.names)
         new ManifestScan(path, version, readSchema, dataReq, pushed, metaReq,
-          groups)
+          groups, skipDvs)
       }
     }
 }
@@ -190,7 +195,8 @@ private class ManifestScan(
     fullSchema: StructType, required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     metaCols: Seq[String] = Nil,
-    groups: Option[Seq[Seq[String]]] = None)
+    groups: Option[Seq[Seq[String]]] = None,
+    skipDvs: Boolean = false)
   extends Scan with Batch {
   override def readSchema(): StructType = StructType(
     required.fields ++ ManifestMeta.fields.filter(f => metaCols.contains(f.name)))
@@ -207,7 +213,9 @@ private class ManifestScan(
     // merge-on-read: every partition of this snapshot applies the
     // snapshot's delete vectors (positions of deleted rows) at scan
     // time — deleted rows are skipped record-by-record, never shipped
-    val dvFiles = ManifestRead.dvs(path, manifestName).map(_._1)
+    val dvFiles =
+      if (skipDvs) Nil
+      else ManifestRead.dvs(path, manifestName).map(_._1)
     // honors spark.sql.files.maxPartitionBytes like the built-in file
     // sources (tests dial it down to force multi-split reads)
     val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)

@@ -226,6 +226,40 @@ class ManifestDeleteSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("k", "s")) == ((0L, 0L)))
   }
 
+  test("change feed satisfies state(from) + inserts - deletes = state(to)") {
+    import spark.implicits._
+    val out = freshDir()
+    append(out, Seq(1L -> "a", 2L -> "b", 3L -> "c"))          // v1
+    append(out, Seq(4L -> "d", 5L -> "e"))                      // v2
+    graft.sources.ManifestMaintenance.delete(                   // v3
+      spark, out, "k LONG, s STRING", "k IN (2, 4)")
+    graft.sources.ManifestMaintenance.upsert(                   // v4
+      spark, out, "k LONG, s STRING", Seq("k"),
+      Seq(3L -> "C3", 9L -> "N9").toDF("k", "s"))
+    graft.sources.ManifestMaintenance.compact(                  // v5
+      spark, out, "k LONG, s STRING")
+    def state(v: Int): Set[(Long, String)] = readAll(out, Some(v)).toSet
+    for (from <- 1 to 4; to <- (from + 1) to 5) {
+      val ch = graft.sources.ManifestMaintenance.changes(
+        spark, out, "k LONG, s STRING", from, to)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+      val ins = ch.filter(_._1 == "insert").map(c => (c._2, c._3))
+      val del = ch.filter(_._1 == "delete").map(c => (c._2, c._3))
+      // multiset identity (no dup rows in this fixture, set is exact)
+      assert(state(from) ++ ins -- del == state(to),
+        s"reconstruction failed for ($from, $to]: ins=${ins.toSeq} del=${del.toSeq}")
+    }
+    // a compaction-only range is an empty feed
+    val none = graft.sources.ManifestMaintenance.changes(
+      spark, out, "k LONG, s STRING", 4, 5)
+    assert(none.count() == 0)
+    // an empty range has the right (empty) schema
+    val empty = graft.sources.ManifestMaintenance.changes(
+      spark, out, "k LONG, s STRING", 5, 5)
+    assert(empty.columns.toSeq == Seq("op", "version", "k", "s"))
+    assert(empty.count() == 0)
+  }
+
   test("delete aborts loudly on a live commit lock") {
     val out = freshDir()
     append(out, Seq(1L -> "a"))
