@@ -60,5 +60,8 @@ object SparkEntry {
       // non-streaming-package queries whose cost is drain choreography
       // or fixed-size fixtures, not corpus volume
       Set("q393_sink_time_travel", "q397_manifest_stream_tail",
-        "q398_manifest_expire", "q401_manifest_compaction")
+        "q398_manifest_expire", "q401_manifest_compaction",
+        "q408_manifest_mor_delete", "q411_manifest_upsert",
+        "q412_manifest_change_feed", "q413_manifest_file_skipping",
+        "q414_manifest_schema_evolution")
 }

@@ -1091,8 +1091,166 @@ object SourceOps {
       .orderBy("op", "version", "k")
   }
 
+  /** q413: per-file COLUMN STATS + scan-time FILE SKIPPING (zone maps —
+    * the Delta/Iceberg data-skipping move): every sink commit records
+    * min/max/null-count per column per file in the manifest, and the
+    * reader prunes files whose stats PROVE no row can match the pushed
+    * filters, before any file is opened. Four appends with disjoint
+    * key ranges; a 4-key range predicate plans exactly ONE input
+    * partition (each unsplit file is one partition — the planned
+    * partition count is the honest observable), an impossible
+    * predicate plans ZERO, and an IS NULL probe on a null-free column
+    * plans zero too. At 100 TB this is the difference between a
+    * time-range query opening every file and opening only the
+    * overlapping ones. Results are pruning-independent by construction
+    * (the same filters still run row-by-row in the reader) — the
+    * oracle replays the aggregates straight from the parquet. */
+  private val q413 = Q(
+    "q413_manifest_file_skipping",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+      |  WHERE n_nationkey IS NOT NULL)
+      |SELECT 'filtered' AS which,
+      |  CAST((SELECT count(*) FROM n WHERE k BETWEEN 8 AND 11) AS BIGINT) AS n_rows,
+      |  CAST((SELECT sum(k) FROM n WHERE k BETWEEN 8 AND 11) AS BIGINT) AS sum_k
+      |UNION ALL SELECT 'files_planned', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'files_skipped', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'full', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT) FROM n
+      |UNION ALL SELECT 'isnull_planned', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'impossible_planned', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q413_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"))
+    // four files with DISJOINT key ranges (quartiles of 0..24)
+    Seq((0L, 6L), (7L, 12L), (13L, 18L), (19L, 10000L)).foreach {
+      case (lo, hi) =>
+        base.filter(col("k") >= lo && col("k") <= hi).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).mode("append").save()
+    }
+    def read() = s.read.format("graft.sources.ManifestSource")
+      .schema("k LONG").option("path", out).load()
+    val filtered = read().filter(col("k") >= 8 && col("k") <= 11)
+    val fAgg = filtered.agg(count(lit(1)).cast("long"),
+      sum(col("k")).cast("long")).first()
+    val planned = filtered.queryExecution.toRdd.getNumPartitions.toLong
+    val skipped = graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    val isnullPlanned = read().filter(col("k").isNull)
+      .queryExecution.toRdd.getNumPartitions.toLong
+    val impossiblePlanned = read().filter(col("k") > 1000000L)
+      .queryExecution.toRdd.getNumPartitions.toLong
+    val full = read().agg(count(lit(1)).cast("long"),
+      sum(col("k")).cast("long")).first()
+    import s.implicits._
+    Seq(
+      ("filtered", fAgg.getLong(0), fAgg.getLong(1)),
+      ("files_planned", planned, 0L),
+      ("files_skipped", skipped, 0L),
+      ("full", full.getLong(0), full.getLong(1)),
+      ("isnull_planned", isnullPlanned, 0L),
+      ("impossible_planned", impossiblePlanned, 0L))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
+  /** q414: SCHEMA EVOLUTION on the connector — every manifest entry
+    * records the file's OWN column layout, and the reader maps columns
+    * BY NAME: a column added later reads as NULL from older files, a
+    * reordered read schema resolves positionally-independently, and no
+    * old file is ever rewritten (the Iceberg column-mapping move; CSV
+    * field order alone would silently mis-read evolved tables). The
+    * stats pruner composes: an absent column is provably all-NULL, so
+    * `IS NOT NULL` skips the whole old generation without opening it.
+    * Compaction homogenizes the table to the current schema (rows
+    * conserved; the checksum leg of the guard stands down across
+    * layouts because re-rendering legitimately changes line hashes). */
+  private val q414 = Q(
+    "q414_manifest_schema_evolution",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+      |    CAST(n_regionkey AS BIGINT) AS reg
+      |  FROM nation WHERE n_nationkey IS NOT NULL),
+      |ev AS (
+      |  SELECT k, name, CAST(NULL AS BIGINT) AS reg FROM n WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT k, name, reg FROM n WHERE k % 2 = 1)
+      |SELECT 'latest' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_v FROM ev
+      |UNION ALL
+      |SELECT 'newgen_planned', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'nulls_reg', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM ev WHERE reg IS NULL
+      |UNION ALL
+      |SELECT 'postcompact', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM ev
+      |UNION ALL
+      |SELECT 'postcompact_sum_reg', CAST(count(*) AS BIGINT),
+      |  CAST(sum(reg) AS BIGINT) FROM ev WHERE reg IS NOT NULL
+      |UNION ALL
+      |SELECT 'sum_reg', CAST(count(*) AS BIGINT), CAST(sum(reg) AS BIGINT)
+      |FROM ev WHERE reg IS NOT NULL
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q414_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("reg"))
+    // generation 1: (k, name) only — written before `reg` existed
+    base.filter(col("k") % 2 === 0).select("k", "name").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    // generation 2: the evolved (k, name, reg) layout
+    base.filter(col("k") % 2 === 1).coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    def read() = s.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, name STRING, reg LONG").option("path", out).load()
+    def agg(label: String, df: org.apache.spark.sql.DataFrame,
+        sumCol: String = "k"): (String, Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long"),
+        sum(col(sumCol)).cast("long")).first()
+      (label, r.getLong(0), r.getLong(1))
+    }
+    val latest = agg("latest", read())
+    val nullsReg = agg("nulls_reg", read().filter(col("reg").isNull))
+    val sumReg = agg("sum_reg", read().filter(col("reg").isNotNull), "reg")
+    // stats ∘ evolution: the gen-1 file provably has NO reg values, so
+    // IS NOT NULL plans only the gen-2 file
+    val newgenPlanned = read().filter(col("reg").isNotNull)
+      .queryExecution.toRdd.getNumPartitions.toLong
+    graft.sources.ManifestMaintenance.compact(
+      s, out, "k LONG, name STRING, reg LONG")
+    val postCompact = agg("postcompact", read())
+    val postReg = agg("postcompact_sum_reg",
+      read().filter(col("reg").isNotNull), "reg")
+    import s.implicits._
+    (Seq(latest, nullsReg, sumReg, postCompact, postReg) ++
+      Seq(("newgen_planned", newgenPlanned, 0L)))
+      .toDF("which", "n_rows", "sum_v")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411, q412)
+      q411, q412, q413, q414)
 }

@@ -151,17 +151,15 @@ object ManifestMaintenance {
         .filter(_._2 > 0) // empty task files carry no positions
       val dvChecksums = readChecksums(fs, new Path(scratchDv, "manifest.json"))
       val deleted = dvParts.map(_._2).sum
-      val insParts = inserts match {
+      val insEntries: Seq[ManifestEntry] = inserts match {
         case None => Nil
         case Some(df) =>
           df.write.format("graft.sources.ManifestSink")
             .option("path", scratchIns).mode("append").save()
-          ManifestRead.files(scratchIns, "manifest.json").filter(_._2 > 0)
+          readEntries(fs, new Path(scratchIns, "manifest.json"))
+            .filter(_.rows > 0)
       }
-      val insChecksums =
-        if (insParts.isEmpty) Map.empty[String, Long]
-        else readChecksums(fs, new Path(scratchIns, "manifest.json"))
-      val inserted = insParts.map(_._2).sum
+      val inserted = insEntries.map(_.rows).sum
       if (deleted == 0 && inserted == 0) { cleanup(); return (0L, 0L) }
       // ---- publish under the commit lock
       val lock = new Path(dir, "_commit.lock")
@@ -194,21 +192,18 @@ object ManifestMaintenance {
               s"ManifestMaintenance: failed to move delete vector $name")
           (dvName, rows, dvChecksums(name))
         }
-        insParts.foreach { case (name, _) =>
-          if (!fs.rename(new Path(s"$scratchIns/$name"), new Path(dir, name)))
+        insEntries.foreach { e =>
+          if (!fs.rename(new Path(s"$scratchIns/${e.file}"), new Path(dir, e.file)))
             throw new java.io.IOException(
-              s"ManifestMaintenance: failed to move inserted file $name")
+              s"ManifestMaintenance: failed to move inserted file ${e.file}")
         }
         val allDvs = nowDvs ++ movedDvs
-        val cs = readChecksums(fs, new Path(dir, "manifest.json"))
-        val dataEntries =
-          (now.map { case (name, rows) => (name, rows, cs(name)) } ++
-            insParts.map { case (name, rows) =>
-              (name, rows, insChecksums(name)) })
-            .sortBy(_._1)
-            .map { case (name, rows, c) =>
-              s"""{"file":"$name","rows":$rows,"checksum":$c}"""
-            }
+        // carry the table's entries forward VERBATIM (cols/stats
+        // included — file skipping must survive DML) + the inserts'
+        // own sink-written entries
+        val nowEntries = readEntries(fs, new Path(dir, "manifest.json"))
+        val dataEntries = (nowEntries ++ insEntries)
+          .sortBy(_.file).map(ManifestRead.render)
         publish(fs, dir,
           s"""{"total_rows":${now.map(_._2).sum + inserted},""" +
             s""""files":${dataEntries.mkString("[", ",", "]")},""" +
@@ -411,8 +406,10 @@ object ManifestMaintenance {
       .option("groups", groups.map(_.mkString(",")).mkString(";")).load()
       .write.format("graft.sources.ManifestSink")
       .option("path", scratch).mode("append").save()
-    val compacted = ManifestRead.files(scratch, "manifest.json")
-    val compactedChecksums = readChecksums(fs, new Path(scratch, "manifest.json"))
+    val compactedEntries = readEntries(fs, new Path(scratch, "manifest.json"))
+    val compacted = compactedEntries.map(e => (e.file, e.rows))
+    val compactedChecksums =
+      compactedEntries.map(e => e.file -> e.checksum).toMap
     // ---- publish under the commit lock
     val lock = new Path(dir, "_commit.lock")
     val lockStream =
@@ -446,10 +443,19 @@ object ManifestMaintenance {
       // for this). With no dvs both reduce to strict equality.
       val dvRows = nowDvs.map(_._2).sum
       val dvHashSum = dvLineHashSum(fs, dir, nowDvs.map(_._1))
+      // The CHECKSUM leg of the guard holds only when every input file
+      // shares the rewrite's column layout: rewriting an older-schema
+      // file re-renders its lines (added columns materialize as empty
+      // trailing fields), so line hashes legitimately change. The ROW
+      // conservation leg always holds.
+      val schemaCols = org.apache.spark.sql.types.StructType
+        .fromDDL(schemaDdl).fieldNames.mkString(",")
+      val homogeneous = readEntries(fs, new Path(dir, "manifest.json"))
+        .forall(e => e.cols.forall(_ == schemaCols))
       require(
         now.map(_._2).sum - dvRows == compacted.map(_._2).sum &&
-          beforeChecksums.values.sum - dvHashSum ==
-            compactedChecksums.values.sum,
+          (!homogeneous || beforeChecksums.values.sum - dvHashSum ==
+            compactedChecksums.values.sum),
         s"ManifestMaintenance: compaction conservation check failed at " +
           s"$path (rows ${now.map(_._2).sum} - $dvRows deleted -> " +
           s"${compacted.map(_._2).sum}, " +
@@ -460,9 +466,8 @@ object ManifestMaintenance {
           throw new java.io.IOException(
             s"ManifestMaintenance: failed to move compacted file $name")
       }
-      val entries = compacted.map { case (name, rows) =>
-        s"""{"file":"$name","rows":$rows,"checksum":${compactedChecksums(name)}}"""
-      }.mkString("[", ",", "]")
+      val entries = compactedEntries.sortBy(_.file)
+        .map(ManifestRead.render).mkString("[", ",", "]")
       val total = compacted.map(_._2).sum
       // "compaction":true = a PURE REWRITE (dataChange=false in Delta
       // terms): the streaming tail must NOT re-emit these files as new
@@ -576,7 +581,13 @@ object ManifestMaintenance {
 
   /** file -> checksum entries of one manifest. */
   private def readChecksums(
-      fs: org.apache.hadoop.fs.FileSystem, mp: Path): Map[String, Long] = {
+      fs: org.apache.hadoop.fs.FileSystem, mp: Path): Map[String, Long] =
+    readEntries(fs, mp).map(e => e.file -> e.checksum).toMap
+
+  /** Full data-file entries of one manifest at an explicit fs path
+    * (scratch manifests live outside the table dir). */
+  private def readEntries(
+      fs: org.apache.hadoop.fs.FileSystem, mp: Path): Seq[ManifestEntry] = {
     val in = fs.open(mp)
     val txt = try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -585,9 +596,6 @@ object ManifestMaintenance {
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       buf.toString("UTF-8")
     } finally in.close()
-    """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-      .findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(3).toLong)
-      .toMap
+    ManifestRead.entriesOfText(txt)
   }
 }

@@ -132,7 +132,8 @@ private class ManifestTable(path: String, writeSchema: StructType)
     }
 }
 
-private case class ManifestCommit(file: String, rows: Long, checksum: Long)
+private case class ManifestCommit(file: String, rows: Long, checksum: Long,
+    cols: String = "", stats: String = "")
   extends WriterCommitMessage
 
 private class ManifestBatchWrite(path: String, schema: StructType,
@@ -235,7 +236,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       // with the old manifest. Append: the old manifest's entries are
       // carried into the new one, so the manifest ALWAYS describes the
       // full committed content — readers never need to list the dir.
-      val previous: (Seq[(String, Long, Long)], Seq[(String, Long, Long)]) =
+      val previous: (Seq[ManifestEntry], Seq[(String, Long, Long)]) =
         if (truncate) {
           // truncate purges HISTORY too (the expire-snapshots analog):
           // version manifests reference the deleted part files, so they
@@ -258,11 +259,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
             while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
             buf.toString("UTF-8")
           } finally in.close()
-          val dataEntries =
-            """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-              .findAllMatchIn(txt)
-              .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
-              .toSeq
+          val dataEntries = ManifestRead.entriesOfText(txt)
           // delete vectors survive appends (merge-on-read: only a
           // compaction consumes them, only a truncate purges them)
           val dvEntries =
@@ -280,15 +277,16 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           throw new java.io.IOException(
             s"ManifestSink: failed to move committed file ${c.file} into $path")
       }
-      val all = prevData ++ commits.map(c => (c.file, c.rows, c.checksum))
-      val manifest = all.sortBy(_._1).map { case (fn, r, cs) =>
-        s"""{"file":"$fn","rows":$r,"checksum":$cs}"""
-      }.mkString("[", ",", "]") + (
+      val all = prevData ++ commits.map(c => ManifestEntry(c.file, c.rows,
+        c.checksum, Option(c.cols).filter(_.nonEmpty),
+        Option(c.stats).filter(_.nonEmpty)))
+      val manifest = all.sortBy(_.file).map(ManifestRead.render)
+        .mkString("[", ",", "]") + (
         if (prevDvs.isEmpty) ""
         else prevDvs.sortBy(_._1).map { case (fn, r, cs) =>
           s"""{"dv":"$fn","rows":$r,"checksum":$cs}"""
         }.mkString(""","deletes":[""", ",", "]"))
-      val total = all.map(_._2).sum
+      val total = all.map(_.rows).sum
       // write complete, then swap into place (delete-then-rename: no
       // reader ever sees a torn manifest)
       val manifestTmp = new Path(tmpDir, "manifest.json.new")
@@ -342,15 +340,50 @@ private class ManifestWriterFactory(path: String, writeId: String,
         fs.create(new Path(tmpDir, name), true), "UTF-8"))
       private var rows = 0L
       private var checksum = 0L
+      // per-column file statistics (the zone-map the reader prunes on):
+      // null counts for every column; min/max for NUMERIC columns only
+      // (strings: Java vs UTF8String ordering disagree on supplementary
+      // chars — the same reason string inequalities aren't pushed). A
+      // NaN poisons a double column's bounds: they are dropped, so the
+      // reader can never prune on a NaN-tainted range. Stats/cols are
+      // only recorded when every column name is a simple identifier
+      // (no quoting ambiguity in the manifest JSON).
+      private val safeNames =
+        schema.fieldNames.forall(_.matches("[A-Za-z0-9_]+"))
+      private val nNulls = new Array[Long](schema.length)
+      private val minL = Array.fill(schema.length)(Long.MaxValue)
+      private val maxL = Array.fill(schema.length)(Long.MinValue)
+      private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
+      private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
+      private val sawNum = new Array[Boolean](schema.length)
+      private val sawNaN = new Array[Boolean](schema.length)
 
       override def write(r: InternalRow): Unit = {
         val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-          if (r.isNullAt(i)) ""
+          if (r.isNullAt(i)) { nNulls(i) += 1; "" }
           else f.dataType match {
-            case LongType => r.getLong(i).toString
-            case IntegerType => r.getInt(i).toString
+            case LongType =>
+              val v = r.getLong(i)
+              if (v < minL(i)) minL(i) = v
+              if (v > maxL(i)) maxL(i) = v
+              sawNum(i) = true
+              v.toString
+            case IntegerType =>
+              val v = r.getInt(i).toLong
+              if (v < minL(i)) minL(i) = v
+              if (v > maxL(i)) maxL(i) = v
+              sawNum(i) = true
+              v.toString
             case StringType => ManifestSink.csvField(r.getUTF8String(i).toString)
-            case DoubleType => r.getDouble(i).toString
+            case DoubleType =>
+              val v = r.getDouble(i)
+              if (v.isNaN) sawNaN(i) = true
+              else {
+                if (v < minD(i)) minD(i) = v
+                if (v > maxD(i)) maxD(i) = v
+                sawNum(i) = true
+              }
+              v.toString
             case dt => ManifestSink.csvField(r.get(i, dt).toString)
           }
         }
@@ -364,7 +397,21 @@ private class ManifestWriterFactory(path: String, writeId: String,
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        ManifestCommit(name, rows, checksum)
+        if (!safeNames) return ManifestCommit(name, rows, checksum)
+        val stats = schema.fields.zipWithIndex.map { case (f, i) =>
+          val bounds =
+            if (sawNaN(i) || !sawNum(i)) ""
+            else f.dataType match {
+              case LongType | IntegerType =>
+                s""","min":${minL(i)},"max":${maxL(i)}"""
+              case DoubleType =>
+                s""","min":${minD(i)},"max":${maxD(i)}"""
+              case _ => ""
+            }
+          s""""${f.name}":{"nulls":${nNulls(i)}$bounds}"""
+        }.mkString("{", ",", "}")
+        ManifestCommit(name, rows, checksum,
+          schema.fieldNames.mkString(","), stats)
       }
 
       override def abort(): Unit = {

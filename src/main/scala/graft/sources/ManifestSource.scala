@@ -159,6 +159,59 @@ private object ManifestFilters {
     }
   }
 
+  /** Scan-time FILE SKIPPING (the zone-map / Parquet-row-group-stats
+    * move): can any row of `entry` satisfy `f`? Conservative — `true`
+    * whenever the stats can't prove otherwise, so pruning never
+    * changes results, it only skips provably-dead I/O. A column absent
+    * from the file's own layout (schema evolution) is all-NULL by
+    * construction; min/max absent with stats present means every
+    * stored value was null (or NaN-poisoned, for doubles) — only
+    * IsNull can match then. Entries without stats (pre-round-12
+    * manifests) never prune. */
+  def mayMatch(schema: StructType, entry: ManifestEntry, f: Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    val stats = entry.stats.map(ManifestRead.parseStats).getOrElse(Map.empty)
+    // all-null verdict for columns the file provably never stored
+    def colStats(a: String): Option[ColStats] =
+      entry.colNames match {
+        case Some(cs) if !cs.contains(a) => Some(ColStats(entry.rows, None, None))
+        case _ => stats.get(a)
+      }
+    def cmpBound(a: String, bound: String, v: Any): Option[Int] = {
+      if (v == null) return None
+      Some(schema(schema.fieldIndex(a)).dataType match {
+        case LongType => java.lang.Long.compare(bound.toLong, v.asInstanceOf[Number].longValue())
+        case IntegerType => java.lang.Integer.compare(bound.toInt, v.asInstanceOf[Number].intValue())
+        case DoubleType => java.lang.Double.compare(bound.toDouble, v.asInstanceOf[Number].doubleValue())
+        case _ => return None // strings carry no bounds (ordering hazard)
+      })
+    }
+    // "every stored value is NULL" — decided by the null COUNT, never
+    // by min/max absence (a string column legitimately has no bounds)
+    def allNull(st: ColStats): Boolean = st.nulls >= entry.rows
+    f match {
+      case EqualTo(a, v) => colStats(a).forall { st =>
+        if (v == null || allNull(st)) false // 3VL: = NULL matches nothing
+        else (st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            cmpBound(a, mn, v).forall(_ <= 0) && cmpBound(a, mx, v).forall(_ >= 0)
+          case _ => true // bounds untracked (string / NaN-poisoned)
+        }
+      }
+      case GreaterThan(a, v) => colStats(a).forall(st =>
+        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ > 0))
+      case GreaterThanOrEqual(a, v) => colStats(a).forall(st =>
+        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ >= 0))
+      case LessThan(a, v) => colStats(a).forall(st =>
+        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ < 0))
+      case LessThanOrEqual(a, v) => colStats(a).forall(st =>
+        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ <= 0))
+      case IsNull(a) => colStats(a).forall(_.nulls > 0)
+      case IsNotNull(a) => colStats(a).forall(st => !allNull(st))
+      case _ => true
+    }
+  }
+
   /** Evaluate one filter against the raw parsed CSV fields (null =
     * NULL). Comparisons convert through the declared column type; a
     * NULL operand fails every comparison (SQL 3VL: unknown rows are
@@ -219,27 +272,38 @@ private class ManifestScan(
     // honors spark.sql.files.maxPartitionBytes like the built-in file
     // sources (tests dial it down to force multi-split reads)
     val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val entries = ManifestRead.files(path, manifestName)
+    val allEntries = ManifestRead.entries(path, manifestName)
     // grouped mode (compaction): ONE partition per bin-packed group,
     // whole files only — each group is one task's rewrite unit
     groups.foreach { gs =>
-      val rowsOf = entries.toMap
+      val byName = allEntries.map(e => e.file -> e).toMap
       return gs.map { g =>
         ManifestGroupPartition(path,
-          g.map(n => (n, rowsOf.getOrElse(n,
+          g.map(n => byName.getOrElse(n,
             throw new IllegalArgumentException(
-              s"ManifestSource: grouped file $n not in $manifestName")))),
+              s"ManifestSource: grouped file $n not in $manifestName"))
+            ).map(e => (e.file, e.rows, e.cols)),
           dvFiles): InputPartition
       }.toArray
     }
+    // FILE SKIPPING on the pushed filters against each entry's column
+    // stats (zone maps): a file whose min/max/null-count PROVE no row
+    // can match is never opened — at 100 TB a selective time-range
+    // query plans only the files whose ranges overlap. Purely an I/O
+    // optimization: the same filters still run row-by-row in the reader.
+    val entries = allEntries.filter(e =>
+      filters.forall(ManifestFilters.mayMatch(fullSchema, e, _)))
+    ManifestScanMetrics.lastCandidateFiles.set(allEntries.length)
+    ManifestScanMetrics.lastSkippedFiles.set(allEntries.length - entries.length)
     entries
-      .flatMap { case (name, rows) =>
+      .flatMap { e =>
+      val (name, rows) = (e.file, e.rows)
       val fp = new Path(s"$path/$name")
       val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
       if (len <= maxSplit)
         // unsplit: the whole-file row-count tamper guard stays active
         Seq(ManifestFilePartition(s"$path/$name", rows,
-          dvFiles = dvFiles): InputPartition)
+          dvFiles = dvFiles, cols = e.cols): InputPartition)
       else {
         // Byte-range splits so ONE fat manifest file no longer caps read
         // parallelism at 1 (the round-10 scale note). The dialect
@@ -254,7 +318,8 @@ private class ManifestScan(
         (0 until nSplits).map { i =>
           val start = i.toLong * maxSplit
           ManifestFilePartition(s"$path/$name", rows,
-            start, math.min(maxSplit, len - start), dvFiles): InputPartition
+            start, math.min(maxSplit, len - start), dvFiles,
+            cols = e.cols): InputPartition
         }
       }
     }.toArray
@@ -280,7 +345,62 @@ private class ManifestScan(
     new ManifestMicroBatchStream(path, fullSchema, required, filters)
 }
 
+/** One data-file entry of a manifest: rows/checksum always; `cols`
+  * (the file's own column layout, for schema evolution) and `stats`
+  * (per-column min/max/null-count JSON, for scan-time file skipping)
+  * are optional — manifests written before round 12 lack them, and a
+  * reader treats their absence as "layout == read schema, no pruning".
+  */
+private[sources] case class ManifestEntry(
+    file: String, rows: Long, checksum: Long,
+    cols: Option[String] = None, stats: Option[String] = None) {
+  def colNames: Option[Seq[String]] = cols.map(_.split(',').toSeq)
+}
+
+/** Per-column file statistics parsed from an entry's `stats` JSON:
+  * `nulls` counts NULL values; `min`/`max` span the NON-NULL values
+  * and are absent when every value is null (or, for doubles, when any
+  * NaN was seen — NaN-poisoned bounds must never prune). Strings carry
+  * only `nulls`: Java vs UTF8String ordering disagree on supplementary
+  * characters, the same reason string inequalities are not pushed. */
+private[sources] case class ColStats(
+    nulls: Long, min: Option[String], max: Option[String])
+
 private[sources] object ManifestRead {
+  private val entryRe =
+    ("""\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)""" +
+      """(?:,"cols":"([^"]*)")?""" +
+      """(?:,"stats":(\{(?:[^{}]|\{[^{}]*\})*\}))?\}""").r
+
+  /** Parse every data-file entry (with optional cols/stats) of one
+    * manifest body. */
+  def entriesOfText(txt: String): Seq[ManifestEntry] =
+    entryRe.findAllMatchIn(txt).map { m =>
+      ManifestEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
+        Option(m.group(4)).filter(_.nonEmpty), Option(m.group(5)))
+    }.toSeq
+
+  /** Render one entry back to its manifest JSON form (inverse of
+    * [[entriesOfText]] — carry-forward must preserve cols/stats). */
+  def render(e: ManifestEntry): String =
+    s"""{"file":"${e.file}","rows":${e.rows},"checksum":${e.checksum}""" +
+      e.cols.map(c => s""","cols":"$c"""").getOrElse("") +
+      e.stats.map(st => s""","stats":$st""").getOrElse("") + "}"
+
+  /** Full entries of one committed manifest. */
+  def entries(path: String, manifestName: String): Seq[ManifestEntry] =
+    entriesOfText(text(path, manifestName))
+
+  private val colStatsRe =
+    """"([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?(?:,"max":("[^"]*"|[^,}]+))?\}""".r
+
+  /** `stats` JSON → per-column [[ColStats]]. */
+  def parseStats(json: String): Map[String, ColStats] =
+    colStatsRe.findAllMatchIn(json).map { m =>
+      m.group(1) -> ColStats(m.group(2).toLong,
+        Option(m.group(3)), Option(m.group(4)))
+    }.toMap
+
   /** Full text of one manifest, via the driver's Hadoop conf. Throws
     * FileNotFoundException when the manifest is absent (never
     * committed, or the version was expired by a truncate). */
@@ -305,12 +425,8 @@ private[sources] object ManifestRead {
   }
 
   /** (file, rows) DATA-file entries of one manifest. */
-  def files(path: String, manifestName: String): Seq[(String, Long)] = {
-    """\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-      .findAllMatchIn(text(path, manifestName))
-      .map(m => (m.group(1), m.group(2).toLong))
-      .toSeq
-  }
+  def files(path: String, manifestName: String): Seq[(String, Long)] =
+    entries(path, manifestName).map(e => (e.file, e.rows))
 
   /** (dvFile, rows, checksum) DELETE-VECTOR entries of one manifest —
     * each dv file lists (dataFile, recordByteOffset, lineHash) rows of
@@ -438,14 +554,25 @@ private class ManifestMicroBatchStream(
   * reader skips records whose byte offset a dv lists for its file. */
 private case class ManifestFilePartition(
     file: String, rows: Long, start: Long = 0L, len: Long = -1L,
-    dvFiles: Seq[String] = Nil)
+    dvFiles: Seq[String] = Nil,
+    // the FILE's own column layout (schema evolution): absent = the
+    // file was written with exactly the read schema's data columns
+    cols: Option[String] = None)
   extends InputPartition
 
 /** A bin-packed GROUP of whole files read by ONE task (compaction's
   * scan shape: parallelism = group count, no shuffle, no funnel). */
 private case class ManifestGroupPartition(
-    tableDir: String, files: Seq[(String, Long)], dvFiles: Seq[String] = Nil)
+    tableDir: String, files: Seq[(String, Long, Option[String])],
+    dvFiles: Seq[String] = Nil)
   extends InputPartition
+
+/** Last batch scan's file-skipping tally (spec observability; the
+  * honest runtime observable is the planned partition count itself). */
+private[graft] object ManifestScanMetrics {
+  val lastCandidateFiles = new java.util.concurrent.atomic.AtomicLong
+  val lastSkippedFiles = new java.util.concurrent.atomic.AtomicLong
+}
 
 private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,
@@ -465,9 +592,10 @@ private class ManifestReaderFactory(
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return false
-              val (name, rows) = it.next()
+              val (name, rows, cols) = it.next()
               cur = createReader(ManifestFilePartition(
-                s"${g.tableDir}/$name", rows, dvFiles = g.dvFiles))
+                s"${g.tableDir}/$name", rows, dvFiles = g.dvFiles,
+                cols = cols))
             }
             if (cur.next()) return true
             cur.close(); cur = null
@@ -528,6 +656,18 @@ private class ManifestReaderFactory(
       private val lineBuf = new java.io.ByteArrayOutputStream(256)
       // positions (in file field order) of the required columns
       private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
+      // SCHEMA EVOLUTION: when the file was written under a different
+      // column layout than the read schema, map every read-schema
+      // position to the file's own position BY NAME (added columns read
+      // as NULL from older files; reordered/dropped columns resolve by
+      // name, never by position). null = layouts agree, zero overhead.
+      private val remap: Array[Int] = part.cols match {
+        case Some(c) =>
+          val fileCols = c.split(',')
+          if (fileCols.sameElements(fullSchema.fieldNames)) null
+          else fullSchema.fieldNames.map(n => fileCols.indexOf(n))
+        case None => null
+      }
       private var current: InternalRow = _
       private var readCount = 0L
 
@@ -571,7 +711,22 @@ private class ManifestReaderFactory(
           // files, so deleted rows still count as physical lines)
           val deleted = !deletedPos.isEmpty && deletedPos.contains(recStart)
           if (!deleted) {
-            val fields = splitCsv(line)
+            val rawFields = splitCsv(line)
+            // canonicalize to read-schema order BEFORE filters run, so
+            // pushed-filter eval and column extraction see one layout
+            val fields =
+              if (remap == null) rawFields
+              else {
+                val a = new Array[String](remap.length)
+                var j = 0
+                while (j < remap.length) {
+                  val fi = remap(j)
+                  a(j) = if (fi >= 0 && fi < rawFields.length) rawFields(fi)
+                         else null
+                  j += 1
+                }
+                a
+              }
             // pushed filters run here, on the raw parse, BEFORE any row
             // is materialized or shipped
             if (filters.forall(ManifestFilters.eval(fullSchema, fields, _))) {
