@@ -662,6 +662,93 @@ object CurationOps {
   }
 
 
-  def defs: Seq[Q] = Seq(q282, q302, q303, q307, q315, q371, q373, q378, q380)
+  // ------------- q416: temperature-scaled data-mixture sampler
+
+  /** q416: DATA-MIXTURE REBALANCING — the multilingual-pretraining
+    * sampler: high-resource languages are down-weighted by sampling
+    * each language's token share proportional to its natural share at
+    * temperature T=2 (share ∝ tokens^(1/2), the mT5/XLM-R move — raw
+    * proportional sampling starves low-resource languages, equal split
+    * overfits them). The per-language budget is
+    * `B · ⌊√tok_lang⌋ / Σ⌊√tok⌋` with B = total/4 (self-scaling, so
+    * the cut is a strict subset at every corpus size), and documents
+    * admit in a DETERMINISTIC pseudo-random order — an LCG hash of
+    * doc_id, so both engines replay the same admission sequence — until
+    * the running token sum exceeds the budget. One aggregation for the
+    * language table (driver-bounded: #langs rows), one window-cumsum
+    * per language shard for admission; at 100 TB the shard key becomes
+    * (lang, shard) with per-shard quotas, the arithmetic unchanged.
+    * All outputs integers; sum(doc_id) fingerprints the exact
+    * selection, not just its size. */
+  private val q416 = Q(
+    "q416_mixture_sampler",
+    """WITH base AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\r]+')) AS BIGINT)
+      |      AS n_tok,
+      |    (doc_id * 1103515245 + 12345) % 2147483647 AS h
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND trim(text) <> '' AND lang IS NOT NULL
+      |    AND doc_id IS NOT NULL),
+      |ls AS (
+      |  SELECT lang, sum(n_tok) AS tok_lang,
+      |    CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS w
+      |  FROM base GROUP BY lang),
+      |tot AS (SELECT sum(tok_lang) AS tok_all, sum(w) AS w_all FROM ls),
+      |budget AS (
+      |  SELECT ls.lang, ls.tok_lang,
+      |    (t.tok_all // 4) * ls.w // t.w_all AS b
+      |  FROM ls CROSS JOIN tot t),
+      |ranked AS (
+      |  SELECT lang, doc_id, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM base)
+      |SELECT b.lang,
+      |  CAST(b.tok_lang AS BIGINT) AS tok_natural,
+      |  CAST(b.b AS BIGINT) AS tok_budget,
+      |  CAST(count(r.doc_id) AS BIGINT) AS n_sel,
+      |  CAST(COALESCE(sum(r.n_tok), 0) AS BIGINT) AS tok_sel,
+      |  CAST(COALESCE(sum(r.doc_id), 0) AS BIGINT) AS sel_fingerprint
+      |FROM budget b LEFT JOIN ranked r
+      |  ON r.lang = b.lang AND r.cum <= b.b
+      |GROUP BY b.lang, b.tok_lang, b.b
+      |ORDER BY b.lang""".stripMargin) { (s, dir) =>
+    val base = docs(s, dir)
+      .filter(col("text").isNotNull && trim(col("text")) =!= "" &&
+        col("lang").isNotNull && col("doc_id").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "[ \\t\\n\\r]+")).cast("long").as("n_tok"),
+        ((col("doc_id") * 1103515245L + 12345L) % 2147483647L).as("h"))
+    val ls = base.groupBy("lang")
+      .agg(sum(col("n_tok")).as("tok_lang"),
+        floor(sqrt(sum(col("n_tok")).cast("double"))).cast("long").as("w"))
+    val tot = ls.agg(sum(col("tok_lang")).as("tok_all"),
+      sum(col("w")).as("w_all"))
+    // #langs rows: the budget table is driver-scale metadata, broadcast
+    val budget = ls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("tok_lang"),
+        expr("(tok_all div 4) * w div w_all").as("b"))
+    val ranked = base.withColumn("cum",
+      sum(col("n_tok")).over(Window.partitionBy("lang")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("lang").as("r_lang"), col("doc_id").as("r_doc_id"),
+        col("n_tok").as("r_n_tok"), col("cum"))
+    broadcast(budget).join(ranked,
+        col("r_lang") === col("lang") && col("cum") <= col("b"), "left")
+      .groupBy(col("lang"), col("tok_lang"), col("b"))
+      .agg(count(col("r_doc_id")).cast("long").as("n_sel"),
+        coalesce(sum(col("r_n_tok")), lit(0L)).cast("long").as("tok_sel"),
+        coalesce(sum(col("r_doc_id")), lit(0L)).cast("long")
+          .as("sel_fingerprint"))
+      .select(col("lang"), col("tok_lang").cast("long").as("tok_natural"),
+        col("b").cast("long").as("tok_budget"), col("n_sel"),
+        col("tok_sel"), col("sel_fingerprint"))
+      .orderBy("lang")
+  }
+
+  def defs: Seq[Q] = Seq(q282, q302, q303, q307, q315, q371, q373, q378,
+    q380, q416)
 
 }

@@ -595,5 +595,123 @@ object VectorOps2 {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407)
+  // --------------------- q415: SQ8 scalar quantization + exact re-rank
+
+  private val SqDim = Subs * SubDim // 64
+  private val SqShortlist = 10
+  private val SqK = 3
+
+  /** q415: SCALAR quantization (SQ8) — the OTHER production vector
+    * compression next to PQ (q399/q407): each dimension is linearly
+    * mapped to an 8-bit code against per-dimension corpus min/max, so
+    * a 64-dim float vector becomes 64 bytes (4× less IO than floats,
+    * and the scan distance is PURE INTEGER arithmetic — SIMD-friendly
+    * and bit-exact across engines, no LUT needed). The search is the
+    * two-stage shape production SQ indexes run: (1) integer ADC scan
+    * of the code table shortlists [[SqShortlist]] candidates per query
+    * (bounded query set broadcast — the q233 eval-set contract),
+    * (2) the shortlist re-ranks EXACTLY against raw vectors via one
+    * narrow equi-join. Determinism: per-dim min/max are exact aggregate
+    * bounds; the quantization formula `floor((x−mn)·255/span)` runs the
+    * same IEEE ops in the same order on both engines; code distances
+    * are integers; the exact re-rank is the established sequential-fold
+    * double (ties on vec_id). A zero span (constant dimension) maps to
+    * code 0 via a span-1 substitute, not a 0/0. */
+  private val q415 = Q(
+    "q415_sq8_scalar_quantization", {
+      val qexpr =
+        s"""list_transform(range(1, ${SqDim + 1}),
+           |    i -> CAST(least(greatest(floor(
+           |      (v[CAST(i AS INT)] - mns[CAST(i AS INT)]) * 255.0
+           |        / sps[CAST(i AS INT)]), 0.0), 255.0) AS BIGINT))""".stripMargin
+      val idist =
+        s"""list_sum(list_transform(range(1, ${SqDim + 1}),
+           |      i -> (q.qc[CAST(i AS INT)] - d.c[CAST(i AS INT)])
+           |         * (q.qc[CAST(i AS INT)] - d.c[CAST(i AS INT)])))""".stripMargin
+      val d2 =
+        s"""list_sum(list_transform(range(1, ${SqDim + 1}),
+           |      i -> (q.qv[CAST(i AS INT)] - n.v[CAST(i AS INT)])
+           |         * (q.qv[CAST(i AS INT)] - n.v[CAST(i AS INT)])))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT i, min(v[CAST(i AS INT)]) AS mn, max(v[CAST(i AS INT)]) AS mx
+         |  FROM v CROSS JOIN range(1, ${SqDim + 1}) t(i) GROUP BY i),
+         |stl AS (
+         |  SELECT list(mn ORDER BY i) AS mns,
+         |    list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i) AS sps
+         |  FROM st),
+         |codes AS (
+         |  SELECT vec_id, $qexpr AS c
+         |  FROM v CROSS JOIN stl),
+         |qs AS (SELECT vec_id AS qid, c AS qc FROM codes WHERE vec_id < $AdcQueries),
+         |short AS (
+         |  SELECT qid, nid, idist FROM (
+         |    SELECT q.qid, d.vec_id AS nid,
+         |      $idist AS idist,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY $idist, d.vec_id) AS srn
+         |    FROM qs q JOIN codes d ON d.vec_id <> q.qid)
+         |  WHERE srn <= $SqShortlist),
+         |qv AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < $AdcQueries)
+         |SELECT qid, nid, idist, rnk FROM (
+         |  SELECT s.qid, s.nid, CAST(s.idist AS BIGINT) AS idist,
+         |    ROW_NUMBER() OVER (PARTITION BY s.qid
+         |      ORDER BY $d2, s.nid) AS rnk
+         |  FROM short s JOIN qv q ON q.qid = s.qid
+         |  JOIN v n ON n.vec_id = s.nid)
+         |WHERE rnk <= $SqK ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    // per-dimension corpus bounds: ONE partial-aggregated pass emitting
+    // 2×64 doubles of driver metadata (no explode, no shuffle of rows)
+    val boundsRow = all.agg(
+      array((1 to SqDim).map(i => min(element_at(col("v"), i))): _*).as("mns"),
+      array((1 to SqDim).map(i => max(element_at(col("v"), i))): _*).as("mxs"))
+      .first()
+    val mns = boundsRow.getSeq[Double](0)
+    val sps = boundsRow.getSeq[Double](1).zip(mns)
+      .map { case (mx, mn) => if (mx > mn) mx - mn else 1.0 }
+    val mnA = array(mns.map(lit): _*)
+    val spA = array(sps.map(lit): _*)
+    // the code table: 64 single-byte-range ints per vector (production
+    // packs them into one BinaryType word; the arithmetic is identical)
+    val codes = all.select(col("vec_id"),
+      transform(sequence(lit(1), lit(SqDim)), i =>
+        least(greatest(floor(
+          (element_at(col("v"), i) - element_at(mnA, i)) * lit(255.0) /
+            element_at(spA, i)), lit(0.0)), lit(255.0)).cast("long")).as("c"))
+    val qs = codes.filter(col("vec_id") < AdcQueries)
+      .select(col("vec_id").as("qid"), col("c").as("qc"))
+    // stage 1: integer ADC scan — broadcast bounded queries against the
+    // code table, one linear codegen pass, top-10 shortlist per query
+    val idist = aggregate(
+      zip_with(col("qc"), col("c"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val sw = Window.partitionBy("qid").orderBy(col("idist"), col("vec_id"))
+    val short = codes.join(broadcast(qs), col("vec_id") =!= col("qid"))
+      .withColumn("idist", idist)
+      .withColumn("srn", row_number().over(sw))
+      .filter(col("srn") <= SqShortlist)
+      .select(col("qid"), col("vec_id").as("nid"), col("idist"))
+    // stage 2: exact re-rank of the bounded shortlist on raw vectors
+    val qv = all.filter(col("vec_id") < AdcQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rw = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    all.select(col("vec_id").as("nid"), col("v"))
+      .join(broadcast(short.join(qv, "qid")), "nid")
+      .withColumn("d2", aggregate(
+        zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= SqK)
+      .select(col("qid"), col("nid"), col("idist").cast("long").as("idist"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407, q415)
 }

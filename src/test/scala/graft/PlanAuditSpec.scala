@@ -606,6 +606,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "cell-routing equi-join key missing from the plan:\n" + p)
   }
 
+  test("q415 SQ8: integer code scan broadcasts the query set, no cartesian") {
+    val df = SparkEntry.queries("q415_sq8_scalar_quantization")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "SQ8 code scan fell back to a cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "bounded query set (quantized codes) must broadcast:\n" + p)
+  }
+
   test("q402 OPQ build: per-subspace joins stay equi-joins, no cartesian") {
     val df = SparkEntry.queries("q402_opq_balanced_pq")(spark, dir)
     df.collect()
