@@ -201,7 +201,8 @@ object ManifestMaintenance {
         // carry the table's entries forward VERBATIM (cols/stats
         // included — file skipping must survive DML) + the inserts'
         // own sink-written entries
-        val nowEntries = readEntries(fs, new Path(dir, "manifest.json"))
+        val nowTxt = ManifestRead.manifestText(path, "manifest.json")
+        val nowEntries = ManifestRead.entriesOfText(nowTxt)
         val dataEntries = (nowEntries ++ insEntries)
           .sortBy(_.file).map(ManifestRead.render)
         publish(fs, dir,
@@ -210,7 +211,11 @@ object ManifestMaintenance {
             s""""deletes":${
               allDvs.sortBy(_._1).map { case (n, r, c) =>
                 s"""{"dv":"$n","rows":$r,"checksum":$c}"""
-              }.mkString("[", ",", "]")}}""")
+              }.mkString("[", ",", "]")}""" +
+            // a DML commit must not lose the streaming sink's
+            // exactly-once ledger
+            ManifestRead.renderEpochs(ManifestRead.streamEpochs(nowTxt)) +
+            "}")
         cleanup()
         (deleted, inserted)
       } catch { case e: Throwable =>
@@ -471,7 +476,10 @@ object ManifestMaintenance {
       val total = compacted.map(_._2).sum
       // "compaction":true = a PURE REWRITE (dataChange=false in Delta
       // terms): the streaming tail must NOT re-emit these files as new
-      val body = s"""{"total_rows":$total,"compaction":true,"files":$entries}"""
+      val body = s"""{"total_rows":$total,"compaction":true,""" +
+        s""""files":$entries""" +
+        ManifestRead.renderEpochs(ManifestRead.streamEpochs(
+          ManifestRead.manifestText(path, "manifest.json"))) + "}"
       val vRe = """manifest-v(\d+)\.json""".r
       val nextV = fs.listStatus(dir).map(_.getPath.getName).collect {
         case vRe(v) => v.toLong

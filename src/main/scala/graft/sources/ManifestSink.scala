@@ -116,7 +116,8 @@ private class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -127,6 +128,15 @@ private class ManifestTable(path: String, writeSchema: StructType)
         new Write {
           override def toBatch: BatchWrite =
             new ManifestBatchWrite(path, info.schema(), t)
+          // exactly-once STREAMING sink: each micro-batch commits as
+          // one manifest version, idempotent by (queryId, epochId) —
+          // the manifest records the last committed epoch per query,
+          // so a post-failure replay of an already-committed batch
+          // skips cleanly instead of duplicating rows
+          override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new ManifestStreamingWrite(path, info.schema(),
+              info.queryId())
         }
       }
     }
@@ -136,13 +146,40 @@ private case class ManifestCommit(file: String, rows: Long, checksum: Long,
     cols: String = "", stats: String = "")
   extends WriterCommitMessage
 
+/** Streaming face of the sink: same commit protocol, plus the epoch
+  * guard. Spark re-runs the last un-committed micro-batch after a
+  * restart and may re-invoke commit for an epoch the sink already
+  * published (the failure happened AFTER the manifest swap, BEFORE the
+  * checkpoint commit) — the manifest's own `streamEpochs` record makes
+  * that replay a no-op, which is the whole exactly-once contract for a
+  * DSv2 streaming sink. */
+private class ManifestStreamingWrite(path: String, schema: StructType,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+  private val core = new ManifestBatchWrite(path, schema, truncate = false)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    core.writerFactory
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    core.commitCore(messages, s"_tmp-${core.writeId}-$epochId",
+      Some((queryId, epochId)))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    core.abortTmp(s"_tmp-${core.writeId}-$epochId")
+}
+
 private class ManifestBatchWrite(path: String, schema: StructType,
     truncate: Boolean)
   extends BatchWrite {
 
   // one temp namespace per write job: concurrent appends to the same
   // path never see (or clean up) each other's in-flight files
-  private val writeId = java.util.UUID.randomUUID().toString
+  private[sources] val writeId = java.util.UUID.randomUUID().toString
 
   // resolved ON THE DRIVER (this class is constructed there) so
   // session-level spark.hadoop.* settings — e.g. s3a credentials set
@@ -156,11 +193,22 @@ private class ManifestBatchWrite(path: String, schema: StructType,
   private def fs(): FileSystem =
     new Path(path).getFileSystem(hadoopConf.value)
 
-  override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+  private[sources] def writerFactory: ManifestWriterFactory =
     new ManifestWriterFactory(path, writeId, schema, hadoopConf)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = writerFactory
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitCore(messages, s"_tmp-$writeId", None)
+
+  /** Shared commit path. `epoch` = Some((queryId, epochId)) for a
+    * streaming micro-batch commit: the previous manifest's
+    * `streamEpochs` entry decides idempotence (an epoch at or below
+    * the last committed one is a checkpoint replay — its files are
+    * discarded and nothing publishes). */
+  private[sources] def commitCore(messages: Array[WriterCommitMessage],
+      tmpDirName: String, epoch: Option[(String, Long)]): Unit = {
     val f = fs()
     val dir = new Path(path)
     f.mkdirs(dir)
@@ -236,20 +284,21 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       // with the old manifest. Append: the old manifest's entries are
       // carried into the new one, so the manifest ALWAYS describes the
       // full committed content — readers never need to list the dir.
-      val previous: (Seq[ManifestEntry], Seq[(String, Long, Long)]) =
+      val previous: (Seq[ManifestEntry], Seq[(String, Long, Long)], Map[String, Long]) =
         if (truncate) {
           // truncate purges HISTORY too (the expire-snapshots analog):
           // version manifests reference the deleted part files, so they
           // must die with them — time travel spans appends since the
-          // last truncate
+          // last truncate. Stream epoch records die too: a truncated
+          // table is a new table.
           f.listStatus(dir).filter { st =>
             val n = st.getPath.getName
             n.startsWith("part-") || n.startsWith("dv-") ||
               n == "manifest.json" ||
               (n.startsWith("manifest-v") && n.endsWith(".json"))
           }.foreach(st => f.delete(st.getPath, false))
-          (Nil, Nil)
-        } else if (!f.exists(manifestPath)) (Nil, Nil)
+          (Nil, Nil, Map.empty)
+        } else if (!f.exists(manifestPath)) (Nil, Nil, Map.empty)
         else {
           val in = f.open(manifestPath)
           val txt = try {
@@ -267,11 +316,22 @@ private class ManifestBatchWrite(path: String, schema: StructType,
               .findAllMatchIn(txt)
               .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
               .toSeq
-          (dataEntries, dvEntries)
+          (dataEntries, dvEntries, ManifestRead.streamEpochs(txt))
         }
-      val (prevData, prevDvs) = previous
+      val (prevData, prevDvs, prevEpochs) = previous
       val commits = messages.map(_.asInstanceOf[ManifestCommit])
-      val tmpDir = new Path(dir, s"_tmp-$writeId")
+      val tmpDir = new Path(dir, tmpDirName)
+      // EPOCH GUARD (streaming exactly-once): an epoch at or below the
+      // last committed one for this query is a checkpoint replay — the
+      // rows are already in the table; drop the replay's files and
+      // publish nothing.
+      val isReplay = epoch.exists { case (qid, e) =>
+        prevEpochs.get(qid).exists(_ >= e)
+      }
+      if (isReplay) {
+        f.delete(tmpDir, true)
+        return
+      }
       commits.foreach { c =>
         if (!f.rename(new Path(tmpDir, c.file), new Path(dir, c.file)))
           throw new java.io.IOException(
@@ -280,12 +340,14 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       val all = prevData ++ commits.map(c => ManifestEntry(c.file, c.rows,
         c.checksum, Option(c.cols).filter(_.nonEmpty),
         Option(c.stats).filter(_.nonEmpty)))
+      val newEpochs = prevEpochs ++ epoch.map { case (qid, e) => qid -> e }
       val manifest = all.sortBy(_.file).map(ManifestRead.render)
         .mkString("[", ",", "]") + (
         if (prevDvs.isEmpty) ""
         else prevDvs.sortBy(_._1).map { case (fn, r, cs) =>
           s"""{"dv":"$fn","rows":$r,"checksum":$cs}"""
-        }.mkString(""","deletes":[""", ",", "]"))
+        }.mkString(""","deletes":[""", ",", "]")) +
+        ManifestRead.renderEpochs(newEpochs)
       val total = all.map(_.rows).sum
       // write complete, then swap into place (delete-then-rename: no
       // reader ever sees a torn manifest)
@@ -316,17 +378,31 @@ private class ManifestBatchWrite(path: String, schema: StructType,
     } finally if (ownsLock) f.delete(lock, false)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    abortTmp(s"_tmp-$writeId")
+
+  private[sources] def abortTmp(tmpDirName: String): Unit = {
     val f = fs()
-    f.delete(new Path(new Path(path), s"_tmp-$writeId"), true)
+    f.delete(new Path(new Path(path), tmpDirName), true)
   }
 }
 
-private class ManifestWriterFactory(path: String, writeId: String,
+private[sources] class ManifestWriterFactory(path: String, writeId: String,
     schema: StructType,
     hadoopConf: org.apache.spark.util.SerializableConfiguration)
-  extends DataWriterFactory {
+  extends DataWriterFactory
+  with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, s"_tmp-$writeId")
+
+  // streaming face: each EPOCH stages into its own temp dir, so a
+  // micro-batch commit moves (and cleans) exactly its own files
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, s"_tmp-$writeId-$epochId")
+
+  private def createWriter(partitionId: Int, taskId: Long,
+      tmpDirName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val name =
         f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv"
@@ -334,7 +410,7 @@ private class ManifestWriterFactory(path: String, writeId: String,
       // via SerializableConfiguration) so session-level spark.hadoop.*
       // settings — s3a credentials, endpoint overrides — apply here too
       private val fs = new Path(path).getFileSystem(hadoopConf.value)
-      private val tmpDir = new Path(new Path(path), s"_tmp-$writeId")
+      private val tmpDir = new Path(new Path(path), tmpDirName)
       fs.mkdirs(tmpDir)
       private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
         fs.create(new Path(tmpDir, name), true), "UTF-8"))

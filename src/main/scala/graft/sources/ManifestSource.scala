@@ -366,7 +366,7 @@ private[sources] case class ManifestEntry(
 private[sources] case class ColStats(
     nulls: Long, min: Option[String], max: Option[String])
 
-private[sources] object ManifestRead {
+private[graft] object ManifestRead {
   private val entryRe =
     ("""\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)""" +
       """(?:,"cols":"([^"]*)")?""" +
@@ -390,6 +390,27 @@ private[sources] object ManifestRead {
   /** Full entries of one committed manifest. */
   def entries(path: String, manifestName: String): Seq[ManifestEntry] =
     entriesOfText(text(path, manifestName))
+
+  /** Per-query last-committed-epoch records (`"streamEpochs":{...}`) —
+    * the streaming sink's exactly-once ledger. Empty when the table was
+    * never written by a stream. */
+  def streamEpochs(txt: String): Map[String, Long] =
+    """"streamEpochs":\{([^{}]*)\}""".r.findFirstMatchIn(txt)
+      .map(m => """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
+        .map(p => p.group(1) -> p.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
+  /** Manifest-body suffix for the epoch ledger ("" when empty); sorted
+    * keys keep the rendering deterministic. */
+  def renderEpochs(epochs: Map[String, Long]): String =
+    if (epochs.isEmpty) ""
+    else epochs.toSeq.sortBy(_._1).map { case (q, e) => s""""$q":$e""" }
+      .mkString(""","streamEpochs":{""", ",", "}")
+
+  /** Full text of one committed manifest (for fields beyond the entry
+    * lists — e.g. the epoch ledger a maintenance publish must carry). */
+  def manifestText(path: String, manifestName: String): String =
+    text(path, manifestName)
 
   private val colStatsRe =
     """"([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?(?:,"max":("[^"]*"|[^,}]+))?\}""".r

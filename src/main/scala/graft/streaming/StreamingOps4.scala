@@ -540,5 +540,93 @@ object StreamingOps4 {
       .orderBy("which")
   }
 
-  val defs: Seq[Q] = Seq(q357, q372, q400, q406, q410)
+  /** q417: the manifest connector as an exactly-once STREAMING SINK —
+    * the write half of the streaming loop (q397 tails it as a source).
+    * Each micro-batch commits as ONE manifest version through the
+    * sink's own lock protocol, and the manifest records the last
+    * committed epoch per query (`streamEpochs`), which is what makes a
+    * post-failure replay safe: Spark re-runs the last un-checkpointed
+    * batch and re-invokes commit for an epoch the table already has —
+    * the sink drops the replay's files and publishes nothing.
+    *
+    * The fixture drives all three legs: (1) two AvailableNow drains on
+    * one checkpoint (restart continuation — only the new half commits),
+    * (2) a FORCED replay — the checkpoint's last commit marker is
+    * deleted, so the restarted query re-executes the final batch
+    * against a table that already holds its rows; the epoch guard must
+    * swallow it (row counts prove it), and (3) version accounting —
+    * exactly one manifest version per committed epoch, none for the
+    * replay. At 100 TB this is a live ingestion feed writing a queryable
+    * snapshot-isolated table with no duplicate-on-crash window. */
+  private val q417 = Q(
+    "q417_manifest_stream_sink",
+    """WITH d AS (
+      |  SELECT doc_id FROM documents WHERE doc_id IS NOT NULL)
+      |SELECT 'last_epoch' AS which, CAST(1 AS BIGINT) AS n,
+      |  CAST(0 AS BIGINT) AS sum_doc_id
+      |UNION ALL
+      |SELECT 'replay_rows', CAST(count(*) AS BIGINT),
+      |  CAST(sum(doc_id) AS BIGINT) FROM d
+      |UNION ALL SELECT 'replay_versions', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'rows', CAST(count(*) AS BIGINT), CAST(sum(doc_id) AS BIGINT)
+      |FROM d
+      |UNION ALL SELECT 'versions', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new java.io.File(s"/tmp/graft_q417_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+    val out = s"$base/table"
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull).select(col("doc_id"))
+    def drain(): Unit = {
+      val q = s.readStream.schema(docs.schema).parquet(stage)
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    drain() // epoch 0 -> manifest v1
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    drain() // restart on the same checkpoint: epoch 1 -> v2 only
+    def readBack() = s.read.format("graft.sources.ManifestSource")
+      .schema("doc_id LONG").option("path", out).load()
+      .agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("doc_id")), lit(0L)).cast("long")).first()
+    val afterTwo = readBack()
+    val versions = graft.sources.ManifestRead.latestVersion(out)
+    val lastEpoch = graft.sources.ManifestRead.streamEpochs(
+      graft.sources.ManifestRead.manifestText(out, "manifest.json"))
+      .values.max
+    // FORCED REPLAY: drop the checkpoint's last commit marker so the
+    // restarted query re-executes the final batch against a table that
+    // already holds its rows — the epoch guard must swallow it
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val last = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    new java.io.File(commitDir, last.toString).delete()
+    new java.io.File(commitDir, s".$last.crc").delete() // local-FS sidecar
+    drain()
+    val afterReplay = readBack()
+    val versionsReplay = graft.sources.ManifestRead.latestVersion(out)
+    import s.implicits._
+    Seq(
+      ("rows", afterTwo.getLong(0), afterTwo.getLong(1)),
+      ("versions", versions, 0L),
+      ("last_epoch", lastEpoch, 0L),
+      ("replay_rows", afterReplay.getLong(0), afterReplay.getLong(1)),
+      ("replay_versions", versionsReplay, 0L))
+      .toDF("which", "n", "sum_doc_id")
+      .orderBy("which")
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372, q400, q406, q410, q417)
 }
