@@ -592,6 +592,105 @@ object EvalOps {
   }
 
 
-  def defs: Seq[Q] = Seq(q317, q326, q327, q330, q334, q340, q344, q369)
+  // ------------- q418: BM25 retrieval scoring, integer-exact
+
+  private val Bm25K = 5 // results per query
+
+  /** q418: BM25 — THE lexical retrieval scorer (the q142 TF-IDF
+    * family's production sibling, feeding the q327 MRR/nDCG evals).
+    * Everything integer so both engines are bit-exact:
+    *
+    *  - IDF is the quantized −log2: `64 − length(bin(df))` (q409's
+    *    portability trick) — no libm log whose last ulp could flip a
+    *    rank;
+    *  - the tf saturation uses k1 = 6/5 and b = 3/4 EXACTLY, the whole
+    *    per-term score cross-multiplied into one integer division:
+    *    `idf · 44·Tot·tf·10⁴ div (20·Tot·tf + 6·Tot + 18·dl·N)` — the
+    *    algebra of idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with
+    *    avgdl = Tot/N multiplied through by 20·Tot (numerator stays
+    *    < 2⁶³ at 100× corpus);
+    *  - queries are DATA-DERIVED and bounded: each language's top-3
+    *    terms (count desc, term asc), scored within the language shard.
+    *
+    * One explode, three hash aggregations, equi-joins on term, a
+    * broadcast 2-number totals row, one bounded top-k window — linear
+    * at any corpus size. */
+  private val q418 = Q(
+    "q418_bm25_scoring",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split(lower(text), ' ')) AS term
+       |  FROM documents
+       |  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL),
+       |tk AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
+       |dl AS (SELECT doc_id, lang, count(*) AS dl FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT sum(dl) AS tot, count(*) AS n FROM dl),
+       |tf AS (SELECT doc_id, lang, term, count(*) AS tf
+       |       FROM tk GROUP BY 1, 2, 3),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT lang AS qlang, term FROM (
+       |    SELECT lang, term, count(*) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY count(*) DESC, term) AS rn
+       |    FROM tk GROUP BY lang, term) WHERE rn <= 3),
+       |scored AS (
+       |  SELECT q.qlang, f.doc_id,
+       |    sum((64 - length(bin(d.df))) * 44 * t.tot * f.tf * 10000
+       |        // (20 * t.tot * f.tf + 6 * t.tot + 18 * l.dl * t.n))
+       |      AS score_bp
+       |  FROM qt q
+       |  JOIN tf f ON f.term = q.term AND f.lang = q.qlang
+       |  JOIN df d ON d.term = f.term
+       |  JOIN dl l ON l.doc_id = f.doc_id
+       |  CROSS JOIN tot t
+       |  GROUP BY 1, 2)
+       |SELECT qlang AS lang, doc_id, CAST(score_bp AS BIGINT) AS score_bp,
+       |  CAST(rnk AS BIGINT) AS rnk
+       |FROM (
+       |  SELECT qlang, doc_id, score_bp,
+       |    ROW_NUMBER() OVER (PARTITION BY qlang
+       |      ORDER BY score_bp DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $Bm25K ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    val tk = Tables.load(s, dir, "documents")
+      .filter(col("text").isNotNull && col("doc_id").isNotNull &&
+        col("lang").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = tk.groupBy("doc_id", "lang").agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("n"))
+    val tf = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = tk.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("term"))))
+      .filter(col("rn") <= 3)
+      .select(col("lang").as("qlang"), col("term"))
+    val scored = qt
+      .join(tf, tf("term") === qt("term") && tf("lang") === qt("qlang"))
+      .drop(qt("term"))
+      .join(dfT, "term")
+      .join(dl.select(col("doc_id"), col("dl")), "doc_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_bp",
+        expr("""(64 - length(bin(df))) * 44 * tot * tf * 10000
+               | div (20 * tot * tf + 6 * tot + 18 * dl * n)""".stripMargin))
+      .groupBy(col("qlang"), col("doc_id"))
+      .agg(sum(col("term_bp")).as("score_bp"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qlang")
+          .orderBy(col("score_bp").desc, col("doc_id"))))
+      .filter(col("rnk") <= Bm25K)
+      .select(col("qlang").as("lang"), col("doc_id"),
+        col("score_bp").cast("long").as("score_bp"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
+  def defs: Seq[Q] = Seq(q317, q326, q327, q330, q334, q340, q344, q369,
+    q418)
 
 }

@@ -103,7 +103,8 @@ object ManifestMaintenance {
   def upsert(
       spark: org.apache.spark.sql.SparkSession,
       path: String, schemaDdl: String, keyCols: Seq[String],
-      updates: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      updates: org.apache.spark.sql.DataFrame,
+      epoch: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     val cols = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
       .fieldNames.toSeq
@@ -116,7 +117,7 @@ object ManifestMaintenance {
       .join(updates.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .selectExpr("_mf_file", "_mf_pos", "_mf_linehash")
     mutate(spark, path, matched, Some(updates.select(cols.map(col): _*)),
-      "upsert")
+      "upsert", epoch)
   }
 
   /** Shared merge-on-read mutation: record `matchedPos` rows —
@@ -132,7 +133,12 @@ object ManifestMaintenance {
       path: String,
       matchedPos: org.apache.spark.sql.DataFrame,
       inserts: Option[org.apache.spark.sql.DataFrame],
-      opName: String): (Long, Long) = {
+      opName: String,
+      // (ledgerKey, epochId) for STREAMING CDC APPLY (foreachBatch →
+      // upsert): the manifest's streamEpochs ledger makes a replayed
+      // micro-batch a no-op — the same exactly-once contract as the
+      // streaming sink, for the DML verb
+      epoch: Option[(String, Long)] = None): (Long, Long) = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val before = ManifestRead.files(path, "manifest.json")
@@ -176,6 +182,16 @@ object ManifestMaintenance {
         lockStream.write(
           s"${System.currentTimeMillis()} $opName".getBytes("UTF-8"))
         lockStream.close()
+        // EPOCH GUARD first (streaming CDC apply): a replayed epoch's
+        // rows are already merged — its scratch output is discarded
+        // BEFORE the staleness check (the replay's positions are
+        // legitimately stale against the post-commit state)
+        val lockTxt = ManifestRead.manifestText(path, "manifest.json")
+        val prevEpochs = ManifestRead.streamEpochs(lockTxt)
+        val isReplay = epoch.exists { case (qid, e) =>
+          prevEpochs.get(qid).exists(_ >= e)
+        }
+        if (isReplay) { cleanup(); return (0L, 0L) }
         val now = ManifestRead.files(path, "manifest.json")
         val nowDvs = ManifestRead.dvs(path, "manifest.json")
         if (!before.map(_._1).toSet.subsetOf(now.map(_._1).toSet) ||
@@ -201,8 +217,7 @@ object ManifestMaintenance {
         // carry the table's entries forward VERBATIM (cols/stats
         // included — file skipping must survive DML) + the inserts'
         // own sink-written entries
-        val nowTxt = ManifestRead.manifestText(path, "manifest.json")
-        val nowEntries = ManifestRead.entriesOfText(nowTxt)
+        val nowEntries = ManifestRead.entriesOfText(lockTxt)
         val dataEntries = (nowEntries ++ insEntries)
           .sortBy(_.file).map(ManifestRead.render)
         publish(fs, dir,
@@ -212,9 +227,10 @@ object ManifestMaintenance {
               allDvs.sortBy(_._1).map { case (n, r, c) =>
                 s"""{"dv":"$n","rows":$r,"checksum":$c}"""
               }.mkString("[", ",", "]")}""" +
-            // a DML commit must not lose the streaming sink's
-            // exactly-once ledger
-            ManifestRead.renderEpochs(ManifestRead.streamEpochs(nowTxt)) +
+            // a DML commit must not lose the streaming exactly-once
+            // ledger, and a CDC-apply commit advances its own entry
+            ManifestRead.renderEpochs(
+              prevEpochs ++ epoch.map { case (q, e) => q -> e }) +
             "}")
         cleanup()
         (deleted, inserted)

@@ -628,5 +628,122 @@ object StreamingOps4 {
       .orderBy("which")
   }
 
-  val defs: Seq[Q] = Seq(q357, q372, q400, q406, q410, q417)
+  /** q419: STREAMING CDC APPLY — a change stream merged into the
+    * manifest table exactly-once (the "apply changes into" /
+    * merge-a-CDC-feed-into-Delta shape): foreachBatch calls the
+    * connector's UPSERT with (ledgerKey, batchId), and the manifest's
+    * `streamEpochs` ledger (q417's mechanism, extended to the DML verb)
+    * makes a post-failure replay of an applied batch a no-op — checked
+    * UNDER the commit lock, before the staleness guard, because a
+    * replay's scan positions are legitimately stale against the
+    * post-commit state. Each applied batch is ONE atomic manifest
+    * version: matched keys supersede via delete vectors, new keys
+    * insert; no data file rewritten.
+    *
+    * Fixture: initial table (batch append, v1), two update waves
+    * drained on one checkpoint (restart continuation, v2/v3), then a
+    * FORCED replay of the last wave (checkpoint commit marker deleted)
+    * which must change neither rows nor version count. */
+  private val q419 = Q(
+    "q419_manifest_cdc_apply",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |up AS (
+      |  SELECT k, 'A' || CAST(k AS VARCHAR) AS v FROM n WHERE k % 3 = 0
+      |  UNION ALL
+      |  SELECT k, 'B' || CAST(k AS VARCHAR) AS v FROM n WHERE k % 3 = 1
+      |  UNION ALL
+      |  SELECT k + 500, 'N' || CAST(k + 500 AS VARCHAR) FROM n WHERE k < 4),
+      |fin AS (
+      |  SELECT n.k, COALESCE(u.v, n.v) AS v
+      |  FROM n LEFT JOIN up u ON u.k = n.k
+      |  UNION ALL
+      |  SELECT k, v FROM up WHERE k NOT IN (SELECT k FROM n))
+      |SELECT 'applied' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k FROM fin
+      |UNION ALL
+      |SELECT 'replay', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM fin
+      |UNION ALL SELECT 'replay_versions', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'updated', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM fin WHERE v <> (SELECT max(n2.v) FROM n n2 WHERE n2.k = fin.k)
+      |  OR fin.k NOT IN (SELECT k FROM n)
+      |UNION ALL SELECT 'versions', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val base = new java.io.File(s"/tmp/graft_q419_${math.abs(dir.hashCode)}")
+    if (base.exists()) {
+      java.nio.file.Files.walk(base.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val stage = s"$base/stage"; val ckpt = s"$base/ckpt"
+    val out = s"$base/table"
+    val ddl = "k LONG, v STRING"
+    val nat = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    nat.coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save() // v1: the initial table
+    def drain(): Unit = {
+      val q = s.readStream.schema("k LONG, v STRING").parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          graft.sources.ManifestMaintenance.upsert(
+            s, out, ddl, Seq("k"), batch, epoch = Some(("q419-cdc", id)))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // wave 1: update every k%3=0 + insert 4 new keys
+    nat.filter(col("k") % 3 === 0)
+      .select(col("k"), concat(lit("A"), col("k").cast("string")).as("v"))
+      .unionByName(nat.filter(col("k") < 4)
+        .select((col("k") + 500).as("k"),
+          concat(lit("N"), (col("k") + 500).cast("string")).as("v")))
+      .coalesce(1).write.mode("append").parquet(stage)
+    drain() // v2
+    // wave 2 (restart on the same checkpoint): update every k%3=1
+    nat.filter(col("k") % 3 === 1)
+      .select(col("k"), concat(lit("B"), col("k").cast("string")).as("v"))
+      .coalesce(1).write.mode("append").parquet(stage)
+    drain() // v3
+    def readBack() = s.read.format("graft.sources.ManifestSource")
+      .schema(ddl).option("path", out).load()
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("k")), lit(0L)).cast("long")).first()
+    val applied = agg(readBack())
+    val updated = agg(readBack().filter(
+      col("v") === concat(lit("A"), col("k").cast("string")) ||
+        col("v") === concat(lit("B"), col("k").cast("string")) ||
+        col("v") === concat(lit("N"), col("k").cast("string"))))
+    val versions = graft.sources.ManifestRead.latestVersion(out)
+    // FORCED REPLAY of the last applied wave: the epoch guard must
+    // swallow the duplicate upsert
+    val commitDir = new java.io.File(s"$ckpt/commits")
+    val last = commitDir.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    new java.io.File(commitDir, last.toString).delete()
+    new java.io.File(commitDir, s".$last.crc").delete()
+    drain()
+    val replay = agg(readBack())
+    val versionsReplay = graft.sources.ManifestRead.latestVersion(out)
+    import s.implicits._
+    Seq(
+      ("applied", applied.getLong(0), applied.getLong(1)),
+      ("updated", updated.getLong(0), updated.getLong(1)),
+      ("versions", versions, 0L),
+      ("replay", replay.getLong(0), replay.getLong(1)),
+      ("replay_versions", versionsReplay, 0L))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
+  val defs: Seq[Q] = Seq(q357, q372, q400, q406, q410, q417, q419)
 }
