@@ -1249,8 +1249,105 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q420: INCREMENTAL VIEW MAINTENANCE over the change feed — the
+    * reason a table exposes CDC at all: a grouped aggregate (count,
+    * sum) materialized at an old snapshot is brought to the current
+    * snapshot by applying ONLY the feed's deltas (+insert / −delete per
+    * group), never rescanning the table. The fixture drives an append,
+    * a predicate delete, and an upsert through the version range, then
+    * emits the MAINTAINED aggregate next to the RECOMPUTED one — the
+    * oracle's single final-state replay can only match if
+    * base + Σdeltas ≡ recompute, group by group (count-sum algebra:
+    * sums and counts are self-inverse under insert/delete, which is
+    * exactly why production IVM maintains sums/counts and derives avg).
+    * At 100 TB the delta is proportional to the CHANGES, not the table:
+    * one groupBy over the feed + a #groups-sized merge. */
+  private val q420 = Q(
+    "q420_incremental_view_maintenance",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |applied AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN 'U' || CAST(k AS VARCHAR)
+      |                 ELSE v END AS v
+      |  FROM n WHERE k % 5 <> 0
+      |  UNION ALL
+      |  SELECT k + 300, 'N' || CAST(k + 300 AS VARCHAR)
+      |  FROM n WHERE k < 6),
+      |fin AS (
+      |  SELECT k % 4 AS g, count(*) AS n_rows, sum(k) AS sum_k
+      |  FROM applied GROUP BY 1)
+      |SELECT CAST(g AS BIGINT) AS g,
+      |  CAST(n_rows AS BIGINT) AS n_maintained,
+      |  CAST(sum_k AS BIGINT) AS sum_maintained,
+      |  CAST(n_rows AS BIGINT) AS n_recomputed,
+      |  CAST(sum_k AS BIGINT) AS sum_recomputed
+      |FROM fin ORDER BY g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q420_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ddl = "k LONG, v STRING"
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    def append(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    append(base.filter(col("k") % 2 === 0)) // v1: the materialization point
+    def readVersion(v: Option[Long]) = {
+      val r = s.read.format("graft.sources.ManifestSource")
+        .schema(ddl).option("path", out)
+      v.fold(r)(n => r.option("version", n)).load()
+    }
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy((col("k") % 4).as("g"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+    // the MATERIALIZED view at v1 (collected eagerly: later verbs
+    // mutate the table; #groups rows — view states are small by design)
+    val baseAgg = grouped(readVersion(Some(1L))).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // the change verbs: append (v2), delete (v3), upsert (v4)
+    append(base.filter(col("k") % 2 === 1))
+    graft.sources.ManifestMaintenance.delete(s, out, ddl, "k % 5 = 0")
+    val updates = base.filter(col("k") % 3 === 0 && col("k") % 5 =!= 0)
+      .select(col("k"), concat(lit("U"), col("k").cast("string")).as("v"))
+      .unionByName(base.filter(col("k") < 6)
+        .select((col("k") + 300).as("k"),
+          concat(lit("N"), (col("k") + 300).cast("string")).as("v")))
+    graft.sources.ManifestMaintenance.upsert(s, out, ddl, Seq("k"), updates)
+    val latestV = graft.sources.ManifestRead.latestVersion(out)
+    // IVM: one groupBy over the FEED (±1 per op), merged into the view
+    val delta = graft.sources.ManifestMaintenance
+      .changes(s, out, ddl, 1L, latestV)
+      .withColumn("sgn", when(col("op") === "insert", 1L).otherwise(-1L))
+      .groupBy((col("k") % 4).as("g"))
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("k")).as("ds"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val maintained = (baseAgg.keySet ++ delta.keySet).toSeq.sorted.map { g =>
+      val (bn, bs) = baseAgg.getOrElse(g, (0L, 0L))
+      val (dn, ds) = delta.getOrElse(g, (0L, 0L))
+      (g, bn + dn, bs + ds)
+    }.filter(t => t._2 != 0L || t._3 != 0L)
+    // the proof: recompute from the latest snapshot and emit both
+    val recomputed = grouped(readVersion(None)).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    import s.implicits._
+    maintained.map { case (g, n, sm) =>
+      val (rn, rs) = recomputed.getOrElse(g, (0L, 0L))
+      (g, n, sm, rn, rs)
+    }.toDF("g", "n_maintained", "sum_maintained",
+      "n_recomputed", "sum_recomputed")
+      .orderBy("g")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411, q412, q413, q414)
+      q411, q412, q413, q414, q420)
 }
