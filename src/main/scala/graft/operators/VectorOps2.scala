@@ -713,5 +713,59 @@ object VectorOps2 {
       .orderBy("qid", "rnk")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407, q415)
+  // ------------- q421: cluster-balanced corpus sampling
+
+  /** q421: DIVERSITY-BALANCED downsampling by embedding cluster — the
+    * semantic twin of q416's language-mixture sampler (and the
+    * selection stage SemDeDup-style pipelines run after clustering):
+    * vectors route to k-means cells (the bit-exact q115 fit — driver
+    * centroids, one codegen map-side assign), and every cell gets the
+    * SAME admission budget (total/4 ÷ k), so dominant content clusters
+    * are downsampled while small ones survive whole — the corpus keeps
+    * its semantic spread at a quarter of the size. Admission is a
+    * deterministic LCG order per cell (both engines replay the exact
+    * selection); sum(vec_id) fingerprints it. One fit + one assign +
+    * one per-cell window — linear, no pair joins, nothing corpus-sized
+    * on the driver. */
+  private val q421 = Q(
+    "q421_cluster_balanced_sampling", {
+      s"""${VectorOps.kmeansOracleCtes(k = 8, iters = 3, dim = 64)},
+         |tot AS (SELECT count(*) AS n FROM vv),
+         |ranked AS (
+         |  SELECT cell, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY (vec_id * 1103515245 + 12345) % 2147483647, vec_id)
+         |      AS rn
+         |  FROM af)
+         |SELECT CAST(r.cell AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n_cell,
+         |  CAST(sum(CASE WHEN r.rn <= (t.n // 4) // 8 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_sel,
+         |  CAST(sum(CASE WHEN r.rn <= (t.n // 4) // 8 THEN r.vec_id ELSE 0 END)
+         |    AS BIGINT) AS sel_fingerprint
+         |FROM ranked r CROSS JOIN tot t
+         |GROUP BY r.cell ORDER BY r.cell""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir)
+    val cents = KMeansLite.fit(all, "vec_id", "v", k = 8, iters = 3)
+    val cells = KMeansLite.assign(all, "v", cents)
+      .select(col("vec_id"), col("cell"))
+    val tot = cells.agg(count(lit(1)).as("n"))
+    val ranked = cells
+      .withColumn("h", (col("vec_id") * 1103515245L + 12345L) % 2147483647L)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(col("h"), col("vec_id"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("b", expr("(n div 4) div 8"))
+    ranked.groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).cast("long").as("n_cell"),
+        sum(when(col("rn") <= col("b"), 1L).otherwise(0L)).cast("long")
+          .as("n_sel"),
+        sum(when(col("rn") <= col("b"), col("vec_id")).otherwise(0L))
+          .cast("long").as("sel_fingerprint"))
+      .orderBy("cell")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407, q415, q421)
 }
