@@ -44,6 +44,13 @@ QUADRATIC_ORACLES = {
     # Correctness pinned at sf0.01 + adversarial; the Spark side is
     # timed in SCALE_CURVE.
     "q400_stream_lsh_dedup",
+    # q243: the ORACLE unrolls the iterative k-core peel as a recursive
+    # CTE whose per-round working set DuckDB spills to >80 GB of temp at
+    # 10x (measured round 12: .tmp grew 16 GB in the first two minutes,
+    # then filled the disk). The Spark side is one bounded shuffle per
+    # peel round and is timed in SCALE_CURVE; correctness is pinned at
+    # sf0.01 + adversarial where the replay is feasible.
+    "q243_kcore_peel",
 }
 QUADRATIC_ORACLES |= {
     s for s in (os.environ.get("SWEEP_SKIP") or "").split(",") if s}
