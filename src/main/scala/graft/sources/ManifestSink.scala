@@ -132,11 +132,17 @@ private class ManifestTable(path: String, writeSchema: StructType)
           // one manifest version, idempotent by (queryId, epochId) —
           // the manifest records the last committed epoch per query,
           // so a post-failure replay of an already-committed batch
-          // skips cleanly instead of duplicating rows
+          // skips cleanly instead of duplicating rows. APPEND-only:
+          // complete/truncate mode would have to rewrite the table
+          // every batch — refuse loudly rather than silently append.
           override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (t) throw new UnsupportedOperationException(
+              "ManifestSink streaming writes are append-only " +
+                "(outputMode complete/update with truncate is not supported)")
             new ManifestStreamingWrite(path, info.schema(),
               info.queryId())
+          }
         }
       }
     }
