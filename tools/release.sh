@@ -66,6 +66,10 @@ for d, f in (("/tmp/sfsmoke10", 10), ("/tmp/sfsmoke100", 100)):
     assert n == base * f, f"{d}: lineitem has {n} rows, expected {base*f} ({f}x of {base})"
     print(f"{d}: lineitem {n} rows = {f}x OK")
 PYEOF
+  # per-scale heavy-oracle skips (see the note in tools/sweep_check.py;
+  # the adversarial sweep runs these at sf0.01 scale where feasible)
+  SKIP_10="q243_kcore_peel"
+  SKIP_100="q243_kcore_peel,q242_khop_reachability,q244_allpairs_jaccard,q250_entity_resolution,q257_lev_banded_match,q258_phash_neardup,q138_dup_clusters,q292_semantic_dedup,q321_ppjoin_exact_similarity,q209_triangle_count,q212_label_propagation"
   for SCALE in 10 100; do
     DIRV=/tmp/release_sweep_$SCALE
     echo "== SWEEP_${SCALE}x (value-verify at /tmp/sfsmoke$SCALE)"
@@ -74,7 +78,9 @@ PYEOF
       -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Verify \
       /tmp/sfsmoke$SCALE "$DIRV" 2>/tmp/release_sweep_err.log \
       || { tail -30 /tmp/release_sweep_err.log; exit 1; }
-    python3 tools/sweep_check.py /tmp/sfsmoke$SCALE "$DIRV" 1800 SWEEP_${SCALE}x.json
+    SKIPS=$([ "$SCALE" = 10 ] && echo "$SKIP_10" || echo "$SKIP_100")
+    SWEEP_SKIP="$SKIPS" \
+      python3 tools/sweep_check.py /tmp/sfsmoke$SCALE "$DIRV" 1800 SWEEP_${SCALE}x.json
   done
 fi
 

@@ -44,14 +44,20 @@ QUADRATIC_ORACLES = {
     # Correctness pinned at sf0.01 + adversarial; the Spark side is
     # timed in SCALE_CURVE.
     "q400_stream_lsh_dedup",
-    # q243: the ORACLE unrolls the iterative k-core peel as a recursive
-    # CTE whose per-round working set DuckDB spills to >80 GB of temp at
-    # 10x (measured round 12: .tmp grew 16 GB in the first two minutes,
-    # then filled the disk). The Spark side is one bounded shuffle per
-    # peel round and is timed in SCALE_CURVE; correctness is pinned at
-    # sf0.01 + adversarial where the replay is feasible.
-    "q243_kcore_peel",
 }
+# Known per-SCALE heavy oracles (polynomial but impractical at 10x+),
+# passed via SWEEP_SKIP by tools/release.sh so the adversarial corpus
+# (sf0.01-sized) still covers them:
+#  - q243 k-core: the oracle unrolls the iterative peel as a recursive
+#    CTE whose working set DuckDB spills to >80 GB of temp at 10x
+#    (measured round 12: .tmp grew 16 GB in the first two minutes,
+#    then filled the disk). Spark side: one bounded shuffle per round,
+#    timed in SCALE_CURVE.
+#  - at 100x additionally q242/q244/q250/q257/q258 (pair-surface
+#    replays that sweep fine at 10x), q138/q292/q321 (LSH/cosine
+#    re-verify oracles over 100x pair candidates), and q209/q212
+#    (triangle-count / label-propagation replays: DuckDB spilled >75 GB
+#    and filled the disk at 100x, measured round 12; both pass at 10x).
 QUADRATIC_ORACLES |= {
     s for s in (os.environ.get("SWEEP_SKIP") or "").split(",") if s}
 
