@@ -677,20 +677,26 @@ object VectorOps2 {
       .map { case (mx, mn) => if (mx > mn) mx - mn else 1.0 }
     val mnA = array(mns.map(lit): _*)
     val spA = array(sps.map(lit): _*)
-    // the code table: 64 single-byte-range ints per vector (production
-    // packs them into one BinaryType word; the arithmetic is identical)
+    // The code table: 64 single-byte-range values per vector (production
+    // packs them into one BinaryType word; the arithmetic is identical).
+    // Codes are stored as array<double> so the scan distance can run
+    // through the CODEGEN graft_dot instead of interpreted HOF lambdas:
+    // ‖q−d‖² = q·q + d·d − 2·q·d, and with every component an integer
+    // ≤ 255 all three dot products are exact integers < 2^53 — the
+    // identity reproduces the oracle's direct Σ(q−d)² bit-for-bit.
     val codes = all.select(col("vec_id"),
       transform(sequence(lit(1), lit(SqDim)), i =>
         least(greatest(floor(
           (element_at(col("v"), i) - element_at(mnA, i)) * lit(255.0) /
-            element_at(spA, i)), lit(0.0)), lit(255.0)).cast("long")).as("c"))
+            element_at(spA, i)), lit(0.0)), lit(255.0))).as("c"))
+      .withColumn("n2", expr("graft_dot(c, c)"))
     val qs = codes.filter(col("vec_id") < AdcQueries)
-      .select(col("vec_id").as("qid"), col("c").as("qc"))
+      .select(col("vec_id").as("qid"), col("c").as("qc"),
+        col("n2").as("qn2"))
     // stage 1: integer ADC scan — broadcast bounded queries against the
     // code table, one linear codegen pass, top-10 shortlist per query
-    val idist = aggregate(
-      zip_with(col("qc"), col("c"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+    val idist = (col("qn2") + col("n2") -
+      lit(2.0) * expr("graft_dot(qc, c)")).cast("long")
     val sw = Window.partitionBy("qid").orderBy(col("idist"), col("vec_id"))
     val short = codes.join(broadcast(qs), col("vec_id") =!= col("qid"))
       .withColumn("idist", idist)
