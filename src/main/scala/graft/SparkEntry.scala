@@ -64,5 +64,6 @@ object SparkEntry {
         "q408_manifest_mor_delete", "q411_manifest_upsert",
         "q412_manifest_change_feed", "q413_manifest_file_skipping",
         "q414_manifest_schema_evolution",
-        "q420_incremental_view_maintenance")
+        "q420_incremental_view_maintenance",
+        "q422_manifest_stats_aggregate")
 }

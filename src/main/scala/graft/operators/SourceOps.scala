@@ -1346,8 +1346,107 @@ object SourceOps {
       .orderBy("g")
   }
 
+  /** q422: AGGREGATE PUSHDOWN TO MANIFEST STATISTICS — a global
+    * MIN/MAX/COUNT query answered from the per-file column stats
+    * without opening ANY data file (the Parquet-footer / Delta
+    * stats-query move; SupportsPushDownAggregates, partial-pushdown
+    * contract so an unanswerable aggregate silently falls back to a
+    * real scan). The fixture pins the whole answerable/fallback
+    * boundary: stats answer the clean global aggregate (plan shows
+    * ManifestAggScan, the metrics flag flips), a FILTERED aggregate
+    * falls back (file-level stats can't answer row-level predicates),
+    * pending delete vectors disable it (manifest stats are GROSS), and
+    * compaction — which consumes the dvs — re-arms it. At 100 TB this
+    * is the difference between a metadata read and a full table scan
+    * for every dashboard count. */
+  private val q422 = Q(
+    "q422_manifest_stats_aggregate",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+      |    CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_name END AS v
+      |  FROM nation WHERE n_nationkey IS NOT NULL),
+      |surv AS (SELECT * FROM n WHERE k % 5 <> 0)
+      |SELECT 'agg_from_stats' AS which, CAST(1 AS BIGINT) AS a,
+      |  CAST(0 AS BIGINT) AS b
+      |UNION ALL
+      |SELECT 'counts', CAST(count(*) AS BIGINT), CAST(count(v) AS BIGINT)
+      |FROM n
+      |UNION ALL
+      |SELECT 'filtered', CAST(min(k) AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM n WHERE k > 10
+      |UNION ALL SELECT 'filtered_from_stats', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'minmax_k', CAST(min(k) AS BIGINT), CAST(max(k) AS BIGINT)
+      |FROM n
+      |UNION ALL
+      |SELECT 'postcompact', CAST(max(k) AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM surv
+      |UNION ALL SELECT 'postcompact_from_stats', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'postdelete', CAST(max(k) AS BIGINT), CAST(count(*) AS BIGINT)
+      |FROM surv
+      |UNION ALL SELECT 'postdelete_from_stats', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q422_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ddl = "k LONG, v STRING"
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        when(col("n_nationkey") % 4 === 0, lit(null))
+          .otherwise(col("n_name")).as("v"))
+    (0 until 2).foreach { i =>
+      base.filter(col("k") % 2 === i).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    }
+    def tbl() = s.read.format("graft.sources.ManifestSource")
+      .schema(ddl).option("path", out).load()
+    def pushed(df: org.apache.spark.sql.DataFrame): Long = {
+      graft.sources.ManifestScanMetrics.lastAggFromStats.set(false)
+      df.collect() // evaluates; the scan build sets the flag
+      if (graft.sources.ManifestScanMetrics.lastAggFromStats.get()) 1L else 0L
+    }
+    val mm = tbl().agg(min(col("k")).as("a"), max(col("k")).as("b"))
+    val mmPushed = pushed(mm)
+    val mmR = mm.first()
+    val cnt = tbl().agg(count(lit(1)).as("a"), count(col("v")).as("b"))
+    val cntR = cnt.first()
+    val flt = tbl().filter(col("k") > 10)
+      .agg(min(col("k")).as("a"), count(lit(1)).as("b"))
+    val fltPushed = pushed(flt)
+    val fltR = flt.first()
+    graft.sources.ManifestMaintenance.delete(s, out, ddl, "k % 5 = 0")
+    val pd = tbl().agg(max(col("k")).as("a"), count(lit(1)).as("b"))
+    val pdPushed = pushed(pd)
+    val pdR = pd.first()
+    graft.sources.ManifestMaintenance.compact(s, out, ddl)
+    val pc = tbl().agg(max(col("k")).as("a"), count(lit(1)).as("b"))
+    val pcPushed = pushed(pc)
+    val pcR = pc.first()
+    import s.implicits._
+    Seq(
+      ("agg_from_stats", mmPushed, 0L),
+      ("counts", cntR.getLong(0), cntR.getLong(1)),
+      ("filtered", fltR.getLong(0), fltR.getLong(1)),
+      ("filtered_from_stats", fltPushed, 0L),
+      ("minmax_k", mmR.getLong(0), mmR.getLong(1)),
+      ("postcompact", pcR.getLong(0), pcR.getLong(1)),
+      ("postcompact_from_stats", pcPushed, 0L),
+      ("postdelete", pdR.getLong(0), pdR.getLong(1)),
+      ("postdelete_from_stats", pdPushed, 0L))
+      .toDF("which", "a", "b")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411, q412, q413, q414, q420)
+      q411, q412, q413, q414, q420, q422)
 }

@@ -99,10 +99,12 @@ private class ManifestReadTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns
-      with SupportsPushDownFilters {
+      with SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       import org.apache.spark.sql.sources.Filter
       private var required: StructType = schema()
       private var pushed: Array[Filter] = Array.empty
+      private var aggRow: Option[(StructType, Seq[Any])] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
       // accept the comparison/null filters we can evaluate during the
@@ -116,7 +118,32 @@ private class ManifestReadTable(
         rest
       }
       override def pushedFilters(): Array[Filter] = pushed
+      // AGGREGATE PUSHDOWN TO MANIFEST STATISTICS: a global
+      // MIN/MAX/COUNT query is answered from the per-file column stats
+      // without opening ANY data file (the Parquet-footer /
+      // Delta-stats-query move). Answerable iff there are no filters,
+      // no group-by, no delete vectors (manifest stats are GROSS), and
+      // every entry carries the needed stat. Partial-pushdown contract
+      // (supportCompletePushDown=false): the one emitted row is a
+      // partial result Spark re-aggregates, so correctness never rests
+      // on this path — an unanswerable aggregate just falls back to a
+      // normal scan.
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+        : Boolean = {
+        if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+          withMeta || groups.isDefined || skipDvs) return false
+        val manifestName =
+          version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
+        val answered = ManifestAgg.answer(path, manifestName, readSchema,
+          agg.aggregateExpressions.toSeq)
+        answered.foreach(r => aggRow = Some(r))
+        answered.isDefined
+      }
       override def build(): Scan = {
+        aggRow.foreach { case (aggSchema, values) =>
+          return new ManifestAggScan(path, aggSchema, values)
+        }
         // metadata columns are not in the file — split the pruned set
         // into parsed data columns and appended identity columns
         // (table schema orders data first, so Spark's pruned struct
@@ -295,6 +322,7 @@ private class ManifestScan(
       filters.forall(ManifestFilters.mayMatch(fullSchema, e, _)))
     ManifestScanMetrics.lastCandidateFiles.set(allEntries.length)
     ManifestScanMetrics.lastSkippedFiles.set(allEntries.length - entries.length)
+    ManifestScanMetrics.lastAggFromStats.set(false)
     entries
       .flatMap { e =>
       val (name, rows) = (e.file, e.rows)
@@ -593,7 +621,149 @@ private case class ManifestGroupPartition(
 private[graft] object ManifestScanMetrics {
   val lastCandidateFiles = new java.util.concurrent.atomic.AtomicLong
   val lastSkippedFiles = new java.util.concurrent.atomic.AtomicLong
+  /** true iff the most recent scan build answered its aggregates from
+    * manifest statistics alone (no data file opened). */
+  val lastAggFromStats = new java.util.concurrent.atomic.AtomicBoolean
 }
+
+/** Resolves a pushed global aggregation against the manifest's
+  * per-file column stats. Returns None whenever ANY term can't be
+  * proven from stats — Spark then falls back to a normal scan, so
+  * this path can only ever REMOVE work, never change answers. */
+private[sources] object ManifestAgg {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+
+  private def colOf(e: V2Expr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      Some(nr.fieldNames.head)
+    case _ => None
+  }
+
+  def answer(path: String, manifestName: String, schema: StructType,
+      aggs: Seq[AggregateFunc]): Option[(StructType, Seq[Any])] = {
+    val txt =
+      try ManifestRead.manifestText(path, manifestName)
+      catch { case _: java.io.IOException => return None }
+    // delete vectors make manifest stats GROSS — never answer net
+    // questions from them
+    if (ManifestRead.entriesOfText(txt).isEmpty &&
+      """"file":""".r.findFirstIn(txt).isDefined) return None
+    if (""""dv":""".r.findFirstIn(txt).isDefined) return None
+    val entries = ManifestRead.entriesOfText(txt)
+    val statsOf: Seq[(ManifestEntry, Map[String, ColStats])] =
+      entries.map(e => e -> e.stats.map(ManifestRead.parseStats)
+        .getOrElse(Map.empty))
+    // per-column stats with schema-evolution semantics: a column absent
+    // from the file's own layout is all-NULL
+    def colStats(e: ManifestEntry, st: Map[String, ColStats],
+        a: String): Option[ColStats] =
+      e.colNames match {
+        case Some(cs) if !cs.contains(a) => Some(ColStats(e.rows, None, None))
+        case _ => st.get(a)
+      }
+    def dt(a: String): Option[DataType] =
+      if (schema.fieldNames.contains(a)) Some(schema(schema.fieldIndex(a)).dataType)
+      else None
+    def bound(a: String, pick: ColStats => Option[String],
+        cmp: (Long, Long) => Long, cmpD: (Double, Double) => Double): Option[Any] = {
+      // min/max over non-null values; a file with bounds contributes
+      // its bound, an all-null file contributes nothing, a file with
+      // values but NO bounds (string / NaN-poisoned / pre-stats entry)
+      // makes the answer unprovable
+      val dtype = dt(a).getOrElse(return None)
+      if (dtype != LongType && dtype != IntegerType && dtype != DoubleType)
+        return None
+      var accL: Option[Long] = None
+      var accD: Option[Double] = None
+      statsOf.foreach { case (e, st) =>
+        if (e.rows > 0) {
+          val cs = colStats(e, st, a).getOrElse(return None)
+          if (cs.nulls < e.rows) {
+            val b = pick(cs).getOrElse(return None)
+            dtype match {
+              case DoubleType =>
+                accD = Some(accD.fold(b.toDouble)(cmpD(_, b.toDouble)))
+              case _ =>
+                accL = Some(accL.fold(b.toLong)(cmp(_, b.toLong)))
+            }
+          }
+        }
+      }
+      dtype match {
+        case DoubleType => Some(accD.orNull)
+        case IntegerType => Some(accL.map(_.toInt).orNull)
+        case _ => Some(accL.orNull)
+      }
+    }
+    def nonNullCount(a: String): Option[Any] = {
+      if (dt(a).isEmpty) return None
+      var n = 0L
+      statsOf.foreach { case (e, st) =>
+        if (e.rows > 0) {
+          val cs = colStats(e, st, a).getOrElse(return None)
+          n += e.rows - cs.nulls
+        }
+      }
+      Some(n)
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    aggs.foreach {
+      case m: Min =>
+        val a = colOf(m.column).getOrElse(return None)
+        val v = bound(a, _.min, math.min, math.min).getOrElse(return None)
+        fields += StructField(s"min($a)", dt(a).get)
+        values += v
+      case m: Max =>
+        val a = colOf(m.column).getOrElse(return None)
+        val v = bound(a, _.max, math.max, math.max).getOrElse(return None)
+        fields += StructField(s"max($a)", dt(a).get)
+        values += v
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType)
+        values += entries.map(_.rows).sum
+      case c: Count if !c.isDistinct =>
+        val a = colOf(c.column).getOrElse(return None)
+        val v = nonNullCount(a).getOrElse(return None)
+        fields += StructField(s"count($a)", LongType)
+        values += v
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result()))
+  }
+}
+
+/** A scan whose single partition emits ONE pre-aggregated row computed
+  * from manifest statistics at plan time — no data file is opened. */
+private class ManifestAggScan(path: String, aggSchema: StructType,
+    values: Seq[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ManifestAggScan (metadata-only) ${aggSchema.catalogString}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    ManifestScanMetrics.lastAggFromStats.set(true)
+    Array(ManifestAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          private val row = InternalRow.fromSeq(
+            p.asInstanceOf[ManifestAggPartition].values.toIndexedSeq)
+          override def next(): Boolean =
+            if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = row
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private case class ManifestAggPartition(values: Seq[Any])
+  extends InputPartition
 
 private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,

@@ -141,6 +141,70 @@ class ManifestStatsSpec extends AnyFunSuite {
       "compacted files must carry their own (recomputed) stats")
   }
 
+  // ---- aggregate pushdown to manifest statistics ----
+
+  test("global MIN/MAX/COUNT answered from stats: one metadata row, no file read") {
+    import spark.implicits._
+    val out = freshDir()
+    Seq((1L, 2.5, "a"), (2L, -1.0, null.asInstanceOf[String]), (3L, 9.0, "c"))
+      .toDF("k", "d", "s").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    Seq((10L, 0.0, "z")).toDF("k", "d", "s").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    def tbl() = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, d DOUBLE, s STRING").option("path", out).load()
+    ManifestScanMetrics.lastAggFromStats.set(false)
+    val df = tbl().agg(min("k"), max("k"), min("d"), max("d"),
+      count(lit(1)), count(col("s")))
+    val r = df.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getLong(4), r.getLong(5)) == (1L, 10L, -1.0, 9.0, 4L, 3L))
+    assert(ManifestScanMetrics.lastAggFromStats.get(),
+      "aggregate must be answered from manifest stats")
+    assert(df.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
+      "plan must show the metadata-only scan:\n" +
+        df.queryExecution.executedPlan)
+    // a FILTERED aggregate can't use file-level stats: falls back to a
+    // real scan with the same (correct) answer
+    val f = tbl().filter(col("k") > 1).agg(min("k"), count(lit(1)))
+    val fr = f.collect()(0)
+    assert((fr.getLong(0), fr.getLong(1)) == (2L, 3L))
+    assert(!f.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    // min/max on a STRING column has no bounds: full fallback, right answer
+    val s = tbl().agg(min("s"), count(lit(1)))
+    val sr = s.collect()(0)
+    assert(sr.getString(0) == "a" && sr.getLong(1) == 4L)
+    assert(!s.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+  }
+
+  test("delete vectors disable stats aggregates (gross vs net)") {
+    import spark.implicits._
+    val out = freshDir()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).mode("append").save()
+    graft.sources.ManifestMaintenance.delete(spark, out, "k LONG, v STRING",
+      "k = 3")
+    val df = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, v STRING").option("path", out).load()
+      .agg(max("k"), count(lit(1)))
+    val r = df.collect()(0)
+    // net of the delete — the gross manifest stats (max=3, count=3)
+    // must NOT answer this
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L))
+    assert(!df.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+    // compaction consumes the dvs; stats aggregates re-arm
+    graft.sources.ManifestMaintenance.compact(spark, out, "k LONG, v STRING")
+    val post = spark.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, v STRING").option("path", out).load()
+      .agg(max("k"), count(lit(1)))
+    val pr = post.collect()(0)
+    assert((pr.getLong(0), pr.getLong(1)) == (2L, 2L))
+    assert(post.queryExecution.executedPlan.toString.contains("ManifestAggScan"))
+  }
+
   // ---- schema evolution ----
 
   test("added column reads as NULL from older files; by-name mapping") {
