@@ -1445,8 +1445,74 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q423: per-file BLOOM index for STRING-EQUALITY file skipping —
+    * the leg zone maps (q413) can't cover: string columns carry no
+    * min/max (UTF-8 vs UTF-16 collation), so a string point-lookup
+    * would open every file. Each sink commit now records a per-file
+    * Bloom over each string column's values; the scan planner probes
+    * it for pushed string equality and skips files that DEFINITELY
+    * don't contain the value (a false positive only keeps a file
+    * planned — never loses a row). The Iceberg/Delta bloom-column
+    * move. Fixture: four disjoint-range files; a point lookup of one
+    * nation's name plans exactly its own file, an absent value plans
+    * zero. The planned counts are output rows, pruning-independent
+    * values are oracle-replayed. */
+  private val q423 = Q(
+    "q423_manifest_bloom_skipping",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |probe AS (SELECT v FROM n WHERE k = 12)
+      |SELECT 'full' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k FROM n
+      |UNION ALL
+      |SELECT 'hit', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+      |FROM n WHERE v = (SELECT v FROM probe)
+      |UNION ALL SELECT 'hit_planned', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL SELECT 'miss_planned', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q423_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    Seq((0L, 6L), (7L, 12L), (13L, 18L), (19L, 10000L)).foreach {
+      case (lo, hi) =>
+        base.filter(col("k") >= lo && col("k") <= hi).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).mode("append").save()
+    }
+    // the point-lookup value: one driver-side row (metadata-bounded)
+    val probe = base.filter(col("k") === 12L).select("v").first().getString(0)
+    def read() = s.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, v STRING").option("path", out).load()
+    val hit = read().filter(col("v") === probe)
+    val hitAgg = hit.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("k")), lit(0L)).cast("long")).first()
+    val hitPlanned = hit.queryExecution.toRdd.getNumPartitions.toLong
+    val missPlanned = read().filter(col("v") === "__absent_value__")
+      .queryExecution.toRdd.getNumPartitions.toLong
+    val full = read().agg(count(lit(1)).cast("long"),
+      sum(col("k")).cast("long")).first()
+    import s.implicits._
+    Seq(
+      ("full", full.getLong(0), full.getLong(1)),
+      ("hit", hitAgg.getLong(0), hitAgg.getLong(1)),
+      ("hit_planned", hitPlanned, 0L),
+      ("miss_planned", missPlanned, 0L))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411, q412, q413, q414, q420, q422)
+      q411, q412, q413, q414, q420, q422, q423)
 }

@@ -439,6 +439,14 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
       private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
       private val sawNum = new Array[Boolean](schema.length)
       private val sawNaN = new Array[Boolean](schema.length)
+      // per-file BLOOM over each string column's raw values: prunes
+      // string EQUALITY at scan time, where min/max can't (collation)
+      private val blooms: Array[Array[Long]] = schema.fields.map {
+        case f if f.dataType == StringType =>
+          new Array[Long](ManifestBloom.Bits / 64)
+        case _ => null
+      }
+      private val sawStr = new Array[Boolean](schema.length)
 
       override def write(r: InternalRow): Unit = {
         val vals = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -456,7 +464,11 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
               if (v > maxL(i)) maxL(i) = v
               sawNum(i) = true
               v.toString
-            case StringType => ManifestSink.csvField(r.getUTF8String(i).toString)
+            case StringType =>
+              val v = r.getUTF8String(i).toString
+              ManifestBloom.add(blooms(i), v)
+              sawStr(i) = true
+              ManifestSink.csvField(v)
             case DoubleType =>
               val v = r.getDouble(i)
               if (v.isNaN) sawNaN(i) = true
@@ -490,7 +502,11 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
                 s""","min":${minD(i)},"max":${maxD(i)}"""
               case _ => ""
             }
-          s""""${f.name}":{"nulls":${nNulls(i)}$bounds}"""
+          val bloom =
+            if (blooms(i) != null && sawStr(i))
+              s""","bloom":"${ManifestBloom.encode(blooms(i))}""""
+            else ""
+          s""""${f.name}":{"nulls":${nNulls(i)}$bounds$bloom}"""
         }.mkString("{", ",", "}")
         ManifestCommit(name, rows, checksum,
           schema.fieldNames.mkString(","), stats)

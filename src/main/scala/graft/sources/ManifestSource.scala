@@ -222,7 +222,11 @@ private object ManifestFilters {
         else (st.min, st.max) match {
           case (Some(mn), Some(mx)) =>
             cmpBound(a, mn, v).forall(_ <= 0) && cmpBound(a, mx, v).forall(_ >= 0)
-          case _ => true // bounds untracked (string / NaN-poisoned)
+          case _ =>
+            // bounds untracked (string / NaN-poisoned): a per-file
+            // BLOOM prunes string equality where bounds can't —
+            // "definitely absent" skips the file, a maybe keeps it
+            st.bloom.forall(b => ManifestBloom.mightContain(b, v.toString))
         }
       }
       case GreaterThan(a, v) => colStats(a).forall(st =>
@@ -389,10 +393,69 @@ private[sources] case class ManifestEntry(
   * `nulls` counts NULL values; `min`/`max` span the NON-NULL values
   * and are absent when every value is null (or, for doubles, when any
   * NaN was seen — NaN-poisoned bounds must never prune). Strings carry
-  * only `nulls`: Java vs UTF8String ordering disagree on supplementary
-  * characters, the same reason string inequalities are not pushed. */
+  * only `nulls` for bounds (Java vs UTF8String ordering disagree on
+  * supplementary characters, the same reason string inequalities are
+  * not pushed) plus an optional per-file BLOOM filter (`bloom`,
+  * base64), which prunes string EQUALITY — exact in both orders, so no
+  * collation hazard applies. */
 private[sources] case class ColStats(
-    nulls: Long, min: Option[String], max: Option[String])
+    nulls: Long, min: Option[String], max: Option[String],
+    bloom: Option[String] = None)
+
+/** The per-file string-column Bloom filter (the Iceberg/Delta
+  * bloom-index move): [[Bits]] bits, [[K]] probes by double hashing
+  * over the value's UTF-8 bytes. Fixed-size here (test-scale files);
+  * production sizes m at ~10 bits/row. Shared by the sink (build) and
+  * the scan planner (probe) so the bit positions always agree. A Bloom
+  * can only say "definitely absent" — a false positive keeps the file
+  * planned, never loses a row. */
+private[graft] object ManifestBloom {
+  val Bits = 4096
+  val K = 3
+
+  private def baseHashes(value: String): (Int, Int) = {
+    val bytes = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h1 = 0x811c9dc5
+    var h2 = 0x7ee35235
+    var i = 0
+    while (i < bytes.length) {
+      h1 = (h1 ^ bytes(i)) * 0x01000193
+      h2 = h2 * 31 + bytes(i)
+      i += 1
+    }
+    (h1, h2 | 1) // odd step so probes cycle the whole table
+  }
+
+  def positions(value: String): Array[Int] = {
+    val (h1, h2) = baseHashes(value)
+    Array.tabulate(K)(i => math.floorMod(h1 + i * h2, Bits))
+  }
+
+  def add(bits: Array[Long], value: String): Unit =
+    positions(value).foreach(p => bits(p >> 6) |= (1L << (p & 63)))
+
+  def mightContain(b64: String, value: String): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    positions(value).forall { p =>
+      val byteIdx = p >> 3
+      byteIdx < bytes.length && (bytes(byteIdx) & (1 << (p & 7))) != 0
+    }
+  }
+
+  def encode(bits: Array[Long]): String = {
+    val bytes = new Array[Byte](bits.length * 8)
+    var i = 0
+    while (i < bits.length) {
+      var j = 0
+      while (j < 8) {
+        bytes(i * 8 + j) = ((bits(i) >>> (j * 8)) & 0xff).toByte
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+}
 
 private[graft] object ManifestRead {
   private val entryRe =
@@ -441,13 +504,14 @@ private[graft] object ManifestRead {
     text(path, manifestName)
 
   private val colStatsRe =
-    """"([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?(?:,"max":("[^"]*"|[^,}]+))?\}""".r
+    (""""([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?""" +
+      """(?:,"max":("[^"]*"|[^,}]+))?(?:,"bloom":"([^"]*)")?\}""").r
 
   /** `stats` JSON → per-column [[ColStats]]. */
   def parseStats(json: String): Map[String, ColStats] =
     colStatsRe.findAllMatchIn(json).map { m =>
       m.group(1) -> ColStats(m.group(2).toLong,
-        Option(m.group(3)), Option(m.group(4)))
+        Option(m.group(3)), Option(m.group(4)), Option(m.group(5)))
     }.toMap
 
   /** Full text of one manifest, via the driver's Hadoop conf. Throws

@@ -56,14 +56,29 @@ class ManifestStatsSpec extends AnyFunSuite {
       "an out-of-range predicate must plan NO partitions")
   }
 
-  test("string equality prunes nothing but still filters correctly") {
+  test("string equality prunes via the per-file BLOOM where bounds can't") {
     val out = freshDir()
     rangeTable(out)
+    // "v25" lives only in the 20..29 file: the Bloom says "definitely
+    // absent" for the other three (no collation hazard — equality is
+    // exact in both orders)
     val df = read(out).filter(col("v") === "v25")
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(25L))
-    // strings carry no bounds (UTF-8 vs UTF-16 ordering hazard): all
-    // four files stay planned — conservative, never lossy
-    assert(df.queryExecution.toRdd.getNumPartitions == 4)
+    assert(df.queryExecution.toRdd.getNumPartitions == 1,
+      "bloom must prune the three files that can't contain v25")
+    // a value in NO file plans nothing
+    val none = read(out).filter(col("v") === "absent-value")
+    assert(none.count() == 0)
+    assert(none.queryExecution.toRdd.getNumPartitions == 0)
+    // bloom-less legacy entries never prune: strip stats and re-check
+    val mf = new java.io.File(out, "manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    val noBloom = txt.replaceAll(""","bloom":"[^"]*"""", "")
+    java.nio.file.Files.write(mf.toPath, noBloom.getBytes("UTF-8"))
+    new java.io.File(out, ".manifest.json.crc").delete()
+    val all4 = read(out).filter(col("v") === "v25")
+    assert(all4.collect().map(_.getLong(0)).toSeq == Seq(25L))
+    assert(all4.queryExecution.toRdd.getNumPartitions == 4)
   }
 
   test("IS NULL prunes files with zero nulls; IS NOT NULL prunes all-null files") {
