@@ -138,5 +138,116 @@ object LayoutOps {
         |FROM m GROUP BY col ORDER BY col""".stripMargin)
   }
 
-  val defs: Seq[Q] = Seq(q391, q392)
+  // ------------- q424: Z-ordered writes × zone-map file skipping
+
+  private val ZwBuckets = 8
+  private val BoxLo = 64L
+  private val BoxHi = 127L
+
+  /** q424: WHY Z-order exists — the layout (q391) composed with the
+    * connector's zone maps (q413). The same capped lineitem subset is
+    * written twice through the manifest sink: once in Z-order (files
+    * cut along the Morton curve, so every file's bounding box is tight
+    * in BOTH dimensions) and once sorted by d1 alone (tight in d1,
+    * spanning everything in d2). A 2-D box probe then plans only the
+    * z-files whose boxes overlap the box, while the d1-sorted layout
+    * keeps every d1-overlapping file regardless of d2.
+    *
+    * The planned-file counts are NOT pinned constants: the oracle
+    * REPLAYS the pruning decision — per-bucket min/max of both
+    * dimensions, count buckets overlapping the box — which is exactly
+    * the zone-map keep condition (max≥lo ∧ min≤hi per dimension), so a
+    * planner/stats bug diverges the hash at any scale. Buckets are an
+    * exact ntile over a unique total order (ScalableRank — no global
+    * window funnel), one file per bucket. */
+  private val q424 = Q(
+    "q424_zorder_write_skipping", {
+      def bucketCte(name: String, orderCol: String) =
+        s"""$name AS (
+           |  SELECT d1, d2, w,
+           |    ntile($ZwBuckets) OVER (ORDER BY $orderCol, ok, ln) AS bucket
+           |  FROM src),
+           |${name}_overlap AS (
+           |  SELECT count(*) AS n FROM (
+           |    SELECT bucket FROM $name GROUP BY bucket
+           |    HAVING max(d1) >= $BoxLo AND min(d1) <= $BoxHi
+           |       AND max(d2) >= $BoxLo AND min(d2) <= $BoxHi))""".stripMargin
+      s"""WITH src AS (
+         |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |    l_partkey % 256 AS d1, l_orderkey % 256 AS d2,
+         |    l_orderkey AS w,
+         |    ${zExpr("(l_partkey % 256)", "(l_orderkey % 256)")} AS zv
+         |  FROM lineitem WHERE l_orderkey % 97 = 0),
+         |${bucketCte("zb", "zv")},
+         |${bucketCte("xb", "d1")}
+         |SELECT 'box' AS which, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(COALESCE(sum(w), 0) AS BIGINT) AS sum_w
+         |FROM src
+         |WHERE d1 BETWEEN $BoxLo AND $BoxHi AND d2 BETWEEN $BoxLo AND $BoxHi
+         |UNION ALL
+         |SELECT 'x_planned', CAST((SELECT n FROM xb_overlap) AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |UNION ALL
+         |SELECT 'z_planned', CAST((SELECT n FROM zb_overlap) AS BIGINT),
+         |  CAST(0 AS BIGINT)
+         |ORDER BY which""".stripMargin
+    }) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val src = s.sql(
+      s"""SELECT l_orderkey AS ok, l_linenumber AS ln,
+         |  l_partkey % 256 AS d1, l_orderkey % 256 AS d2,
+         |  l_orderkey AS w,
+         |  ${zExpr("(l_partkey % 256)", "(l_orderkey % 256)")} AS zv
+         |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin)
+    // exact-ntile buckets over a unique total order, parallel-safe
+    // (the q391 ScalableRank + published ntile row-number formula)
+    def buckets(orderCol: String): org.apache.spark.sql.DataFrame = {
+      val ranked = ScalableRank.withRank(
+        src, "rk", col(orderCol), col("ok"), col("ln"))
+      val n = ranked.count()
+      val k = ZwBuckets.toLong
+      val q = n / k; val m = n % k; val cut = (q + 1) * m
+      ranked.withColumn("bucket",
+        when(col("rk") <= cut,
+          expr(s"CAST((rk - 1) div ${q + 1} AS INT) + 1"))
+          .otherwise(
+            expr(s"CAST($m + (rk - 1 - $cut) div ${math.max(q, 1L)} AS INT) + 1")))
+    }
+    def writeLayout(df: org.apache.spark.sql.DataFrame, out: String): Unit = {
+      val f = new java.io.File(out)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      val mat = df.select("d1", "d2", "w", "bucket").localCheckpoint()
+      (1 to ZwBuckets).foreach { b =>
+        mat.filter(col("bucket") === b).select("d1", "d2", "w").coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).mode("append").save()
+      }
+    }
+    val zOut = s"/tmp/graft_q424z_${math.abs(dir.hashCode)}"
+    val xOut = s"/tmp/graft_q424x_${math.abs(dir.hashCode)}"
+    writeLayout(buckets("zv"), zOut)
+    writeLayout(buckets("d1"), xOut)
+    def boxScan(out: String) = s.read.format("graft.sources.ManifestSource")
+      .schema("d1 LONG, d2 LONG, w LONG").option("path", out).load()
+      .filter(col("d1") >= BoxLo && col("d1") <= BoxHi &&
+        col("d2") >= BoxLo && col("d2") <= BoxHi)
+    val zScan = boxScan(zOut)
+    val box = zScan.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("w")), lit(0L)).cast("long")).first()
+    val zPlanned = zScan.queryExecution.toRdd.getNumPartitions.toLong
+    val xPlanned = boxScan(xOut).queryExecution.toRdd.getNumPartitions.toLong
+    import s.implicits._
+    Seq(
+      ("box", box.getLong(0), box.getLong(1)),
+      ("z_planned", zPlanned, 0L),
+      ("x_planned", xPlanned, 0L))
+      .toDF("which", "n", "sum_w")
+      .orderBy("which")
+  }
+
+  val defs: Seq[Q] = Seq(q391, q392, q424)
 }
