@@ -616,6 +616,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "bounded query set (quantized codes) must broadcast:\n" + p)
   }
 
+  test("q416 mixture sampler: budget table broadcasts, one window per lang shard") {
+    val df = SparkEntry.queries("q416_mixture_sampler")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the #langs-sized budget table must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "mixture sampler fused a cartesian:\n" + p)
+  }
+
+  test("q418 BM25: hash aggregations + equi-joins, totals broadcast, no cartesian") {
+    val df = SparkEntry.queries("q418_bm25_scoring")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "BM25 scoring fused a cartesian:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 2-number totals row must broadcast:\n" + p)
+    assert(p.contains("HashAggregate"),
+      "term statistics must be hash aggregations:\n" + p)
+  }
+
+  test("q421 cluster sampling: codegen cell assign, no join for routing") {
+    val df = SparkEntry.queries("q421_cluster_balanced_sampling")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "cluster sampling fused a cartesian:\n" + p)
+    // centroids are literals inside the projection (graft_nearest_cell),
+    // so routing needs no join against a centroid table
+    assert(p.toLowerCase.contains("graft_nearest_cell") ||
+      p.contains("NearestCell"),
+      "cell routing must be the codegen literal-centroid assign:\n" + p)
+  }
+
   test("q402 OPQ build: per-subspace joins stay equi-joins, no cartesian") {
     val df = SparkEntry.queries("q402_opq_balanced_pq")(spark, dir)
     df.collect()
