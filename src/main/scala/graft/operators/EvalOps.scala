@@ -603,12 +603,17 @@ object EvalOps {
     *  - IDF is the quantized −log2: `64 − length(bin(df))` (q409's
     *    portability trick) — no libm log whose last ulp could flip a
     *    rank;
-    *  - the tf saturation uses k1 = 6/5 and b = 3/4 EXACTLY, the whole
-    *    per-term score cross-multiplied into one integer division:
-    *    `idf · 44·Tot·tf·10⁴ div (20·Tot·tf + 6·Tot + 18·dl·N)` — the
-    *    algebra of idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) with
-    *    avgdl = Tot/N multiplied through by 20·Tot (numerator stays
-    *    < 2⁶³ at 100× corpus);
+    *  - the tf saturation uses k1 = 6/5 and b = 3/4 EXACTLY, with the
+    *    average document length quantized to an INTEGER first
+    *    (`ad = Tot div N`) and the per-term score cross-multiplied into
+    *    one integer division:
+    *    `idf · 44·ad·tf·10⁴ div (20·ad·tf + 6·ad + 18·dl)` — the
+    *    algebra of idf·tf·(k1+1)/(tf + k1(1−b+b·dl/ad)) multiplied
+    *    through by 20·ad. Every intermediate is bounded by DOCUMENT
+    *    length, not corpus size (idf ≤ 64, ad ≤ max dl, tf ≤ dl):
+    *    worst numerator 64·44·10⁴·maxdl² < 2⁶³ for maxdl up to ~5·10⁵
+    *    tokens — the bound holds at ANY corpus scale, where the
+    *    round-12 form (`…·Tot·tf·10⁴`) was only argued safe to 100×;
     *  - queries are DATA-DERIVED and bounded: each language's top-3
     *    terms (count desc, term asc), scored within the language shard.
     *
@@ -624,7 +629,7 @@ object EvalOps {
        |  WHERE text IS NOT NULL AND doc_id IS NOT NULL AND lang IS NOT NULL),
        |tk AS (SELECT doc_id, lang, term FROM toks WHERE term <> ''),
        |dl AS (SELECT doc_id, lang, count(*) AS dl FROM tk GROUP BY 1, 2),
-       |tot AS (SELECT sum(dl) AS tot, count(*) AS n FROM dl),
+       |tot AS (SELECT CAST(sum(dl) // count(*) AS BIGINT) AS ad FROM dl),
        |tf AS (SELECT doc_id, lang, term, count(*) AS tf
        |       FROM tk GROUP BY 1, 2, 3),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -636,8 +641,8 @@ object EvalOps {
        |    FROM tk GROUP BY lang, term) WHERE rn <= 3),
        |scored AS (
        |  SELECT q.qlang, f.doc_id,
-       |    sum((64 - length(bin(d.df))) * 44 * t.tot * f.tf * 10000
-       |        // (20 * t.tot * f.tf + 6 * t.tot + 18 * l.dl * t.n))
+       |    sum((64 - length(bin(d.df))) * 44 * t.ad * f.tf * 10000
+       |        // (20 * t.ad * f.tf + 6 * t.ad + 18 * l.dl))
        |      AS score_bp
        |  FROM qt q
        |  JOIN tf f ON f.term = q.term AND f.lang = q.qlang
@@ -660,7 +665,7 @@ object EvalOps {
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
     val dl = tk.groupBy("doc_id", "lang").agg(count(lit(1)).as("dl"))
-    val tot = dl.agg(sum(col("dl")).as("tot"), count(lit(1)).as("n"))
+    val tot = dl.agg(expr("sum(dl) div count(*)").as("ad"))
     val tf = tk.groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qt = tk.groupBy("lang", "term").agg(count(lit(1)).as("c"))
@@ -675,8 +680,8 @@ object EvalOps {
       .join(dl.select(col("doc_id"), col("dl")), "doc_id")
       .crossJoin(broadcast(tot))
       .withColumn("term_bp",
-        expr("""(64 - length(bin(df))) * 44 * tot * tf * 10000
-               | div (20 * tot * tf + 6 * tot + 18 * dl * n)""".stripMargin))
+        expr("""(64 - length(bin(df))) * 44 * ad * tf * 10000
+               | div (20 * ad * tf + 6 * ad + 18 * dl)""".stripMargin))
       .groupBy(col("qlang"), col("doc_id"))
       .agg(sum(col("term_bp")).as("score_bp"))
     scored

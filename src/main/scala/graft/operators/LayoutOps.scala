@@ -235,11 +235,22 @@ object LayoutOps {
       .schema("d1 LONG, d2 LONG, w LONG").option("path", out).load()
       .filter(col("d1") >= BoxLo && col("d1") <= BoxHi &&
         col("d2") >= BoxLo && col("d2") <= BoxHi)
-    val zScan = boxScan(zOut)
-    val box = zScan.agg(count(lit(1)).cast("long"),
+    val box = boxScan(zOut).agg(count(lit(1)).cast("long"),
       coalesce(sum(col("w")), lit(0L)).cast("long")).first()
-    val zPlanned = zScan.queryExecution.toRdd.getNumPartitions.toLong
-    val xPlanned = boxScan(xOut).queryExecution.toRdd.getNumPartitions.toLong
+    // Planned-file observable = candidate − skipped from the scan's own
+    // metrics, NOT the RDD partition count: byte-range splitting divides
+    // a kept file into several partitions once it crosses
+    // spark.sql.files.maxPartitionBytes, so the partition count stops
+    // equaling the kept-FILE count at larger scales while the oracle's
+    // bucket-overlap replay keeps counting files.
+    def plannedFiles(out: String): Long = {
+      val scan = boxScan(out)
+      scan.queryExecution.toRdd.getNumPartitions // force the scan build
+      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
+        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    }
+    val zPlanned = plannedFiles(zOut)
+    val xPlanned = plannedFiles(xOut)
     import s.implicits._
     Seq(
       ("box", box.getLong(0), box.getLong(1)),

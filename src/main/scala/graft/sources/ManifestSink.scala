@@ -447,6 +447,44 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
         case _ => null
       }
       private val sawStr = new Array[Boolean](schema.length)
+      // Iceberg-style truncated BINARY string bounds (UTF-8 byte
+      // prefixes, unsigned order = Spark's UTF8String order): sloB is
+      // an inclusive lower bound (truncation only lowers a value);
+      // shiB bounds the max — the value itself when it fits in T bytes
+      // (inclusive), else the byte-successor of its prefix (exclusive,
+      // shiX). A value whose prefix is all 0xFF has no successor: the
+      // file's upper bound is dropped (shiDead). Lets the reader prune
+      // string ranges and prefix probes where the Bloom (equality-only)
+      // can't.
+      private val sloB = new Array[Array[Byte]](schema.length)
+      private val shiB = new Array[Array[Byte]](schema.length)
+      private val shiX = new Array[Boolean](schema.length)
+      private val shiDead = new Array[Boolean](schema.length)
+
+      private def trackStrBounds(i: Int, v: String): Unit = {
+        import ManifestStrBounds._
+        val b = utf8(v)
+        val t = trunc(b)
+        if (sloB(i) == null || cmpB(t, sloB(i)) < 0) sloB(i) = t
+        if (!shiDead(i)) {
+          val (u, ex) =
+            if (b.length <= T) (b, false)
+            else succ(t) match {
+              case Some(s) => (s, true)
+              case None => shiDead(i) = true; (null, false)
+            }
+          if (!shiDead(i)) {
+            if (shiB(i) == null) { shiB(i) = u; shiX(i) = ex }
+            else {
+              val c = cmpB(u, shiB(i))
+              if (c > 0) { shiB(i) = u; shiX(i) = ex }
+              // on a tie, inclusive wins: an attained value == bound
+              // means the reader must NOT prune `>= bound`
+              else if (c == 0 && !ex) shiX(i) = false
+            }
+          }
+        }
+      }
 
       override def write(r: InternalRow): Unit = {
         val vals = schema.fields.zipWithIndex.map { case (f, i) =>
@@ -467,14 +505,23 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
             case StringType =>
               val v = r.getUTF8String(i).toString
               ManifestBloom.add(blooms(i), v)
+              trackStrBounds(i, v)
               sawStr(i) = true
               ManifestSink.csvField(v)
             case DoubleType =>
               val v = r.getDouble(i)
               if (v.isNaN) sawNaN(i) = true
               else {
-                if (v < minD(i)) minD(i) = v
-                if (v > maxD(i)) maxD(i) = v
+                // Spark's nanSafeCompareDoubles treats -0.0 == 0.0; the
+                // pruner compares with the same semantics, so bounds must
+                // be recorded under it too — otherwise a file holding both
+                // ±0.0 could record min=0.0 and a pushed `d < 0.0` probe
+                // would prune a row the scan should emit. Normalizing the
+                // *bound* (not the stored value) keeps primitive </> and
+                // Double.compare in agreement for every non-NaN double.
+                val b = if (v == 0.0d) 0.0d else v
+                if (b < minD(i)) minD(i) = b
+                if (b > maxD(i)) maxD(i) = b
                 sawNum(i) = true
               }
               v.toString
@@ -502,11 +549,20 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
                 s""","min":${minD(i)},"max":${maxD(i)}"""
               case _ => ""
             }
+          val strBounds =
+            if (sawStr(i) && sloB(i) != null) {
+              val lo = s""","slo":"${ManifestStrBounds.b64(sloB(i))}""""
+              val hi =
+                if (shiB(i) != null && !shiDead(i))
+                  s""","shi":"${ManifestStrBounds.b64(shiB(i))}","shix":${shiX(i)}"""
+                else ""
+              lo + hi
+            } else ""
           val bloom =
             if (blooms(i) != null && sawStr(i))
               s""","bloom":"${ManifestBloom.encode(blooms(i))}""""
             else ""
-          s""""${f.name}":{"nulls":${nNulls(i)}$bounds$bloom}"""
+          s""""${f.name}":{"nulls":${nNulls(i)}$bounds$strBounds$bloom}"""
         }.mkString("{", ",", "}")
         ManifestCommit(name, rows, checksum,
           schema.fieldNames.mkString(","), stats)

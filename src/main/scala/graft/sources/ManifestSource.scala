@@ -161,25 +161,29 @@ private class ManifestReadTable(
 private object ManifestFilters {
   import org.apache.spark.sql.sources._
 
-  /** Inequalities are accepted for NUMERIC columns only: Java's
-    * String.compareTo orders by UTF-16 code units while Spark's
-    * UTF8String orders by UTF-8 bytes — they disagree on supplementary
-    * characters, and a trusted-but-wrong pushed filter silently drops
-    * rows. String columns push only equality and null tests (exact in
-    * both orders). */
+  /** Comparable columns: numerics, and — since round 13 — strings,
+    * whose pushed comparisons and recorded bounds BOTH use Spark's own
+    * UTF8String order (unsigned UTF-8 bytes). Java's String.compareTo
+    * (UTF-16 code units) disagrees with it on supplementary
+    * characters, so it appears nowhere on this path. StartsWith rides
+    * the same binary order (a byte prefix is a char prefix in UTF-8). */
   def supports(schema: StructType, f: Filter): Boolean = {
-    def numeric(a: String): Boolean =
+    def cmpable(a: String): Boolean =
       schema.fieldNames.contains(a) &&
         (schema(schema.fieldIndex(a)).dataType match {
-          case LongType | IntegerType | DoubleType => true
+          case LongType | IntegerType | DoubleType | StringType => true
           case _ => false
         })
+    def str(a: String): Boolean =
+      schema.fieldNames.contains(a) &&
+        schema(schema.fieldIndex(a)).dataType == StringType
     f match {
       case EqualTo(a, _) => schema.fieldNames.contains(a)
-      case GreaterThan(a, _) => numeric(a)
-      case GreaterThanOrEqual(a, _) => numeric(a)
-      case LessThan(a, _) => numeric(a)
-      case LessThanOrEqual(a, _) => numeric(a)
+      case GreaterThan(a, _) => cmpable(a)
+      case GreaterThanOrEqual(a, _) => cmpable(a)
+      case LessThan(a, _) => cmpable(a)
+      case LessThanOrEqual(a, _) => cmpable(a)
+      case StringStartsWith(a, _) => str(a)
       case IsNull(a) => schema.fieldNames.contains(a)
       case IsNotNull(a) => schema.fieldNames.contains(a)
       case _ => false
@@ -195,6 +199,15 @@ private object ManifestFilters {
     * stored value was null (or NaN-poisoned, for doubles) — only
     * IsNull can match then. Entries without stats (pre-round-12
     * manifests) never prune. */
+  /** Double comparison under Spark's semantics (nanSafeCompareDoubles):
+    * -0.0 == 0.0. The sink records bounds under the same rule, so the
+    * three sites — stat recording, pruning, row eval — can never
+    * disagree on ±0.0 data (NaN never reaches here: it poisons bounds
+    * at the sink and fails every pushed comparison at eval). */
+  def dblCompare(x: Double, y: Double): Int =
+    java.lang.Double.compare(if (x == 0.0d) 0.0d else x,
+      if (y == 0.0d) 0.0d else y)
+
   def mayMatch(schema: StructType, entry: ManifestEntry, f: Filter): Boolean = {
     import org.apache.spark.sql.sources._
     val stats = entry.stats.map(ManifestRead.parseStats).getOrElse(Map.empty)
@@ -209,13 +222,45 @@ private object ManifestFilters {
       Some(schema(schema.fieldIndex(a)).dataType match {
         case LongType => java.lang.Long.compare(bound.toLong, v.asInstanceOf[Number].longValue())
         case IntegerType => java.lang.Integer.compare(bound.toInt, v.asInstanceOf[Number].intValue())
-        case DoubleType => java.lang.Double.compare(bound.toDouble, v.asInstanceOf[Number].doubleValue())
+        case DoubleType => ManifestFilters.dblCompare(bound.toDouble, v.asInstanceOf[Number].doubleValue())
         case _ => return None // strings carry no bounds (ordering hazard)
       })
     }
     // "every stored value is NULL" — decided by the null COUNT, never
     // by min/max absence (a string column legitimately has no bounds)
     def allNull(st: ColStats): Boolean = st.nulls >= entry.rows
+    import ManifestStrBounds.{cmpB, succ, utf8}
+    // TRUNCATED BYTE BOUNDS for strings (recorded by the sink under
+    // the same unsigned UTF-8 order): slo is an inclusive lower bound
+    // on every value; shi bounds the max (strictly when shix). Each
+    // test below keeps the file unless the bound PROVES emptiness.
+    def strKeep(st: ColStats, f: Filter): Boolean = f match {
+      case GreaterThan(_, v) =>          // prune iff max <= v
+        v == null || st.shi.forall(cmpB(_, utf8(v.toString)) > 0)
+      case GreaterThanOrEqual(_, v) =>   // prune iff max < v
+        v == null || st.shi.forall(shi =>
+          if (st.shix) cmpB(shi, utf8(v.toString)) > 0
+          else cmpB(shi, utf8(v.toString)) >= 0)
+      case LessThan(_, v) =>             // prune iff min >= v
+        v == null || st.slo.forall(cmpB(_, utf8(v.toString)) < 0)
+      case LessThanOrEqual(_, v) =>      // prune iff min > v
+        v == null || st.slo.forall(cmpB(_, utf8(v.toString)) <= 0)
+      case EqualTo(_, v) =>
+        v == null || (st.slo.forall(cmpB(_, utf8(v.toString)) <= 0) &&
+          st.shi.forall(shi =>
+            if (st.shix) cmpB(shi, utf8(v.toString)) > 0
+            else cmpB(shi, utf8(v.toString)) >= 0))
+      case StringStartsWith(_, p) =>
+        // prefixed values live in [p, succ(p)): prune if max < p or
+        // min >= succ(p); no successor (all-0xFF prefix) -> keep
+        p == null || (st.shi.forall(shi =>
+          if (st.shix) cmpB(shi, utf8(p)) > 0
+          else cmpB(shi, utf8(p)) >= 0) &&
+          succ(utf8(p)).forall(sp => st.slo.forall(cmpB(_, sp) < 0)))
+      case _ => true
+    }
+    def isStr(a: String): Boolean =
+      schema(schema.fieldIndex(a)).dataType == StringType
     f match {
       case EqualTo(a, v) => colStats(a).forall { st =>
         if (v == null || allNull(st)) false // 3VL: = NULL matches nothing
@@ -225,18 +270,26 @@ private object ManifestFilters {
           case _ =>
             // bounds untracked (string / NaN-poisoned): a per-file
             // BLOOM prunes string equality where bounds can't —
-            // "definitely absent" skips the file, a maybe keeps it
-            st.bloom.forall(b => ManifestBloom.mightContain(b, v.toString))
+            // "definitely absent" skips the file, a maybe keeps it —
+            // AND, for strings, the truncated byte bounds
+            st.bloom.forall(b => ManifestBloom.mightContain(b, v.toString)) &&
+              (!isStr(a) || strKeep(st, f))
         }
       }
       case GreaterThan(a, v) => colStats(a).forall(st =>
-        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ > 0))
+        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ > 0) &&
+          (!isStr(a) || strKeep(st, f)))
       case GreaterThanOrEqual(a, v) => colStats(a).forall(st =>
-        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ >= 0))
+        !allNull(st) && st.max.flatMap(cmpBound(a, _, v)).forall(_ >= 0) &&
+          (!isStr(a) || strKeep(st, f)))
       case LessThan(a, v) => colStats(a).forall(st =>
-        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ < 0))
+        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ < 0) &&
+          (!isStr(a) || strKeep(st, f)))
       case LessThanOrEqual(a, v) => colStats(a).forall(st =>
-        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ <= 0))
+        !allNull(st) && st.min.flatMap(cmpBound(a, _, v)).forall(_ <= 0) &&
+          (!isStr(a) || strKeep(st, f)))
+      case StringStartsWith(a, _) => colStats(a).forall(st =>
+        !allNull(st) && strKeep(st, f))
       case IsNull(a) => colStats(a).forall(_.nulls > 0)
       case IsNotNull(a) => colStats(a).forall(st => !allNull(st))
       case _ => true
@@ -256,8 +309,11 @@ private object ManifestFilters {
       else Some(schema(schema.fieldIndex(a)).dataType match {
         case LongType => java.lang.Long.compare(r.toLong, v.asInstanceOf[Number].longValue())
         case IntegerType => java.lang.Integer.compare(r.toInt, v.asInstanceOf[Number].intValue())
-        case DoubleType => java.lang.Double.compare(r.toDouble, v.asInstanceOf[Number].doubleValue())
-        case StringType => r.compareTo(v.toString)
+        case DoubleType => ManifestFilters.dblCompare(r.toDouble, v.asInstanceOf[Number].doubleValue())
+        // Spark's string order = unsigned UTF-8 bytes (UTF8String), NOT
+        // Java's UTF-16 compareTo — they disagree on supplementary chars
+        case StringType => ManifestStrBounds.cmpB(
+          ManifestStrBounds.utf8(r), ManifestStrBounds.utf8(v.toString))
         case dt => throw new UnsupportedOperationException(s"filter on $dt")
       })
     }
@@ -267,6 +323,8 @@ private object ManifestFilters {
       case GreaterThanOrEqual(a, v) => cmp(a, v).exists(_ >= 0)
       case LessThan(a, v) => cmp(a, v).exists(_ < 0)
       case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
+      case StringStartsWith(a, p) =>
+        raw(a) != null && p != null && raw(a).startsWith(p)
       case IsNull(a) => raw(a) == null
       case IsNotNull(a) => raw(a) != null
       case other => throw new IllegalStateException(s"unpushable filter $other")
@@ -400,7 +458,65 @@ private[sources] case class ManifestEntry(
   * collation hazard applies. */
 private[sources] case class ColStats(
     nulls: Long, min: Option[String], max: Option[String],
-    bloom: Option[String] = None)
+    bloom: Option[String] = None,
+    slo: Option[Array[Byte]] = None, shi: Option[Array[Byte]] = None,
+    shix: Boolean = false)
+
+/** Iceberg-style TRUNCATED BINARY string bounds (UTF-8 byte prefixes,
+  * compared unsigned-lexicographic = Spark's UTF8String order — NOT
+  * Java's UTF-16 String order, which disagrees on supplementary
+  * characters; that disagreement is why full string min/max was
+  * refused in round 12). Shared by the sink (record) and the scan
+  * planner (prune) so both sides use one comparison.
+  *
+  *  - lower bound `slo` = min over trunc_T(value): truncation only
+  *    LOWERS a value, so slo <= every value — inclusive, always valid;
+  *  - upper bound `shi` = max over ub(value), where ub = the value
+  *    itself when it fits in T bytes (inclusive, `shix=false`) or the
+  *    byte-successor of its T-prefix (strictly greater than the value,
+  *    exclusive, `shix=true`). A value whose T-prefix is all 0xFF has
+  *    no successor — the column's upper bound is dropped for that file
+  *    (prune-side: keep).
+  */
+private[graft] object ManifestStrBounds {
+  val T = 16
+
+  def cmpB(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def trunc(b: Array[Byte]): Array[Byte] =
+    if (b.length <= T) b else java.util.Arrays.copyOf(b, T)
+
+  /** Smallest byte string strictly greater than every string with
+    * prefix `b`: increment the last non-0xFF byte, dropping the 0xFF
+    * tail. None when every byte is 0xFF (no successor exists). */
+  def succ(b: Array[Byte]): Option[Array[Byte]] = {
+    var i = b.length - 1
+    while (i >= 0 && b(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(b, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+}
 
 /** The per-file string-column Bloom filter (the Iceberg/Delta
   * bloom-index move): [[Bits]] bits, [[K]] probes by double hashing
@@ -484,9 +600,14 @@ private[graft] object ManifestRead {
 
   /** Per-query last-committed-epoch records (`"streamEpochs":{...}`) —
     * the streaming sink's exactly-once ledger. Empty when the table was
-    * never written by a stream. */
+    * never written by a stream. Anchored to the TOP-LEVEL key: the sink
+    * always renders the ledger as the last member before the document's
+    * closing brace, whereas a user column literally named `streamEpochs`
+    * renders a stats block deep inside the files array (followed by at
+    * least `}]` before end-of-input) — without the anchor that block
+    * would shadow the real ledger and defeat the exactly-once guard. */
   def streamEpochs(txt: String): Map[String, Long] =
-    """"streamEpochs":\{([^{}]*)\}""".r.findFirstMatchIn(txt)
+    ""","streamEpochs":\{([^{}]*)\}\}\z""".r.findFirstMatchIn(txt)
       .map(m => """"([^"]+)":(\d+)""".r.findAllMatchIn(m.group(1))
         .map(p => p.group(1) -> p.group(2).toLong).toMap)
       .getOrElse(Map.empty)
@@ -505,13 +626,18 @@ private[graft] object ManifestRead {
 
   private val colStatsRe =
     (""""([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?""" +
-      """(?:,"max":("[^"]*"|[^,}]+))?(?:,"bloom":"([^"]*)")?\}""").r
+      """(?:,"max":("[^"]*"|[^,}]+))?""" +
+      """(?:,"slo":"([^"]*)")?(?:,"shi":"([^"]*)","shix":(true|false))?""" +
+      """(?:,"bloom":"([^"]*)")?\}""").r
 
   /** `stats` JSON → per-column [[ColStats]]. */
   def parseStats(json: String): Map[String, ColStats] =
     colStatsRe.findAllMatchIn(json).map { m =>
       m.group(1) -> ColStats(m.group(2).toLong,
-        Option(m.group(3)), Option(m.group(4)), Option(m.group(5)))
+        Option(m.group(3)), Option(m.group(4)), Option(m.group(8)),
+        Option(m.group(5)).map(ManifestStrBounds.unb64),
+        Option(m.group(6)).map(ManifestStrBounds.unb64),
+        m.group(7) == "true")
     }.toMap
 
   /** Full text of one manifest, via the driver's Hadoop conf. Throws

@@ -120,13 +120,17 @@ class ManifestSourceSpec extends AnyFunSuite {
       s"filters not pushed: $desc")
     assert(df.as[String].collect().sorted.toSeq ==
       (91L to 95L).map(k => s"name_$k").sorted)
-    // string INEQUALITY must NOT push (UTF-16 vs UTF-8 order hazard)…
+    // string INEQUALITY pushes too (round 13): both the reader's eval
+    // and the recorded bounds use Spark's own UTF-8 byte order, so the
+    // UTF-16-vs-UTF-8 hazard that blocked this before round 13 is gone
     val ineq = read().filter(col("s") > "name_5")
     val ineqScan = ineq.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.head.scan.description()
-    assert(!ineqScan.contains("GreaterThan(s"),
-      s"string inequality wrongly pushed: $ineqScan")
+    assert(ineqScan.contains("GreaterThan(s"),
+      s"string inequality not pushed: $ineqScan")
+    assert(ineq.select("s").as[String].collect().sorted.toSeq ==
+      (0L to 99L).map(k => s"name_$k").filter(_ > "name_5").sorted)
     // …while string EQUALITY does, and agrees with Spark's own filter
     val eq = read().filter(col("s") === "name_42")
     assert(eq.select("k").as[Long].collect().toSeq == Seq(42L))

@@ -70,10 +70,13 @@ class ManifestStatsSpec extends AnyFunSuite {
     val none = read(out).filter(col("v") === "absent-value")
     assert(none.count() == 0)
     assert(none.queryExecution.toRdd.getNumPartitions == 0)
-    // bloom-less legacy entries never prune: strip stats and re-check
+    // bloom-less legacy entries never prune: strip the string stats
+    // (bloom AND the round-13 byte bounds) and re-check
     val mf = new java.io.File(out, "manifest.json")
     val txt = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
     val noBloom = txt.replaceAll(""","bloom":"[^"]*"""", "")
+      .replaceAll(""","slo":"[^"]*"""", "")
+      .replaceAll(""","shi":"[^"]*","shix":(?:true|false)""", "")
     java.nio.file.Files.write(mf.toPath, noBloom.getBytes("UTF-8"))
     new java.io.File(out, ".manifest.json.crc").delete()
     val all4 = read(out).filter(col("v") === "v25")
