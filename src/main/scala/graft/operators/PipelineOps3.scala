@@ -113,9 +113,12 @@ object PipelineOps3 {
     val corpus = all.filter(col("doc_id") % 10 < 8)
     val batch = all.filter(col("doc_id") % 10 >= 8)
     val bf = corpus.stat.bloomFilter("k", 1000000L, 0.03)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: String) => k != null && bfB.value.mightContainString(k))
-    val candidates = batch.filter(mightContain(col("k"))).select("k").distinct()
+    // codegen probe of the built filter's bit array (BloomProbe) — no
+    // ScalaUDF boxing on the batch side; NULL keys fall out via the
+    // expression's null semantics (null -> null -> filtered)
+    val candidates = batch
+      .filter(graft.functions.BloomProbe.probeCol(col("k"), bf))
+      .select("k").distinct()
     // Corpus-side probe: the big side streams, the candidate set rides
     // along broadcast; output (matched keys) is candidate-sized.
     val found = corpus.join(broadcast(candidates), "k")
