@@ -65,5 +65,6 @@ object SparkEntry {
         "q412_manifest_change_feed", "q413_manifest_file_skipping",
         "q414_manifest_schema_evolution",
         "q420_incremental_view_maintenance",
-        "q422_manifest_stats_aggregate", "q423_manifest_bloom_skipping")
+        "q422_manifest_stats_aggregate", "q423_manifest_bloom_skipping",
+        "q425_time_travel_sql", "q426_string_range_skipping")
 }

@@ -1511,8 +1511,140 @@ object SourceOps {
       .orderBy("which")
   }
 
+  /** q425: time travel from the SQL SURFACE — `FROM <name> VERSION AS
+    * OF n` over a [[graft.sources.ManifestTables]]-registered manifest
+    * table, parsed by Spark's own grammar and routed by the injected
+    * [[graft.plans.DialectParser]] to the source's `version` option
+    * (q393's capability, now reachable from `spark.sql`). Three
+    * commits (doc_id mod 3 slices of `documents`), three versioned SQL
+    * reads; the oracle replays each snapshot's aggregate as the
+    * cumulative mod-bucket union. TIMESTAMP AS OF rides the same node
+    * and is pinned by spec (commit instants aren't oracle-replayable). */
+  private val q425 = Q(
+    "q425_time_travel_sql",
+    """WITH d AS (
+      |  SELECT doc_id, lang, doc_id % 3 AS m FROM documents
+      |  WHERE doc_id IS NOT NULL)
+      |SELECT CAST(v.version AS INT) AS version,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(d.doc_id) AS BIGINT) AS sum_id,
+      |  CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+      |FROM (VALUES (1), (2), (3)) v(version) JOIN d ON d.m < v.version
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val out = s"/tmp/graft_q425_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val docs = Tables.load(s, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("lang"))
+    (0 to 2).foreach { m =>
+      docs.filter(col("doc_id") % 3 === m).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+    }
+    graft.sources.ManifestTables.register(
+      "mf_q425", out, "doc_id LONG, lang STRING")
+    (1 to 3).map { v =>
+      graft.plans.DialectParser.sql(s,
+        s"""SELECT CAST($v AS INT) AS version,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+           |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+           |FROM mf_q425 VERSION AS OF $v""".stripMargin)
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
+  /** q426: STRING-RANGE and PREFIX file skipping via the truncated
+    * UTF-8 byte bounds the sink records per string column (the
+    * Iceberg truncate-transform move) — closing the gap q423's Bloom
+    * (equality-only) left. Four files sliced alphabetically; a range
+    * probe and a LIKE-prefix probe each plan only the files whose
+    * [slo, shi) envelope overlaps. The planned counts are
+    * ORACLE-REPLAYED as per-slice bound arithmetic (keep iff
+    * max >= lo AND min < hi — exact here because nation names are
+    * ASCII and fit untruncated, so bounds are the true min/max; the
+    * truncation/exclusive-bound path is pinned by spec on
+    * multi-byte/surrogate strings). */
+  private val q426 = Q(
+    "q426_string_range_skipping",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS v FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |sl AS (
+      |  SELECT s.lo, min(n.v) AS mn, max(n.v) AS mx
+      |  FROM (VALUES ('A','F'), ('F','K'), ('K','R'), ('R','~')) s(lo, hi)
+      |  JOIN n ON n.v >= s.lo AND n.v < s.hi GROUP BY 1)
+      |SELECT 'full' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(k) AS BIGINT) AS sum_k FROM n
+      |UNION ALL
+      |SELECT 'prefix', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT) FROM n WHERE v LIKE 'IN%'
+      |UNION ALL
+      |SELECT 'prefix_planned',
+      |  CAST((SELECT count(*) FROM sl WHERE mx >= 'IN' AND mn < 'IO')
+      |    AS BIGINT), CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'range', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT)
+      |FROM n WHERE v >= 'E' AND v < 'KE'
+      |UNION ALL
+      |SELECT 'range_planned',
+      |  CAST((SELECT count(*) FROM sl WHERE mx >= 'E' AND mn < 'KE')
+      |    AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val out = s"/tmp/graft_q426_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val base = Tables.load(s, dir, "nation")
+      .filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("k"),
+        col("n_name").as("v"))
+    Seq(("A", "F"), ("F", "K"), ("K", "R"), ("R", "~")).foreach {
+      case (lo, hi) =>
+        val slice = base.filter(col("v") >= lo && col("v") < hi)
+        if (slice.limit(1).count() > 0)
+          slice.coalesce(1).write.format("graft.sources.ManifestSink")
+            .option("path", out).mode("append").save()
+    }
+    def read() = s.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, v STRING").option("path", out).load()
+    def measure(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val agg = df.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("k")), lit(0L)).cast("long")).first()
+      df.queryExecution.toRdd.getNumPartitions // force the scan build
+      val planned =
+        graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
+          graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+      (agg.getLong(0), agg.getLong(1), planned)
+    }
+    val full = read().agg(count(lit(1)).cast("long"),
+      sum(col("k")).cast("long")).first()
+    val (rRows, rSum, rPlanned) =
+      measure(read().filter(col("v") >= "E" && col("v") < "KE"))
+    val (pRows, pSum, pPlanned) =
+      measure(read().filter(col("v").startsWith("IN")))
+    import s.implicits._
+    Seq(
+      ("full", full.getLong(0), full.getLong(1)),
+      ("prefix", pRows, pSum),
+      ("prefix_planned", pPlanned, 0L),
+      ("range", rRows, rSum),
+      ("range_planned", rPlanned, 0L))
+      .toDF("which", "n_rows", "sum_k")
+      .orderBy("which")
+  }
+
   val defs: Seq[Q] =
     Seq(q112, q127, q128, q129, q130, q148, q171, q172, q183, q184, q188,
       q194, q237, q255, q262, q270, q272, q393, q397, q398, q401, q408,
-      q411, q412, q413, q414, q420, q422, q423)
+      q411, q412, q413, q414, q420, q422, q423, q425, q426)
 }

@@ -64,11 +64,49 @@ class DialectParser(delegate: ParserInterface) extends ParserInterface {
     }
   }
 
+  /** `FROM <name> VERSION AS OF n` / `TIMESTAMP AS OF ts` over a
+    * [[graft.sources.ManifestTables]]-registered name → the manifest
+    * source relation pinned to that snapshot (q393's `version` option,
+    * reachable from `spark.sql`). Spark's own parser already produces
+    * the `RelationTimeTravel` node; this only ROUTES it — unregistered
+    * names pass through untouched for the native catalogs, so no
+    * standard query changes meaning. A timestamp must be foldable
+    * (evaluated here, session-UTC) and maps to the highest snapshot
+    * published at or before it. */
+  private def resolveManifestTimeTravel(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    plan.transform {
+      case tt @ RelationTimeTravel(ur: UnresolvedRelation, ts, ver) =>
+        graft.sources.ManifestTables.lookup(ur.multipartIdentifier) match {
+          case None => tt
+          case Some((path, ddl)) =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            val version: Long = ver.map(_.toLong).getOrElse {
+              val e = ts.get
+              val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                e, org.apache.spark.sql.types.TimestampType,
+                Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+              require(micros != null, s"TIMESTAMP AS OF $e is not a timestamp")
+              graft.sources.ManifestTables.versionAtTimestamp(
+                path, micros.asInstanceOf[Long])
+            }
+            require(version > 0,
+              s"no snapshot of ${ur.multipartIdentifier.mkString(".")} at the requested point")
+            spark.read.format("graft.sources.ManifestSource")
+              .schema(ddl).option("path", path)
+              .option("version", version).load()
+              .queryExecution.analyzed
+        }
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parsePlan))
+    resolveManifestTimeTravel(
+      rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parsePlan)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parseQuery))
+    resolveManifestTimeTravel(
+      rewriteTeradataMaxMin(dialectFallback(sqlText, delegate.parseQuery)))
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -90,4 +128,16 @@ class DialectParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
+}
+
+object DialectParser {
+  /** Run one statement through the dialect parser against `spark` —
+    * the runtime door for driver-owned sessions (user-built sessions
+    * get the same parser automatically via
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def sql(spark: org.apache.spark.sql.SparkSession,
+      sqlText: String): org.apache.spark.sql.DataFrame = {
+    val p = new DialectParser(spark.sessionState.sqlParser)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, p.parsePlan(sqlText))
+  }
 }
