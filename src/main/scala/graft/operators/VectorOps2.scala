@@ -773,5 +773,227 @@ object VectorOps2 {
       .orderBy("cell")
   }
 
-  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407, q415, q421)
+  // --------------------- q427: graph-based ANN (HNSW-family)
+
+  /** Graph parameters: [[GK]] coarse cells ([[KMeansLite]], the exact
+    * q115 fit), sorted-neighborhood window [[GS]] for seed-edge
+    * candidates, out-degree [[GD]], [[GR]] NN-descent refinement
+    * rounds, beam width [[GW]], [[GT]] fixed search rounds, queries
+    * vec_id < [[GQ]], final top-[[GTop]]. */
+  private val GK = 8; private val GIters = 3
+  private val GS = 8; private val GD = 8; private val GR = 2
+  private val GW = 16; private val GT = 4
+  private val GQ = 50; private val GTop = 3
+
+  /** q427: the one production ANN shape the library lacked next to IVF
+    * (q49/q115/q126), PQ (q399/q402/q407), SQ8 (q415) and LSH (q139) —
+    * a GRAPH index with beam search (the HNSW/DiskANN family),
+    * re-expressed deterministically so the oracle replays the build
+    * and the search bit-for-bit:
+    *
+    *  - BUILD (cluster-seeded + NN-descent, linear — never all-pairs):
+    *    vectors are assigned to [[GK]] k-means cells (the bit-exact
+    *    [[KMeansLite]] fit q115's oracle already replays); within each
+    *    cell, nodes are ordered by distance-to-centroid and each
+    *    node's SEED edges are the top-[[GD]] by true cosine of its
+    *    ±[[GS]] window in that order (q323's sorted-neighborhood move
+    *    — O(n·S), not O(n²/k)). [[GR]] NN-DESCENT rounds then refine:
+    *    each round's candidates are the undirected 2-hop neighborhood
+    *    (neighbors and neighbors-of-neighbors, both edge directions —
+    *    the Dong et al. NN-descent step), re-ranked by true cosine,
+    *    top-[[GD]] kept. Candidate volume per round is n·(2·GD)² —
+    *    linear in n, and the FIXED round count keeps it
+    *    oracle-unrollable. Each cell's rank-1 node is its HUB: the
+    *    entry-point set (k node ids of driver metadata).
+    *  - SEARCH (beam, [[GT]] FIXED rounds — fixed so the oracle can
+    *    unroll it): the beam starts as the hubs plus the query node
+    *    itself (in-corpus queries, the q49/q233 eval contract) scored
+    *    against the query, then each round expands all out-edges of
+    *    the beam, re-scores, and keeps the top-[[GW]] of beam ∪
+    *    expansions (ties on vec_id). After T rounds the answer is the
+    *    beam's top-[[GTop]] excluding the query itself.
+    *
+    * 100 TB shape: the build is one assignment pass + one rank window
+    * + one bucketed window join + GR bounded self-joins of a
+    * degree-bounded edge list (every stage linear, shuffles keyed by
+    * cell/src); the search is T bounded joins whose left side is
+    * query×beam-sized, never corpus-sized. Recall@3 >= the single-cell
+    * IVF probe is pinned by spec (beam search crosses cells through
+    * the hub entry points; IVF can't leave its cell). */
+  private val q427 = Q(
+    "q427_graph_ann_beam", {
+      val dim = 64
+      def cos(qv: String, qn: String, nv: String, nn: String) =
+        s"""(list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> $qv[CAST(i AS INT)] * $nv[CAST(i AS INT)])) / ($qn * $nn))""".stripMargin
+      def d2(v: String, cv: String) =
+        s"""list_sum(list_transform(range(1, ${dim + 1}),
+           |    i -> ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])
+           |       * ($v[CAST(i AS INT)] - $cv[CAST(i AS INT)])))""".stripMargin
+      def beamCte(t: Int) =
+        s"""ex$t AS MATERIALIZED (
+           |  SELECT DISTINCT qid, nid FROM (
+           |    SELECT b.qid, e.dst AS nid
+           |    FROM b${t - 1} b JOIN edges e ON e.src = b.nid
+           |    UNION ALL SELECT qid, nid FROM b${t - 1})),
+           |b$t AS MATERIALIZED (
+           |  SELECT qid, nid, cs FROM (
+           |    SELECT qid, nid, cs,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+           |    FROM (SELECT x.qid, x.nid,
+           |            ${cos("q.qv", "q.qnrm", "n.v", "n.nrm")} AS cs
+           |          FROM ex$t x JOIN qs q ON q.qid = x.qid
+           |          JOIN nnm n ON n.vec_id = x.nid)) WHERE rn <= $GW)""".stripMargin
+      def descentCte(r: Int) =
+        s"""und$r AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM e${r - 1}
+           |    UNION ALL SELECT dst AS src, src AS dst FROM e${r - 1})),
+           |e$r AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst,
+           |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY csim DESC, dst) AS rn
+           |    FROM (SELECT c.src, c.dst,
+           |            ${cos("a.v", "a.nrm", "b.v", "b.nrm")} AS csim
+           |          FROM (SELECT DISTINCT u1.src, u2.dst
+           |                FROM und$r u1 JOIN und$r u2 ON u2.src = u1.dst
+           |                WHERE u2.dst <> u1.src
+           |                UNION SELECT src, dst FROM und$r) c
+           |          JOIN nnm a ON a.vec_id = c.src
+           |          JOIN nnm b ON b.vec_id = c.dst)) WHERE rn <= $GD)""".stripMargin
+      s"""${VectorOps.kmeansOracleCtes(GK, GIters, dim)},
+         |nnm AS MATERIALIZED (SELECT vec_id, v, cell, nrm FROM nn),
+         |rk AS MATERIALIZED (
+         |  SELECT vec_id, v, cell, nrm,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2c, vec_id) AS rk
+         |  FROM (SELECT n.vec_id, n.v, n.cell, n.nrm, ${d2("n.v", "c.cv")} AS d2c
+         |        FROM nnm n JOIN c$GIters c ON c.cid = n.cell)),
+         |cand AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cos("a.v", "a.nrm", "b.v", "b.nrm")} AS csim
+         |  FROM rk a JOIN rk b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |    AND abs(a.rk - b.rk) <= $GS),
+         |e0 AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY csim DESC, dst) AS rn
+         |    FROM cand) WHERE rn <= $GD),
+         |${(1 to GR).map(descentCte).mkString(",\n")},
+         |edges AS MATERIALIZED (SELECT src, dst FROM e$GR),
+         |hubs AS MATERIALIZED (SELECT vec_id FROM rk WHERE rk = 1),
+         |qs AS MATERIALIZED (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM nnm
+         |       WHERE vec_id < $GQ),
+         |b0 AS MATERIALIZED (
+         |  SELECT qid, nid, cs FROM (
+         |    SELECT qid, nid, cs,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+         |    FROM (SELECT s.qid, s.nid,
+         |            ${cos("q.qv", "q.qnrm", "n.v", "n.nrm")} AS cs
+         |          FROM (SELECT q0.qid, h.vec_id AS nid
+         |                FROM qs q0 CROSS JOIN hubs h
+         |                UNION SELECT qid, qid AS nid FROM qs) s
+         |          JOIN qs q ON q.qid = s.qid
+         |          JOIN nnm n ON n.vec_id = s.nid)) WHERE rn <= $GW),
+         |${(1 to GT).map(beamCte).mkString(",\n")}
+         |SELECT qid, nid, cs AS cos_sim, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT qid, nid, cs,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rnk
+         |  FROM b$GT WHERE nid <> qid)
+         |WHERE rnk <= $GTop ORDER BY qid, rnk""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = VectorOps.vecs(s, dir) // vec_id, label, v, nrm
+    val cents = KMeansLite.fit(all, "vec_id", "v", GK, GIters)
+    val centDf = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(cents.zipWithIndex.map {
+        case (cv, i) => org.apache.spark.sql.Row(i, cv.toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))))
+    // rank within cell by distance-to-centroid (the same sequential
+    // (a-b)^2 fold as the assignment — bit-exact vs list_sum)
+    val ranked = KMeansLite.assign(all, "v", cents)
+      .join(centDf, "cell")
+      .withColumn("d2c",
+        expr("""aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+               |  (acc, i) -> acc + (element_at(v, i) - element_at(cv, i))
+               |            * (element_at(v, i) - element_at(cv, i)))""".stripMargin))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("d2c"), col("vec_id"))))
+      .select("vec_id", "v", "nrm", "cell", "rk")
+    // sorted-neighborhood edge candidates via rank-bucket equi-join
+    // (bin-and-refine: |rk - drk| <= GS implies adjacent GS-buckets)
+    val left = ranked.withColumn("bkt", expr(s"CAST((rk - 1) div $GS AS INT)"))
+    val right = ranked.select(col("cell").as("dcell"),
+      col("vec_id").as("dst"), col("v").as("dv"), col("nrm").as("dnrm"),
+      col("rk").as("drk"))
+      .withColumn("dbkt", expr(s"CAST((drk - 1) div $GS AS INT)"))
+    val cand = left.join(right,
+      col("cell") === col("dcell") &&
+        col("dbkt").between(col("bkt") - 1, col("bkt") + 1) &&
+        abs(col("rk") - col("drk")) <= GS && col("vec_id") =!= col("dst"))
+      .withColumn("csim", expr("graft_dot(v, dv)") / (col("nrm") * col("dnrm")))
+    val wSrc = Window.partitionBy("src").orderBy(col("csim").desc, col("dst"))
+    def topD(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= GD).select("src", "dst")
+    val nnDf = all.select(col("vec_id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    var edges = topD(cand.select(col("vec_id").as("src"), col("dst"),
+      col("csim"))).localCheckpoint()
+    // NN-descent: candidates = undirected 1- and 2-hop neighborhood,
+    // re-ranked by true cosine, top-D kept — GR fixed rounds
+    for (_ <- 1 to GR) {
+      val und = edges.union(edges.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct().localCheckpoint()
+      val hop2 = und.select(col("src"), col("dst").as("mid"))
+        .join(und.select(col("src").as("mid"), col("dst")), "mid")
+        .filter(col("dst") =!= col("src")).select("src", "dst")
+      val cands = hop2.union(und.select("src", "dst")).distinct()
+      val scored = cands
+        .join(nnDf.select(col("nid").as("src"), col("nv").as("av"),
+          col("nnrm").as("anrm")), "src")
+        .join(nnDf.select(col("nid").as("dst"), col("nv").as("bv"),
+          col("nnrm").as("bnrm")), "dst")
+        .withColumn("csim",
+          expr("graft_dot(av, bv)") / (col("anrm") * col("bnrm")))
+      edges = topD(scored.select("src", "dst", "csim")).localCheckpoint()
+    }
+    val hubs = ranked.filter(col("rk") === 1).select(col("vec_id").as("nid"))
+    val qDf = all.filter(col("vec_id") < GQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm")).localCheckpoint()
+    val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(qDf, "qid").join(nnDf, "nid")
+      .withColumn("cs", expr("graft_dot(qv, nv)") / (col("qnrm") * col("nnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= GW).select("qid", "nid", "cs")
+    // entry points: the hubs plus the query node itself (in-corpus
+    // queries — the q49/q233 eval contract)
+    var beam = score(
+      qDf.select("qid").crossJoin(broadcast(hubs))
+        .union(qDf.select(col("qid"), col("qid").as("nid"))).distinct())
+      .localCheckpoint()
+    for (_ <- 1 to GT) {
+      val expanded = beam.select("qid", "nid")
+        .join(edges, col("nid") === col("src"))
+        .select(col("qid"), col("dst").as("nid"))
+        .union(beam.select("qid", "nid"))
+        .distinct()
+      beam = score(expanded).localCheckpoint()
+    }
+    beam.filter(col("nid") =!= col("qid"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= GTop)
+      .select(col("qid"), col("nid"), col("cs").as("cos_sim"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  val defs: Seq[Q] = Seq(q223, q233, q399, q402, q405, q407, q415, q421,
+    q427)
 }
