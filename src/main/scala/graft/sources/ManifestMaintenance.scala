@@ -378,19 +378,38 @@ object ManifestMaintenance {
     * sums of row-line hashes), so any lost/duplicated/reformatted row
     * fails the publish before it happens.
     *
+    * LAYOUT-AWARE compaction (`clusterBy` non-empty): instead of
+    * bin-packing whole files, the snapshot is globally re-clustered on
+    * the given SQL expressions (plain sort columns, or a Morton
+    * interleave for a Z-order cut — the q424 layout, now a maintenance
+    * verb) and cut into `targetFiles` exact-ntile buckets over a total
+    * order (ScalableRank — no global window funnel, no sampled
+    * boundaries, so the resulting layout is DETERMINISTIC and
+    * spec-pinnable). Each bucket becomes one file whose zone maps are
+    * tight on the cluster keys, so compaction IMPROVES file skipping
+    * instead of just merging small files. The conservation guard is
+    * unchanged: per-file checksums are order-independent sums of row
+    * hashes, so their global sum is invariant under any re-clustering.
+    * (The bucket writes run one filtered pass per bucket over a pinned
+    * localCheckpoint; a range-exchange single-pass write would trade
+    * that for sampled, nondeterministic boundaries.)
+    *
     * Returns (filesBefore, filesAfter). */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String, schemaDdl: String, targetFiles: Int = 1,
-      targetBytes: Long = 0L): (Int, Int) = {
+      targetBytes: Long = 0L, clusterBy: Seq[String] = Nil): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val before = ManifestRead.files(path, "manifest.json")
     val beforeDvs = ManifestRead.dvs(path, "manifest.json")
     // with delete vectors pending, compaction must run even at the
-    // target file count — it is what applies the deletes physically
-    if (before.length <= targetFiles && beforeDvs.isEmpty)
+    // target file count — it is what applies the deletes physically;
+    // a layout request likewise always rewrites (re-clustering IS the
+    // point, whatever the current file count)
+    if (before.length <= targetFiles && beforeDvs.isEmpty &&
+      clusterBy.isEmpty)
       return (before.length, before.length)
     // BIN-PACK the input files into size-bounded groups (first-fit
     // decreasing, budget = targetBytes or total/targetFiles): each
@@ -417,16 +436,43 @@ object ManifestMaintenance {
       }
     }
     val groups = bins.map(_._1.toSeq).toSeq
-    if (groups.length == before.length && beforeDvs.isEmpty)
+    if (groups.length == before.length && beforeDvs.isEmpty &&
+      clusterBy.isEmpty)
       return (before.length, before.length) // nothing to merge
     // distributed rewrite into a scratch manifest dir: the sink's own
     // writer produces the part files AND their (rows, checksum) entries
     val scratch = s"$path/_compact-${java.util.UUID.randomUUID()}"
-    spark.read.format("graft.sources.ManifestSource")
-      .schema(schemaDdl).option("path", path)
-      .option("groups", groups.map(_.mkString(",")).mkString(";")).load()
-      .write.format("graft.sources.ManifestSink")
-      .option("path", scratch).mode("append").save()
+    if (clusterBy.isEmpty) {
+      spark.read.format("graft.sources.ManifestSource")
+        .schema(schemaDdl).option("path", path)
+        .option("groups", groups.map(_.mkString(",")).mkString(";")).load()
+        .write.format("graft.sources.ManifestSink")
+        .option("path", scratch).mode("append").save()
+    } else {
+      import org.apache.spark.sql.functions.{col, expr}
+      // layout rewrite: exact-ntile buckets over (clusterBy, all
+      // columns) — the trailing columns make the order total, so equal
+      // cluster keys land deterministically
+      val src = spark.read.format("graft.sources.ManifestSource")
+        .schema(schemaDdl).option("path", path).load()
+      val keys = clusterBy.map(expr) ++ src.columns.toSeq.map(col)
+      val ranked = graft.operators.ScalableRank.withRank(src, "__rk", keys: _*)
+      val n = ranked.count()
+      val k = math.min(targetFiles.toLong, math.max(n, 1L))
+      val q = n / k; val m = n % k; val cut = (q + 1) * m
+      val bucketed = ranked.withColumn("__b",
+        org.apache.spark.sql.functions.when(col("__rk") <= cut,
+          expr(s"CAST((__rk - 1) div ${q + 1} AS INT)"))
+          .otherwise(expr(
+            s"CAST($m + (__rk - 1 - $cut) div ${math.max(q, 1L)} AS INT)")))
+        .localCheckpoint()
+      (0L until k).foreach { b =>
+        bucketed.filter(col("__b") === b).drop("__rk", "__b")
+          .coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", scratch).mode("append").save()
+      }
+    }
     val compactedEntries = readEntries(fs, new Path(scratch, "manifest.json"))
     val compacted = compactedEntries.map(e => (e.file, e.rows))
     val compactedChecksums =
