@@ -936,6 +936,88 @@ object LakehouseOps {
   }
 
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379)
+  // ------------- q428: SPJ on the real manifest connector
+
+  /** q428: q305's storage-partitioned join, on the REAL connector
+    * instead of the synthetic KeyedSource. orders and customer are
+    * each written through the manifest sink with
+    * `partitionBy = b` (b = custkey mod 8, a stored BIGINT column) —
+    * the sink's fan-out writer gives one file per (task, value) and
+    * records the value in each manifest entry; the scan plans one
+    * input partition per value and reports
+    * `KeyGroupedPartitioning(identity(b))`, so the fact-dim join on
+    * (b, k) runs with ZERO exchanges (spec-pinned — at 100 TB this is
+    * the bucketed-table join that never shuffles either side). The
+    * `prune` row pins manifest-level partition pruning: a `b = 3`
+    * probe plans exactly the files of that partition (zone maps see
+    * min=max=value per file). */
+  private val q428 = Q(
+    "q428_manifest_spj",
+    """WITH o AS (
+      |  SELECT o_custkey % 8 AS b, o_custkey AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |c AS (
+      |  SELECT c_custkey % 8 AS b, c_custkey AS k
+      |  FROM customer WHERE c_custkey IS NOT NULL)
+      |SELECT 'join' AS which, CAST(o.b AS BIGINT) AS b,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(o.cents) AS BIGINT) AS total
+      |FROM o JOIN c ON o.b = c.b AND o.k = c.k GROUP BY 2
+      |UNION ALL
+      |SELECT 'prune', CAST(3 AS BIGINT),
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM o WHERE b = 3)
+      |       THEN 1 ELSE 0 END AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY which, b""".stripMargin) { (s, dir) =>
+    def fresh(tag: String): String = {
+      val out = s"/tmp/graft_q428${tag}_${math.abs(dir.hashCode)}"
+      val f = new java.io.File(out)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      out
+    }
+    val outO = fresh("o"); val outC = fresh("c")
+    Tables.load(s, dir, "orders").filter(col("o_custkey").isNotNull)
+      .select((col("o_custkey") % 8).cast("long").as("b"),
+        col("o_custkey").cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .repartition(8, col("b"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", outO).option("partitionBy", "b")
+      .mode("append").save()
+    Tables.load(s, dir, "customer").filter(col("c_custkey").isNotNull)
+      .select((col("c_custkey") % 8).cast("long").as("b"),
+        col("c_custkey").cast("long").as("k"))
+      .repartition(8, col("b"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", outC).option("partitionBy", "b")
+      .mode("append").save()
+    def rd(p: String, ddl: String) = s.read
+      .format("graft.sources.ManifestSource").schema(ddl)
+      .option("path", p).load()
+    val joined = withSpjConfs(s) {
+      rd(outO, "b LONG, k LONG, cents LONG")
+        .join(rd(outC, "b LONG, k LONG"), Seq("b", "k"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+        .select(lit("join").as("which"), col("b"), col("n"), col("total"))
+        .localCheckpoint()
+    }
+    val probe = rd(outO, "b LONG, k LONG, cents LONG")
+      .filter(col("b") === 3L)
+    probe.queryExecution.toRdd.getNumPartitions
+    val prunePlanned =
+      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
+        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    import s.implicits._
+    joined.unionByName(
+      Seq(("prune", 3L, prunePlanned, 0L)).toDF("which", "b", "n", "total"))
+      .orderBy("which", "b")
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428)
 
 }

@@ -125,9 +125,10 @@ private class ManifestTable(path: String, writeSchema: StructType)
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = {
         val t = doTruncate
+        val pBy = Option(info.options.get("partitionBy")).filter(_.nonEmpty)
         new Write {
           override def toBatch: BatchWrite =
-            new ManifestBatchWrite(path, info.schema(), t)
+            new ManifestBatchWrite(path, info.schema(), t, pBy)
           // exactly-once STREAMING sink: each micro-batch commits as
           // one manifest version, idempotent by (queryId, epochId) —
           // the manifest records the last committed epoch per query,
@@ -141,15 +142,20 @@ private class ManifestTable(path: String, writeSchema: StructType)
               "ManifestSink streaming writes are append-only " +
                 "(outputMode complete/update with truncate is not supported)")
             new ManifestStreamingWrite(path, info.schema(),
-              info.queryId())
+              info.queryId(), pBy)
           }
         }
       }
     }
 }
 
-private case class ManifestCommit(file: String, rows: Long, checksum: Long,
-    cols: String = "", stats: String = "")
+/** One committed data file (a task may produce several under
+  * identity-partition fan-out). */
+private case class ManifestFileCommit(file: String, rows: Long,
+    checksum: Long, cols: String = "", stats: String = "",
+    pv: Option[Long] = None, pt: Option[String] = None)
+
+private case class ManifestCommit(files: Seq[ManifestFileCommit])
   extends WriterCommitMessage
 
 /** Streaming face of the sink: same commit protocol, plus the epoch
@@ -160,10 +166,11 @@ private case class ManifestCommit(file: String, rows: Long, checksum: Long,
   * that replay a no-op, which is the whole exactly-once contract for a
   * DSv2 streaming sink. */
 private class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String)
+    queryId: String, partitionBy: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
-  private val core = new ManifestBatchWrite(path, schema, truncate = false)
+  private val core =
+    new ManifestBatchWrite(path, schema, truncate = false, partitionBy)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -180,7 +187,7 @@ private class ManifestStreamingWrite(path: String, schema: StructType,
 }
 
 private class ManifestBatchWrite(path: String, schema: StructType,
-    truncate: Boolean)
+    truncate: Boolean, partitionBy: Option[String] = None)
   extends BatchWrite {
 
   // one temp namespace per write job: concurrent appends to the same
@@ -200,7 +207,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
     new Path(path).getFileSystem(hadoopConf.value)
 
   private[sources] def writerFactory: ManifestWriterFactory =
-    new ManifestWriterFactory(path, writeId, schema, hadoopConf)
+    new ManifestWriterFactory(path, writeId, schema, hadoopConf, partitionBy)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = writerFactory
@@ -325,7 +332,8 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           (dataEntries, dvEntries, ManifestRead.streamEpochs(txt))
         }
       val (prevData, prevDvs, prevEpochs) = previous
-      val commits = messages.map(_.asInstanceOf[ManifestCommit])
+      val commits =
+        messages.toSeq.flatMap(_.asInstanceOf[ManifestCommit].files)
       val tmpDir = new Path(dir, tmpDirName)
       // EPOCH GUARD (streaming exactly-once): an epoch at or below the
       // last committed one for this query is a checkpoint replay — the
@@ -345,7 +353,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       }
       val all = prevData ++ commits.map(c => ManifestEntry(c.file, c.rows,
         c.checksum, Option(c.cols).filter(_.nonEmpty),
-        Option(c.stats).filter(_.nonEmpty)))
+        Option(c.stats).filter(_.nonEmpty), c.pv, c.pt))
       val newEpochs = prevEpochs ++ epoch.map { case (qid, e) => qid -> e }
       val manifest = all.sortBy(_.file).map(ManifestRead.render)
         .mkString("[", ",", "]") + (
@@ -395,7 +403,8 @@ private class ManifestBatchWrite(path: String, schema: StructType,
 
 private[sources] class ManifestWriterFactory(path: String, writeId: String,
     schema: StructType,
-    hadoopConf: org.apache.spark.util.SerializableConfiguration)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration,
+    partitionBy: Option[String] = None)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -410,169 +419,205 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
   private def createWriter(partitionId: Int, taskId: Long,
       tmpDirName: String): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val name =
-        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv"
       // executors resolve the FS from the DRIVER's Hadoop conf (shipped
       // via SerializableConfiguration) so session-level spark.hadoop.*
       // settings — s3a credentials, endpoint overrides — apply here too
       private val fs = new Path(path).getFileSystem(hadoopConf.value)
       private val tmpDir = new Path(new Path(path), tmpDirName)
       fs.mkdirs(tmpDir)
-      private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-        fs.create(new Path(tmpDir, name), true), "UTF-8"))
-      private var rows = 0L
-      private var checksum = 0L
-      // per-column file statistics (the zone-map the reader prunes on):
-      // null counts for every column; min/max for NUMERIC columns only
-      // (strings: Java vs UTF8String ordering disagree on supplementary
-      // chars — the same reason string inequalities aren't pushed). A
-      // NaN poisons a double column's bounds: they are dropped, so the
-      // reader can never prune on a NaN-tainted range. Stats/cols are
-      // only recorded when every column name is a simple identifier
-      // (no quoting ambiguity in the manifest JSON).
-      private val safeNames =
-        schema.fieldNames.forall(_.matches("[A-Za-z0-9_]+"))
-      private val nNulls = new Array[Long](schema.length)
-      private val minL = Array.fill(schema.length)(Long.MaxValue)
-      private val maxL = Array.fill(schema.length)(Long.MinValue)
-      private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
-      private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
-      private val sawNum = new Array[Boolean](schema.length)
-      private val sawNaN = new Array[Boolean](schema.length)
-      // per-file BLOOM over each string column's raw values: prunes
-      // string EQUALITY at scan time, where min/max can't (collation)
-      private val blooms: Array[Array[Long]] = schema.fields.map {
-        case f if f.dataType == StringType =>
-          new Array[Long](ManifestBloom.Bits / 64)
-        case _ => null
+      // identity-partition FAN-OUT (sink option "partitionBy", a BIGINT
+      // column): each distinct partition value this task sees writes
+      // its own file, whose manifest entry records the value — the
+      // Iceberg fan-out writer. Rows with a NULL partition value fall
+      // into an un-keyed file (no pv recorded), which conservatively
+      // disables partition grouping for the whole table. Without the
+      // option there is exactly one (un-keyed) file per task. Files
+      // are created LAZILY on first row, so empty tasks commit nothing.
+      private val pIdx: Option[Int] = partitionBy.map { c =>
+        val i = schema.fieldIndex(c)
+        require(schema(i).dataType == LongType,
+          s"ManifestSink partitionBy column $c must be BIGINT, " +
+            s"got ${schema(i).dataType.simpleString}")
+        i
       }
-      private val sawStr = new Array[Boolean](schema.length)
-      // Iceberg-style truncated BINARY string bounds (UTF-8 byte
-      // prefixes, unsigned order = Spark's UTF8String order): sloB is
-      // an inclusive lower bound (truncation only lowers a value);
-      // shiB bounds the max — the value itself when it fits in T bytes
-      // (inclusive), else the byte-successor of its prefix (exclusive,
-      // shiX). A value whose prefix is all 0xFF has no successor: the
-      // file's upper bound is dropped (shiDead). Lets the reader prune
-      // string ranges and prefix probes where the Bloom (equality-only)
-      // can't.
-      private val sloB = new Array[Array[Byte]](schema.length)
-      private val shiB = new Array[Array[Byte]](schema.length)
-      private val shiX = new Array[Boolean](schema.length)
-      private val shiDead = new Array[Boolean](schema.length)
-
-      private def trackStrBounds(i: Int, v: String): Unit = {
-        import ManifestStrBounds._
-        val b = utf8(v)
-        val t = trunc(b)
-        if (sloB(i) == null || cmpB(t, sloB(i)) < 0) sloB(i) = t
-        if (!shiDead(i)) {
-          val (u, ex) =
-            if (b.length <= T) (b, false)
-            else succ(t) match {
-              case Some(s) => (s, true)
-              case None => shiDead(i) = true; (null, false)
-            }
-          if (!shiDead(i)) {
-            if (shiB(i) == null) { shiB(i) = u; shiX(i) = ex }
-            else {
-              val c = cmpB(u, shiB(i))
-              if (c > 0) { shiB(i) = u; shiX(i) = ex }
-              // on a tie, inclusive wins: an attained value == bound
-              // means the reader must NOT prune `>= bound`
-              else if (c == 0 && !ex) shiX(i) = false
-            }
-          }
-        }
-      }
+      private val parts = scala.collection.mutable.LinkedHashMap
+        .empty[Option[Long], ManifestFileWriter]
 
       override def write(r: InternalRow): Unit = {
-        val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-          if (r.isNullAt(i)) { nNulls(i) += 1; "" }
-          else f.dataType match {
-            case LongType =>
-              val v = r.getLong(i)
-              if (v < minL(i)) minL(i) = v
-              if (v > maxL(i)) maxL(i) = v
-              sawNum(i) = true
-              v.toString
-            case IntegerType =>
-              val v = r.getInt(i).toLong
-              if (v < minL(i)) minL(i) = v
-              if (v > maxL(i)) maxL(i) = v
-              sawNum(i) = true
-              v.toString
-            case StringType =>
-              val v = r.getUTF8String(i).toString
-              ManifestBloom.add(blooms(i), v)
-              trackStrBounds(i, v)
-              sawStr(i) = true
-              ManifestSink.csvField(v)
-            case DoubleType =>
-              val v = r.getDouble(i)
-              if (v.isNaN) sawNaN(i) = true
-              else {
-                // Spark's nanSafeCompareDoubles treats -0.0 == 0.0; the
-                // pruner compares with the same semantics, so bounds must
-                // be recorded under it too — otherwise a file holding both
-                // ±0.0 could record min=0.0 and a pushed `d < 0.0` probe
-                // would prune a row the scan should emit. Normalizing the
-                // *bound* (not the stored value) keeps primitive </> and
-                // Double.compare in agreement for every non-NaN double.
-                val b = if (v == 0.0d) 0.0d else v
-                if (b < minD(i)) minD(i) = b
-                if (b > maxD(i)) maxD(i) = b
-                sawNum(i) = true
-              }
-              v.toString
-            case dt => ManifestSink.csvField(r.get(i, dt).toString)
-          }
-        }
-        // order-independent file checksum: sum of per-row line hashes
-        val line = vals.mkString(",")
-        checksum += line.hashCode.toLong
-        rows += 1
-        out.print(line)
-        out.print('\n')
+        val pv = pIdx.flatMap(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i)))
+        parts.getOrElseUpdate(pv, new ManifestFileWriter(
+          fs, tmpDir,
+          f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv",
+          schema, pv, if (pv.isDefined) partitionBy else None))
+          .write(r)
       }
 
-      override def commit(): WriterCommitMessage = {
-        out.close()
-        if (!safeNames) return ManifestCommit(name, rows, checksum)
-        val stats = schema.fields.zipWithIndex.map { case (f, i) =>
-          val bounds =
-            if (sawNaN(i) || !sawNum(i)) ""
-            else f.dataType match {
-              case LongType | IntegerType =>
-                s""","min":${minL(i)},"max":${maxL(i)}"""
-              case DoubleType =>
-                s""","min":${minD(i)},"max":${maxD(i)}"""
-              case _ => ""
-            }
-          val strBounds =
-            if (sawStr(i) && sloB(i) != null) {
-              val lo = s""","slo":"${ManifestStrBounds.b64(sloB(i))}""""
-              val hi =
-                if (shiB(i) != null && !shiDead(i))
-                  s""","shi":"${ManifestStrBounds.b64(shiB(i))}","shix":${shiX(i)}"""
-                else ""
-              lo + hi
-            } else ""
-          val bloom =
-            if (blooms(i) != null && sawStr(i))
-              s""","bloom":"${ManifestBloom.encode(blooms(i))}""""
-            else ""
-          s""""${f.name}":{"nulls":${nNulls(i)}$bounds$strBounds$bloom}"""
-        }.mkString("{", ",", "}")
-        ManifestCommit(name, rows, checksum,
-          schema.fieldNames.mkString(","), stats)
-      }
+      override def commit(): WriterCommitMessage =
+        ManifestCommit(parts.values.map(_.finish()).toSeq)
 
-      override def abort(): Unit = {
-        out.close()
-        fs.delete(new Path(tmpDir, name), false)
-      }
+      override def abort(): Unit = parts.values.foreach(_.abort())
 
-      override def close(): Unit = out.close()
+      override def close(): Unit = parts.values.foreach(_.close())
     }
+}
+
+/** Per-file writer state: the CSV stream plus the statistics the
+  * reader prunes on — null counts for every column, min/max for
+  * NUMERIC columns, truncated UTF-8 byte bounds + a Bloom for STRING
+  * columns. A NaN poisons a double column's bounds (dropped, so the
+  * reader can never prune on a NaN-tainted range). Stats/cols are only
+  * recorded when every column name is a simple identifier (no quoting
+  * ambiguity in the manifest JSON). */
+private class ManifestFileWriter(
+    fs: FileSystem, tmpDir: Path, name: String, schema: StructType,
+    pv: Option[Long], pt: Option[String]) {
+  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    fs.create(new Path(tmpDir, name), true), "UTF-8"))
+  private var rows = 0L
+  private var checksum = 0L
+  private val safeNames =
+    schema.fieldNames.forall(_.matches("[A-Za-z0-9_]+"))
+  private val nNulls = new Array[Long](schema.length)
+  private val minL = Array.fill(schema.length)(Long.MaxValue)
+  private val maxL = Array.fill(schema.length)(Long.MinValue)
+  private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
+  private val sawNum = new Array[Boolean](schema.length)
+  private val sawNaN = new Array[Boolean](schema.length)
+  // per-file BLOOM over each string column's raw values: prunes
+  // string EQUALITY at scan time, where min/max can't (collation)
+  private val blooms: Array[Array[Long]] = schema.fields.map {
+    case f if f.dataType == StringType =>
+      new Array[Long](ManifestBloom.Bits / 64)
+    case _ => null
+  }
+  private val sawStr = new Array[Boolean](schema.length)
+  // Iceberg-style truncated BINARY string bounds (UTF-8 byte
+  // prefixes, unsigned order = Spark's UTF8String order): sloB is
+  // an inclusive lower bound (truncation only lowers a value);
+  // shiB bounds the max — the value itself when it fits in T bytes
+  // (inclusive), else the byte-successor of its prefix (exclusive,
+  // shiX). A value whose prefix is all 0xFF has no successor: the
+  // file's upper bound is dropped (shiDead). Lets the reader prune
+  // string ranges and prefix probes where the Bloom (equality-only)
+  // can't.
+  private val sloB = new Array[Array[Byte]](schema.length)
+  private val shiB = new Array[Array[Byte]](schema.length)
+  private val shiX = new Array[Boolean](schema.length)
+  private val shiDead = new Array[Boolean](schema.length)
+
+  private def trackStrBounds(i: Int, v: String): Unit = {
+    import ManifestStrBounds._
+    val b = utf8(v)
+    val t = trunc(b)
+    if (sloB(i) == null || cmpB(t, sloB(i)) < 0) sloB(i) = t
+    if (!shiDead(i)) {
+      val (u, ex) =
+        if (b.length <= T) (b, false)
+        else succ(t) match {
+          case Some(s) => (s, true)
+          case None => shiDead(i) = true; (null, false)
+        }
+      if (!shiDead(i)) {
+        if (shiB(i) == null) { shiB(i) = u; shiX(i) = ex }
+        else {
+          val c = cmpB(u, shiB(i))
+          if (c > 0) { shiB(i) = u; shiX(i) = ex }
+          // on a tie, inclusive wins: an attained value == bound
+          // means the reader must NOT prune `>= bound`
+          else if (c == 0 && !ex) shiX(i) = false
+        }
+      }
+    }
+  }
+
+  def write(r: InternalRow): Unit = {
+    val vals = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (r.isNullAt(i)) { nNulls(i) += 1; "" }
+      else f.dataType match {
+        case LongType =>
+          val v = r.getLong(i)
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sawNum(i) = true
+          v.toString
+        case IntegerType =>
+          val v = r.getInt(i).toLong
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sawNum(i) = true
+          v.toString
+        case StringType =>
+          val v = r.getUTF8String(i).toString
+          ManifestBloom.add(blooms(i), v)
+          trackStrBounds(i, v)
+          sawStr(i) = true
+          ManifestSink.csvField(v)
+        case DoubleType =>
+          val v = r.getDouble(i)
+          if (v.isNaN) sawNaN(i) = true
+          else {
+            // Spark's nanSafeCompareDoubles treats -0.0 == 0.0; the
+            // pruner compares with the same semantics, so bounds must
+            // be recorded under it too — otherwise a file holding both
+            // ±0.0 could record min=0.0 and a pushed `d < 0.0` probe
+            // would prune a row the scan should emit. Normalizing the
+            // *bound* (not the stored value) keeps primitive </> and
+            // Double.compare in agreement for every non-NaN double.
+            val b = if (v == 0.0d) 0.0d else v
+            if (b < minD(i)) minD(i) = b
+            if (b > maxD(i)) maxD(i) = b
+            sawNum(i) = true
+          }
+          v.toString
+        case dt => ManifestSink.csvField(r.get(i, dt).toString)
+      }
+    }
+    // order-independent file checksum: sum of per-row line hashes
+    val line = vals.mkString(",")
+    checksum += line.hashCode.toLong
+    rows += 1
+    out.print(line)
+    out.print('\n')
+  }
+
+  def finish(): ManifestFileCommit = {
+    out.close()
+    if (!safeNames) return ManifestFileCommit(name, rows, checksum)
+    val stats = schema.fields.zipWithIndex.map { case (f, i) =>
+      val bounds =
+        if (sawNaN(i) || !sawNum(i)) ""
+        else f.dataType match {
+          case LongType | IntegerType =>
+            s""","min":${minL(i)},"max":${maxL(i)}"""
+          case DoubleType =>
+            s""","min":${minD(i)},"max":${maxD(i)}"""
+          case _ => ""
+        }
+      val strBounds =
+        if (sawStr(i) && sloB(i) != null) {
+          val lo = s""","slo":"${ManifestStrBounds.b64(sloB(i))}""""
+          val hi =
+            if (shiB(i) != null && !shiDead(i))
+              s""","shi":"${ManifestStrBounds.b64(shiB(i))}","shix":${shiX(i)}"""
+            else ""
+          lo + hi
+        } else ""
+      val bloom =
+        if (blooms(i) != null && sawStr(i))
+          s""","bloom":"${ManifestBloom.encode(blooms(i))}""""
+        else ""
+      s""""${f.name}":{"nulls":${nNulls(i)}$bounds$strBounds$bloom}"""
+    }.mkString("{", ",", "}")
+    ManifestFileCommit(name, rows, checksum,
+      schema.fieldNames.mkString(","), stats, pv, pt)
+  }
+
+  def abort(): Unit = {
+    out.close()
+    fs.delete(new Path(tmpDir, name), false)
+  }
+
+  def close(): Unit = out.close()
 }

@@ -339,13 +339,62 @@ private class ManifestScan(
     metaCols: Seq[String] = Nil,
     groups: Option[Seq[Seq[String]]] = None,
     skipDvs: Boolean = false)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = StructType(
     required.fields ++ ManifestMeta.fields.filter(f => metaCols.contains(f.name)))
   override def toBatch: Batch = this
   override def description(): String =
     s"ManifestScan PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().catalogString}"
+
+  /** Entries of the target snapshot surviving the pushed-filter zone
+    * maps, plus the raw candidate count (for the skip metrics). */
+  private def keptEntries(): (Seq[ManifestEntry], Int) = {
+    val manifestName =
+      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
+    val allEntries = ManifestRead.entries(path, manifestName)
+    (allEntries.filter(e =>
+      filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
+      allEntries.length)
+  }
+
+  /** IDENTITY-PARTITIONED layout (sink option "partitionBy"): when
+    * every kept entry carries the same partition column, the scan
+    * plans ONE input partition per distinct value and reports the
+    * clustering as `KeyGroupedPartitioning(identity(col))` — the
+    * storage-partitioned-join contract (q305's KeyedSource API, on the
+    * real connector): two such tables join on the partition column
+    * with ZERO exchanges. Sorted by value so the plan is
+    * deterministic. None when any entry is un-keyed (a NULL-partition
+    * file, a pre-partitioning manifest) or keyed differently. */
+  private lazy val keyedLayout: Option[(String, Seq[(Long, Seq[ManifestEntry])])] = {
+    if (groups.isDefined) None
+    else {
+      val (entries, _) = keptEntries()
+      val pts = entries.map(_.pt).distinct
+      if (entries.isEmpty || pts.length != 1 || pts.head.isEmpty ||
+        entries.exists(_.pv.isEmpty)) None
+      else {
+        val ptCol = pts.head.get
+        val ok = fullSchema.fieldNames.contains(ptCol) &&
+          fullSchema(fullSchema.fieldIndex(ptCol)).dataType == LongType
+        if (!ok) None
+        else Some((ptCol, entries.groupBy(_.pv.get).toSeq.sortBy(_._1)))
+      }
+    }
+  }
+
+  override def outputPartitioning()
+    : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedLayout match {
+      case Some((ptCol, gs)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(ptCol)), gs.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val manifestName =
@@ -385,6 +434,17 @@ private class ManifestScan(
     ManifestScanMetrics.lastCandidateFiles.set(allEntries.length)
     ManifestScanMetrics.lastSkippedFiles.set(allEntries.length - entries.length)
     ManifestScanMetrics.lastAggFromStats.set(false)
+    // identity-partitioned: one partition per distinct value, whole
+    // files (partition grouping trades byte-range split granularity
+    // for zero-exchange joins — the same trade Spark bucketed tables
+    // make), each exposing its value via HasPartitionKey
+    keyedLayout.foreach { case (_, gs) =>
+      return gs.map { case (pv, es) =>
+        ManifestKeyedPartition(path,
+          es.sortBy(_.file).map(e => (e.file, e.rows, e.cols)),
+          dvFiles, pv): InputPartition
+      }.toArray
+    }
     entries
       .flatMap { e =>
       val (name, rows) = (e.file, e.rows)
@@ -443,7 +503,12 @@ private class ManifestScan(
   */
 private[sources] case class ManifestEntry(
     file: String, rows: Long, checksum: Long,
-    cols: Option[String] = None, stats: Option[String] = None) {
+    cols: Option[String] = None, stats: Option[String] = None,
+    // identity-partition metadata (sink option "partitionBy"): the
+    // single value of the partition column every row of this file
+    // carries (pv) and that column's name (pt). Powers partition-
+    // grouped scans + storage-partitioned joins (q428).
+    pv: Option[Long] = None, pt: Option[String] = None) {
   def colNames: Option[Seq[String]] = cols.map(_.split(',').toSeq)
 }
 
@@ -576,21 +641,24 @@ private[graft] object ManifestBloom {
 private[graft] object ManifestRead {
   private val entryRe =
     ("""\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)""" +
+      """(?:,"pv":(-?\d+),"pt":"([^"]*)")?""" +
       """(?:,"cols":"([^"]*)")?""" +
       """(?:,"stats":(\{(?:[^{}]|\{[^{}]*\})*\}))?\}""").r
 
-  /** Parse every data-file entry (with optional cols/stats) of one
-    * manifest body. */
+  /** Parse every data-file entry (with optional pv/pt/cols/stats) of
+    * one manifest body. */
   def entriesOfText(txt: String): Seq[ManifestEntry] =
     entryRe.findAllMatchIn(txt).map { m =>
       ManifestEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        Option(m.group(4)).filter(_.nonEmpty), Option(m.group(5)))
+        Option(m.group(6)).filter(_.nonEmpty), Option(m.group(7)),
+        Option(m.group(4)).map(_.toLong), Option(m.group(5)))
     }.toSeq
 
   /** Render one entry back to its manifest JSON form (inverse of
-    * [[entriesOfText]] — carry-forward must preserve cols/stats). */
+    * [[entriesOfText]] — carry-forward must preserve pv/pt/cols/stats). */
   def render(e: ManifestEntry): String =
     s"""{"file":"${e.file}","rows":${e.rows},"checksum":${e.checksum}""" +
+      (for (v <- e.pv; t <- e.pt) yield s""","pv":$v,"pt":"$t"""").getOrElse("") +
       e.cols.map(c => s""","cols":"$c"""").getOrElse("") +
       e.stats.map(st => s""","stats":$st""").getOrElse("") + "}"
 
@@ -806,6 +874,18 @@ private case class ManifestGroupPartition(
     dvFiles: Seq[String] = Nil)
   extends InputPartition
 
+/** All files of one identity-partition value, read by one task and
+  * EXPOSING the value — the storage-partitioned-join split (pairs up
+  * with the other side's equal-keyed split, no exchange). */
+private case class ManifestKeyedPartition(
+    tableDir: String, files: Seq[(String, Long, Option[String])],
+    dvFiles: Seq[String], pv: Long)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(pv)
+}
+
 /** Last batch scan's file-skipping tally (spec observability; the
   * honest runtime observable is the planned partition count itself). */
 private[graft] object ManifestScanMetrics {
@@ -986,6 +1066,8 @@ private class ManifestReaderFactory(
         override def get(): InternalRow = cur.get()
         override def close(): Unit = if (cur != null) cur.close()
       }
+    case k: ManifestKeyedPartition =>
+      createReader(ManifestGroupPartition(k.tableDir, k.files, k.dvFiles))
     case part: ManifestFilePartition => createFileReader(part)
   }
 
