@@ -39,13 +39,22 @@ object GraphOps {
     * the projection (size guard; see scaladoc). */
   private[operators] val PartCap = 50
 
-  /** Shared oracle prelude: canonical (u < v) co-supply edge list. */
+  /** Shared oracle prelude: canonical (u < v) co-supply edge list.
+    * MATERIALIZED: every consumer references `e` (and its feeders)
+    * several times per unrolled round — without the keyword DuckDB
+    * inlines the CTEs and recomputes the projection join per
+    * reference, which is what spilled >75 GB at the 100x sweep. One
+    * materialization makes each oracle round linear, like the Spark
+    * side's localCheckpoint. */
   private[operators] def edgeCte: String =
-    s"""ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-       |ok AS (SELECT p FROM ps GROUP BY p HAVING count(*) <= $PartCap),
-       |e AS (SELECT DISTINCT a.s AS u, b.s AS v
-       |      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-       |      JOIN ok ON ok.p = a.p)""".stripMargin
+    s"""ps AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+       |ok AS MATERIALIZED (
+       |  SELECT p FROM ps GROUP BY p HAVING count(*) <= $PartCap),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+       |  JOIN ok ON ok.p = a.p)""".stripMargin
 
   /** Canonical (u < v) co-supply edges as a DataFrame. */
   private[operators] def edges(s: SparkSession, dir: String): DataFrame = {
@@ -67,12 +76,20 @@ object GraphOps {
   private val q209 = Q(
     "q209_triangle_count",
     s"""WITH $edgeCte,
-       |deg AS (SELECT s, count(*) AS d
-       |        FROM (SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e)
-       |        GROUP BY s),
-       |tri AS (SELECT count(*) AS nt
-       |        FROM e e1 JOIN e e2 ON e2.u = e1.v
-       |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |deg AS MATERIALIZED (
+       |  SELECT s, count(*) AS d
+       |  FROM (SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e)
+       |  GROUP BY s),
+       |dir1 AS MATERIALIZED (
+       |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+       |    CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+       |  FROM e JOIN deg du ON du.s = e.u JOIN deg dv ON dv.s = e.v),
+       |adj AS MATERIALIZED (
+       |  SELECT src, list(dst ORDER BY dst) AS nbrs FROM dir1 GROUP BY src),
+       |tri AS (
+       |  SELECT COALESCE(sum(len(list_intersect(a1.nbrs, a2.nbrs))), 0) AS nt
+       |  FROM dir1 JOIN adj a1 ON a1.src = dir1.src
+       |  JOIN adj a2 ON a2.src = dir1.dst)
        |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
        |  CAST((SELECT nt FROM tri) AS BIGINT) AS n_triangles,
@@ -140,19 +157,20 @@ object GraphOps {
   private val q212 = Q(
     "q212_label_propagation",
     s"""WITH $edgeCte,
-       |bi AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
-       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM bi),
-       |l1 AS (SELECT node, lab FROM (
+       |bi AS MATERIALIZED (
+       |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM bi),
+       |l1 AS MATERIALIZED (SELECT node, lab FROM (
        |  SELECT bi.a AS node, l.lab AS lab,
        |    row_number() OVER (PARTITION BY bi.a
        |      ORDER BY count(*) DESC, l.lab) AS rn
        |  FROM bi JOIN l0 l ON l.node = bi.b GROUP BY bi.a, l.lab) WHERE rn = 1),
-       |l2 AS (SELECT node, lab FROM (
+       |l2 AS MATERIALIZED (SELECT node, lab FROM (
        |  SELECT bi.a AS node, l.lab AS lab,
        |    row_number() OVER (PARTITION BY bi.a
        |      ORDER BY count(*) DESC, l.lab) AS rn
        |  FROM bi JOIN l1 l ON l.node = bi.b GROUP BY bi.a, l.lab) WHERE rn = 1),
-       |l3 AS (SELECT node, lab FROM (
+       |l3 AS MATERIALIZED (SELECT node, lab FROM (
        |  SELECT bi.a AS node, l.lab AS lab,
        |    row_number() OVER (PARTITION BY bi.a
        |      ORDER BY count(*) DESC, l.lab) AS rn

@@ -39,15 +39,16 @@ object GraphOps2 {
   private val q242 = Q(
     "q242_khop_reachability",
     s"""WITH ${GraphOps.edgeCte},
-       |bi AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
-       |verts AS (SELECT DISTINCT a AS node FROM bi),
-       |h0 AS (SELECT node FROM verts WHERE node % $SeedMod = 0),
-       |h1 AS (SELECT DISTINCT bi.b AS node FROM bi JOIN h0 ON h0.node = bi.a
+       |bi AS MATERIALIZED (
+       |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+       |verts AS MATERIALIZED (SELECT DISTINCT a AS node FROM bi),
+       |h0 AS MATERIALIZED (SELECT node FROM verts WHERE node % $SeedMod = 0),
+       |h1 AS MATERIALIZED (SELECT DISTINCT bi.b AS node FROM bi JOIN h0 ON h0.node = bi.a
        |       WHERE bi.b NOT IN (SELECT node FROM h0)),
-       |h2 AS (SELECT DISTINCT bi.b AS node FROM bi JOIN h1 ON h1.node = bi.a
+       |h2 AS MATERIALIZED (SELECT DISTINCT bi.b AS node FROM bi JOIN h1 ON h1.node = bi.a
        |       WHERE bi.b NOT IN (SELECT node FROM h0)
        |         AND bi.b NOT IN (SELECT node FROM h1)),
-       |h3 AS (SELECT DISTINCT bi.b AS node FROM bi JOIN h2 ON h2.node = bi.a
+       |h3 AS MATERIALIZED (SELECT DISTINCT bi.b AS node FROM bi JOIN h2 ON h2.node = bi.a
        |       WHERE bi.b NOT IN (SELECT node FROM h0)
        |         AND bi.b NOT IN (SELECT node FROM h1)
        |         AND bi.b NOT IN (SELECT node FROM h2)),
@@ -90,17 +91,17 @@ object GraphOps2 {
   private val q243 = Q(
     "q243_kcore_peel",
     s"""WITH ${GraphOps.edgeCte},
-       |d1 AS (SELECT s FROM (SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e)
+       |d1 AS MATERIALIZED (SELECT s FROM (SELECT u AS s FROM e UNION ALL SELECT v AS s FROM e)
        |       GROUP BY s HAVING count(*) >= $CoreK),
-       |e1 AS (SELECT u, v FROM e
+       |e1 AS MATERIALIZED (SELECT u, v FROM e
        |       WHERE u IN (SELECT s FROM d1) AND v IN (SELECT s FROM d1)),
-       |d2 AS (SELECT s FROM (SELECT u AS s FROM e1 UNION ALL SELECT v AS s FROM e1)
+       |d2 AS MATERIALIZED (SELECT s FROM (SELECT u AS s FROM e1 UNION ALL SELECT v AS s FROM e1)
        |       GROUP BY s HAVING count(*) >= $CoreK),
-       |e2 AS (SELECT u, v FROM e1
+       |e2 AS MATERIALIZED (SELECT u, v FROM e1
        |       WHERE u IN (SELECT s FROM d2) AND v IN (SELECT s FROM d2)),
-       |d3 AS (SELECT s FROM (SELECT u AS s FROM e2 UNION ALL SELECT v AS s FROM e2)
+       |d3 AS MATERIALIZED (SELECT s FROM (SELECT u AS s FROM e2 UNION ALL SELECT v AS s FROM e2)
        |       GROUP BY s HAVING count(*) >= $CoreK),
-       |e3 AS (SELECT u, v FROM e2
+       |e3 AS MATERIALIZED (SELECT u, v FROM e2
        |       WHERE u IN (SELECT s FROM d3) AND v IN (SELECT s FROM d3))
        |SELECT CAST((SELECT count(*) FROM d3) AS BIGINT) AS n_nodes,
        |  CAST((SELECT count(*) FROM e3) AS BIGINT) AS n_edges,
