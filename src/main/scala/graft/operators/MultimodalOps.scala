@@ -786,6 +786,76 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  case class JpegRt(doc_id: Long, w: Int, h: Int, n_px: Int,
+      quarantined: Int, sum_px: Long, min_px: Int, max_px: Int)
+
+  /** q429: REAL JPEG pixel codec round trip — the baseline-sequential
+    * encoder+decoder in [[graft.functions.MediaCodecs]] (standard
+    * Annex-K quantization + Huffman tables, FDCT/IDCT, byte stuffing,
+    * restart handling), closing the last container-only modality (q51
+    * parsed JFIF markers; this decodes PIXELS, ImageIO-cross-checked
+    * both directions by JpegCodecSpec). Per document a 32x24 image of
+    * FLAT 8x8 blocks with even offsets from 128 — the one image family
+    * a quality-50 JPEG reproduces EXACTLY (a flat block quantizes to a
+    * lone even DC coefficient; DC step 16 halves it without rounding),
+    * so the oracle replays the decoded stats from the generation
+    * formula and any codec byte error diverges the hash. Every 10th
+    * document's stream is truncated mid-tables: the decoder must
+    * QUARANTINE it (fail loudly, caught per row), never emit garbage
+    * pixels. Per-row codegen-adjacent work, no shuffle — the q387
+    * scale shape. */
+  private val q429 = Q(
+    "q429_jpeg_pixel_roundtrip",
+    """WITH d AS (
+      |  SELECT doc_id, abs(doc_id) % 1000003 AS dd FROM documents),
+      |bl AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12),
+      |      b -> 128 + 2 * (((dd * 31 + b * 7) % 51) - 25)) AS bv
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 32 END AS INT) AS w,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 24 END AS INT) AS h,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 768 END AS INT) AS n_px,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INT)
+      |    AS quarantined,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0
+      |       ELSE 64 * list_sum(bv) END AS BIGINT) AS sum_px,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0
+      |       ELSE list_min(bv) END AS INT) AS min_px,
+      |  CAST(CASE WHEN doc_id % 10 = 0 THEN 0
+      |       ELSE list_max(bv) END AS INT) AS max_px
+      |FROM bl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dd = math.abs(id) % 1000003
+        val w = 32; val h = 24
+        val px = Array.tabulate(w * h) { i =>
+          val b = ((i / w) / 8) * 4 + (i % w) / 8
+          (128 + 2 * (((dd * 31 + b * 7) % 51) - 25)).toByte
+        }
+        val jpg = graft.functions.MediaCodecs.encodeJpegGray(w, h, px)
+        val bytes = if (id % 10 == 0) jpg.take(jpg.length / 2) else jpg
+        try {
+          val (dw, dh, dec) = graft.functions.MediaCodecs.decodeJpegGray(bytes)
+          var sum = 0L; var mn = 255; var mx = 0
+          var i = 0
+          while (i < dec.length) {
+            val v = dec(i) & 0xff
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          JpegRt(id, dw, dh, dec.length, 0, sum, mn, mx)
+        } catch {
+          case _: Exception => JpegRt(id, 0, 0, 0, 1, 0L, 0, 0)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] =
-    Seq(q50, q51, q119, q120, q154, q258, q387, q394, q395, q396)
+    Seq(q50, q51, q119, q120, q154, q258, q387, q394, q395, q396, q429)
 }
