@@ -1018,6 +1018,71 @@ object LakehouseOps {
       .orderBy("which", "b")
   }
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428)
+  // ------------- q430: the connector's SQL front door (TableCatalog)
+
+  /** q430: the whole lakehouse loop as PURE SQL through a Spark
+    * `TableCatalog` ([[graft.sources.ManifestCatalog]], registered at
+    * runtime — catalog confs are lazy): CREATE TABLE, two INSERT INTO
+    * commits, a merge-on-read DELETE (positional delete vectors via
+    * `SupportsDelete`, no file rewritten), a current read, and a
+    * NATIVE `VERSION AS OF` read resolved by Spark's own
+    * `loadTable(ident, version)` hook — no parser shim anywhere
+    * (contrast q425, the path-registry route). The oracle replays
+    * every snapshot from the source table. */
+  private val q430 = Q(
+    "q430_sql_catalog_dml",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |v1 AS (SELECT * FROM n WHERE k % 2 = 0),
+      |v2 AS (SELECT * FROM n),
+      |cur AS (SELECT * FROM v2 WHERE NOT k < 5)
+      |SELECT 'a_v1' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k, max(name) AS max_name
+      |FROM v1
+      |UNION ALL
+      |SELECT 'b_v2', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT), max(name) FROM v2
+      |UNION ALL
+      |SELECT 'c_post_delete', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT), max(name) FROM cur
+      |UNION ALL
+      |SELECT 'd_v1_after_delete', CAST(count(*) AS BIGINT),
+      |  CAST(COALESCE(sum(k), 0) AS BIGINT), max(name) FROM v1
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q430_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_mf_$h" // per-dir name: catalog instances cache by name
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val t = s"$cat.db.nat"
+    s.sql(s"CREATE TABLE $t (k BIGINT, name STRING)")
+    s.sql(s"""INSERT INTO $t
+             |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
+             |WHERE n_nationkey IS NOT NULL AND n_nationkey % 2 = 0""".stripMargin)
+    s.sql(s"""INSERT INTO $t
+             |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
+             |WHERE n_nationkey IS NOT NULL AND n_nationkey % 2 = 1""".stripMargin)
+    s.sql(s"DELETE FROM $t WHERE k < 5")
+    def agg(label: String, from: String) = s.sql(
+      s"""SELECT '$label' AS which, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(sum(k), 0) AS BIGINT) AS sum_k,
+         |  max(name) AS max_name FROM $from""".stripMargin)
+    agg("a_v1", s"$t VERSION AS OF 1")
+      .unionByName(agg("b_v2", s"$t VERSION AS OF 2"))
+      .unionByName(agg("c_post_delete", t))
+      // snapshot isolation: v1 is untouched by the later delete
+      .unionByName(agg("d_v1_after_delete", s"$t VERSION AS OF 1"))
+      .orderBy("which")
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430)
 
 }

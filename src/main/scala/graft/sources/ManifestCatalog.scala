@@ -1,0 +1,240 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over manifest tables — the connector's SQL
+  * front door. Registered at runtime (catalog confs are lazy):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.mf", "graft.sources.ManifestCatalog")
+  * spark.conf.set("spark.sql.catalog.mf.base", "/data/tables")
+  * spark.sql("CREATE TABLE mf.db.t (k BIGINT, name STRING)")
+  * spark.sql("INSERT INTO mf.db.t SELECT ...")
+  * spark.sql("DELETE FROM mf.db.t WHERE k < 5")     // merge-on-read dvs
+  * spark.sql("SELECT * FROM mf.db.t VERSION AS OF 1")  // native time travel
+  * }}}
+  *
+  * Identifiers map to directories under `base`; the table schema is
+  * persisted as `_schema.ddl` inside the table dir (the manifest
+  * format itself is schema-on-read — the catalog is the component
+  * whose JOB is remembering the schema). Time travel resolves through
+  * Spark's own `loadTable(ident, version|timestamp)` hooks — no parser
+  * involvement (contrast [[ManifestTables]], the registry route for
+  * path-addressed tables). DELETE is the connector's merge-on-read
+  * verb ([[ManifestMaintenance.delete]]): positional delete vectors,
+  * no file rewritten. All driver-side metadata — the catalog holds a
+  * base path and per-table DDL strings, nothing data-sized.
+  */
+class ManifestCatalog extends TableCatalog {
+  private var catName: String = _
+  private var base: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    base = Option(options.get("base")).getOrElse(
+      throw new IllegalArgumentException(
+        s"ManifestCatalog $name requires option 'base' (spark.sql.catalog.$name.base)"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dirOf(ident: Identifier): String =
+    (base +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+
+  private def schemaFile(dir: String) = new Path(dir, "_schema.ddl")
+
+  private def readDdl(dir: String): Option[String] = {
+    val p = schemaFile(dir)
+    val f = fs(p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        Some(buf.toString("UTF-8"))
+      } finally in.close()
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = new Path((base +: namespace.toSeq).mkString("/"))
+    val f = fs(nsDir)
+    if (!f.exists(nsDir)) Array.empty
+    else f.listStatus(nsDir).filter(_.isDirectory)
+      .filter(st => f.exists(new Path(st.getPath, "_schema.ddl")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readDdl(dirOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF n` — Spark's native time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF ts` (micros) — the last snapshot published at or
+    * before the instant (commit mtimes; see ManifestTables). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val v = ManifestTables.versionAtTimestamp(dirOf(ident), timestamp)
+    if (v <= 0) throw new NoSuchTableException(
+      Seq(catName) ++ ident.namespace() :+ ident.name())
+    load(ident, Some(v))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = dirOf(ident)
+    val ddl = readDdl(dir).getOrElse(
+      throw new NoSuchTableException(
+        Seq(catName) ++ ident.namespace() :+ ident.name()))
+    new ManifestCatalogTable(dir, StructType.fromDDL(ddl), version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "ManifestCatalog: PARTITIONED BY is not supported in CREATE TABLE — " +
+        "write with the sink option partitionBy instead")
+    val dir = dirOf(ident)
+    val p = schemaFile(dir)
+    val f = fs(p)
+    if (f.exists(p))
+      throw new TableAlreadyExistsException(
+        Seq(catName) ++ ident.namespace() :+ ident.name())
+    f.mkdirs(new Path(dir))
+    val out = f.create(p, false)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    new ManifestCatalogTable(dir, schema, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ManifestCatalog: ALTER TABLE is not supported (schema evolution is " +
+        "by-name at read time; write evolved data through the sink)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = new Path(dirOf(ident))
+    val f = fs(dir)
+    if (!f.exists(schemaFile(dirOf(ident)))) false
+    else f.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "ManifestCatalog: RENAME TABLE is not supported")
+}
+
+/** Catalog-resolved manifest table: read + write + merge-on-read
+  * DELETE in one `Table`, delegating to the same scan/write/maintenance
+  * machinery the path-addressed API uses. */
+private class ManifestCatalogTable(
+    dir: String, tableSchema: StructType, version: Option[Long])
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with SupportsDelete {
+
+  override def name(): String =
+    s"manifest_catalog($dir${version.map(v => s"@v$v").getOrElse("")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestReadTable(dir, version, tableSchema).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      "ManifestCatalog: cannot write to a time-travel snapshot")
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
+      override def build(): Write = {
+        val t = doTruncate
+        val pBy = Option(info.options.get("partitionBy")).filter(_.nonEmpty)
+        new Write {
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new ManifestBatchWrite(dir, info.schema(), t, pBy)
+          override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (t) throw new UnsupportedOperationException(
+              "ManifestCatalog streaming writes are append-only")
+            new ManifestStreamingWrite(dir, info.schema(), info.queryId(), pBy)
+          }
+        }
+      }
+    }
+  }
+
+  /** V1-filter predicate translation for `DELETE FROM … WHERE …`:
+    * exactly the comparisons the connector can evaluate; anything
+    * else makes canDeleteWhere return false and Spark reports the
+    * delete as unsupported instead of silently mis-deleting. */
+  private def toSql(f: Filter): Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String =>
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Double | _: java.lang.Float | _: java.lang.Boolean =>
+        Some(v.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case _ => None
+    }
+    def col(a: String): Option[String] =
+      if (a.matches("[A-Za-z0-9_]+")) Some(s"`$a`") else None
+    f match {
+      case EqualTo(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c = $l"
+      case GreaterThan(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c > $l"
+      case GreaterThanOrEqual(a, v) =>
+        for (c <- col(a); l <- lit(v)) yield s"$c >= $l"
+      case LessThan(a, v) => for (c <- col(a); l <- lit(v)) yield s"$c < $l"
+      case LessThanOrEqual(a, v) =>
+        for (c <- col(a); l <- lit(v)) yield s"$c <= $l"
+      case IsNull(a) => col(a).map(c => s"$c IS NULL")
+      case IsNotNull(a) => col(a).map(c => s"$c IS NOT NULL")
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.exists(_.isEmpty)) None
+        else col(a).map(c => s"$c IN (${ls.flatten.mkString(", ")})")
+      case And(l, r) => for (a <- toSql(l); b <- toSql(r)) yield s"($a AND $b)"
+      case Or(l, r) => for (a <- toSql(l); b <- toSql(r)) yield s"($a OR $b)"
+      case Not(c) => toSql(c).map(s => s"(NOT $s)")
+      case AlwaysTrue() => Some("true")
+      case AlwaysFalse() => Some("false")
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(toSql(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred =
+      if (filters.isEmpty) "true"
+      else filters.map(f => toSql(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"ManifestCatalog: cannot delete where $f"))).mkString(" AND ")
+    ManifestMaintenance.delete(
+      org.apache.spark.sql.SparkSession.active, dir, tableSchema.toDDL, pred)
+  }
+}

@@ -446,11 +446,21 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
       override def write(r: InternalRow): Unit = {
         val pv = pIdx.flatMap(i =>
           if (r.isNullAt(i)) None else Some(r.getLong(i)))
-        parts.getOrElseUpdate(pv, new ManifestFileWriter(
-          fs, tmpDir,
-          f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv",
-          schema, pv, if (pv.isDefined) partitionBy else None))
-          .write(r)
+        parts.getOrElseUpdate(pv, {
+          // fan-out guard: identity partitioning is for BOUNDED key
+          // domains (buckets, days, shards). A high-cardinality column
+          // would open one stream per distinct value per task — fail
+          // loudly before the task drowns in file handles.
+          require(parts.size < 1000,
+            s"ManifestSink partitionBy=${partitionBy.get}: more than 1000 " +
+              "distinct partition values in one task — identity " +
+              "partitioning needs a bounded key domain (bucket the column " +
+              "first, e.g. pmod(col, N))")
+          new ManifestFileWriter(
+            fs, tmpDir,
+            f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv",
+            schema, pv, if (pv.isDefined) partitionBy else None)
+        }).write(r)
       }
 
       override def commit(): WriterCommitMessage =

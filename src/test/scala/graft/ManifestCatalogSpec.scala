@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ManifestCatalog: the connector behind Spark's native catalog
+  * machinery (q430's mechanism). Pins CREATE/INSERT/SELECT/DELETE/
+  * TRUNCATE/DROP through pure SQL, native VERSION AS OF / TIMESTAMP AS
+  * OF resolution, untranslatable-delete refusal, and catalog metadata
+  * behavior (exists/list/duplicate-create).
+  */
+class ManifestCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val name = "cat_" + math.abs(base.hashCode)
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.ManifestCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.base", base)
+    (name, base)
+  }
+
+  test("create / insert / select / delete / truncate / drop via SQL") {
+    val (cat, base) = freshCatalog()
+    val t = s"$cat.ns.t1"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    assert(new java.io.File(s"$base/ns/t1/_schema.ddl").exists())
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql(s"INSERT INTO $t VALUES (4, 'd')")
+    def rows() = spark.sql(s"SELECT k, v FROM $t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows() == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // merge-on-read delete via SupportsDelete
+    spark.sql(s"DELETE FROM $t WHERE k <= 2")
+    assert(rows() == Seq((3L, "c"), (4L, "d")))
+    // the pre-delete snapshot still reads whole
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 2")
+      .first().getLong(0) == 4L)
+    // INSERT OVERWRITE truncates
+    spark.sql(s"INSERT OVERWRITE $t VALUES (9, 'z')")
+    assert(rows() == Seq((9L, "z")))
+    spark.sql(s"DROP TABLE $t")
+    assert(!spark.catalog.tableExists(t))
+  }
+
+  test("TIMESTAMP AS OF resolves through commit instants") {
+    val (cat, base) = freshCatalog()
+    val t = s"$cat.ns.t2"
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1)")
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $t VALUES (10)")
+    Thread.sleep(30)
+    spark.sql(s"INSERT INTO $t VALUES (100)")
+    // the exact instant v2 published: reads must see exactly v2
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val v2m = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$base/ns/t2/manifest-v2.json")).getModificationTime
+    val ts = java.time.Instant.ofEpochMilli(v2m)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val s2 = spark.sql(
+      s"SELECT CAST(sum(k) AS BIGINT) FROM $t TIMESTAMP AS OF '$ts'")
+      .first().getLong(0)
+    assert(s2 == 11L, s"TIMESTAMP AS OF '$ts' read $s2, expected v2 (11)")
+    // a far-past instant has no snapshot: loud failure
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '2000-01-01'").collect()
+    }
+  }
+
+  test("untranslatable DELETE predicates are refused, not mis-applied") {
+    val (cat, _) = freshCatalog()
+    val t = s"$cat.ns.t3"
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 2L,
+      "refused delete must not remove rows")
+    // translatable compound predicates DO work
+    spark.sql(s"DELETE FROM $t WHERE k >= 2 AND v = 'b'")
+    assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 1L)
+  }
+
+  test("catalog metadata: duplicate create fails, listTables, missing table") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.ta (k BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.ns.tb (k BIGINT)")
+    intercept[Exception] { spark.sql(s"CREATE TABLE $cat.ns.ta (k BIGINT)") }
+    val listed = spark.sql(s"SHOW TABLES IN $cat.ns")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(listed == Seq("ta", "tb"), s"$listed")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.ns.nope").collect()
+    }
+  }
+}
