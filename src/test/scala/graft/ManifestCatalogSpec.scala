@@ -86,6 +86,29 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 1L)
   }
 
+  test("streaming tail via spark.readStream.table on a catalog table") {
+    import org.apache.spark.sql.streaming.Trigger
+    val (cat, _) = freshCatalog()
+    val t = s"$cat.ns.st"
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2)")
+    val sink = java.nio.file.Files.createTempDirectory("graft_cat_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat_ckpt").toString
+    def drain(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    spark.sql(s"INSERT INTO $t VALUES (10)")
+    drain() // same checkpoint: only the new commit's files
+    val got = spark.read.schema("k LONG").parquet(sink)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 10L), s"got $got")
+  }
+
   test("catalog metadata: duplicate create fails, listTables, missing table") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.ns.ta (k BIGINT)")
