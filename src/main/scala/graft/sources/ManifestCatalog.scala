@@ -102,17 +102,37 @@ class ManifestCatalog extends TableCatalog {
 
   private def load(ident: Identifier, version: Option[Long]): Table = {
     val dir = dirOf(ident)
-    val ddl = readDdl(dir).getOrElse(
+    val raw = readDdl(dir).getOrElse(
       throw new NoSuchTableException(
         Seq(catName) ++ ident.namespace() :+ ident.name()))
-    new ManifestCatalogTable(dir, StructType.fromDDL(ddl), version)
+    val lines = raw.split('\n')
+    val pBy = lines.collectFirst {
+      case l if l.startsWith("partitionBy=") => l.stripPrefix("partitionBy=")
+    }
+    new ManifestCatalogTable(dir, StructType.fromDDL(lines.head), version, pBy)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "ManifestCatalog: PARTITIONED BY is not supported in CREATE TABLE — " +
-        "write with the sink option partitionBy instead")
+    // identity PARTITIONED BY (one BIGINT column) persists with the
+    // schema: every later INSERT fans out per value and the scan
+    // reports KeyGroupedPartitioning — two such tables join with zero
+    // exchanges from pure SQL (q428's machinery, catalog-managed)
+    val pBy = partitions.toSeq match {
+      case Nil => Option(properties.get("partitionBy")).filter(_.nonEmpty)
+      case Seq(t) if t.name() == "identity" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        Some(t.references()(0).fieldNames()(0))
+      case other => throw new UnsupportedOperationException(
+        s"ManifestCatalog: only PARTITIONED BY (one identity column) is " +
+          s"supported, got ${other.mkString(", ")}")
+    }
+    pBy.foreach { c =>
+      require(schema.fieldNames.contains(c) &&
+        schema(schema.fieldIndex(c)).dataType ==
+          org.apache.spark.sql.types.LongType,
+        s"ManifestCatalog: partition column $c must be an existing BIGINT column")
+    }
     val dir = dirOf(ident)
     val p = schemaFile(dir)
     val f = fs(p)
@@ -121,8 +141,10 @@ class ManifestCatalog extends TableCatalog {
         Seq(catName) ++ ident.namespace() :+ ident.name())
     f.mkdirs(new Path(dir))
     val out = f.create(p, false)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    new ManifestCatalogTable(dir, schema, None)
+    try out.write((schema.toDDL +
+      pBy.map(c => s"\npartitionBy=$c").getOrElse("")).getBytes("UTF-8"))
+    finally out.close()
+    new ManifestCatalogTable(dir, schema, None, pBy)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -146,7 +168,8 @@ class ManifestCatalog extends TableCatalog {
   * DELETE in one `Table`, delegating to the same scan/write/maintenance
   * machinery the path-addressed API uses. */
 private class ManifestCatalogTable(
-    dir: String, tableSchema: StructType, version: Option[Long])
+    dir: String, tableSchema: StructType, version: Option[Long],
+    partitionBy: Option[String] = None)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with SupportsDelete {
@@ -154,6 +177,9 @@ private class ManifestCatalogTable(
   override def name(): String =
     s"manifest_catalog($dir${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionBy.toArray.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -170,7 +196,8 @@ private class ManifestCatalogTable(
       override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = {
         val t = doTruncate
-        val pBy = Option(info.options.get("partitionBy")).filter(_.nonEmpty)
+        val pBy = Option(info.options.get("partitionBy"))
+          .filter(_.nonEmpty).orElse(partitionBy)
         new Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new ManifestBatchWrite(dir, info.schema(), t, pBy)

@@ -86,6 +86,45 @@ class ManifestCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 1L)
   }
 
+  test("PARTITIONED BY persists: SQL-only SPJ joins with zero exchanges") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ns.pa (b BIGINT, v1 BIGINT) PARTITIONED BY (b)")
+    spark.sql(s"CREATE TABLE $cat.ns.pb (b BIGINT, v2 BIGINT) PARTITIONED BY (b)")
+    // PARTITIONED BY a non-existent / non-bigint column fails loudly
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ns.bad (k STRING) PARTITIONED BY (k)")
+    }
+    spark.sql(
+      s"INSERT INTO $cat.ns.pa SELECT id % 4, id FROM range(40)")
+    spark.sql(
+      s"INSERT INTO $cat.ns.pb SELECT id % 4, id * 10 FROM range(20)")
+    // fan-out happened through the persisted spec (no write option)
+    val entries = graft.sources.ManifestRead.entries(
+      spark.conf.get(s"spark.sql.catalog.$cat.base") + "/ns/pa",
+      "manifest.json")
+    assert(entries.forall(_.pv.isDefined) && entries.forall(_.pt.contains("b")))
+    graft.operators.LakehouseOps.withSpjConfs(spark) {
+      val df = spark.sql(
+        s"""SELECT a.b AS b, count(*) AS n
+           |FROM $cat.ns.pa a JOIN $cat.ns.pb x ON a.b = x.b
+           |GROUP BY a.b""".stripMargin)
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(0L -> 50L, 1L -> 50L, 2L -> 50L, 3L -> 50L), s"$got")
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => a +: nodes(a.executedPlan)
+        case q: QueryStageExec => q +: nodes(q.plan)
+        case o => o +: (o.children ++ o.subqueries).flatMap(nodes)
+      }
+      val exchanges = nodes(df.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[ShuffleExchangeLike])
+      assert(exchanges.isEmpty,
+        s"catalog SPJ must plan zero exchanges:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("streaming tail via spark.readStream.table on a catalog table") {
     import org.apache.spark.sql.streaming.Trigger
     val (cat, _) = freshCatalog()
