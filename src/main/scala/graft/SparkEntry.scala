@@ -67,5 +67,5 @@ object SparkEntry {
         "q420_incremental_view_maintenance",
         "q422_manifest_stats_aggregate", "q423_manifest_bloom_skipping",
         "q425_time_travel_sql", "q426_string_range_skipping",
-        "q430_sql_catalog_dml")
+        "q430_sql_catalog_dml", "q431_sql_merge_update")
 }

@@ -841,4 +841,420 @@ object MediaCodecs {
     }
     throw new IllegalArgumentException("JPEG: no SOS segment found")
   }
+
+  // -------------------------------------------------------------------
+  // COLOR baseline JPEG (YCbCr, 4:2:0) — T.81 Annex K chroma tables.
+  // Real-corpus JPEGs are 3-component; the grayscale codec above
+  // covers the 1-component case and stays byte-identical.
+
+  /** Annex K Table K.2 standard chrominance quantization (raster). */
+  private val JpegQuantC: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
+  /** Annex K standard DC chrominance Huffman spec. */
+  private val JpegDcBitsC = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val JpegDcValsC = Array.tabulate(12)(identity)
+
+  /** Annex K Table K.6 standard AC chrominance Huffman spec. */
+  private val JpegAcBitsC = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val JpegAcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  private lazy val DcEncC = huffCodes(JpegDcBitsC, JpegDcValsC)
+  private lazy val AcEncC = huffCodes(JpegAcBitsC, JpegAcValsC)
+
+  /** FDCT + quantize + entropy-code ONE level-shifted 8x8 block;
+    * returns the new DC predictor. Shared by the gray and color
+    * encoders (identical per-block pipeline, different tables). */
+  private def encodeBlock(bw: BitWriter, f: Array[Double], quant: Array[Int],
+      dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)],
+      dcPred: Int): Int = {
+    val ff = fdct(f)
+    val q = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      q(i) = math.round(ff(JpegZigzag(i)) / quant(JpegZigzag(i))).toInt
+      i += 1
+    }
+    val diff = q(0) - dcPred
+    val ds = bitSize(diff)
+    val (dc, dl) = dcEnc(ds)
+    bw.put(dc, dl)
+    if (ds > 0)
+      bw.put(if (diff < 0) diff + (1 << ds) - 1 else diff, ds)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val s = bitSize(q(k))
+        val (ac, al) = acEnc((run << 4) | s)
+        bw.put(ac, al)
+        bw.put(if (q(k) < 0) q(k) + (1 << s) - 1 else q(k), s)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) }
+    q(0)
+  }
+
+  /** Encode an interleaved-RGB image as a baseline YCbCr 4:2:0 JPEG
+    * (SOF0, sampling 2x2/1x1/1x1, Annex-K tables — the layout ImageIO
+    * and libjpeg emit by default). `rgb` is 3 bytes per pixel, raster
+    * order. */
+  def encodeJpegColor(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == 3 * width * height,
+      s"encodeJpegColor: ${rgb.length} bytes for ${width}x$height RGB")
+    // JFIF RGB -> YCbCr planes; chroma downsampled 2x2 by averaging
+    val yP = new Array[Byte](width * height)
+    val cw = (width + 1) / 2; val ch = (height + 1) / 2
+    val cbP = new Array[Byte](cw * ch)
+    val crP = new Array[Byte](cw * ch)
+    val cbAcc = new Array[Int](cw * ch)
+    val crAcc = new Array[Int](cw * ch)
+    val cnt = new Array[Int](cw * ch)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = 3 * (y * width + x)
+        val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+        val yy = 0.299 * r + 0.587 * g + 0.114 * b
+        val cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        val cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        yP(y * width + x) =
+          math.max(0, math.min(255, math.round(yy).toInt)).toByte
+        val ci = (y / 2) * cw + (x / 2)
+        cbAcc(ci) += math.max(0, math.min(255, math.round(cb).toInt))
+        crAcc(ci) += math.max(0, math.min(255, math.round(cr).toInt))
+        cnt(ci) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var ci = 0
+    while (ci < cw * ch) {
+      cbP(ci) = math.round(cbAcc(ci).toDouble / cnt(ci)).toInt.toByte
+      crP(ci) = math.round(crAcc(ci).toDouble / cnt(ci)).toInt.toByte
+      ci += 1
+    }
+    val out = new ByteArrayOutputStream()
+    def m(a: Int, b: Int): Unit = { out.write(a); out.write(b) }
+    def be16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    m(0xff, 0xd8) // SOI
+    m(0xff, 0xe0); be16(16)
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1)
+    out.write(0); out.write(0)
+    def dqt(id: Int, q: Array[Int]): Unit = {
+      m(0xff, 0xdb); be16(67); out.write(id)
+      var i = 0
+      while (i < 64) { out.write(q(JpegZigzag(i))); i += 1 }
+    }
+    dqt(0, JpegQuant); dqt(1, JpegQuantC)
+    m(0xff, 0xc0); be16(17) // SOF0: 3 components
+    out.write(8); be16(height); be16(width); out.write(3)
+    out.write(1); out.write(0x22); out.write(0) // Y: 2x2, quant 0
+    out.write(2); out.write(0x11); out.write(1) // Cb: 1x1, quant 1
+    out.write(3); out.write(0x11); out.write(1) // Cr: 1x1, quant 1
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      m(0xff, 0xc4); be16(19 + vals.length); out.write((clazz << 4) | id)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, 0, JpegDcBits, JpegDcVals); dht(1, 0, JpegAcBits, JpegAcVals)
+    dht(0, 1, JpegDcBitsC, JpegDcValsC); dht(1, 1, JpegAcBitsC, JpegAcValsC)
+    m(0xff, 0xda); be16(12); out.write(3) // SOS, 3 components
+    out.write(1); out.write(0x00)
+    out.write(2); out.write(0x11)
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0)
+    val bw = new BitWriter(out)
+    // 8x8 block from a plane, edge-replicated, level-shifted
+    def block(plane: Array[Byte], pw: Int, ph: Int, ox: Int,
+        oy: Int): Array[Double] = {
+      val f = new Array[Double](64)
+      var yy = 0
+      while (yy < 8) {
+        val sy = math.min(oy + yy, ph - 1)
+        var xx = 0
+        while (xx < 8) {
+          val sx = math.min(ox + xx, pw - 1)
+          f(yy * 8 + xx) = (plane(sy * pw + sx) & 0xff) - 128.0
+          xx += 1
+        }
+        yy += 1
+      }
+      f
+    }
+    val mcusX = (width + 15) / 16
+    val mcusY = (height + 15) / 16
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // interleaved MCU: Y(0,0) Y(1,0) Y(0,1) Y(1,1), then Cb, Cr
+        var v = 0
+        while (v < 2) {
+          var hh = 0
+          while (hh < 2) {
+            dcY = encodeBlock(bw,
+              block(yP, width, height, mx * 16 + hh * 8, my * 16 + v * 8),
+              JpegQuant, DcEnc, AcEnc, dcY)
+            hh += 1
+          }
+          v += 1
+        }
+        dcCb = encodeBlock(bw, block(cbP, cw, ch, mx * 8, my * 8),
+          JpegQuantC, DcEncC, AcEncC, dcCb)
+        dcCr = encodeBlock(bw, block(crP, cw, ch, mx * 8, my * 8),
+          JpegQuantC, DcEncC, AcEncC, dcCr)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    m(0xff, 0xd9)
+    out.toByteArray
+  }
+
+  /** Decode a baseline sequential COLOR JPEG (SOF0/1, exactly 3 YCbCr
+    * components, sampling factors in {1,2} — covers 4:4:4, 4:2:2 and
+    * 4:2:0; restart intervals honored) to (width, height, interleaved
+    * RGB). Chroma upsampling is sample replication. Fails loudly on
+    * progressive (SOF2), 1/4-component streams, or corrupt input —
+    * the quarantine contract (grayscale has its own decoder). */
+  def decodeJpegColor(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 4 &&
+      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8,
+      "JPEG: missing SOI")
+    var w = 0; var h = 0
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffDec](4)
+    val acTabs = new Array[HuffDec](4)
+    var restartInterval = 0
+    // per component (by SOF order): id, sampling h/v, quant selector
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var i = 2
+    while (i + 4 <= bytes.length) {
+      require((bytes(i) & 0xff) == 0xff, "JPEG: expected marker")
+      val marker = bytes(i + 1) & 0xff
+      if (marker == 0xd9) throw new IllegalArgumentException("JPEG: EOI before SOS")
+      val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      require(i + 2 + len <= bytes.length, "JPEG: truncated segment")
+      val seg = i + 4
+      marker match {
+        case 0xdb =>
+          var p = seg
+          while (p < i + 2 + len) {
+            val pq = (bytes(p) & 0xff) >>> 4
+            val tq = bytes(p) & 0x0f
+            require(pq == 0, "JPEG: 16-bit quant tables unsupported")
+            val t = new Array[Int](64)
+            var z = 0
+            while (z < 64) { t(JpegZigzag(z)) = bytes(p + 1 + z) & 0xff; z += 1 }
+            qtabs(tq) = t
+            p += 65
+          }
+        case 0xc4 =>
+          var p = seg
+          while (p < i + 2 + len) {
+            val tc = (bytes(p) & 0xff) >>> 4
+            val th = bytes(p) & 0x0f
+            val bits = new Array[Int](17)
+            var tot = 0
+            var l = 1
+            while (l <= 16) { bits(l) = bytes(p + l) & 0xff; tot += bits(l); l += 1 }
+            val vals = Array.tabulate(tot)(j => bytes(p + 17 + j) & 0xff)
+            if (tc == 0) dcTabs(th) = new HuffDec(bits, vals)
+            else acTabs(th) = new HuffDec(bits, vals)
+            p += 17 + tot
+          }
+        case 0xc0 | 0xc1 =>
+          require((bytes(seg) & 0xff) == 8, "JPEG: only 8-bit precision")
+          h = ((bytes(seg + 1) & 0xff) << 8) | (bytes(seg + 2) & 0xff)
+          w = ((bytes(seg + 3) & 0xff) << 8) | (bytes(seg + 4) & 0xff)
+          val nc = bytes(seg + 5) & 0xff
+          require(nc == 3,
+            s"JPEG: color decoder needs 3 components, got $nc " +
+              "(use decodeJpegGray for 1)")
+          compId = new Array[Int](3); compH = new Array[Int](3)
+          compV = new Array[Int](3); compQ = new Array[Int](3)
+          var c = 0
+          while (c < 3) {
+            compId(c) = bytes(seg + 6 + 3 * c) & 0xff
+            val hv = bytes(seg + 7 + 3 * c) & 0xff
+            compH(c) = hv >>> 4; compV(c) = hv & 0x0f
+            require(compH(c) >= 1 && compH(c) <= 2 &&
+              compV(c) >= 1 && compV(c) <= 2,
+              s"JPEG: sampling factors ${compH(c)}x${compV(c)} unsupported")
+            compQ(c) = bytes(seg + 8 + 3 * c) & 0x0f
+            c += 1
+          }
+        case 0xc2 =>
+          throw new IllegalArgumentException(
+            "JPEG: progressive (SOF2) not supported by this baseline decoder")
+        case 0xdd =>
+          restartInterval = ((bytes(seg) & 0xff) << 8) | (bytes(seg + 1) & 0xff)
+        case 0xda =>
+          require(compId != null, "JPEG: SOS before SOF")
+          require((bytes(seg) & 0xff) == 3, "JPEG: SOS must name 3 components")
+          // scan-order (dc, ac) selectors resolved per SOF component
+          val dcSel = new Array[Int](3); val acSel = new Array[Int](3)
+          var sc = 0
+          while (sc < 3) {
+            val cid = bytes(seg + 1 + 2 * sc) & 0xff
+            val c = compId.indexOf(cid)
+            require(c >= 0, s"JPEG: SOS names unknown component $cid")
+            dcSel(c) = (bytes(seg + 2 + 2 * sc) & 0xff) >>> 4
+            acSel(c) = bytes(seg + 2 + 2 * sc) & 0x0f
+            sc += 1
+          }
+          var c = 0
+          while (c < 3) {
+            require(qtabs(compQ(c)) != null, "JPEG: SOS before its DQT")
+            require(dcTabs(dcSel(c)) != null && acTabs(acSel(c)) != null,
+              "JPEG: SOS before its DHT")
+            c += 1
+          }
+          require(w > 0 && h > 0, "JPEG: SOS before SOF")
+          val hMax = compH.max; val vMax = compV.max
+          val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          // per-component plane, padded to whole MCUs
+          val planeW = Array.tabulate(3)(c => mcusX * 8 * compH(c))
+          val planeH = Array.tabulate(3)(c => mcusY * 8 * compV(c))
+          val planes = Array.tabulate(3)(c =>
+            new Array[Byte](planeW(c) * planeH(c)))
+          val br = new JpegBitReader(bytes, i + 2 + len)
+          val dcPred = new Array[Int](3)
+          var mcu = 0
+          var my = 0
+          while (my < mcusY) {
+            var mx = 0
+            while (mx < mcusX) {
+              if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+                br.align()
+                require(br.restart(), "JPEG: expected restart marker")
+                java.util.Arrays.fill(dcPred, 0)
+              }
+              var c = 0
+              while (c < 3) {
+                var v = 0
+                while (v < compV(c)) {
+                  var hh = 0
+                  while (hh < compH(c)) {
+                    val zz = new Array[Int](64)
+                    val ds = dcTabs(dcSel(c)).decode(br)
+                    dcPred(c) += extend(br.receive(ds), ds)
+                    zz(0) = dcPred(c)
+                    var k = 1
+                    while (k < 64) {
+                      val rs = acTabs(acSel(c)).decode(br)
+                      val r = rs >>> 4
+                      val sz = rs & 0x0f
+                      if (sz == 0) {
+                        if (r == 15) k += 16
+                        else k = 64
+                      } else {
+                        k += r
+                        require(k < 64, "JPEG: AC index overflow")
+                        zz(k) = extend(br.receive(sz), sz)
+                        k += 1
+                      }
+                    }
+                    val quant = qtabs(compQ(c))
+                    val ff = new Array[Double](64)
+                    var z = 0
+                    while (z < 64) {
+                      val ri = JpegZigzag(z)
+                      ff(ri) = zz(z).toDouble * quant(ri)
+                      z += 1
+                    }
+                    val f = idct(ff)
+                    val ox = (mx * compH(c) + hh) * 8
+                    val oy = (my * compV(c) + v) * 8
+                    var yy = 0
+                    while (yy < 8) {
+                      var xx = 0
+                      while (xx < 8) {
+                        val pv = math.round(f(yy * 8 + xx) + 128.0).toInt
+                        planes(c)((oy + yy) * planeW(c) + (ox + xx)) =
+                          math.max(0, math.min(255, pv)).toByte
+                        xx += 1
+                      }
+                      yy += 1
+                    }
+                    hh += 1
+                  }
+                  v += 1
+                }
+                c += 1
+              }
+              mcu += 1
+              mx += 1
+            }
+            my += 1
+          }
+          // upsample (replicate) + YCbCr -> RGB
+          val rgb = new Array[Byte](3 * w * h)
+          var py = 0
+          while (py < h) {
+            var px = 0
+            while (px < w) {
+              def sample(c: Int): Int = {
+                val sx = px * compH(c) / hMax
+                val sy = py * compV(c) / vMax
+                planes(c)(sy * planeW(c) + sx) & 0xff
+              }
+              val yv = sample(0).toDouble
+              val cb = sample(1) - 128.0
+              val cr = sample(2) - 128.0
+              val p = 3 * (py * w + px)
+              def clamp(d: Double): Byte =
+                math.max(0, math.min(255, math.round(d).toInt)).toByte
+              rgb(p) = clamp(yv + 1.402 * cr)
+              rgb(p + 1) = clamp(yv - 0.344136286 * cb - 0.714136286 * cr)
+              rgb(p + 2) = clamp(yv + 1.772 * cb)
+              px += 1
+            }
+            py += 1
+          }
+          return (w, h, rgb)
+        case _ => ()
+      }
+      i += 2 + len
+    }
+    throw new IllegalArgumentException("JPEG: no SOS segment found")
+  }
 }

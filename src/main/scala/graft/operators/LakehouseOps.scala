@@ -1009,9 +1009,7 @@ object LakehouseOps {
     val probe = rd(outO, "b LONG, k LONG, cents LONG")
       .filter(col("b") === 3L)
     probe.queryExecution.toRdd.getNumPartitions
-    val prunePlanned =
-      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    val prunePlanned = graft.sources.ManifestScanMetrics.plannedFiles(outO)
     import s.implicits._
     joined.unionByName(
       Seq(("prune", 3L, prunePlanned, 0L)).toDF("which", "b", "n", "total"))
@@ -1083,6 +1081,260 @@ object LakehouseOps {
       .orderBy("which")
   }
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430)
+  // ------------- q431: pure-SQL MERGE INTO + UPDATE (row-level ops)
+
+  /** q431: the last DML verbs reachable only programmatically until
+    * now, executed as PURE SQL through the catalog — `MERGE INTO` with
+    * matched-DELETE, matched-UPDATE and not-matched-INSERT clauses,
+    * then an `UPDATE ... WHERE`. Planned by Spark's own row-level
+    * rewrite rules over [[graft.sources.ManifestRowLevelOperation]]
+    * (delta-based, merge-on-read): matched rows become positional
+    * delete vectors keyed on the connector's `(_mf_file, _mf_pos)`
+    * metadata identity, new values land in new files, one atomic
+    * manifest version per statement — no data file rewritten. The
+    * oracle replays the merge algebraically (left join + anti union). */
+  private val q431 = Q(
+    "q431_sql_merge_update",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |base AS (SELECT k, name FROM n WHERE k % 2 = 0),
+      |src AS (SELECT k, lower(name) AS name FROM n WHERE k % 3 = 0),
+      |merged AS (
+      |  SELECT b.k AS k, COALESCE(s.name, b.name) AS name
+      |  FROM base b LEFT JOIN src s ON b.k = s.k
+      |  WHERE NOT (s.k IS NOT NULL AND b.k % 10 = 4)
+      |  UNION ALL
+      |  SELECT s.k, s.name FROM src s LEFT JOIN base b ON s.k = b.k
+      |  WHERE b.k IS NULL)
+      |SELECT k, CASE WHEN k < 5 THEN upper(name) ELSE name END AS name
+      |FROM merged ORDER BY k""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q431_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_mrg_$h"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val t = s"$cat.db.nat"
+    s.sql(s"CREATE TABLE $t (k BIGINT, name STRING)")
+    s.sql(s"""INSERT INTO $t
+             |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
+             |WHERE n_nationkey IS NOT NULL AND n_nationkey % 2 = 0""".stripMargin)
+    s.sql(
+      s"""MERGE INTO $t t
+         |USING (SELECT CAST(n_nationkey AS BIGINT) AS k,
+         |              lower(n_name) AS name FROM nation
+         |       WHERE n_nationkey IS NOT NULL AND n_nationkey % 3 = 0) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND t.k % 10 = 4 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED THEN INSERT (k, name) VALUES (s.k, s.name)
+         |""".stripMargin)
+    s.sql(s"UPDATE $t SET name = upper(name) WHERE k < 5")
+    s.sql(s"SELECT k, name FROM $t ORDER BY k")
+  }
+
+  // ------------- q432: parquet data files in the manifest connector
+
+  /** q432: the connector's COLUMNAR data path end-to-end
+    * (`format=parquet` — [[graft.sources.ManifestParquet]]): an
+    * orders-derived table written as parquet manifest files (snappy,
+    * per-file stats/Blooms/string bounds recorded from the same
+    * in-writer accumulation as CSV), a merge-on-read DELETE whose
+    * delete vectors key on ROW ORDINALS, and a filtered aggregate read
+    * back through the column-pruned Group reader (only the touched
+    * columns' chunks decode). The manifest/ACID layer is format-
+    * agnostic; at 100 TB parquet is the default — ~3-10× fewer bytes
+    * than CSV rows and no per-field tokenizing on the scan. */
+  private val q432 = Q(
+    "q432_manifest_parquet_format",
+    """WITH o AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderpriority AS pri
+      |  FROM orders WHERE o_orderkey IS NOT NULL),
+      |kept AS (SELECT * FROM o WHERE NOT (k % 7 = 0))
+      |SELECT pri, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total
+      |FROM kept WHERE cents > 10000000 GROUP BY pri ORDER BY pri""".stripMargin) {
+    (s, dir) =>
+    val out = s"/tmp/graft_q432_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val ddl = "k BIGINT, cents BIGINT, pri STRING"
+    Tables.load(s, dir, "orders").filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey").cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"),
+        col("o_orderpriority").as("pri"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", out).option("format", "parquet")
+      .mode("append").save()
+    graft.sources.ManifestMaintenance.delete(s, out, ddl, "k % 7 = 0")
+    s.read.format("graft.sources.ManifestSource").schema(ddl)
+      .option("path", out).load()
+      .filter(col("cents") > 10000000L)
+      .groupBy("pri").agg(count(lit(1)).as("n"), sum("cents").as("total"))
+      .select(col("pri"), col("n"), col("total"))
+      .orderBy("pri")
+  }
+
+  /** Save/set/restore arbitrary session confs around `body`. */
+  private def withConfs[T](s: SparkSession, confs: (String, String)*)(
+      body: => T): T = {
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  // ------------- q433: manifest scan statistics drive broadcast joins
+
+  /** q433: `SupportsReportStatistics` on the manifest scan — without
+    * it, Catalyst's broadcast decision on DSv2 tables is blind (no
+    * size = never broadcast without a hint). The scan reports
+    * bytes/rows POST file-skipping, so the plan below picks a
+    * BroadcastHashJoin for the small dim side with NO hint anywhere;
+    * the observable broadcast count rides along as a result row. At
+    * 100 TB this is the difference between a metadata-priced broadcast
+    * and a full fact-table shuffle on every dim join. */
+  private val q433 = Q(
+    "q433_manifest_stats_broadcast",
+    """WITH c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS ck,
+      |    CAST(c_nationkey AS BIGINT) AS nk
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS name
+      |  FROM nation WHERE n_nationkey IS NOT NULL)
+      |SELECT name, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(1 AS BIGINT) AS bcast
+      |FROM c JOIN n ON c.nk = n.nk
+      |GROUP BY name ORDER BY name""".stripMargin) { (s, dir) =>
+    def fresh(tag: String): String = {
+      val out = s"/tmp/graft_q433${tag}_${math.abs(dir.hashCode)}"
+      val f = new java.io.File(out)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      out
+    }
+    val factDir = fresh("f"); val dimDir = fresh("d")
+    Tables.load(s, dir, "customer").filter(col("c_custkey").isNotNull)
+      .select(col("c_custkey").cast("long").as("ck"),
+        col("c_nationkey").cast("long").as("nk"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", factDir).option("format", "parquet")
+      .mode("append").save()
+    Tables.load(s, dir, "nation").filter(col("n_nationkey").isNotNull)
+      .select(col("n_nationkey").cast("long").as("nk"),
+        col("n_name").as("name")).coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dimDir).mode("append").save()
+    def rd(p: String, ddl: String) = s.read
+      .format("graft.sources.ManifestSource").schema(ddl)
+      .option("path", p).load()
+    // AQE off so the compile-time plan (what the stats decide) is the
+    // observable; NO broadcast hint anywhere — the scan's reported
+    // size must trigger it
+    withConfs(s, "spark.sql.adaptive.enabled" -> "false") {
+      val joined = rd(factDir, "ck LONG, nk LONG")
+        .join(rd(dimDir, "nk LONG, name STRING"), "nk")
+        .groupBy("name").agg(count(lit(1)).as("n_cust"))
+      val nBcast = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.length.toLong
+      joined.select(col("name"), col("n_cust"),
+          lit(nBcast).as("bcast"))
+        .orderBy("name").localCheckpoint()
+    }
+  }
+
+  // ------------- q434: bucket-transform storage-partitioned join
+
+  /** q434: `PARTITIONED BY (bucket(8, k))` catalog tables — hidden
+    * hash partitioning for UNBOUNDED key domains (identity fan-out
+    * needs one file per distinct value; bucket caps it at 8 per task)
+    * — joined on the bucket column with ZERO exchanges under the join:
+    * the scan reports `KeyGroupedPartitioning(bucket(8, k))`, the
+    * catalog's FunctionCatalog serves the bucket function
+    * ([[graft.sources.GraftBucketFunction]]), and Spark's storage-
+    * partitioned join matches the two sides by canonical function name
+    * + bucket count. The under-join exchange count (0) rides along as
+    * an observable row. */
+  private val q434 = Q(
+    "q434_bucket_spj",
+    """WITH o AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |c AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+      |  WHERE c_custkey IS NOT NULL),
+      |j AS (SELECT o.k AS k, o.cents AS cents FROM o JOIN c ON o.k = c.k)
+      |SELECT CAST(k % 8 AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total,
+      |  CAST(0 AS BIGINT) AS shuffles_under_join
+      |FROM j GROUP BY 1 ORDER BY b""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q434_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_bkt_$h"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val o = s"$cat.db.o"; val c = s"$cat.db.c"
+    s.sql(s"CREATE TABLE $o (k BIGINT, cents BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    s.sql(s"CREATE TABLE $c (k BIGINT) USING parquet " +
+      "PARTITIONED BY (bucket(8, k))")
+    s.sql(s"""INSERT INTO $o
+             |SELECT CAST(o_custkey AS BIGINT),
+             |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             |FROM orders WHERE o_custkey IS NOT NULL""".stripMargin)
+    s.sql(s"""INSERT INTO $c
+             |SELECT CAST(c_custkey AS BIGINT) FROM customer
+             |WHERE c_custkey IS NOT NULL""".stripMargin)
+    withConfs(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = s.sql(
+        s"SELECT o.k AS k, o.cents AS cents FROM $o o JOIN $c c ON o.k = c.k")
+      val joinNode = j.queryExecution.executedPlan.collectFirst {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj
+      }
+      val shuffles = joinNode.map(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length.toLong).getOrElse(-1L)
+      j.groupBy((col("k") % 8).as("b"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+        .select(col("b"), col("n"), col("total"),
+          lit(shuffles).as("shuffles_under_join"))
+        .orderBy("b").localCheckpoint()
+    }
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434)
 
 }

@@ -246,8 +246,7 @@ object LayoutOps {
     def plannedFiles(out: String): Long = {
       val scan = boxScan(out)
       scan.queryExecution.toRdd.getNumPartitions // force the scan build
-      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+      graft.sources.ManifestScanMetrics.plannedFiles(out)
     }
     val zPlanned = plannedFiles(zOut)
     val xPlanned = plannedFiles(xOut)

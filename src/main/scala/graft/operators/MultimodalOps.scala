@@ -856,6 +856,76 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ------------- q436: COLOR JPEG (YCbCr 4:2:0) pixel round trip
+
+  /** q436: the color leg of the q429 contract — baseline YCbCr 4:2:0
+    * JPEG ([[graft.functions.MediaCodecs.encodeJpegColor]] /
+    * `decodeJpegColor`): interleaved 16x16 MCUs (4 Y + Cb + Cr blocks),
+    * Annex-K chroma tables, integer YCbCr↔RGB. The fixture is
+    * GRAY-VALUED color (R=G=B, flat even-offset 8x8 blocks): chroma is
+    * exactly 128 and the luma DC is a multiple of its quant step, so
+    * the full 3-component pipeline — subsampling, chroma Huffman,
+    * upsampling, color transform — must reproduce every RGB byte
+    * EXACTLY, which makes the oracle hash-checkable despite JPEG being
+    * lossy in general (perceptual color accuracy vs ImageIO is pinned
+    * in JpegColorSpec). Truncated streams quarantine loudly. */
+  private val q436 = Q(
+    "q436_jpeg_color_roundtrip",
+    """WITH d AS (
+      |  SELECT doc_id, abs(doc_id) % 1000003 AS dd FROM documents),
+      |bl AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 12),
+      |      b -> 128 + 2 * (((dd * 37 + b * 11) % 51) - 25)) AS bv
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 32 END AS INT) AS w,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 24 END AS INT) AS h,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 2304 END AS INT) AS n_px,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS INT)
+      |    AS quarantined,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |       ELSE 3 * 64 * list_sum(bv) END AS BIGINT) AS sum_px,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |       ELSE list_min(bv) END AS INT) AS min_px,
+      |  CAST(CASE WHEN doc_id % 9 = 0 THEN 0
+      |       ELSE list_max(bv) END AS INT) AS max_px
+      |FROM bl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val dd = math.abs(id) % 1000003
+        val w = 32; val h = 24
+        val rgb = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < w * h) {
+          val b = ((i / w) / 8) * 4 + (i % w) / 8
+          val v = (128 + 2 * (((dd * 37 + b * 11) % 51) - 25)).toByte
+          rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
+          i += 1
+        }
+        val jpg = graft.functions.MediaCodecs.encodeJpegColor(w, h, rgb)
+        val bytes = if (id % 9 == 0) jpg.take(jpg.length / 2) else jpg
+        try {
+          val (dw, dh, dec) =
+            graft.functions.MediaCodecs.decodeJpegColor(bytes)
+          var sum = 0L; var mn = 255; var mx = 0
+          var j = 0
+          while (j < dec.length) {
+            val v = dec(j) & 0xff
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            j += 1
+          }
+          JpegRt(id, dw, dh, dec.length, 0, sum, mn, mx)
+        } catch {
+          case _: Exception => JpegRt(id, 0, 0, 0, 1, 0L, 0, 0)
+        }
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] =
-    Seq(q50, q51, q119, q120, q154, q258, q387, q394, q395, q396, q429)
+    Seq(q50, q51, q119, q120, q154, q258, q387, q394, q395, q396, q429, q436)
 }

@@ -1144,7 +1144,7 @@ object SourceOps {
     val fAgg = filtered.agg(count(lit(1)).cast("long"),
       sum(col("k")).cast("long")).first()
     val planned = filtered.queryExecution.toRdd.getNumPartitions.toLong
-    val skipped = graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    val skipped = graft.sources.ManifestScanMetrics.skippedFiles(out)
     val isnullPlanned = read().filter(col("k").isNull)
       .queryExecution.toRdd.getNumPartitions.toLong
     val impossiblePlanned = read().filter(col("k") > 1000000L)
@@ -1409,9 +1409,9 @@ object SourceOps {
     def tbl() = s.read.format("graft.sources.ManifestSource")
       .schema(ddl).option("path", out).load()
     def pushed(df: org.apache.spark.sql.DataFrame): Long = {
-      graft.sources.ManifestScanMetrics.lastAggFromStats.set(false)
-      df.collect() // evaluates; the scan build sets the flag
-      if (graft.sources.ManifestScanMetrics.lastAggFromStats.get()) 1L else 0L
+      graft.sources.ManifestScanMetrics.reset(out)
+      df.collect() // evaluates; the scan build records the flag
+      if (graft.sources.ManifestScanMetrics.aggFromStats(out)) 1L else 0L
     }
     val mm = tbl().agg(min(col("k")).as("a"), max(col("k")).as("b"))
     val mmPushed = pushed(mm)
@@ -1621,9 +1621,7 @@ object SourceOps {
       val agg = df.agg(count(lit(1)).cast("long"),
         coalesce(sum(col("k")), lit(0L)).cast("long")).first()
       df.queryExecution.toRdd.getNumPartitions // force the scan build
-      val planned =
-        graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-          graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+      val planned = graft.sources.ManifestScanMetrics.plannedFiles(out)
       (agg.getLong(0), agg.getLong(1), planned)
     }
     val full = read().agg(count(lit(1)).cast("long"),

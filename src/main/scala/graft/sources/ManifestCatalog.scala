@@ -35,7 +35,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no file rewritten. All driver-side metadata — the catalog holds a
   * base path and per-table DDL strings, nothing data-sized.
   */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog with FunctionCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -52,8 +52,21 @@ class ManifestCatalog extends TableCatalog {
   private def fs(p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def dirOf(ident: Identifier): String =
-    (base +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  /** Identifier → directory, with every segment validated: a crafted
+    * segment (backquoted `..`, an embedded `/`) would otherwise map a
+    * table OUTSIDE `base` — and dropTable recursively deletes that
+    * directory. Same safe-name alphabet the sink requires of column
+    * names. */
+  private def dirOf(ident: Identifier): String = {
+    val segs = (ident.namespace() :+ ident.name()).toSeq
+    segs.foreach { s =>
+      if (!s.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") || s == "." || s == "..")
+        throw new IllegalArgumentException(
+          s"ManifestCatalog: unsafe identifier segment '$s' — segments " +
+            "must match [A-Za-z0-9_][A-Za-z0-9_.-]* (no '/', '.', '..')")
+    }
+    (base +: segs).mkString("/")
+  }
 
   private def schemaFile(dir: String) = new Path(dir, "_schema.ddl")
 
@@ -109,7 +122,11 @@ class ManifestCatalog extends TableCatalog {
     val pBy = lines.collectFirst {
       case l if l.startsWith("partitionBy=") => l.stripPrefix("partitionBy=")
     }
-    new ManifestCatalogTable(dir, StructType.fromDDL(lines.head), version, pBy)
+    val fmt = ManifestFormat.of(lines.collectFirst {
+      case l if l.startsWith("format=") => l.stripPrefix("format=")
+    })
+    new ManifestCatalogTable(dir, StructType.fromDDL(lines.head), version,
+      pBy, fmt)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -123,16 +140,37 @@ class ManifestCatalog extends TableCatalog {
       case Seq(t) if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         Some(t.references()(0).fieldNames()(0))
+      case Seq(t) if t.name() == "bucket" && t.references().length == 1 &&
+          t.references()(0).fieldNames().length == 1 =>
+        // PARTITIONED BY (bucket(n, col)) — hidden hash partitioning
+        // for unbounded key domains; at most n files per writer task
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"ManifestCatalog: bucket transform needs a literal count: $t"))
+        Some(s"bucket($n,${t.references()(0).fieldNames()(0)})")
       case other => throw new UnsupportedOperationException(
-        s"ManifestCatalog: only PARTITIONED BY (one identity column) is " +
-          s"supported, got ${other.mkString(", ")}")
+        s"ManifestCatalog: only PARTITIONED BY (identity column | " +
+          s"bucket(n, col)) is supported, got ${other.mkString(", ")}")
     }
-    pBy.foreach { c =>
-      require(schema.fieldNames.contains(c) &&
-        schema(schema.fieldIndex(c)).dataType ==
+    pBy.map(ManifestPartSpec.parse).foreach { sp =>
+      require(schema.fieldNames.contains(sp.col) &&
+        schema(schema.fieldIndex(sp.col)).dataType ==
           org.apache.spark.sql.types.LongType,
-        s"ManifestCatalog: partition column $c must be an existing BIGINT column")
+        s"ManifestCatalog: partition column ${sp.col} must be an existing " +
+          "BIGINT column")
     }
+    // data-file format: `USING parquet` / `USING csv`, or TBLPROPERTIES
+    // ('format'='parquet'). Any other provider (including a session-
+    // default Spark may inject) keeps the connector default.
+    val fmt = Option(properties.get("format"))
+      .orElse(Option(properties.get("provider"))
+        .map(_.toLowerCase)
+        .filter(p => p == ManifestFormat.Csv || p == ManifestFormat.Parquet))
+      .map(f => ManifestFormat.of(Some(f)))
+      .getOrElse(ManifestFormat.Csv)
     val dir = dirOf(ident)
     val p = schemaFile(dir)
     val f = fs(p)
@@ -142,9 +180,11 @@ class ManifestCatalog extends TableCatalog {
     f.mkdirs(new Path(dir))
     val out = f.create(p, false)
     try out.write((schema.toDDL +
-      pBy.map(c => s"\npartitionBy=$c").getOrElse("")).getBytes("UTF-8"))
+      pBy.map(c => s"\npartitionBy=$c").getOrElse("") +
+      (if (fmt == ManifestFormat.Csv) "" else s"\nformat=$fmt"))
+      .getBytes("UTF-8"))
     finally out.close()
-    new ManifestCatalogTable(dir, schema, None, pBy)
+    new ManifestCatalogTable(dir, schema, None, pBy, fmt)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -162,6 +202,19 @@ class ManifestCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "ManifestCatalog: RENAME TABLE is not supported")
+
+  /** FunctionCatalog face: serves the `bucket` transform function so
+    * Spark can resolve `PARTITIONED BY (bucket(n, col))` partitioning
+    * into a comparable `TransformExpression` — the piece that lets two
+    * n-bucket tables storage-partition-join with zero exchanges. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 }
 
 /** Catalog-resolved manifest table: read + write + merge-on-read
@@ -169,17 +222,24 @@ class ManifestCatalog extends TableCatalog {
   * machinery the path-addressed API uses. */
 private class ManifestCatalogTable(
     dir: String, tableSchema: StructType, version: Option[Long],
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None,
+    fmt: String = ManifestFormat.Csv)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with SupportsDelete {
+  with SupportsDelete
+  with SupportsMetadataColumns
+  with SupportsRowLevelOperations {
 
   override def name(): String =
     s"manifest_catalog($dir${version.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    partitionBy.toArray.map(
-      org.apache.spark.sql.connector.expressions.Expressions.identity)
+    partitionBy.toArray.map(s => ManifestPartSpec.parse(s) match {
+      case IdentityPartSpec(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case BucketPartSpec(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
@@ -187,6 +247,35 @@ private class ManifestCatalogTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestReadTable(dir, version, tableSchema).newScanBuilder(options)
+
+  /** The connector's positional row identity, exposed as metadata
+    * columns: row-level operations (MERGE/UPDATE/DELETE deltas) key
+    * their delete vectors on `(_mf_file, _mf_pos)` and carry
+    * `_mf_linehash` for compaction's checksum-conservation guard. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    ManifestMeta.fields.map { f =>
+      new MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = false
+      }
+    }
+
+  /** Pure-SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE: a
+    * delta-based (merge-on-read) row-level operation over a snapshot
+    * pinned at operation creation — see [[ManifestRowLevelOperation]].
+    * The simpler `SupportsDelete` above still serves metadata-only
+    * DELETEs whose predicate translates to V1 filters (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable picks it when it can). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      "ManifestCatalog: cannot run DML against a time-travel snapshot")
+    () => new ManifestRowLevelOperation(dir, tableSchema, info.command(),
+      partitionBy, fmt)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
@@ -200,12 +289,13 @@ private class ManifestCatalogTable(
           .filter(_.nonEmpty).orElse(partitionBy)
         new Write {
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-            new ManifestBatchWrite(dir, info.schema(), t, pBy)
+            new ManifestBatchWrite(dir, info.schema(), t, pBy, fmt)
           override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             if (t) throw new UnsupportedOperationException(
               "ManifestCatalog streaming writes are append-only")
-            new ManifestStreamingWrite(dir, info.schema(), info.queryId(), pBy)
+            new ManifestStreamingWrite(dir, info.schema(), info.queryId(),
+              pBy, fmt)
           }
         }
       }

@@ -161,7 +161,10 @@ object ManifestMaintenance {
         case None => Nil
         case Some(df) =>
           df.write.format("graft.sources.ManifestSink")
-            .option("path", scratchIns).mode("append").save()
+            .option("path", scratchIns)
+            .option("format", ManifestFormat.detect(
+              ManifestRead.entries(path, "manifest.json")))
+            .mode("append").save()
           readEntries(fs, new Path(scratchIns, "manifest.json"))
             .filter(_.rows > 0)
       }
@@ -398,18 +401,30 @@ object ManifestMaintenance {
   def compact(
       spark: org.apache.spark.sql.SparkSession,
       path: String, schemaDdl: String, targetFiles: Int = 1,
-      targetBytes: Long = 0L, clusterBy: Seq[String] = Nil): (Int, Int) = {
+      targetBytes: Long = 0L, clusterBy: Seq[String] = Nil,
+      format: String = ""): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val before = ManifestRead.files(path, "manifest.json")
     val beforeDvs = ManifestRead.dvs(path, "manifest.json")
+    // rewrite format: explicit `format` converts the table (the
+    // conservation guard holds ACROSS formats — row hashes are over
+    // the canonical rendering); default preserves what's there
+    val fmt =
+      if (format.nonEmpty) ManifestFormat.of(Some(format))
+      else ManifestFormat.detect(
+        ManifestRead.entries(path, "manifest.json"))
+    // an explicit format DIFFERENT from the current one always
+    // rewrites, like a layout request
+    val converting = format.nonEmpty &&
+      fmt != ManifestFormat.detect(ManifestRead.entries(path, "manifest.json"))
     // with delete vectors pending, compaction must run even at the
     // target file count — it is what applies the deletes physically;
     // a layout request likewise always rewrites (re-clustering IS the
     // point, whatever the current file count)
     if (before.length <= targetFiles && beforeDvs.isEmpty &&
-      clusterBy.isEmpty)
+      clusterBy.isEmpty && !converting)
       return (before.length, before.length)
     // BIN-PACK the input files into size-bounded groups (first-fit
     // decreasing, budget = targetBytes or total/targetFiles): each
@@ -437,7 +452,7 @@ object ManifestMaintenance {
     }
     val groups = bins.map(_._1.toSeq).toSeq
     if (groups.length == before.length && beforeDvs.isEmpty &&
-      clusterBy.isEmpty)
+      clusterBy.isEmpty && !converting)
       return (before.length, before.length) // nothing to merge
     // distributed rewrite into a scratch manifest dir: the sink's own
     // writer produces the part files AND their (rows, checksum) entries
@@ -447,7 +462,8 @@ object ManifestMaintenance {
         .schema(schemaDdl).option("path", path)
         .option("groups", groups.map(_.mkString(",")).mkString(";")).load()
         .write.format("graft.sources.ManifestSink")
-        .option("path", scratch).mode("append").save()
+        .option("path", scratch).option("format", fmt)
+        .mode("append").save()
     } else {
       import org.apache.spark.sql.functions.{col, expr}
       // layout rewrite: exact-ntile buckets over (clusterBy, all
@@ -470,7 +486,8 @@ object ManifestMaintenance {
         bucketed.filter(col("__b") === b).drop("__rk", "__b")
           .coalesce(1)
           .write.format("graft.sources.ManifestSink")
-          .option("path", scratch).mode("append").save()
+          .option("path", scratch).option("format", fmt)
+          .mode("append").save()
       }
     }
     val compactedEntries = readEntries(fs, new Path(scratch, "manifest.json"))
@@ -611,7 +628,7 @@ object ManifestMaintenance {
       fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
         if ((n.startsWith("part-") || n.startsWith("dv-")) &&
-          n.endsWith(".csv") && !referenced(n)) {
+          (n.endsWith(".csv") || n.endsWith(".parquet")) && !referenced(n)) {
           fs.delete(st.getPath, false); removed += 1
         } else if (st.isDirectory &&
           (n.startsWith("_tmp-") || n.startsWith("_compact-")) &&

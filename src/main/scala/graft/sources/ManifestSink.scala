@@ -126,9 +126,10 @@ private class ManifestTable(path: String, writeSchema: StructType)
       override def build(): Write = {
         val t = doTruncate
         val pBy = Option(info.options.get("partitionBy")).filter(_.nonEmpty)
+        val fmt = ManifestFormat.of(Option(info.options.get("format")))
         new Write {
           override def toBatch: BatchWrite =
-            new ManifestBatchWrite(path, info.schema(), t, pBy)
+            new ManifestBatchWrite(path, info.schema(), t, pBy, fmt)
           // exactly-once STREAMING sink: each micro-batch commits as
           // one manifest version, idempotent by (queryId, epochId) —
           // the manifest records the last committed epoch per query,
@@ -142,16 +143,46 @@ private class ManifestTable(path: String, writeSchema: StructType)
               "ManifestSink streaming writes are append-only " +
                 "(outputMode complete/update with truncate is not supported)")
             new ManifestStreamingWrite(path, info.schema(),
-              info.queryId(), pBy)
+              info.queryId(), pBy, fmt)
           }
         }
       }
     }
 }
 
+/** Data-file format of a manifest table: `csv` (the original row-major
+  * dialect) or `parquet` (columnar — the 100 TB default: ~3-10× fewer
+  * bytes and column-pruned reads). The manifest/ACID/skipping layer is
+  * format-agnostic: entries record the same (file, rows, checksum,
+  * cols, stats) either way, the per-row identity hash is defined over
+  * the CANONICAL CSV RENDERING of the row in both formats (so delete
+  * vectors, the order-independent checksum, and compaction's
+  * conservation guard work unchanged — even across a format-converting
+  * rewrite), and readers dispatch on the file extension, so one table
+  * may hold both formats mid-migration. */
+private[graft] object ManifestFormat {
+  val Csv = "csv"
+  val Parquet = "parquet"
+
+  def of(opt: Option[String]): String = opt.map(_.toLowerCase) match {
+    case None | Some("") | Some(Csv) => Csv
+    case Some(Parquet) => Parquet
+    case Some(other) => throw new IllegalArgumentException(
+      s"ManifestSink: unsupported format '$other' (csv or parquet)")
+  }
+
+  /** Detect the format of an existing table from its committed entries
+    * (for rewrites that must preserve it): parquet iff every data file
+    * is parquet; empty/mixed tables default to csv. */
+  def detect(entries: Seq[ManifestEntry]): String =
+    if (entries.nonEmpty && entries.forall(_.file.endsWith(".parquet")))
+      Parquet
+    else Csv
+}
+
 /** One committed data file (a task may produce several under
   * identity-partition fan-out). */
-private case class ManifestFileCommit(file: String, rows: Long,
+private[graft] case class ManifestFileCommit(file: String, rows: Long,
     checksum: Long, cols: String = "", stats: String = "",
     pv: Option[Long] = None, pt: Option[String] = None)
 
@@ -166,11 +197,12 @@ private case class ManifestCommit(files: Seq[ManifestFileCommit])
   * that replay a no-op, which is the whole exactly-once contract for a
   * DSv2 streaming sink. */
 private class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String, partitionBy: Option[String] = None)
+    queryId: String, partitionBy: Option[String] = None,
+    fmt: String = ManifestFormat.Csv)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
   private val core =
-    new ManifestBatchWrite(path, schema, truncate = false, partitionBy)
+    new ManifestBatchWrite(path, schema, truncate = false, partitionBy, fmt)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -187,7 +219,8 @@ private class ManifestStreamingWrite(path: String, schema: StructType,
 }
 
 private class ManifestBatchWrite(path: String, schema: StructType,
-    truncate: Boolean, partitionBy: Option[String] = None)
+    truncate: Boolean, partitionBy: Option[String] = None,
+    fmt: String = ManifestFormat.Csv)
   extends BatchWrite {
 
   // one temp namespace per write job: concurrent appends to the same
@@ -207,7 +240,8 @@ private class ManifestBatchWrite(path: String, schema: StructType,
     new Path(path).getFileSystem(hadoopConf.value)
 
   private[sources] def writerFactory: ManifestWriterFactory =
-    new ManifestWriterFactory(path, writeId, schema, hadoopConf, partitionBy)
+    new ManifestWriterFactory(path, writeId, schema, hadoopConf, partitionBy,
+      fmt)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = writerFactory
@@ -404,7 +438,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
 private[sources] class ManifestWriterFactory(path: String, writeId: String,
     schema: StructType,
     hadoopConf: org.apache.spark.util.SerializableConfiguration,
-    partitionBy: Option[String] = None)
+    partitionBy: Option[String] = None, fmt: String = ManifestFormat.Csv)
   extends DataWriterFactory
   with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -433,40 +467,67 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
       // disables partition grouping for the whole table. Without the
       // option there is exactly one (un-keyed) file per task. Files
       // are created LAZILY on first row, so empty tasks commit nothing.
-      private val pIdx: Option[Int] = partitionBy.map { c =>
-        val i = schema.fieldIndex(c)
+      private val pSpec: Option[ManifestPartSpec] =
+        partitionBy.map(ManifestPartSpec.parse)
+      private val pIdx: Option[Int] = pSpec.map { sp =>
+        val i = schema.fieldIndex(sp.col)
         require(schema(i).dataType == LongType,
-          s"ManifestSink partitionBy column $c must be BIGINT, " +
+          s"ManifestSink partitionBy column ${sp.col} must be BIGINT, " +
             s"got ${schema(i).dataType.simpleString}")
         i
       }
+      // OPEN writers are bounded (MaxOpen), independent of the distinct-
+      // value guard below: each open writer holds a live output stream,
+      // and with many concurrent tasks an unbounded map would exhaust
+      // executor file descriptors before the 1000-value guard tripped.
+      // Eviction is LRU (access re-inserts at the tail) and CLOSES the
+      // victim's file — a later row for that value simply starts a NEW
+      // uniquely-named file (multiple files per value per task are
+      // already first-class manifest entries), so no append support is
+      // needed from the filesystem.
+      private val MaxOpen = 128
       private val parts = scala.collection.mutable.LinkedHashMap
         .empty[Option[Long], ManifestFileWriter]
+      private val finished =
+        scala.collection.mutable.ArrayBuffer.empty[ManifestFileCommit]
+      private val seenPvs = scala.collection.mutable.HashSet.empty[Option[Long]]
 
       override def write(r: InternalRow): Unit = {
         val pv = pIdx.flatMap(i =>
-          if (r.isNullAt(i)) None else Some(r.getLong(i)))
-        parts.getOrElseUpdate(pv, {
+          if (r.isNullAt(i)) None else Some(pSpec.get.pv(r.getLong(i))))
+        val w = parts.remove(pv).getOrElse {
           // fan-out guard: identity partitioning is for BOUNDED key
           // domains (buckets, days, shards). A high-cardinality column
-          // would open one stream per distinct value per task — fail
-          // loudly before the task drowns in file handles.
-          require(parts.size < 1000,
+          // would scatter one file per distinct value per task — fail
+          // loudly before the manifest drowns in entries.
+          seenPvs += pv
+          require(seenPvs.size <= 1000,
             s"ManifestSink partitionBy=${partitionBy.get}: more than 1000 " +
               "distinct partition values in one task — identity " +
               "partitioning needs a bounded key domain (bucket the column " +
               "first, e.g. pmod(col, N))")
+          if (parts.size >= MaxOpen) {
+            val lru = parts.head._1
+            finished += parts.remove(lru).get.finish()
+          }
           new ManifestFileWriter(
             fs, tmpDir,
-            f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.csv",
-            schema, pv, if (pv.isDefined) partitionBy else None)
-        }).write(r)
+            f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.$fmt",
+            schema, pv, if (pv.isDefined) pSpec.map(_.render) else None,
+            hadoopConf.value)
+        }
+        parts.put(pv, w) // re-insert at the tail = LRU access order
+        w.write(r)
       }
 
       override def commit(): WriterCommitMessage =
-        ManifestCommit(parts.values.map(_.finish()).toSeq)
+        ManifestCommit(finished.toSeq ++ parts.values.map(_.finish()).toSeq)
 
-      override def abort(): Unit = parts.values.foreach(_.abort())
+      override def abort(): Unit = {
+        parts.values.foreach(_.abort())
+        // evicted writers already closed their files — delete those too
+        finished.foreach(c => fs.delete(new Path(tmpDir, c.file), false))
+      }
 
       override def close(): Unit = parts.values.foreach(_.close())
     }
@@ -481,9 +542,20 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
   * ambiguity in the manifest JSON). */
 private class ManifestFileWriter(
     fs: FileSystem, tmpDir: Path, name: String, schema: StructType,
-    pv: Option[Long], pt: Option[String]) {
-  private val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-    fs.create(new Path(tmpDir, name), true), "UTF-8"))
+    pv: Option[Long], pt: Option[String],
+    conf: Configuration = new Configuration()) {
+  // CSV and parquet writers share EVERYTHING above the byte encoding:
+  // stats, Blooms, string bounds, and the per-row canonical-line hash
+  // (the row identity delete vectors and the conservation guard use)
+  // are computed from the same rendered values either way.
+  private val isParquet = name.endsWith(".parquet")
+  private val out: java.io.PrintWriter =
+    if (isParquet) null
+    else new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(new Path(tmpDir, name), true), "UTF-8"))
+  private val (pq, groupFactory) =
+    if (isParquet) ManifestParquet.writer(new Path(tmpDir, name), schema, conf)
+    else (null, null)
   private var rows = 0L
   private var checksum = 0L
   private val safeNames =
@@ -584,16 +656,38 @@ private class ManifestFileWriter(
         case dt => ManifestSink.csvField(r.get(i, dt).toString)
       }
     }
-    // order-independent file checksum: sum of per-row line hashes
+    // order-independent file checksum: sum of per-row line hashes (the
+    // CANONICAL rendering — identical for both formats, so checksums
+    // and delete-vector hashes survive format-converting rewrites)
     val line = vals.mkString(",")
     checksum += line.hashCode.toLong
     rows += 1
-    out.print(line)
-    out.print('\n')
+    if (isParquet) {
+      val g = groupFactory.newGroup()
+      var i = 0
+      while (i < schema.length) {
+        if (!r.isNullAt(i)) schema.fields(i).dataType match {
+          case LongType => g.append(schema.fields(i).name, r.getLong(i))
+          case IntegerType => g.append(schema.fields(i).name, r.getInt(i))
+          case DoubleType => g.append(schema.fields(i).name, r.getDouble(i))
+          case StringType =>
+            g.append(schema.fields(i).name, r.getUTF8String(i).toString)
+          case dt => throw new UnsupportedOperationException(
+            s"ManifestSink parquet: unsupported type $dt")
+        }
+        i += 1
+      }
+      pq.write(g)
+    } else {
+      out.print(line)
+      out.print('\n')
+    }
   }
 
+  private def closeOut(): Unit = if (isParquet) pq.close() else out.close()
+
   def finish(): ManifestFileCommit = {
-    out.close()
+    closeOut()
     if (!safeNames) return ManifestFileCommit(name, rows, checksum)
     val stats = schema.fields.zipWithIndex.map { case (f, i) =>
       val bounds =
@@ -625,9 +719,9 @@ private class ManifestFileWriter(
   }
 
   def abort(): Unit = {
-    out.close()
+    closeOut()
     fs.delete(new Path(tmpDir, name), false)
   }
 
-  def close(): Unit = out.close()
+  def close(): Unit = closeOut()
 }

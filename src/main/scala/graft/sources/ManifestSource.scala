@@ -324,7 +324,16 @@ private object ManifestFilters {
       case LessThan(a, v) => cmp(a, v).exists(_ < 0)
       case LessThanOrEqual(a, v) => cmp(a, v).exists(_ <= 0)
       case StringStartsWith(a, p) =>
-        raw(a) != null && p != null && raw(a).startsWith(p)
+        // UTF-8 BYTE prefix (Spark's UTF8_BINARY semantics), not Java's
+        // UTF-16 String.startsWith — they diverge on prefix literals
+        // containing unpaired surrogates (encoded as '?' bytes), and the
+        // pruning bounds on this path already compare UTF-8 bytes
+        raw(a) != null && p != null && {
+          val rb = ManifestStrBounds.utf8(raw(a))
+          val pb = ManifestStrBounds.utf8(p)
+          rb.length >= pb.length &&
+            java.util.Arrays.equals(rb, 0, pb.length, pb, 0, pb.length)
+        }
       case IsNull(a) => raw(a) == null
       case IsNotNull(a) => raw(a) != null
       case other => throw new IllegalStateException(s"unpushable filter $other")
@@ -340,7 +349,39 @@ private class ManifestScan(
     groups: Option[Seq[Seq[String]]] = None,
     skipDvs: Boolean = false)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Size/row estimates from the manifest, POST filter pushdown (the
+    * numbers AQE and the broadcast planner actually want): only the
+    * entries surviving the zone-map/Bloom file skip count, so a
+    * selective probe on a huge table reports its true small footprint.
+    * Without this, Catalyst's broadcast decision on manifest tables is
+    * blind (DSv2 defaults to "unknown" = never broadcast without a
+    * hint). Rows are manifest-gross (delete vectors are estimates'
+    * noise); bytes are the kept files' on-disk lengths — a driver-side
+    * metadata op, same cost class as planning itself. */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics = {
+    val (kept, _) = keptEntries()
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    var bytes = 0L
+    var rows = 0L
+    kept.foreach { e =>
+      rows += e.rows
+      bytes += (try fs.getFileStatus(new Path(s"$path/${e.file}")).getLen
+      catch { case _: java.io.IOException => 0L })
+    }
+    val (b, r) = (bytes, rows)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+  }
   override def readSchema(): StructType = StructType(
     required.fields ++ ManifestMeta.fields.filter(f => metaCols.contains(f.name)))
   override def toBatch: Batch = this
@@ -348,12 +389,31 @@ private class ManifestScan(
     s"ManifestScan PushedFilters: [${filters.mkString(", ")}], " +
       s"ReadSchema: ${readSchema().catalogString}"
 
+  /** ONE manifest read per Scan: data entries and delete vectors of the
+    * SAME committed snapshot (reading them separately could mix
+    * snapshots across a concurrent commit — old file groups with new
+    * delete vectors), cached so `outputPartitioning` and
+    * `planInputPartitions` always describe the same layout. */
+  private lazy val snapshot: (Seq[ManifestEntry], Seq[String]) = {
+    val manifestName =
+      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
+    val txt =
+      try ManifestRead.manifestText(path, manifestName)
+      catch {
+        // a CURRENT read of a never-written table (catalog CREATE with
+        // no INSERT yet) is legitimately EMPTY; an explicitly requested
+        // version stays loud (expired by truncate, or never committed)
+        case e: java.io.FileNotFoundException =>
+          if (version.isEmpty) "" else throw e
+      }
+    (ManifestRead.entriesOfText(txt),
+      if (skipDvs) Nil else ManifestRead.dvsOfText(txt).map(_._1))
+  }
+
   /** Entries of the target snapshot surviving the pushed-filter zone
     * maps, plus the raw candidate count (for the skip metrics). */
   private def keptEntries(): (Seq[ManifestEntry], Int) = {
-    val manifestName =
-      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
-    val allEntries = ManifestRead.entries(path, manifestName)
+    val allEntries = snapshot._1
     (allEntries.filter(e =>
       filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
       allEntries.length)
@@ -368,7 +428,8 @@ private class ManifestScan(
     * with ZERO exchanges. Sorted by value so the plan is
     * deterministic. None when any entry is un-keyed (a NULL-partition
     * file, a pre-partitioning manifest) or keyed differently. */
-  private lazy val keyedLayout: Option[(String, Seq[(Long, Seq[ManifestEntry])])] = {
+  private lazy val keyedLayout
+    : Option[(ManifestPartSpec, Seq[(Long, Seq[ManifestEntry])])] = {
     if (groups.isDefined) None
     else {
       val (entries, _) = keptEntries()
@@ -376,11 +437,12 @@ private class ManifestScan(
       if (entries.isEmpty || pts.length != 1 || pts.head.isEmpty ||
         entries.exists(_.pv.isEmpty)) None
       else {
-        val ptCol = pts.head.get
-        val ok = fullSchema.fieldNames.contains(ptCol) &&
-          fullSchema(fullSchema.fieldIndex(ptCol)).dataType == LongType
-        if (!ok) None
-        else Some((ptCol, entries.groupBy(_.pv.get).toSeq.sortBy(_._1)))
+        // identity ("col") or bucket ("bucket(n,col)") — an unparseable
+        // pt (foreign manifest) just disables grouping
+        scala.util.Try(ManifestPartSpec.parse(pts.head.get)).toOption
+          .filter(sp => fullSchema.fieldNames.contains(sp.col) &&
+            fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType)
+          .map(sp => (sp, entries.groupBy(_.pv.get).toSeq.sortBy(_._1)))
       }
     }
   }
@@ -388,29 +450,32 @@ private class ManifestScan(
   override def outputPartitioning()
     : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedLayout match {
-      case Some((ptCol, gs)) =>
+      case Some((sp, gs)) =>
+        val expr = sp match {
+          case IdentityPartSpec(col) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(col)
+          case BucketPartSpec(n, col) =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, col)
+        }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(ptCol)), gs.length)
+          Array(expr), gs.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val manifestName =
-      version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
     val spark = org.apache.spark.sql.SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     // merge-on-read: every partition of this snapshot applies the
     // snapshot's delete vectors (positions of deleted rows) at scan
-    // time — deleted rows are skipped record-by-record, never shipped
-    val dvFiles =
-      if (skipDvs) Nil
-      else ManifestRead.dvs(path, manifestName).map(_._1)
+    // time — deleted rows are skipped record-by-record, never shipped.
+    // Same single snapshot read as the entries (never mixed versions).
+    val (allEntries, dvFiles) = snapshot
     // honors spark.sql.files.maxPartitionBytes like the built-in file
     // sources (tests dial it down to force multi-split reads)
     val maxSplit = math.max(1024L, spark.sessionState.conf.filesMaxPartitionBytes)
-    val allEntries = ManifestRead.entries(path, manifestName)
     // grouped mode (compaction): ONE partition per bin-packed group,
     // whole files only — each group is one task's rewrite unit
     groups.foreach { gs =>
@@ -419,7 +484,7 @@ private class ManifestScan(
         ManifestGroupPartition(path,
           g.map(n => byName.getOrElse(n,
             throw new IllegalArgumentException(
-              s"ManifestSource: grouped file $n not in $manifestName"))
+              s"ManifestSource: grouped file $n not in the manifest"))
             ).map(e => (e.file, e.rows, e.cols)),
           dvFiles): InputPartition
       }.toArray
@@ -431,18 +496,21 @@ private class ManifestScan(
     // optimization: the same filters still run row-by-row in the reader.
     val entries = allEntries.filter(e =>
       filters.forall(ManifestFilters.mayMatch(fullSchema, e, _)))
-    ManifestScanMetrics.lastCandidateFiles.set(allEntries.length)
-    ManifestScanMetrics.lastSkippedFiles.set(allEntries.length - entries.length)
-    ManifestScanMetrics.lastAggFromStats.set(false)
+    ManifestScanMetrics.record(path, allEntries.length,
+      allEntries.length - entries.length)
     // identity-partitioned: one partition per distinct value, whole
     // files (partition grouping trades byte-range split granularity
     // for zero-exchange joins — the same trade Spark bucketed tables
     // make), each exposing its value via HasPartitionKey
-    keyedLayout.foreach { case (_, gs) =>
+    keyedLayout.foreach { case (sp, gs) =>
+      // a bucket transform's partition key is the INT bucket id; an
+      // identity key is the LONG value itself — the key row's type
+      // must match the reported transform's result type
+      val intKey = sp.isInstanceOf[BucketPartSpec]
       return gs.map { case (pv, es) =>
         ManifestKeyedPartition(path,
           es.sortBy(_.file).map(e => (e.file, e.rows, e.cols)),
-          dvFiles, pv): InputPartition
+          dvFiles, pv, intKey): InputPartition
       }.toArray
     }
     entries
@@ -450,7 +518,10 @@ private class ManifestScan(
       val (name, rows) = (e.file, e.rows)
       val fp = new Path(s"$path/$name")
       val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
-      if (len <= maxSplit)
+      // parquet files are planned whole (row order defines _mf_pos;
+      // row-group splitting is the scale follow-up) — only the line-
+      // oriented CSV dialect byte-range splits
+      if (len <= maxSplit || !name.endsWith(".csv"))
         // unsplit: the whole-file row-count tamper guard stays active
         Seq(ManifestFilePartition(s"$path/$name", rows,
           dvFiles = dvFiles, cols = e.cols): InputPartition)
@@ -738,12 +809,18 @@ private[graft] object ManifestRead {
   /** (dvFile, rows, checksum) DELETE-VECTOR entries of one manifest —
     * each dv file lists (dataFile, recordByteOffset, lineHash) rows of
     * deleted records. Empty for manifests without deletes. */
-  def dvs(path: String, manifestName: String): Seq[(String, Long, Long)] = {
+  def dvs(path: String, manifestName: String): Seq[(String, Long, Long)] =
+    dvsOfText(text(path, manifestName))
+
+  /** Delete-vector entries parsed from an already-read manifest body
+    * (for callers that must derive entries AND dvs from ONE snapshot
+    * read — two separate reads can mix snapshots across a concurrent
+    * commit). */
+  def dvsOfText(txt: String): Seq[(String, Long, Long)] =
     """\{"dv":"([^"]+)","rows":(\d+),"checksum":(-?\d+)\}""".r
-      .findAllMatchIn(text(path, manifestName))
+      .findAllMatchIn(txt)
       .map(m => (m.group(1), m.group(2).toLong, m.group(3).toLong))
       .toSeq
-  }
 
   /** True iff the named manifest carries the `"compaction":true` flag —
     * a pure rewrite whose files the streaming tail must not re-emit. */
@@ -879,21 +956,46 @@ private case class ManifestGroupPartition(
   * with the other side's equal-keyed split, no exchange). */
 private case class ManifestKeyedPartition(
     tableDir: String, files: Seq[(String, Long, Option[String])],
-    dvFiles: Seq[String], pv: Long)
+    dvFiles: Seq[String], pv: Long, intKey: Boolean = false)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-    org.apache.spark.sql.catalyst.InternalRow(pv)
+    if (intKey) org.apache.spark.sql.catalyst.InternalRow(pv.toInt)
+    else org.apache.spark.sql.catalyst.InternalRow(pv)
 }
 
-/** Last batch scan's file-skipping tally (spec observability; the
-  * honest runtime observable is the planned partition count itself). */
+/** Per-TABLE-PATH file-skipping tally of the most recent batch scan
+  * (spec observability; the honest runtime observable is the planned
+  * partition count itself). Keyed by table path so a concurrent scan
+  * of ANOTHER table (parallel suites, background streams) can never
+  * interleave between a forced scan and its metric read — the JVM-
+  * global last-scan AtomicLongs this replaces could. Two concurrent
+  * scans of the SAME path can still race; every reader here probes a
+  * path it created privately (per-query /tmp fixture dirs). */
 private[graft] object ManifestScanMetrics {
-  val lastCandidateFiles = new java.util.concurrent.atomic.AtomicLong
-  val lastSkippedFiles = new java.util.concurrent.atomic.AtomicLong
-  /** true iff the most recent scan build answered its aggregates from
-    * manifest statistics alone (no data file opened). */
-  val lastAggFromStats = new java.util.concurrent.atomic.AtomicBoolean
+  private final case class M(candidates: Long, skipped: Long,
+    aggFromStats: Boolean)
+  private val byPath =
+    new java.util.concurrent.ConcurrentHashMap[String, M]()
+
+  private[sources] def record(path: String, candidates: Long,
+      skipped: Long): Unit =
+    byPath.put(path, M(candidates, skipped, aggFromStats = false))
+  private[sources] def recordAgg(path: String): Unit =
+    byPath.put(path, M(0L, 0L, aggFromStats = true))
+
+  def candidateFiles(path: String): Long =
+    Option(byPath.get(path)).map(_.candidates).getOrElse(0L)
+  def skippedFiles(path: String): Long =
+    Option(byPath.get(path)).map(_.skipped).getOrElse(0L)
+  /** candidates − skipped of the last scan planned over `path`. */
+  def plannedFiles(path: String): Long =
+    candidateFiles(path) - skippedFiles(path)
+  /** true iff the last scan build over `path` answered its aggregates
+    * from manifest statistics alone (no data file opened). */
+  def aggFromStats(path: String): Boolean =
+    Option(byPath.get(path)).exists(_.aggFromStats)
+  def reset(path: String): Unit = byPath.remove(path)
 }
 
 /** Resolves a pushed global aggregation against the manifest's
@@ -1014,7 +1116,7 @@ private class ManifestAggScan(path: String, aggSchema: StructType,
   override def description(): String =
     s"ManifestAggScan (metadata-only) ${aggSchema.catalogString}"
   override def planInputPartitions(): Array[InputPartition] = {
-    ManifestScanMetrics.lastAggFromStats.set(true)
+    ManifestScanMetrics.recordAgg(path)
     Array(ManifestAggPartition(values))
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1068,7 +1170,152 @@ private class ManifestReaderFactory(
       }
     case k: ManifestKeyedPartition =>
       createReader(ManifestGroupPartition(k.tableDir, k.files, k.dvFiles))
-    case part: ManifestFilePartition => createFileReader(part)
+    case part: ManifestFilePartition =>
+      if (part.file.endsWith(".parquet")) createParquetReader(part)
+      else createFileReader(part)
+  }
+
+  /** Deleted record positions for ONE data file (merge-on-read): dv
+    * files are small relative to data (one short line per deleted
+    * row), so each reader streams them and keeps only its own file's
+    * positions; at larger delete volumes the dv files would be
+    * bucketed by data-file prefix so a reader opens only its bucket. */
+  private def deletedPosFor(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path, dvFiles: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val fileName = file.getName
+    val tableDir = file.getParent
+    dvFiles.foreach { dv =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(new Path(tableDir, dv)), "UTF-8"))
+      try {
+        var l = in.readLine()
+        while (l != null) {
+          val f = ManifestDialect.splitCsv(l)
+          if (f(0) == fileName) set.add(f(1).toLong)
+          l = in.readLine()
+        }
+      } finally in.close()
+    }
+    set
+  }
+
+  /** Columnar reader: decodes ONLY the projected columns' chunks
+    * (required + pushed-filter columns; everything when the canonical
+    * line hash is requested), applies delete vectors by ROW ORDINAL,
+    * and feeds the same pushed-filter eval the CSV reader uses. */
+  private def createParquetReader(
+      part: ManifestFilePartition): PartitionReader[InternalRow] = {
+    new PartitionReader[InternalRow] {
+      private val fp = new Path(part.file)
+      private val fs = fp.getFileSystem(hadoopConf.value)
+      private val fileName = fp.getName
+      private val deletedPos = deletedPosFor(fs, fp, part.dvFiles)
+      // the FILE's own column layout (schema evolution by name)
+      private val fileCols: Array[String] =
+        part.cols.map(_.split(',')).getOrElse(fullSchema.fieldNames)
+      private val needLinehash = metaCols.contains("_mf_linehash")
+      if (needLinehash) {
+        val unknown = fileCols.filterNot(fullSchema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"ManifestSource: cannot reconstruct row identity hashes for " +
+            s"$fileName — file columns ${unknown.mkString(",")} are not in " +
+            "the read schema")
+      }
+      private def dtOf(n: String) = fullSchema(fullSchema.fieldIndex(n)).dataType
+      // projection: exactly the file columns this scan touches
+      private val neededNames: Array[String] = {
+        val want =
+          if (needLinehash) fullSchema.fieldNames.toSeq
+          else (required.fields.map(_.name) ++
+            filters.flatMap(_.references)).distinct.toSeq
+        fileCols.filter(want.contains) // in FILE order, existing only
+      }
+      private val reader = ManifestParquet.reader(fp,
+        ManifestParquet.messageType(StructType(neededNames.map(n =>
+          StructField(n, dtOf(n))))), hadoopConf.value)
+      private val hasFilters = filters.nonEmpty
+      private var ordinal = 0L
+      private var readCount = 0L
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (true) {
+          val g = reader.read()
+          if (g == null) {
+            if (part.len < 0 && readCount != part.rows)
+              throw new java.io.IOException(
+                s"ManifestSource: ${part.file} has $readCount rows, " +
+                  s"manifest says ${part.rows} — torn or tampered file")
+            return false
+          }
+          readCount += 1
+          val recOrdinal = ordinal // row ordinal = parquet row identity
+          ordinal += 1
+          val deleted = !deletedPos.isEmpty && deletedPos.contains(recOrdinal)
+          if (!deleted) {
+            // pushed filters on the raw rendering — same eval, same
+            // 3VL, same UTF-8 semantics as the CSV path
+            val ok = !hasFilters || {
+              val fields = new Array[String](fullSchema.length)
+              var i = 0
+              while (i < fullSchema.length) {
+                val n = fullSchema.fields(i).name
+                fields(i) =
+                  if (neededNames.contains(n))
+                    ManifestParquet.rawString(g, n, dtOf(n))
+                  else null
+                i += 1
+              }
+              filters.forall(ManifestFilters.eval(fullSchema, fields, _))
+            }
+            if (ok) {
+              val vals = new Array[Any](required.length + metaCols.length)
+              var i = 0
+              while (i < required.length) {
+                val f = required.fields(i)
+                vals(i) =
+                  if (!g.getType.containsField(f.name) ||
+                    g.getFieldRepetitionCount(f.name) == 0) null
+                  else f.dataType match {
+                    case LongType => g.getLong(f.name, 0)
+                    case IntegerType => g.getInteger(f.name, 0)
+                    case DoubleType => g.getDouble(f.name, 0)
+                    case StringType =>
+                      UTF8String.fromString(g.getString(f.name, 0))
+                    case dt => throw new UnsupportedOperationException(
+                      s"ManifestSource: unsupported read type $dt")
+                  }
+                i += 1
+              }
+              metaCols.foreach { m =>
+                vals(i) = m match {
+                  case "_mf_file" => UTF8String.fromString(fileName)
+                  case "_mf_pos" => recOrdinal
+                  case "_mf_linehash" =>
+                    // EXACTLY the writer's canonical line over the
+                    // file's own column order (escaped string fields,
+                    // "" for NULL) — hash-compatible with CSV rows
+                    fileCols.map { n =>
+                      val raw = ManifestParquet.rawString(g, n, dtOf(n))
+                      if (raw == null) ""
+                      else if (dtOf(n) == StringType) ManifestSink.csvField(raw)
+                      else raw
+                    }.mkString(",").hashCode.toLong
+                }
+                i += 1
+              }
+              current = InternalRow.fromSeq(vals.toIndexedSeq)
+              return true
+            }
+          }
+        }
+        false
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = reader.close()
+    }
   }
 
   private def createFileReader(
@@ -1077,28 +1324,9 @@ private class ManifestReaderFactory(
       private val fs = new Path(part.file).getFileSystem(hadoopConf.value)
       private val stream = fs.open(new Path(part.file))
       private val fileName = new Path(part.file).getName
-      // deleted record offsets for THIS data file (merge-on-read): dv
-      // files are small relative to data (one short line per deleted
-      // row), so each reader streams them and keeps only its own
-      // file's offsets; at larger delete volumes the dv files would be
-      // bucketed by data-file prefix so a reader opens only its bucket
-      private val deletedPos: java.util.HashSet[java.lang.Long] = {
-        val set = new java.util.HashSet[java.lang.Long]()
-        val tableDir = new Path(part.file).getParent
-        part.dvFiles.foreach { dv =>
-          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-            fs.open(new Path(tableDir, dv)), "UTF-8"))
-          try {
-            var l = in.readLine()
-            while (l != null) {
-              val f = splitCsv(l)
-              if (f(0) == fileName) set.add(f(1).toLong)
-              l = in.readLine()
-            }
-          } finally in.close()
-        }
-        set
-      }
+      // deleted record offsets for THIS data file (merge-on-read)
+      private val deletedPos =
+        deletedPosFor(fs, new Path(part.file), part.dvFiles)
       private val wholeFile = part.len < 0
       // [splitStart, splitEnd): a record belongs to this split iff its
       // FIRST byte lies in the range; the reader may read past splitEnd

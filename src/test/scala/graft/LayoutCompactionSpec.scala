@@ -37,10 +37,10 @@ class LayoutCompactionSpec extends AnyFunSuite {
     spark.read.format("graft.sources.ManifestSource")
       .schema("d1 LONG, d2 LONG, w LONG").option("path", path).load()
 
-  private def planned(df: org.apache.spark.sql.DataFrame): Long = {
+  private def planned(path: String)(
+      df: org.apache.spark.sql.DataFrame): Long = {
     df.queryExecution.toRdd.getNumPartitions
-    graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-      graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    graft.sources.ManifestScanMetrics.plannedFiles(path)
   }
 
   private val zexpr = (0 until 8).map { i =>
@@ -55,14 +55,14 @@ class LayoutCompactionSpec extends AnyFunSuite {
       col("d1") >= 64 && col("d1") <= 127 &&
         col("d2") >= 64 && col("d2") <= 127)
     val beforeRows = box.agg(count(lit(1)), sum("w")).first()
-    assert(planned(box) == 8L, "fixture lost its point: box must hit all files")
+    assert(planned(path)(box) == 8L, "fixture lost its point: box must hit all files")
     val (nb, na) = graft.sources.ManifestMaintenance.compact(
       spark, path, "d1 LONG, d2 LONG, w LONG",
       targetFiles = 8, clusterBy = Seq(zexpr))
     assert(nb == 8 && na == 8, s"($nb, $na)")
     val afterRows = box.agg(count(lit(1)), sum("w")).first()
     assert(afterRows == beforeRows)
-    val p = planned(box)
+    val p = planned(path)(box)
     assert(p <= 4L && p >= 1L,
       s"z-order compaction did not improve box pruning: planned $p of 8")
     // full-table integrity after the rewrite
@@ -73,12 +73,12 @@ class LayoutCompactionSpec extends AnyFunSuite {
     val path = freshDir()
     scatteredTable(path)
     def range = scan(path).filter(col("d1") >= 200 && col("d1") <= 220)
-    assert(planned(range) == 8L)
+    assert(planned(path)(range) == 8L)
     val vBefore = graft.sources.ManifestRead.latestVersion(path)
     graft.sources.ManifestMaintenance.compact(
       spark, path, "d1 LONG, d2 LONG, w LONG",
       targetFiles = 8, clusterBy = Seq("d1"))
-    val p = planned(range)
+    val p = planned(path)(range)
     assert(p <= 2L && p >= 1L,
       s"sort compaction did not improve range pruning: planned $p of 8")
     // the pre-compaction snapshot still reads byte-identically

@@ -70,20 +70,21 @@ class ManifestCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("untranslatable DELETE predicates are refused, not mis-applied") {
+  test("untranslatable DELETE predicates execute via the row-level path") {
+    // Until round 13 these were REFUSED (canDeleteWhere=false was the
+    // whole story); with SupportsRowLevelOperations, Spark now routes
+    // them through the delta (merge-on-read) plan and they EXECUTE —
+    // correctly, never mis-applied
     val (cat, _) = freshCatalog()
     val t = s"$cat.ns.t3"
     spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
     spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE k % 2 = 0")
-    }
-    assert(e.getMessage != null)
-    assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 2L,
-      "refused delete must not remove rows")
-    // translatable compound predicates DO work
-    spark.sql(s"DELETE FROM $t WHERE k >= 2 AND v = 'b'")
-    assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 1L)
+    spark.sql(s"DELETE FROM $t WHERE k % 2 = 0") // % is no V1 filter
+    assert(spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    // translatable compound predicates work too (metadata-only path)
+    spark.sql(s"DELETE FROM $t WHERE k >= 1 AND v = 'a'")
+    assert(spark.sql(s"SELECT count(*) FROM $t").first().getLong(0) == 0L)
   }
 
   test("PARTITIONED BY persists: SQL-only SPJ joins with zero exchanges") {
@@ -146,6 +147,21 @@ class ManifestCatalogSpec extends AnyFunSuite {
     val got = spark.read.schema("k LONG").parquet(sink)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 2L, 10L), s"got $got")
+  }
+
+  test("unsafe identifier segments are rejected (no path escape)") {
+    val (cat, base) = freshCatalog()
+    // a backquoted `..` segment would map OUTSIDE base — and dropTable
+    // recursively deletes the mapped directory
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`..`.esc (k BIGINT)")
+    }
+    assert(e.getMessage.contains("unsafe identifier segment"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.ns.`../../etc`")
+    }
+    assert(e2.getMessage.contains("unsafe identifier segment"), e2.getMessage)
+    assert(new java.io.File(base).exists())
   }
 
   test("catalog metadata: duplicate create fails, listTables, missing table") {

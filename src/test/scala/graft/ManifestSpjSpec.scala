@@ -102,10 +102,29 @@ class ManifestSpjSpec extends AnyFunSuite {
     assert(probe.collect().map(_.getLong(1)).sorted.toSeq ==
       (0L until 40L).filter(_ % 4 == 2).sorted)
     probe.queryExecution.toRdd.getNumPartitions
-    val planned =
-      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+    val planned = graft.sources.ManifestScanMetrics.plannedFiles(path)
     assert(planned == 1L, s"b=2 probe planned $planned files of 4")
+  }
+
+  test("fan-out past the open-handle bound: rows conserved, pv intact") {
+    // 300 distinct values through one task exceeds the writer's MaxOpen
+    // (128): LRU eviction must close+finish files and reopen NEW files
+    // for revisited values without losing or duplicating a row
+    import spark.implicits._
+    val path = freshDir()
+    val rows = (0L until 600L).map(i => (i % 300, i))
+    rows.toDF("b", "v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", path).option("partitionBy", "b")
+      .mode("append").save()
+    val got = rd(path).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == rows.sorted)
+    val entries = graft.sources.ManifestRead.entries(path, "manifest.json")
+    assert(entries.forall(e => e.pv.isDefined && e.pt.contains("b")),
+      "every evicted/reopened file must still carry its partition value")
+    // interleaved revisits force >300 files (reopens), never >1 stream
+    // per value concurrently — the bound is on OPEN handles, not files
+    assert(entries.length >= 300)
   }
 
   test("partitionBy on a non-BIGINT column fails loudly") {

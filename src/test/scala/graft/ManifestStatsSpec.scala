@@ -47,8 +47,8 @@ class ManifestStatsSpec extends AnyFunSuite {
     assert(got == (13L to 17L))
     assert(one.queryExecution.toRdd.getNumPartitions == 1,
       "a 13..17 range must plan exactly the 10..19 file")
-    assert(ManifestScanMetrics.lastSkippedFiles.get == 3 &&
-      ManifestScanMetrics.lastCandidateFiles.get == 4)
+    assert(ManifestScanMetrics.skippedFiles(out) == 3 &&
+      ManifestScanMetrics.candidateFiles(out) == 4)
 
     val none = read(out).filter(col("k") > 1000)
     assert(none.count() == 0)
@@ -173,13 +173,13 @@ class ManifestStatsSpec extends AnyFunSuite {
       .option("path", out).mode("append").save()
     def tbl() = spark.read.format("graft.sources.ManifestSource")
       .schema("k LONG, d DOUBLE, s STRING").option("path", out).load()
-    ManifestScanMetrics.lastAggFromStats.set(false)
+    ManifestScanMetrics.reset(out)
     val df = tbl().agg(min("k"), max("k"), min("d"), max("d"),
       count(lit(1)), count(col("s")))
     val r = df.collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
       r.getLong(4), r.getLong(5)) == (1L, 10L, -1.0, 9.0, 4L, 3L))
-    assert(ManifestScanMetrics.lastAggFromStats.get(),
+    assert(ManifestScanMetrics.aggFromStats(out),
       "aggregate must be answered from manifest stats")
     assert(df.queryExecution.executedPlan.toString.contains("ManifestAggScan"),
       "plan must show the metadata-only scan:\n" +

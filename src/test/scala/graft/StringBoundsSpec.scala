@@ -80,8 +80,7 @@ class StringBoundsSpec extends AnyFunSuite {
     write(path, Seq("zeta", "zulu"))
     def planned(df: org.apache.spark.sql.DataFrame): Long = {
       df.queryExecution.toRdd.getNumPartitions
-      graft.sources.ManifestScanMetrics.lastCandidateFiles.get() -
-        graft.sources.ManifestScanMetrics.lastSkippedFiles.get()
+      graft.sources.ManifestScanMetrics.plannedFiles(path)
     }
     import org.apache.spark.sql.functions.col
     // only file 3 holds values >= "z"
