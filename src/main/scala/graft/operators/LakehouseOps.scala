@@ -1335,6 +1335,77 @@ object LakehouseOps {
     }
   }
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434)
+  // ------------- q435: hidden range partitioning (truncate = days)
+
+  /** q435: `PARTITIONED BY (truncate(86400, sec))` — the days(ts)
+    * shape as HIDDEN partitioning on an epoch-seconds column: the
+    * writer fans out one file per day, manifest entries carry
+    * `pt=truncate(86400,sec)` + the day floor, and a time-range probe
+    * prunes STRUCTURALLY from the partition value (the transform's
+    * [pv, pv+w) guarantee — no column stats consulted, so pruning
+    * holds even on stats-less manifests, which zone maps can't claim).
+    * The planned-file count (= days in range) rides along as an
+    * observable row. At 100 TB this is the bread-and-butter layout:
+    * every dashboard's time predicate plans only its days. */
+  private val q435 = Q(
+    "q435_hidden_partition_days",
+    """WITH e AS (
+      |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(user_id AS BIGINT) AS uid
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |probe AS (
+      |  SELECT * FROM e
+      |  WHERE sec >= 1704412800 AND sec < 1704844800),
+      |agg AS (
+      |  SELECT CAST(sec // 86400 AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(uid) AS BIGINT) AS sum_uid
+      |  FROM probe GROUP BY 1),
+      |pl AS (
+      |  SELECT CAST(count(DISTINCT sec // 86400) AS BIGINT) AS planned
+      |  FROM probe)
+      |SELECT 'day' AS which, day, n, sum_uid FROM agg
+      |UNION ALL
+      |SELECT 'planned', planned, 0, 0 FROM pl
+      |ORDER BY which, day""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q435_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_day_$h"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val t = s"$cat.db.ev"
+    s.sql(s"CREATE TABLE $t (sec BIGINT, uid BIGINT) USING parquet " +
+      "PARTITIONED BY (truncate(86400, sec))")
+    // one writer task => exactly one file per day (the oracle's
+    // planned-file count is then the day count in range)
+    s.sql(s"""INSERT INTO $t
+             |SELECT /*+ REPARTITION(1) */
+             |  CAST(unix_micros(ts) div 1000000 AS BIGINT),
+             |  CAST(user_id AS BIGINT)
+             |FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             |""".stripMargin)
+    val dir435 = s"$base/db/ev"
+    val probe = s.sql(
+      s"""SELECT CAST(sec div 86400 AS BIGINT) AS day,
+         |  count(*) AS n, sum(uid) AS sum_uid
+         |FROM $t WHERE sec >= 1704412800 AND sec < 1704844800
+         |GROUP BY 1""".stripMargin)
+    probe.queryExecution.toRdd.getNumPartitions // force the scan build
+    val planned = graft.sources.ManifestScanMetrics.plannedFiles(dir435)
+    import s.implicits._
+    probe.select(lit("day").as("which"), col("day"), col("n"),
+        col("sum_uid"))
+      .unionByName(Seq(("planned", planned, 0L, 0L))
+        .toDF("which", "day", "n", "sum_uid"))
+      .orderBy("which", "day")
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434, q435)
 
 }

@@ -140,20 +140,25 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
       case Seq(t) if t.name() == "identity" && t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         Some(t.references()(0).fieldNames()(0))
-      case Seq(t) if t.name() == "bucket" && t.references().length == 1 &&
+      case Seq(t) if (t.name() == "bucket" || t.name() == "truncate") &&
+          t.references().length == 1 &&
           t.references()(0).fieldNames().length == 1 =>
         // PARTITIONED BY (bucket(n, col)) — hidden hash partitioning
-        // for unbounded key domains; at most n files per writer task
+        // for unbounded key domains (at most n files per writer task) —
+        // or (truncate(w, col)) — hidden range partitioning, the
+        // days(ts) shape for epoch columns
         val n = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
             if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
+            l.value().asInstanceOf[Number].longValue()
         }.getOrElse(throw new IllegalArgumentException(
-          s"ManifestCatalog: bucket transform needs a literal count: $t"))
-        Some(s"bucket($n,${t.references()(0).fieldNames()(0)})")
+          s"ManifestCatalog: ${t.name()} transform needs a literal " +
+            s"count/width: $t"))
+        Some(s"${t.name()}($n,${t.references()(0).fieldNames()(0)})")
       case other => throw new UnsupportedOperationException(
         s"ManifestCatalog: only PARTITIONED BY (identity column | " +
-          s"bucket(n, col)) is supported, got ${other.mkString(", ")}")
+          s"bucket(n, col) | truncate(w, col)) is supported, " +
+          s"got ${other.mkString(", ")}")
     }
     pBy.map(ManifestPartSpec.parse).foreach { sp =>
       require(schema.fieldNames.contains(sp.col) &&
@@ -208,11 +213,13 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
     * into a comparable `TransformExpression` — the piece that lets two
     * n-bucket tables storage-partition-join with zero exchanges. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array(Identifier.of(namespace, "bucket"),
+      Identifier.of(namespace, "truncate"))
 
   override def loadFunction(ident: Identifier)
     : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else if (ident.name().equalsIgnoreCase("truncate")) GraftTruncateFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 }
@@ -239,6 +246,11 @@ private class ManifestCatalogTable(
         org.apache.spark.sql.connector.expressions.Expressions.identity(c)
       case BucketPartSpec(n, c) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      case TruncatePartSpec(w, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply(
+          "truncate",
+          org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
     })
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,

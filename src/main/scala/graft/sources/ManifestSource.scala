@@ -411,11 +411,25 @@ private class ManifestScan(
   }
 
   /** Entries of the target snapshot surviving the pushed-filter zone
-    * maps, plus the raw candidate count (for the skip metrics). */
+    * maps AND the structural partition-value pruning (identity /
+    * truncate ranges, bucket residue classes — works on manifests with
+    * no column stats at all), plus the raw candidate count (for the
+    * skip metrics). */
   private def keptEntries(): (Seq[ManifestEntry], Int) = {
     val allEntries = snapshot._1
+    def pvKeep(e: ManifestEntry): Boolean =
+      (e.pt, e.pv) match {
+        case (Some(pt), Some(pv)) =>
+          scala.util.Try(ManifestPartSpec.parse(pt)).toOption match {
+            case Some(sp) if fullSchema.fieldNames.contains(sp.col) &&
+              fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType =>
+              filters.forall(ManifestPartSpec.pvMayMatch(sp, pv, _))
+            case _ => true
+          }
+        case _ => true
+      }
     (allEntries.filter(e =>
-      filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
+      pvKeep(e) && filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
       allEntries.length)
   }
 
@@ -458,6 +472,13 @@ private class ManifestScan(
           case BucketPartSpec(n, col) =>
             org.apache.spark.sql.connector.expressions.Expressions
               .bucket(n, col)
+          case TruncatePartSpec(w, col) =>
+            org.apache.spark.sql.connector.expressions.Expressions.apply(
+              "truncate",
+              org.apache.spark.sql.connector.expressions.Expressions
+                .literal(w),
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(col))
         }
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(expr), gs.length)
@@ -489,13 +510,13 @@ private class ManifestScan(
           dvFiles): InputPartition
       }.toArray
     }
-    // FILE SKIPPING on the pushed filters against each entry's column
-    // stats (zone maps): a file whose min/max/null-count PROVE no row
-    // can match is never opened — at 100 TB a selective time-range
-    // query plans only the files whose ranges overlap. Purely an I/O
-    // optimization: the same filters still run row-by-row in the reader.
-    val entries = allEntries.filter(e =>
-      filters.forall(ManifestFilters.mayMatch(fullSchema, e, _)))
+    // FILE SKIPPING on the pushed filters: per-entry column stats
+    // (zone maps) plus structural partition-value pruning — a file
+    // whose stats or partition value PROVE no row can match is never
+    // opened. At 100 TB a selective time-range query plans only the
+    // files whose ranges overlap. Purely an I/O optimization: the same
+    // filters still run row-by-row in the reader.
+    val (entries, _) = keptEntries()
     ManifestScanMetrics.record(path, allEntries.length,
       allEntries.length - entries.length)
     // identity-partitioned: one partition per distinct value, whole

@@ -67,13 +67,24 @@ for d, f in (("/tmp/sfsmoke10", 10), ("/tmp/sfsmoke100", 100)):
     print(f"{d}: lineitem {n} rows = {f}x OK")
 PYEOF
   # per-scale heavy-oracle skips (see the note in tools/sweep_check.py;
-  # the adversarial sweep runs these at sf0.01 scale where feasible).
-  # Round 13 de-skipped the graph oracles (q209/q212/q242/q243):
-  # MATERIALIZED per-round CTEs stop DuckDB re-inlining the edge
-  # projection per reference — all four now pass at 100x in ~60-85s
-  # (measured; q243 previously spilled >80 GB).
+  # Round 14 re-probed EVERY skip against the live corpora: all 17
+  # former skips complete at 10x (<=160 s each, measured), and 12 of 17
+  # at 100x — only the genuinely-super-linear oracles stay skipped, and
+  # only at 100x, each with its measured reason:
+  #  - q48_embedding_top_pairs: global all-pairs cosine top-k (>180 s
+  #    at 100x; 62 s at 10x) — the oracle IS the n^2 ranking.
+  #  - q123_embedding_neardup: leader assignment replay over all-pairs
+  #    cosine (>180 s at 100x; 60 s at 10x).
+  #  - q279_grid_radius_join: deliberately the naive all-pairs radius
+  #    join (>180 s at 100x; 4.9 s at 10x where feasible).
+  #  - q390_context_packing: greedy packing = one recursive-CTE
+  #    iteration per rank (158 s at 10x; iterations scale with rows).
+  #  - q138_dup_clusters: LSH-candidate cosine re-verify, 1081 s at
+  #    100x (measured round 14) — completes, but inside 1.7x of the
+  #    1800 s sweep budget; kept skipped so a slow host can't abort
+  #    the release. Covered at 10x and in SCALE_CURVE.
   SKIP_10=""
-  SKIP_100="q244_allpairs_jaccard,q250_entity_resolution,q257_lev_banded_match,q258_phash_neardup,q138_dup_clusters,q292_semantic_dedup,q321_ppjoin_exact_similarity"
+  SKIP_100="q48_embedding_top_pairs,q123_embedding_neardup,q279_grid_radius_join,q390_context_packing,q138_dup_clusters"
   for SCALE in 10 100; do
     DIRV=/tmp/release_sweep_$SCALE
     echo "== SWEEP_${SCALE}x (value-verify at /tmp/sfsmoke$SCALE)"
