@@ -1406,6 +1406,84 @@ object LakehouseOps {
       .orderBy("which", "day")
   }
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434, q435)
+  // ------------- q437: runtime file pruning (DSv2 dynamic pruning)
+
+  /** q437: `SupportsRuntimeV2Filtering` — at EXECUTION time Spark
+    * hands the fact scan the dim side's surviving join keys as an IN
+    * predicate, and the scan drops every file whose partition value /
+    * zone maps / Bloom prove none of those keys occur, BEFORE opening
+    * it. The fact here is truncate(1000)-partitioned on a synthetic
+    * key whose dim matches all live in ONE partition, so the join
+    * plans exactly 1 of 8 fact files at every scale (the
+    * planned/candidate counts ride along as an observable row). At
+    * 100 TB this is the fact-table saver: a dim-filtered star join
+    * reads only the fact files the dim's keys can touch, with no
+    * predicate the USER ever wrote against the fact. */
+  private val q437 = Q(
+    "q437_runtime_file_pruning",
+    """WITH f AS (
+      |  SELECT CAST(o_orderkey % 8000 AS BIGINT) AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey IS NOT NULL),
+      |d AS (
+      |  SELECT DISTINCT CAST(c_custkey % 3000 AS BIGINT) AS k
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |ds AS (SELECT k FROM d WHERE k % 8000 < 1000),
+      |j AS (SELECT f.k AS k, f.cents AS cents FROM f JOIN ds ON f.k = ds.k)
+      |SELECT 'agg' AS which, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total
+      |FROM j
+      |UNION ALL
+      |SELECT 'pruning', CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    def fresh(tag: String): String = {
+      val out = s"/tmp/graft_q437${tag}_${math.abs(dir.hashCode)}"
+      val f = new java.io.File(out)
+      if (f.exists()) {
+        java.nio.file.Files.walk(f.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      out
+    }
+    val factDir = fresh("f"); val dimDir = fresh("d")
+    Tables.load(s, dir, "orders").filter(col("o_orderkey").isNotNull)
+      .select((col("o_orderkey") % 8000).cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .coalesce(1) // one writer task => exactly one file per partition
+      .write.format("graft.sources.ManifestSink")
+      .option("path", factDir).option("partitionBy", "truncate(1000,k)")
+      .option("format", "parquet").mode("append").save()
+    Tables.load(s, dir, "customer").filter(col("c_custkey").isNotNull)
+      .select((col("c_custkey") % 3000).cast("long").as("k")).distinct()
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dimDir).option("format", "parquet")
+      .mode("append").save()
+    def rd(p: String, ddl: String) = s.read
+      .format("graft.sources.ManifestSource").schema(ddl)
+      .option("path", p).load()
+    withConfs(s,
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      // the dim predicate is deliberately NOT pushable (modulo): it
+      // survives as a plan Filter, which is what the DPP planner needs
+      // to see on the filtering side
+      val agg = rd(factDir, "k LONG, cents LONG")
+        .join(rd(dimDir, "k LONG").filter(col("k") % 8000L < 1000L), "k")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("cents").cast("long").as("total"))
+        .first()
+      val planned = graft.sources.ManifestScanMetrics.plannedFiles(factDir)
+      val candidates =
+        graft.sources.ManifestScanMetrics.candidateFiles(factDir)
+      import s.implicits._
+      Seq(("agg", agg.getLong(0), agg.getLong(1)),
+        ("pruning", planned, candidates))
+        .toDF("which", "n", "total").orderBy("which")
+    }
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434, q435, q437)
 
 }

@@ -350,7 +350,70 @@ private class ManifestScan(
     skipDvs: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** RUNTIME file pruning (the DSv2 dynamic-partition-pruning hook):
+    * at execution time Spark hands the scan the build side's join-key
+    * values as IN predicates; every file whose zone maps, Bloom, or
+    * partition value PROVE none of those keys can occur is dropped
+    * before it is opened. At 100 TB this is the fact-table saver: a
+    * dim-filtered join reads only the fact files holding surviving
+    * keys. File-level only — extra rows in kept files are fine (the
+    * join drops them), so correctness never rests on this path.
+    * Key-grouped scans participate too (a partition-value hit list is
+    * the strongest prune) — at execution Spark's BatchScanExec owns
+    * re-grouping the filtered splits, and the scan only ever reports
+    * KeyGroupedPartitioning when v2 bucketing is enabled. Grouped
+    * (compaction) scans opt out: their file list IS the work unit. */
+  private var runtimeIn: Seq[(String, Seq[Any])] = Nil
+
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (groups.isDefined) Array.empty
+    // only columns in THIS scan's pruned output — Spark resolves these
+    // against the scan relation and throws on anything it can't see
+    else required.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == StringType =>
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name)
+    }
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, Literal => V2Literal}
+    val parsed = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames.head)
+        case _ => None
+      }
+      def litOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+        case l: V2Literal[_] =>
+          Some(l.value() match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case v => v
+          })
+        case _ => None
+      }
+      p.name() match {
+        case "IN" if kids.nonEmpty =>
+          for (c <- colOf(kids.head);
+               vs <- Option(kids.tail.toSeq.map(litOf))
+                 .filter(_.forall(_.isDefined)))
+            yield (c, vs.flatten)
+        case "=" if kids.length == 2 =>
+          for (c <- colOf(kids(0)); v <- litOf(kids(1)))
+            yield (c, Seq(v))
+        case _ => None
+      }
+    }
+    runtimeIn = runtimeIn ++ parsed
+  }
 
   /** Size/row estimates from the manifest, POST filter pushdown (the
     * numbers AQE and the broadcast planner actually want): only the
@@ -428,8 +491,29 @@ private class ManifestScan(
           }
         case _ => true
       }
+    // runtime join-key sets: keep a file iff AT LEAST ONE key could
+    // occur in it (zone maps / Bloom via an EqualTo probe per key, and
+    // the structural partition value via the same In check)
+    def runtimeKeep(e: ManifestEntry): Boolean =
+      runtimeIn.forall { case (c, vs) =>
+        !fullSchema.fieldNames.contains(c) || vs.isEmpty ||
+          (vs.exists(v => ManifestFilters.mayMatch(fullSchema, e,
+            org.apache.spark.sql.sources.EqualTo(c, v))) &&
+            ((e.pt, e.pv) match {
+              case (Some(pt), Some(pv)) =>
+                scala.util.Try(ManifestPartSpec.parse(pt)).toOption match {
+                  case Some(sp) if sp.col == c &&
+                    fullSchema(fullSchema.fieldIndex(c)).dataType == LongType =>
+                    ManifestPartSpec.pvMayMatch(sp, pv,
+                      org.apache.spark.sql.sources.In(c, vs.toArray))
+                  case _ => true
+                }
+              case _ => true
+            }))
+      }
     (allEntries.filter(e =>
-      pvKeep(e) && filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
+      pvKeep(e) && runtimeKeep(e) &&
+        filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
       allEntries.length)
   }
 

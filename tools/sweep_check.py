@@ -18,14 +18,13 @@ still timed in SCALE_CURVE_100x.json.
 """
 import json, os, subprocess, sys
 
-QUADRATIC_ORACLES = {
-    # EMPTY since round 14: every formerly-built-in "quadratic oracle"
-    # skip was re-probed against the live corpora and DuckDB version —
-    # ALL of them complete at 10x (<=160 s each, measured), and most at
-    # 100x. Per-scale skips now live in tools/release.sh (SWEEP_SKIP),
-    # each with a measured one-line justification; nothing is skipped
-    # at every scale by default.
-}
+# EMPTY since round 14: every formerly-built-in "quadratic oracle" skip
+# was re-probed against the live corpora and DuckDB version — ALL of
+# them complete at 10x (<=160 s each, measured), and most at 100x.
+# Per-scale skips now live in tools/release.sh (SWEEP_SKIP), each with
+# a measured one-line justification; nothing is skipped at every scale
+# by default.
+QUADRATIC_ORACLES: set = set()
 QUADRATIC_ORACLES |= {
     s for s in (os.environ.get("SWEEP_SKIP") or "").split(",") if s}
 
