@@ -607,16 +607,22 @@ private class ManifestScan(
     // files (partition grouping trades byte-range split granularity
     // for zero-exchange joins — the same trade Spark bucketed tables
     // make), each exposing its value via HasPartitionKey
-    keyedLayout.foreach { case (sp, gs) =>
-      // a bucket transform's partition key is the INT bucket id; an
-      // identity key is the LONG value itself — the key row's type
-      // must match the reported transform's result type
+    keyedLayout.foreach { case (sp, _) =>
+      // group the FILTERED entry set, not the lazily-cached layout:
+      // keyedLayout may have been materialized at planning time
+      // (outputPartitioning), BEFORE any runtime (DPP) filter arrived —
+      // the planned splits must honor it (BatchScanExec owns regrouping
+      // runtime-filtered key-grouped splits). A bucket transform's
+      // partition key is the INT bucket id; an identity/truncate key is
+      // the LONG value — the key row's type must match the transform's
+      // result type.
       val intKey = sp.isInstanceOf[BucketPartSpec]
-      return gs.map { case (pv, es) =>
-        ManifestKeyedPartition(path,
-          es.sortBy(_.file).map(e => (e.file, e.rows, e.cols)),
-          dvFiles, pv, intKey): InputPartition
-      }.toArray
+      return entries.groupBy(_.pv.get).toSeq.sortBy(_._1)
+        .map { case (pv, es) =>
+          ManifestKeyedPartition(path,
+            es.sortBy(_.file).map(e => (e.file, e.rows, e.cols)),
+            dvFiles, pv, intKey): InputPartition
+        }.toArray
     }
     entries
       .flatMap { e =>

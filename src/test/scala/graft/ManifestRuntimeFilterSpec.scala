@@ -67,6 +67,36 @@ class ManifestRuntimeFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime pruning with v2 bucketing ON (layout materialized early)") {
+    // with bucketing enabled, outputPartitioning materializes the keyed
+    // layout BEFORE the runtime filter arrives — the planned splits
+    // must still honor the filter (they group the filtered entry set,
+    // not the cached layout)
+    import spark.implicits._
+    val fact = freshDir(); val dim = freshDir()
+    (0L until 8000L).map(i => (i, i * 2)).toDF("k", "cents").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", fact).option("partitionBy", "truncate(1000,k)")
+      .mode("append").save()
+    (0L until 1000L by 7L).map(i => (i, 1L)).toDF("k", "sel").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dim).mode("append").save()
+    def rd(p: String, ddl: String) =
+      spark.read.format("graft.sources.ManifestSource")
+        .schema(ddl).option("path", p).load()
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+      val j = rd(fact, "k LONG, cents LONG")
+        .join(rd(dim, "k LONG, sel LONG").filter(col("sel") % 2 === 1L), "k")
+      val got = j.agg(count(lit(1)), sum("cents")).first()
+      val keys = (0L until 1000L by 7L)
+      assert((got.getLong(0), got.getLong(1)) ==
+        (keys.size.toLong, keys.map(_ * 2).sum))
+      assert(graft.sources.ManifestScanMetrics.plannedFiles(fact) == 1L)
+    }
+  }
+
   test("zone maps prune unpartitioned facts at runtime too") {
     import spark.implicits._
     val fact = freshDir(); val dim = freshDir()
