@@ -1009,7 +1009,8 @@ object LakehouseOps {
     val probe = rd(outO, "b LONG, k LONG, cents LONG")
       .filter(col("b") === 3L)
     probe.queryExecution.toRdd.getNumPartitions
-    val prunePlanned = graft.sources.ManifestScanMetrics.plannedFiles(outO)
+    val (prunePlanned, _) =
+      graft.sources.ManifestScanMetrics.filesOf(probe, outO)
     import s.implicits._
     joined.unionByName(
       Seq(("prune", 3L, prunePlanned, 0L)).toDF("which", "b", "n", "total"))
@@ -1397,7 +1398,8 @@ object LakehouseOps {
          |FROM $t WHERE sec >= 1704412800 AND sec < 1704844800
          |GROUP BY 1""".stripMargin)
     probe.queryExecution.toRdd.getNumPartitions // force the scan build
-    val planned = graft.sources.ManifestScanMetrics.plannedFiles(dir435)
+    val (planned, _) = // THIS probe's scan, not last-scan-of-path
+      graft.sources.ManifestScanMetrics.filesOf(probe, dir435)
     import s.implicits._
     probe.select(lit("day").as("which"), col("day"), col("n"),
         col("sum_uid"))
@@ -1413,12 +1415,19 @@ object LakehouseOps {
     * predicate, and the scan drops every file whose partition value /
     * zone maps / Bloom prove none of those keys occur, BEFORE opening
     * it. The fact here is truncate(1000)-partitioned on a synthetic
-    * key whose dim matches all live in ONE partition, so the join
-    * plans exactly 1 of 8 fact files at every scale (the
+    * key whose dim matches cluster into few partitions, so the join
+    * plans only the fact files the dim's keys can touch (the
     * planned/candidate counts ride along as an observable row). At
     * 100 TB this is the fact-table saver: a dim-filtered star join
     * reads only the fact files the dim's keys can touch, with no
-    * predicate the USER ever wrote against the fact. */
+    * predicate the USER ever wrote against the fact.
+    *
+    * The oracle derives BOTH counts from the data (never from the
+    * driver corpus's key distribution): candidates = the distinct
+    * truncate(1000) fact partitions; planned = the partitions whose
+    * per-file key zone map [min,max] contains at least one surviving
+    * dim key — exactly the engine's runtime-keep rule (one file per
+    * partition by construction, zone maps ⊆ partition range). */
   private val q437 = Q(
     "q437_runtime_file_pruning",
     """WITH f AS (
@@ -1429,12 +1438,17 @@ object LakehouseOps {
       |  SELECT DISTINCT CAST(c_custkey % 3000 AS BIGINT) AS k
       |  FROM customer WHERE c_custkey IS NOT NULL),
       |ds AS (SELECT k FROM d WHERE k % 8000 < 1000),
-      |j AS (SELECT f.k AS k, f.cents AS cents FROM f JOIN ds ON f.k = ds.k)
+      |j AS (SELECT f.k AS k, f.cents AS cents FROM f JOIN ds ON f.k = ds.k),
+      |fp AS (SELECT k // 1000 AS p, min(k) AS lo, max(k) AS hi
+      |       FROM f GROUP BY 1)
       |SELECT 'agg' AS which, CAST(count(*) AS BIGINT) AS n,
-      |  CAST(sum(cents) AS BIGINT) AS total
+      |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS total
       |FROM j
       |UNION ALL
-      |SELECT 'pruning', CAST(1 AS BIGINT), CAST(8 AS BIGINT)
+      |SELECT 'pruning',
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fp WHERE EXISTS
+      |     (SELECT 1 FROM ds WHERE ds.k BETWEEN fp.lo AND fp.hi)),
+      |  (SELECT CAST(count(*) AS BIGINT) FROM fp)
       |ORDER BY which""".stripMargin) { (s, dir) =>
     def fresh(tag: String): String = {
       val out = s"/tmp/graft_q437${tag}_${math.abs(dir.hashCode)}"
@@ -1469,14 +1483,16 @@ object LakehouseOps {
       // the dim predicate is deliberately NOT pushable (modulo): it
       // survives as a plan Filter, which is what the DPP planner needs
       // to see on the filtering side
-      val agg = rd(factDir, "k LONG, cents LONG")
+      val probe = rd(factDir, "k LONG, cents LONG")
         .join(rd(dimDir, "k LONG").filter(col("k") % 8000L < 1000L), "k")
         .agg(count(lit(1)).cast("long").as("n"),
-          sum("cents").cast("long").as("total"))
-        .first()
-      val planned = graft.sources.ManifestScanMetrics.plannedFiles(factDir)
-      val candidates =
-        graft.sources.ManifestScanMetrics.candidateFiles(factDir)
+          coalesce(sum("cents"), lit(0L)).cast("long").as("total"))
+      // collect() executes the probe's OWN queryExecution, so the
+      // metric read below sees exactly THIS scan's pruning (per-scan
+      // identity — first() would execute a separate limited clone)
+      val agg = probe.collect().head
+      val (planned, candidates) =
+        graft.sources.ManifestScanMetrics.filesOf(probe, factDir)
       import s.implicits._
       Seq(("agg", agg.getLong(0), agg.getLong(1)),
         ("pruning", planned, candidates))
@@ -1484,6 +1500,321 @@ object LakehouseOps {
     }
   }
 
-  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434, q435, q437)
+  // ------------- q438: row-group-granular parquet planning
+
+  /** q438: row groups are the manifest connector's split AND skip unit
+    * inside one parquet file. The sink records every multi-group
+    * file's per-row-group (rows, byte range, zone maps) into the
+    * manifest at COMMIT time — one footer read, executor-side — and
+    * the planner emits one InputPartition per SURVIVING row group:
+    * a range probe on a fat sorted file reads only the groups whose
+    * zone maps overlap, with `_mf_pos` staying file-global (delete
+    * vectors and row identity survive the split). At 100 TB this is
+    * the difference between "one 1 GB file = one task reading all of
+    * it" and "8 tasks, 6 of which never open".
+    *
+    * Deterministic for the oracle: rows are written SORTED by k with
+    * an exact 1000-row group cap, so group i covers sorted positions
+    * [1000i, 1000i+999] and DuckDB replays the boundaries with a
+    * row_number window; the probe range derives from min/max alone. */
+  private val q438 = Q(
+    "q438_rowgroup_pruning",
+    """WITH f AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey IS NOT NULL),
+      |b AS (SELECT min(k) AS mn, max(k) AS mx FROM f),
+      |r AS (SELECT mn + (mx - mn) * 2 // 5 AS lo,
+      |             mn + (mx - mn) * 9 // 20 AS hi FROM b),
+      |g AS (SELECT (row_number() OVER (ORDER BY k) - 1) // 1000 AS grp, k
+      |      FROM f),
+      |gs AS (SELECT grp, min(k) AS gmn, max(k) AS gmx FROM g GROUP BY 1),
+      |pl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM gs, r
+      |       WHERE gmx >= lo AND gmn <= hi),
+      |ca AS (SELECT CAST(count(*) AS BIGINT) AS c FROM gs)
+      |SELECT 'agg' AS which, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS total
+      |FROM f, r WHERE k >= lo AND k <= hi
+      |UNION ALL
+      |SELECT 'rowgroups', (SELECT c FROM pl), (SELECT c FROM ca)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    val out = s"/tmp/graft_q438_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val src = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey").cast("long").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)")
+          .as("cents"))
+    // ONE sorted file with exact 1000-row groups (the writer snapshots
+    // the session's Hadoop conf at write planning, so the knob applies)
+    withConfs(s, "parquet.rowgroup.row.count.limit" -> "1000") {
+      src.repartition(1).sortWithinPartitions("k")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).option("format", "parquet")
+        .mode("append").save()
+    }
+    val Array(mn, mx) = {
+      val r = src.agg(min("k"), max("k")).first()
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val (lo, hi) = (mn + (mx - mn) * 2 / 5, mn + (mx - mn) * 9 / 20)
+    val probe = s.read.format("graft.sources.ManifestSource")
+      .schema("k LONG, cents LONG").option("path", out).load()
+      .filter(col("k") >= lo && col("k") <= hi)
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum("cents"), lit(0L)).cast("long").as("total"))
+    val agg = probe.collect().head // own queryExecution → own scan cell
+    val (planned, candidates) =
+      graft.sources.ManifestScanMetrics.rowGroupsOf(probe, out)
+    import s.implicits._
+    Seq(("agg", agg.getLong(0), agg.getLong(1)),
+      ("rowgroups", planned, candidates))
+      .toDF("which", "n", "total").orderBy("which")
+  }
+
+  // ------------- q439: typed parquet round trip (ts + decimal + bool)
+
+  /** q439: the real-corpus column types flow through the connector's
+    * parquet format end to end — TIMESTAMP as INT64 micros (annotated),
+    * DECIMAL(14,2) as unscaled INT64, BOOLEAN native — with the
+    * canonical row rendering (micros digits / plain-scale decimal /
+    * true-false) shared with the CSV dialect, so checksums, delete
+    * vectors, and format-converting compactions stay exact. Zone maps
+    * work on the TIMESTAMP: the fixture is one ts-sorted file with
+    * exact 1000-row groups, and a time-range probe plans only the
+    * groups whose [min,max] micros overlap — the events-table shape
+    * where this saves the most at 100 TB (time-range scans over
+    * long-lived append-only tables). All arithmetic integer-exact for
+    * the oracle: cents = floor(value*100), probe bounds from min/max
+    * micros alone. */
+  private val q439 = Q(
+    "q439_parquet_typed_roundtrip",
+    """WITH e AS (
+      |  SELECT epoch_us(date_trunc('microseconds', ts)) AS m,
+      |    CAST(event_id AS BIGINT) AS k,
+      |    CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL),
+      |b AS (SELECT min(m) AS mn, max(m) AS mx FROM e),
+      |r AS (SELECT mn + (mx - mn) * 2 // 5 AS lo,
+      |             mn + (mx - mn) * 9 // 20 AS hi FROM b),
+      |g AS (SELECT (row_number() OVER (ORDER BY m, k) - 1) // 1000 AS grp, m
+      |      FROM e),
+      |gs AS (SELECT grp, min(m) AS gmn, max(m) AS gmx FROM g GROUP BY 1),
+      |pl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM gs, r
+      |       WHERE gmx >= lo AND gmn <= hi),
+      |ca AS (SELECT CAST(count(*) AS BIGINT) AS c FROM gs),
+      |sel AS (SELECT e.* FROM e, r WHERE m >= lo AND m <= hi)
+      |SELECT 'agg' AS which, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(CAST(CAST(cents / 100.0 AS DECIMAL(14,2)) * 100
+      |    AS BIGINT)), 0) AS BIGINT) AS amt_cents,
+      |  CAST(coalesce(sum(CASE WHEN cents % 2 = 0 THEN 1 ELSE 0 END), 0)
+      |    AS BIGINT) AS flags
+      |FROM sel
+      |UNION ALL
+      |SELECT 'rowgroups', (SELECT c FROM pl), (SELECT c FROM ca),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY which""".stripMargin) { (s, dir) =>
+    val out = s"/tmp/graft_q439_${math.abs(dir.hashCode)}"
+    val f = new java.io.File(out)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val src = Tables.load(s, dir, "events")
+      .filter(col("ts").isNotNull && col("event_id").isNotNull &&
+        col("value").isNotNull)
+      .select(col("ts"),
+        expr("CAST(CAST(floor(value * 100) AS BIGINT) / 100.0 " +
+          "AS DECIMAL(14,2))").as("amt"),
+        expr("CAST(floor(value * 100) AS BIGINT) % 2 = 0").as("flag"),
+        col("event_id").cast("long").as("k"))
+    withConfs(s, "parquet.rowgroup.row.count.limit" -> "1000") {
+      src.repartition(1).sortWithinPartitions("ts", "k")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).option("format", "parquet")
+        .mode("append").save()
+    }
+    val Array(mn, mx) = {
+      val r = src.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).first()
+      Array(r.getLong(0), r.getLong(1))
+    }
+    val (lo, hi) = (mn + (mx - mn) * 2 / 5, mn + (mx - mn) * 9 / 20)
+    val probe = s.read.format("graft.sources.ManifestSource")
+      .schema("ts TIMESTAMP, amt DECIMAL(14,2), flag BOOLEAN, k LONG")
+      .option("path", out).load()
+      .filter(col("ts") >= expr(s"timestamp_micros(${lo}L)") &&
+        col("ts") <= expr(s"timestamp_micros(${hi}L)"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(expr("CAST(amt * 100 AS BIGINT)")), lit(0L))
+          .cast("long").as("amt_cents"),
+        coalesce(sum(when(col("flag"), 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("flags"))
+    val agg = probe.collect().head // own queryExecution → own scan cell
+    val (planned, candidates) =
+      graft.sources.ManifestScanMetrics.rowGroupsOf(probe, out)
+    import s.implicits._
+    Seq(("agg", agg.getLong(0), agg.getLong(1), agg.getLong(2)),
+      ("rowgroups", planned, candidates, 0L))
+      .toDF("which", "n", "amt_cents", "flags").orderBy("which")
+  }
+
+  // ------------- q440: ALTER TABLE ADD COLUMN through the catalog
+
+  /** q440: SQL schema evolution on catalog tables
+    * ([[graft.sources.ManifestCatalog]].alterTable): `ADD COLUMN` is a
+    * pure-metadata change (old files lack the column; the by-name
+    * reader serves NULLs — q414's contract, now catalog-driven), new
+    * inserts carry it, and TIME TRAVEL keeps each era's schema (the
+    * old DDL is frozen as `_schema-upto-v{head}.ddl`, so `VERSION AS
+    * OF` a pre-ALTER snapshot reads with the pre-ALTER schema). At
+    * 100 TB this is the only affordable schema change: zero data
+    * files rewritten, ever. The output pins both eras: the CURRENT
+    * read (nulls for era-1 rows) and the v1 read (old schema, probed
+    * via a column-count observable). */
+  private val q440 = Q(
+    "q440_alter_add_column",
+    """WITH n AS (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation
+      |  WHERE n_nationkey IS NOT NULL),
+      |era1 AS (SELECT k, name FROM n WHERE k % 2 = 0),
+      |era2 AS (SELECT k, name, k * 100 AS score FROM n WHERE k % 2 = 1),
+      |cur AS (
+      |  SELECT k, name, CAST(NULL AS BIGINT) AS score FROM era1
+      |  UNION ALL SELECT k, name, score FROM era2)
+      |SELECT 'current' AS which, k, name,
+      |  CAST(coalesce(score, -1) AS BIGINT) AS score
+      |FROM cur
+      |UNION ALL
+      |SELECT 'v1', k, name, CAST(-2 AS BIGINT) FROM era1
+      |UNION ALL
+      |SELECT 'v1cols', CAST((SELECT count(*) FROM era1) AS BIGINT),
+      |  'k,name', CAST(2 AS BIGINT)
+      |ORDER BY which, k""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q440_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_alt_$h"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val t = s"$cat.db.evo"
+    s.sql(s"CREATE TABLE $t (k BIGINT, name STRING)")
+    s.sql(s"""INSERT INTO $t
+             |SELECT CAST(n_nationkey AS BIGINT), n_name FROM nation
+             |WHERE n_nationkey IS NOT NULL AND n_nationkey % 2 = 0""".stripMargin)
+    s.sql(s"ALTER TABLE $t ADD COLUMN score BIGINT")
+    s.sql(s"""INSERT INTO $t
+             |SELECT CAST(n_nationkey AS BIGINT), n_name,
+             |  CAST(n_nationkey AS BIGINT) * 100 FROM nation
+             |WHERE n_nationkey IS NOT NULL AND n_nationkey % 2 = 1""".stripMargin)
+    val cur = s.sql(s"""SELECT 'current' AS which, k, name,
+                       |  CAST(coalesce(score, -1) AS BIGINT) AS score
+                       |FROM $t""".stripMargin)
+    // era 1 reads with the PRE-ALTER schema: two columns, no `score`
+    val v1 = s.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    val v1cols = v1.columns.mkString(",")
+    import s.implicits._
+    val v1rows = v1.select(col("k"), col("name"))
+      .withColumn("which", lit("v1")).withColumn("score", lit(-2L))
+      .select(col("which"), col("k"), col("name"), col("score"))
+    cur.unionByName(v1rows)
+      .unionByName(Seq(("v1cols", v1.count(), v1cols, 2L))
+        .toDF("which", "k", "name", "score"))
+      .orderBy("which", "k")
+  }
+
+  // ------------- q441: composite-key storage-partitioned join
+
+  /** q441: multi-column SPJ — two catalog tables `PARTITIONED BY
+    * (bucket(8, k), region)` co-partition on the COMPOSITE key: the
+    * fan-out writer keys files by the (bucket-id, region) TUPLE
+    * (manifest `pvs`/`pts`), the scan reports a multi-expression
+    * `KeyGroupedPartitioning`, and the join on (k, region) plans ZERO
+    * exchanges — the shuffle count under the join is pinned into the
+    * oracled output, exactly like q434's single-key leg. Real star
+    * schemas co-partition on composite keys (tenant × date, key ×
+    * shard); at 100 TB this kills the largest shuffle in the plan. */
+  private val q441 = Q(
+    "q441_multikey_spj",
+    """WITH o AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS k,
+      |    CAST(o_orderkey % 4 AS BIGINT) AS region,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL),
+      |c AS (
+      |  SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k,
+      |    CAST(c_nationkey % 4 AS BIGINT) AS region
+      |  FROM customer
+      |  WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL),
+      |j AS (SELECT o.k AS k, o.region AS region, o.cents AS cents
+      |      FROM o JOIN c ON o.k = c.k AND o.region = c.region)
+      |SELECT CAST(region AS BIGINT) AS region, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(cents), 0) AS BIGINT) AS total,
+      |  CAST(0 AS BIGINT) AS shuffles_under_join
+      |FROM j GROUP BY 1 ORDER BY region""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val h = math.abs(dir.hashCode)
+    val base = s"/tmp/graft_q441_$h"
+    val f = new java.io.File(base)
+    if (f.exists()) {
+      java.nio.file.Files.walk(f.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    val cat = s"graft_mk_$h"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.ManifestCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.base", base)
+    val o = s"$cat.db.o"; val c = s"$cat.db.c"
+    s.sql(s"CREATE TABLE $o (k BIGINT, region BIGINT, cents BIGINT) " +
+      "USING parquet PARTITIONED BY (bucket(8, k), region)")
+    s.sql(s"CREATE TABLE $c (k BIGINT, region BIGINT) " +
+      "USING parquet PARTITIONED BY (bucket(8, k), region)")
+    s.sql(s"""INSERT INTO $o
+             |SELECT CAST(o_custkey AS BIGINT),
+             |  CAST(o_orderkey % 4 AS BIGINT),
+             |  CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+             |FROM orders
+             |WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL""".stripMargin)
+    s.sql(s"""INSERT INTO $c
+             |SELECT DISTINCT CAST(c_custkey AS BIGINT),
+             |  CAST(c_nationkey % 4 AS BIGINT) FROM customer
+             |WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL""".stripMargin)
+    withConfs(s,
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val j = s.sql(
+        s"""SELECT o.k AS k, o.region AS region, o.cents AS cents
+           |FROM $o o JOIN $c c ON o.k = c.k AND o.region = c.region"""
+          .stripMargin)
+      val joinNode = j.queryExecution.executedPlan.collectFirst {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec => smj
+      }
+      val shuffles = joinNode.map(_.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.length.toLong).getOrElse(-1L)
+      j.groupBy(col("region"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("cents"), lit(0L)).as("total"))
+        .select(col("region"), col("n"), col("total"),
+          lit(shuffles).as("shuffles_under_join"))
+        .orderBy("region").localCheckpoint()
+    }
+  }
+
+  def defs: Seq[Q] = Seq(q280, q290, q299, q305, q310, q314, q320, q342, q355, q363, q367, q370, q379, q428, q430, q431, q432, q433, q434, q435, q437, q438, q439, q440, q441)
 
 }

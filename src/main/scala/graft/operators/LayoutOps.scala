@@ -246,7 +246,7 @@ object LayoutOps {
     def plannedFiles(out: String): Long = {
       val scan = boxScan(out)
       scan.queryExecution.toRdd.getNumPartitions // force the scan build
-      graft.sources.ManifestScanMetrics.plannedFiles(out)
+      graft.sources.ManifestScanMetrics.filesOf(scan, out)._1
     }
     val zPlanned = plannedFiles(zOut)
     val xPlanned = plannedFiles(xOut)

@@ -1143,8 +1143,10 @@ object SourceOps {
     val filtered = read().filter(col("k") >= 8 && col("k") <= 11)
     val fAgg = filtered.agg(count(lit(1)).cast("long"),
       sum(col("k")).cast("long")).first()
-    val planned = filtered.queryExecution.toRdd.getNumPartitions.toLong
-    val skipped = graft.sources.ManifestScanMetrics.skippedFiles(out)
+    filtered.queryExecution.toRdd.getNumPartitions // force the scan build
+    val (planned, cand) = // THIS scan's cell (per-scan identity)
+      graft.sources.ManifestScanMetrics.filesOf(filtered, out)
+    val skipped = cand - planned
     val isnullPlanned = read().filter(col("k").isNull)
       .queryExecution.toRdd.getNumPartitions.toLong
     val impossiblePlanned = read().filter(col("k") > 1000000L)
@@ -1621,7 +1623,8 @@ object SourceOps {
       val agg = df.agg(count(lit(1)).cast("long"),
         coalesce(sum(col("k")), lit(0L)).cast("long")).first()
       df.queryExecution.toRdd.getNumPartitions // force the scan build
-      val planned = graft.sources.ManifestScanMetrics.plannedFiles(out)
+      val (planned, _) = // THIS scan's cell (per-scan identity)
+        graft.sources.ManifestScanMetrics.filesOf(df, out)
       (agg.getLong(0), agg.getLong(1), planned)
     }
     val full = read().agg(count(lit(1)).cast("long"),

@@ -30,19 +30,9 @@ object ManifestMaintenance {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return 0
-    val lock = new Path(dir, "_commit.lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          throw new IllegalStateException(
-            s"ManifestMaintenance: a commit is in flight at $path " +
-              "(_commit.lock held); retry expiry after it completes")
-      }
-    try {
-      lockStream.write(
-        s"${System.currentTimeMillis()} expire-snapshots".getBytes("UTF-8"))
-      lockStream.close()
+    ManifestLock.withLock(fs, dir,
+      s"expire-snapshots-${java.util.UUID.randomUUID()}",
+      "ManifestMaintenance") {
       val vRe = """manifest-v(\d+)\.json""".r
       val versions = fs.listStatus(dir).map(_.getPath.getName).collect {
         case vRe(v) => v.toLong
@@ -50,7 +40,7 @@ object ManifestMaintenance {
       val expire = versions.dropRight(keepLast)
       expire.foreach(v => fs.delete(new Path(dir, s"manifest-v$v.json"), false))
       expire.length
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Row-level DELETE, merge-on-read (the delete-vector analog): rows
@@ -170,21 +160,10 @@ object ManifestMaintenance {
       }
       val inserted = insEntries.map(_.rows).sum
       if (deleted == 0 && inserted == 0) { cleanup(); return (0L, 0L) }
-      // ---- publish under the commit lock
-      val lock = new Path(dir, "_commit.lock")
-      val lockStream =
-        try fs.create(lock, false)
-        catch {
-          case _: java.io.IOException =>
-            cleanup()
-            throw new IllegalStateException(
-              s"ManifestMaintenance: a commit is in flight at $path; " +
-                s"retry the $opName after it completes")
-        }
-      try {
-        lockStream.write(
-          s"${System.currentTimeMillis()} $opName".getBytes("UTF-8"))
-        lockStream.close()
+      // ---- publish under the commit lock (shared ManifestLock
+      // protocol: stale takeover + ownership re-verify)
+      try ManifestLock.withLock(fs, dir, s"$opName-$tag",
+        "ManifestMaintenance") {
         // EPOCH GUARD first (streaming CDC apply): a replayed epoch's
         // rows are already merged — its scratch output is discarded
         // BEFORE the staleness check (the replay's positions are
@@ -240,7 +219,7 @@ object ManifestMaintenance {
       } catch { case e: Throwable =>
         cleanup()
         throw e
-      } finally fs.delete(lock, false)
+      }
     } catch { case e: Throwable =>
       cleanup()
       throw e
@@ -337,6 +316,10 @@ object ManifestMaintenance {
   /** Write-complete-then-swap of `manifest.json` AND the next numbered
     * version manifest (the sink's torn-free publish discipline).
     * Caller must hold `_commit.lock`. */
+  private[sources] def publishBody(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, body: String): Unit =
+    publish(fs, dir, body)
+
   private def publish(
       fs: org.apache.hadoop.fs.FileSystem, dir: Path, body: String): Unit = {
     val vRe = """manifest-v(\d+)\.json""".r
@@ -494,22 +477,10 @@ object ManifestMaintenance {
     val compacted = compactedEntries.map(e => (e.file, e.rows))
     val compactedChecksums =
       compactedEntries.map(e => e.file -> e.checksum).toMap
-    // ---- publish under the commit lock
-    val lock = new Path(dir, "_commit.lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          fs.delete(new Path(scratch), true)
-          throw new IllegalStateException(
-            s"ManifestMaintenance: a commit is in flight at $path; " +
-              "retry compaction after it completes")
-      }
-    try {
-      try {
-      lockStream.write(
-        s"${System.currentTimeMillis()} compact".getBytes("UTF-8"))
-      lockStream.close()
+    // ---- publish under the commit lock (shared ManifestLock
+    // protocol: stale takeover + ownership re-verify)
+    try ManifestLock.withLock(fs, dir,
+      s"compact-${java.util.UUID.randomUUID()}", "ManifestMaintenance") {
       val now = ManifestRead.files(path, "manifest.json")
       val nowDvs = ManifestRead.dvs(path, "manifest.json")
       if (now.map(_._1).toSet != before.map(_._1).toSet ||
@@ -579,14 +550,13 @@ object ManifestMaintenance {
           s"ManifestMaintenance: failed to publish manifest-v$nextV")
       fs.delete(new Path(scratch), true)
       (before.length, compacted.length)
-      } catch { case e: Throwable =>
-        // a failed publish must not strand the scratch dir; any files
-        // already moved in are unreferenced and removeOrphans reclaims
-        // them (the manifest was never swapped, so no reader sees them)
-        fs.delete(new Path(scratch), true)
-        throw e
-      }
-    } finally fs.delete(lock, false)
+    } catch { case e: Throwable =>
+      // a failed publish must not strand the scratch dir; any files
+      // already moved in are unreferenced and removeOrphans reclaims
+      // them (the manifest was never swapped, so no reader sees them)
+      fs.delete(new Path(scratch), true)
+      throw e
+    }
   }
 
   /** Orphan-file cleanup (the remove_orphan_files analog): deletes
@@ -603,19 +573,9 @@ object ManifestMaintenance {
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) return 0
-    val lock = new Path(dir, "_commit.lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          throw new IllegalStateException(
-            s"ManifestMaintenance: a commit is in flight at $path; " +
-              "retry orphan cleanup after it completes")
-      }
-    try {
-      lockStream.write(
-        s"${System.currentTimeMillis()} remove-orphans".getBytes("UTF-8"))
-      lockStream.close()
+    ManifestLock.withLock(fs, dir,
+      s"remove-orphans-${java.util.UUID.randomUUID()}",
+      "ManifestMaintenance") {
       val vRe = """manifest-v(\d+)\.json""".r
       val manifests = fs.listStatus(dir).map(_.getPath.getName).filter(n =>
         n == "manifest.json" || vRe.findFirstIn(n).contains(n))
@@ -642,7 +602,7 @@ object ManifestMaintenance {
         }
       }
       removed
-    } finally fs.delete(lock, false)
+    }
   }
 
   /** Sum of the deleted rows' line hashes across `dvNames` — the exact

@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   * planned whole-file (row-group split is the scale follow-up); the
   * bin-packing compactor already bounds file sizes.
   */
-private[sources] object ManifestParquet {
+private[graft] object ManifestParquet {
 
   /** Parquet schema for the connector's column types. All fields
     * optional (nullable) — the manifest's null-count stats, not the
@@ -48,6 +48,19 @@ private[sources] object ManifestParquet {
         case DoubleType => b.addField(Types.optional(DOUBLE).named(f.name))
         case StringType => b.addField(Types.optional(BINARY)
           .as(LogicalTypeAnnotation.stringType()).named(f.name))
+        // session-UTC microseconds — the same long the canonical CSV
+        // rendering carries, so checksums agree across formats
+        case TimestampType => b.addField(Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name))
+        // unscaled INT64 up to precision 18 (the standard long-backed
+        // decimal encoding); wider decimals refuse loudly
+        case d: DecimalType if d.precision <= 18 =>
+          b.addField(Types.optional(INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+            .named(f.name))
+        case BooleanType =>
+          b.addField(Types.optional(BOOLEAN).named(f.name))
         case dt => throw new UnsupportedOperationException(
           s"ManifestParquet: unsupported column type $dt")
       }
@@ -62,18 +75,97 @@ private[sources] object ManifestParquet {
       .withConf(conf)
       .withType(mt)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      // honor the standard knobs (the builder ignores conf for sizing):
+      // production keeps the 128 MB default; tests dial block size down
+      // to force multi-row-group files for split/skip coverage
+      .withRowGroupSize(conf.getLong("parquet.block.size",
+        ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
+      .withPageSize(conf.getInt("parquet.page.size",
+        ParquetWriter.DEFAULT_PAGE_SIZE))
+      .withMinRowCountForPageSizeCheck(conf.getInt(
+        "parquet.page.size.row.check.min", 100))
+      // rows-per-group cap: unlike the byte-size roll (writer-internal,
+      // unpredictable), this gives DETERMINISTIC group boundaries —
+      // what an oracle replaying row-group pruning needs
+      .withRowGroupRowCountLimit(conf.getInt(
+        "parquet.rowgroup.row.count.limit", Int.MaxValue))
       .build(),
       new SimpleGroupFactory(mt))
   }
 
+  /** One row group's manifest metadata: row count, byte range
+    * [off, off+len) (its midpoint selects it under the standard
+    * split contract), and per-column zone-map stats JSON in the same
+    * shape as file-level entry stats ("" = none provable). */
+  final case class RgMeta(rows: Long, off: Long, len: Long, stats: String)
+
+  /** Footer walk of a (staged) parquet file → per-row-group metadata,
+    * recorded into the manifest AT COMMIT TIME so the planner can skip
+    * row groups inside fat files without ever opening footers at plan
+    * time (O(files) driver-side footer reads per scan would dwarf
+    * planning on an object store). Only INTEGRAL min/max are recorded:
+    * long order is total (no NaN/collation hazard), and the keys a
+    * scan prunes on — ids, buckets, epoch seconds — are integral. */
+  def rowGroups(file: Path, conf: Configuration,
+      schema: StructType): Seq[RgMeta] = {
+    import scala.jdk.CollectionConverters._
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      rd.getRowGroups.asScala.toSeq.map { b =>
+        val cols = b.getColumns.asScala.flatMap { c =>
+          val n = c.getPath.toDotString
+          val integral = schema.fields.exists(f => f.name == n &&
+            (f.dataType == LongType || f.dataType == IntegerType ||
+              f.dataType == TimestampType)) // ts zone maps = micros longs
+          val st = c.getStatistics
+          if (!integral || st == null || st.isEmpty || !st.isNumNullsSet) None
+          else {
+            val bounds =
+              if (st.hasNonNullValue)
+                s""","min":${st.genericGetMin},"max":${st.genericGetMax}"""
+              else ""
+            Some(s""""$n":{"nulls":${st.getNumNulls}$bounds}""")
+          }
+        }
+        RgMeta(b.getRowCount, b.getStartingPos, b.getCompressedSize,
+          if (cols.isEmpty) "" else cols.mkString("{", ",", "}"))
+      }
+    } finally rd.close()
+  }
+
+  /** Render row groups to the manifest `rgs` JSON array. */
+  def renderRgs(rgs: Seq[RgMeta]): String =
+    rgs.map { r =>
+      s"""{"rows":${r.rows},"off":${r.off},"len":${r.len}""" +
+        (if (r.stats.nonEmpty) s""","stats":${r.stats}""" else "") + "}"
+    }.mkString("[", ",", "]")
+
+  private val rgRe =
+    ("""\{"rows":(\d+),"off":(\d+),"len":(\d+)""" +
+      """(?:,"stats":(\{(?:[^{}]|\{[^{}]*\})*\}))?\}""").r
+
+  /** Inverse of [[renderRgs]]. */
+  def parseRgs(json: String): Seq[RgMeta] =
+    rgRe.findAllMatchIn(json).map { m =>
+      RgMeta(m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
+        Option(m.group(4)).getOrElse(""))
+    }.toSeq
+
   /** Row-iterating reader over `projection` (a subset of the file's
-    * columns — parquet decodes only those chunks). */
+    * columns — parquet decodes only those chunks). `range` restricts
+    * the read to the row groups whose byte MIDPOINT falls in
+    * [start, end) — the standard parquet split contract, so passing
+    * one row group's exact (off, off+len) selects exactly it. */
   def reader(file: Path, projection: MessageType,
-      conf: Configuration): ParquetReader[Group] = {
+      conf: Configuration,
+      range: Option[(Long, Long)] = None): ParquetReader[Group] = {
     val c = new Configuration(conf)
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
       projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), file).withConf(c).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), file).withConf(c)
+    range.foreach { case (s, e) => b.withFileRange(s, e) }
+    b.build()
   }
 
   /** Group field → raw string (the same rendering the writer hashed),
@@ -86,6 +178,11 @@ private[sources] object ManifestParquet {
         case IntegerType => g.getInteger(name, 0).toString
         case DoubleType => g.getDouble(name, 0).toString
         case StringType => g.getString(name, 0)
+        case TimestampType => g.getLong(name, 0).toString // micros
+        case d: DecimalType => // scale-stable plain rendering
+          java.math.BigDecimal.valueOf(g.getLong(name, 0), d.scale)
+            .toPlainString
+        case BooleanType => g.getBoolean(name, 0).toString
         case other => throw new UnsupportedOperationException(
           s"ManifestParquet: unsupported read type $other")
       }

@@ -54,6 +54,30 @@ private[graft] object ManifestPartSpec {
   private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
   private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
 
+  /** Multi-transform spec: top-level commas separate transforms
+    * ("bucket(8,k),region" — commas inside a transform's parentheses
+    * don't split). One transform parses to a single-element list. */
+  def parseMulti(s: String): Seq[ManifestPartSpec] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    parts += s.substring(start)
+    val specs = parts.result().map(parse)
+    require(specs.map(_.col).distinct.length == specs.length,
+      s"ManifestSink: duplicate partition column in '$s'")
+    specs
+  }
+
   def parse(s: String): ManifestPartSpec = s.trim match {
     case BucketRe(n, col) => BucketPartSpec(n.toInt, col)
     case TruncRe(w, col) => TruncatePartSpec(w.toLong, col)
@@ -83,8 +107,12 @@ private[graft] object ManifestPartSpec {
     val range: Option[(Long, Long)] = spec match {
       case IdentityPartSpec(_) => Some((pv, pv))
       case TruncatePartSpec(w, _) =>
-        // pv + w - 1 can't overflow: pv is a floor of a real value
-        Some((pv, pv + w - 1))
+        // saturating upper bound: when v ≡ 0 (mod w) near Long.MaxValue,
+        // pv = v and pv + w - 1 would wrap negative (hi < lo), letting
+        // range predicates prune files that DO hold matching rows
+        val hi = if (pv > Long.MaxValue - (w - 1)) Long.MaxValue
+          else pv + w - 1
+        Some((pv, hi))
       case BucketPartSpec(_, _) => None
     }
     f match {

@@ -124,20 +124,11 @@ private class ManifestDeltaBatchWrite(dir: String, dataSchema: StructType,
       fs.delete(tmp, true)
       return
     }
-    val lock = new Path(table, "_commit.lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case _: java.io.IOException =>
-          fs.delete(tmp, true)
-          throw new IllegalStateException(
-            s"ManifestRowLevel: a commit is in flight at $dir; retry the " +
-              "MERGE/UPDATE/DELETE after it completes")
-      }
-    try {
-      lockStream.write(
-        s"${System.currentTimeMillis()} row-level-$writeId".getBytes("UTF-8"))
-      lockStream.close()
+    // same lock protocol as every other publisher (ManifestLock): a
+    // crashed driver's leftover lock is taken over after the staleness
+    // bound instead of permanently blocking all SQL DML on the table
+    try ManifestLock.withLock(fs, table, s"row-level-$writeId",
+      "ManifestRowLevel") {
       // snapshot-isolation conflict check: ANY commit since this
       // operation's scan snapshot invalidates it — an append's rows
       // escaped the merge condition, a compaction/delete moved byte
@@ -172,7 +163,9 @@ private class ManifestDeltaBatchWrite(dir: String, dataSchema: StructType,
       val allEntries = prevEntries ++ dataCommits.map(c =>
         ManifestEntry(c.file, c.rows, c.checksum,
           Option(c.cols).filter(_.nonEmpty),
-          Option(c.stats).filter(_.nonEmpty), c.pv, c.pt))
+          Option(c.stats).filter(_.nonEmpty), c.pv, c.pt,
+          Some(c.bytes).filter(_ >= 0), Option(c.rgs).filter(_.nonEmpty),
+          Option(c.pvs).filter(_.nonEmpty), Option(c.pts).filter(_.nonEmpty)))
       val allDvs = prevDvs ++ movedDvs
       val body = s"""{"total_rows":${allEntries.map(_.rows).sum},""" +
         s""""files":${allEntries.sortBy(_.file).map(ManifestRead.render)
@@ -201,7 +194,7 @@ private class ManifestDeltaBatchWrite(dir: String, dataSchema: StructType,
     } catch { case e: Throwable =>
       fs.delete(tmp, true)
       throw e
-    } finally fs.delete(lock, false)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

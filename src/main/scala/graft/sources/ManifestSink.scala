@@ -109,6 +109,80 @@ private[graft] object ManifestSink {
         s"ManifestSink: lost the commit lock at $path to a concurrent " +
           s"committer [$onDisk] — aborting this commit; retry it")
   }
+
+  private[graft] def readFully(in: java.io.InputStream): String = {
+    try {
+      val buf = new Array[Byte](256)
+      var off = 0
+      var n = in.read(buf, 0, buf.length)
+      while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
+      if (off > 0) new String(buf, 0, off, "UTF-8") else ""
+    } finally in.close()
+  }
+}
+
+/** Exclusive `_commit.lock` acquisition shared by EVERY manifest
+  * publisher — batch/streaming sink, row-level DML, maintenance. One
+  * protocol everywhere: create-exclusive with an `(epoch-millis owner)`
+  * body; a lock older than the 10-minute staleness bound (a crashed
+  * driver — commits take seconds, not minutes) is broken automatically
+  * via an atomic RENAME to an owner-unique tombstone (of two committers
+  * that both read the same stale body, exactly one wins the rename and
+  * re-creates the lock; the loser's rename fails — source gone — and it
+  * fails loudly; an unconditional delete here would be check-then-act:
+  * the loser could delete the winner's FRESH lock and both would enter
+  * the manifest read-merge-write silently); a FRESH lock still fails
+  * loudly with its age and owner in the message. After creating the
+  * lock, ownership is re-verified (second line of defense behind the
+  * atomic rename): if a racing committer with a stale view clobbered
+  * ours between create and verify, the commit aborts BEFORE touching
+  * the manifest and leaves the clobberer's lock alone. */
+private[graft] object ManifestLock {
+  private val staleMs = 10 * 60 * 1000L
+
+  /** Runs `body` while holding `dir/_commit.lock`. `owner` must be
+    * unique per attempt (a writeId) — it tags the lock body for
+    * diagnostics and the takeover tombstone for atomicity. `what`
+    * prefixes error messages. The lock is removed on exit only while
+    * still owned (never deletes a foreign lock). */
+  def withLock[T](f: FileSystem, dir: Path, owner: String, what: String)
+      (body: => T): T = {
+    f.mkdirs(dir)
+    val lock = new Path(dir, "_commit.lock")
+    def tryLock(): java.io.OutputStream =
+      try f.create(lock, false) catch { case _: java.io.IOException => null }
+    var lockStream = tryLock()
+    if (lockStream == null) {
+      val lockBody =
+        try ManifestSink.readFully(f.open(lock))
+        catch { case _: java.io.IOException => "" }
+      val heldSince = lockBody.split(' ').headOption.flatMap(s =>
+        scala.util.Try(s.toLong).toOption)
+      val ageMs = heldSince.map(System.currentTimeMillis() - _)
+      if (ageMs.exists(_ > staleMs)) {
+        val tombstone = new Path(dir, s"_commit.lock.stale-$owner")
+        if (f.rename(lock, tombstone)) {
+          f.delete(tombstone, false) // crashed driver's body, no longer needed
+          lockStream = tryLock()
+        }
+      }
+      if (lockStream == null)
+        throw new IllegalStateException(
+          s"$what: concurrent commit in flight at $dir " +
+            s"(_commit.lock held${ageMs.map(a => s" for ${a / 1000}s").getOrElse("")}" +
+            s"${if (lockBody.nonEmpty) s" by [$lockBody]" else ""}); retry after " +
+            "it completes, or delete the lock if a crashed driver left it behind")
+    }
+    var ownsLock = true
+    try {
+      val myBody = s"${System.currentTimeMillis()} $owner"
+      lockStream.write(myBody.getBytes("UTF-8"))
+      lockStream.close()
+      try ManifestSink.verifyLockOwnership(f, lock, myBody, dir.toString)
+      catch { case e: IllegalStateException => ownsLock = false; throw e }
+      body
+    } finally if (ownsLock) f.delete(lock, false)
+  }
 }
 
 private class ManifestTable(path: String, writeSchema: StructType)
@@ -184,7 +258,17 @@ private[graft] object ManifestFormat {
   * identity-partition fan-out). */
 private[graft] case class ManifestFileCommit(file: String, rows: Long,
     checksum: Long, cols: String = "", stats: String = "",
-    pv: Option[Long] = None, pt: Option[String] = None)
+    pv: Option[Long] = None, pt: Option[String] = None,
+    // staged file's on-disk length (-1 = unknown), recorded into the
+    // manifest so scan statistics never stat data files at plan time
+    bytes: Long = -1L,
+    // per-row-group metadata JSON ("" = none): multi-row-group parquet
+    // files record each group's (rows, byte range, zone maps) so the
+    // planner splits AND SKIPS inside one fat file
+    rgs: String = "",
+    // multi-transform partitioning: pipe-joined partition-value tuple
+    // and transform list ("" = single or none; see ManifestFileWriter)
+    pvs: String = "", pts: String = "")
 
 private case class ManifestCommit(files: Seq[ManifestFileCommit])
   extends WriterCommitMessage
@@ -258,67 +342,11 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       tmpDirName: String, epoch: Option[(String, Long)]): Unit = {
     val f = fs()
     val dir = new Path(path)
-    f.mkdirs(dir)
-    val lock = new Path(dir, "_commit.lock")
-    // exclusive create — the atomic primitive HDFS/local FS both give us.
-    // Racing committers fail loudly instead of losing manifest entries.
-    // The lock body carries (epoch-millis, writeId): a lock older than
-    // the staleness bound (a crashed driver — commits take seconds, not
-    // minutes) is broken automatically, once; a FRESH lock still fails
-    // loudly with its age and owner in the message.
-    def tryLock(): java.io.OutputStream =
-      try f.create(lock, false) catch { case _: java.io.IOException => null }
-    var lockStream = tryLock()
-    if (lockStream == null) {
-      val staleMs = 10 * 60 * 1000L
-      val body =
-        try {
-          val in = f.open(lock)
-          try {
-            val buf = new Array[Byte](256)
-            var off = 0
-            var n = in.read(buf, 0, buf.length)
-            while (n > 0) { off += n; n = in.read(buf, off, buf.length - off) }
-            if (off > 0) new String(buf, 0, off, "UTF-8") else ""
-          } finally in.close()
-        } catch { case _: java.io.IOException => "" }
-      val heldSince = body.split(' ').headOption.flatMap(s =>
-        scala.util.Try(s.toLong).toOption)
-      val ageMs = heldSince.map(System.currentTimeMillis() - _)
-      if (ageMs.exists(_ > staleMs)) {
-        // Atomic takeover: RENAME the stale lock to a tombstone unique
-        // to this writer. Rename either moves the file or fails — so of
-        // two committers that both read the same stale body, exactly one
-        // renames it away and proceeds to re-create the lock; the other's
-        // rename fails (source gone) and it falls through to the loud
-        // failure below. An unconditional delete here would be
-        // check-then-act: the loser could delete the winner's FRESH lock
-        // and both would enter the manifest read-merge-write silently.
-        val tombstone = new Path(dir, s"_commit.lock.stale-$writeId")
-        if (f.rename(lock, tombstone)) {
-          f.delete(tombstone, false) // crashed driver's body, no longer needed
-          lockStream = tryLock()
-        }
-      }
-      if (lockStream == null)
-        throw new IllegalStateException(
-          s"ManifestSink: concurrent commit in flight at $path " +
-            s"(_commit.lock held${ageMs.map(a => s" for ${a / 1000}s").getOrElse("")}" +
-            s"${if (body.nonEmpty) s" by [$body]" else ""}); retry after it " +
-            "completes, or delete the lock if a crashed driver left it behind")
-    }
-    var ownsLock = true
-    try {
-      val myBody = s"${System.currentTimeMillis()} $writeId"
-      lockStream.write(myBody.getBytes("UTF-8"))
-      lockStream.close()
-      // Ownership re-verify (second line of defense behind the atomic
-      // rename above): if a racing committer with a stale view of the
-      // lock managed to clobber ours between our create and here, the
-      // path no longer carries OUR body — fail loudly BEFORE touching
-      // the manifest, and leave the clobberer's lock alone.
-      try ManifestSink.verifyLockOwnership(f, lock, myBody, path)
-      catch { case e: IllegalStateException => ownsLock = false; throw e }
+    // racing committers serialize on `_commit.lock` — exclusive create,
+    // automatic stale-lock takeover and ownership re-verify all live in
+    // ManifestLock (the one protocol shared with row-level DML and
+    // maintenance publishes)
+    ManifestLock.withLock(f, dir, writeId, "ManifestSink") {
       val manifestPath = new Path(dir, "manifest.json")
       // version numbering is monotonic ACROSS truncates (computed
       // before the truncate deletes the old version manifests): a
@@ -387,7 +415,9 @@ private class ManifestBatchWrite(path: String, schema: StructType,
       }
       val all = prevData ++ commits.map(c => ManifestEntry(c.file, c.rows,
         c.checksum, Option(c.cols).filter(_.nonEmpty),
-        Option(c.stats).filter(_.nonEmpty), c.pv, c.pt))
+        Option(c.stats).filter(_.nonEmpty), c.pv, c.pt,
+        Some(c.bytes).filter(_ >= 0), Option(c.rgs).filter(_.nonEmpty),
+        Option(c.pvs).filter(_.nonEmpty), Option(c.pts).filter(_.nonEmpty)))
       val newEpochs = prevEpochs ++ epoch.map { case (qid, e) => qid -> e }
       val manifest = all.sortBy(_.file).map(ManifestRead.render)
         .mkString("[", ",", "]") + (
@@ -423,7 +453,7 @@ private class ManifestBatchWrite(path: String, schema: StructType,
           s"ManifestSink: failed to publish manifest-v$nextV at $path")
       // losers' temp files (failed/speculative attempts) die with the dir
       f.delete(tmpDir, true)
-    } finally if (ownsLock) f.delete(lock, false)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -467,9 +497,9 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
       // disables partition grouping for the whole table. Without the
       // option there is exactly one (un-keyed) file per task. Files
       // are created LAZILY on first row, so empty tasks commit nothing.
-      private val pSpec: Option[ManifestPartSpec] =
-        partitionBy.map(ManifestPartSpec.parse)
-      private val pIdx: Option[Int] = pSpec.map { sp =>
+      private val pSpecs: Seq[ManifestPartSpec] =
+        partitionBy.map(ManifestPartSpec.parseMulti).getOrElse(Nil)
+      private val pIdxs: Seq[Int] = pSpecs.map { sp =>
         val i = schema.fieldIndex(sp.col)
         require(schema(i).dataType == LongType,
           s"ManifestSink partitionBy column ${sp.col} must be BIGINT, " +
@@ -487,14 +517,20 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
       // needed from the filesystem.
       private val MaxOpen = 128
       private val parts = scala.collection.mutable.LinkedHashMap
-        .empty[Option[Long], ManifestFileWriter]
+        .empty[Option[Seq[Long]], ManifestFileWriter]
       private val finished =
         scala.collection.mutable.ArrayBuffer.empty[ManifestFileCommit]
-      private val seenPvs = scala.collection.mutable.HashSet.empty[Option[Long]]
+      private val seenPvs =
+        scala.collection.mutable.HashSet.empty[Option[Seq[Long]]]
 
       override def write(r: InternalRow): Unit = {
-        val pv = pIdx.flatMap(i =>
-          if (r.isNullAt(i)) None else Some(pSpec.get.pv(r.getLong(i))))
+        // multi-transform key = the TUPLE of per-spec values (a NULL in
+        // any component falls to the un-keyed file, like single-column)
+        val pv: Option[Seq[Long]] =
+          if (pIdxs.isEmpty || pIdxs.exists(r.isNullAt)) None
+          else Some(pSpecs.zip(pIdxs).map { case (sp, i) =>
+            sp.pv(r.getLong(i))
+          })
         val w = parts.remove(pv).getOrElse {
           // fan-out guard: identity partitioning is for BOUNDED key
           // domains (buckets, days, shards). A high-cardinality column
@@ -513,7 +549,7 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
           new ManifestFileWriter(
             fs, tmpDir,
             f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.$fmt",
-            schema, pv, if (pv.isDefined) pSpec.map(_.render) else None,
+            schema, pv, if (pv.isDefined) pSpecs else Nil,
             hadoopConf.value)
         }
         parts.put(pv, w) // re-insert at the tail = LRU access order
@@ -542,8 +578,22 @@ private[sources] class ManifestWriterFactory(path: String, writeId: String,
   * ambiguity in the manifest JSON). */
 private class ManifestFileWriter(
     fs: FileSystem, tmpDir: Path, name: String, schema: StructType,
-    pv: Option[Long], pt: Option[String],
+    pvs: Option[Seq[Long]], pSpecs: Seq[ManifestPartSpec],
     conf: Configuration = new Configuration()) {
+  // single-transform files keep the legacy pv/pt manifest fields (every
+  // pre-round-15 reader path); multi-transform files record the tuple
+  // as pipe-joined pvs/pts
+  private val pv: Option[Long] =
+    pvs.filter(_ => pSpecs.length == 1).map(_.head)
+  private val pt: Option[String] =
+    if (pSpecs.length == 1 && pvs.isDefined) Some(pSpecs.head.render)
+    else None
+  private val pvsStr: String =
+    if (pSpecs.length > 1) pvs.map(_.mkString("|")).getOrElse("") else ""
+  private val ptsStr: String =
+    if (pSpecs.length > 1 && pvs.isDefined)
+      pSpecs.map(_.render).mkString("|")
+    else ""
   // CSV and parquet writers share EVERYTHING above the byte encoding:
   // stats, Blooms, string bounds, and the per-row canonical-line hash
   // (the row identity delete vectors and the conservation guard use)
@@ -636,6 +686,22 @@ private class ManifestFileWriter(
           trackStrBounds(i, v)
           sawStr(i) = true
           ManifestSink.csvField(v)
+        case TimestampType =>
+          // session-UTC MICROSECONDS: the InternalRow long itself is
+          // the canonical rendering (integer-exact across formats) and
+          // the zone-map bound (total order, no NaN/zone hazards)
+          val v = r.getLong(i)
+          if (v < minL(i)) minL(i) = v
+          if (v > maxL(i)) maxL(i) = v
+          sawNum(i) = true
+          v.toString
+        case d: DecimalType =>
+          // scale-stable plain rendering ("12.30" at scale 2 — never
+          // scientific notation, identical from both formats' readers)
+          r.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.toPlainString
+        case BooleanType =>
+          if (r.getBoolean(i)) "true" else "false"
         case DoubleType =>
           val v = r.getDouble(i)
           if (v.isNaN) sawNaN(i) = true
@@ -672,6 +738,13 @@ private class ManifestFileWriter(
           case DoubleType => g.append(schema.fields(i).name, r.getDouble(i))
           case StringType =>
             g.append(schema.fields(i).name, r.getUTF8String(i).toString)
+          case TimestampType => // micros, INT64(timestamp) in the schema
+            g.append(schema.fields(i).name, r.getLong(i))
+          case d: DecimalType => // unscaled long, INT64(decimal)
+            g.append(schema.fields(i).name,
+              r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case BooleanType =>
+            g.append(schema.fields(i).name, r.getBoolean(i))
           case dt => throw new UnsupportedOperationException(
             s"ManifestSink parquet: unsupported type $dt")
         }
@@ -688,12 +761,30 @@ private class ManifestFileWriter(
 
   def finish(): ManifestFileCommit = {
     closeOut()
-    if (!safeNames) return ManifestFileCommit(name, rows, checksum)
+    // length of the staged file, measured executor-side once per file
+    // at write time (amortized), so the driver never has to stat data
+    // files when Catalyst asks the scan for statistics
+    val len =
+      try fs.getFileStatus(new Path(tmpDir, name)).getLen
+      catch { case _: java.io.IOException => -1L }
+    // multi-row-group parquet: record each group's rows/byte-range/zone
+    // maps so the scan planner can split and skip INSIDE the file (one
+    // footer read here, executor-side, vs per-scan on the driver)
+    val rgJson =
+      if (!isParquet || !safeNames) ""
+      else {
+        val groups =
+          try ManifestParquet.rowGroups(new Path(tmpDir, name), conf, schema)
+          catch { case _: java.io.IOException => Nil }
+        if (groups.isEmpty) "" else ManifestParquet.renderRgs(groups)
+      }
+    if (!safeNames)
+      return ManifestFileCommit(name, rows, checksum, bytes = len)
     val stats = schema.fields.zipWithIndex.map { case (f, i) =>
       val bounds =
         if (sawNaN(i) || !sawNum(i)) ""
         else f.dataType match {
-          case LongType | IntegerType =>
+          case LongType | IntegerType | TimestampType =>
             s""","min":${minL(i)},"max":${maxL(i)}"""
           case DoubleType =>
             s""","min":${minD(i)},"max":${maxD(i)}"""
@@ -715,7 +806,8 @@ private class ManifestFileWriter(
       s""""${f.name}":{"nulls":${nNulls(i)}$bounds$strBounds$bloom}"""
     }.mkString("{", ",", "}")
     ManifestFileCommit(name, rows, checksum,
-      schema.fieldNames.mkString(","), stats, pv, pt)
+      schema.fieldNames.mkString(","), stats, pv, pt, len, rgJson,
+      pvsStr, ptsStr)
   }
 
   def abort(): Unit = {

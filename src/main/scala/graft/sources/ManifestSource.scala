@@ -171,7 +171,9 @@ private object ManifestFilters {
     def cmpable(a: String): Boolean =
       schema.fieldNames.contains(a) &&
         (schema(schema.fieldIndex(a)).dataType match {
-          case LongType | IntegerType | DoubleType | StringType => true
+          case LongType | IntegerType | DoubleType | StringType |
+            TimestampType => true
+          case _: DecimalType => true
           case _ => false
         })
     def str(a: String): Boolean =
@@ -208,6 +210,28 @@ private object ManifestFilters {
     java.lang.Double.compare(if (x == 0.0d) 0.0d else x,
       if (y == 0.0d) 0.0d else y)
 
+  /** Pushed timestamp literal → epoch MICROSECONDS (the canonical
+    * rendering and zone-map unit). Spark hands java.sql.Timestamp, or
+    * java.time.Instant under the Java-8 datetime API. */
+  def tsMicros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Pushed decimal literal → java BigDecimal (value compare — scale
+    * differences must not break equality). */
+  def toBigDec(v: Any): Option[java.math.BigDecimal] = v match {
+    case b: java.math.BigDecimal => Some(b)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case n: Number => Some(new java.math.BigDecimal(n.toString))
+    case _ => None
+  }
+
   def mayMatch(schema: StructType, entry: ManifestEntry, f: Filter): Boolean = {
     import org.apache.spark.sql.sources._
     val stats = entry.stats.map(ManifestRead.parseStats).getOrElse(Map.empty)
@@ -219,12 +243,14 @@ private object ManifestFilters {
       }
     def cmpBound(a: String, bound: String, v: Any): Option[Int] = {
       if (v == null) return None
-      Some(schema(schema.fieldIndex(a)).dataType match {
-        case LongType => java.lang.Long.compare(bound.toLong, v.asInstanceOf[Number].longValue())
-        case IntegerType => java.lang.Integer.compare(bound.toInt, v.asInstanceOf[Number].intValue())
-        case DoubleType => ManifestFilters.dblCompare(bound.toDouble, v.asInstanceOf[Number].doubleValue())
-        case _ => return None // strings carry no bounds (ordering hazard)
-      })
+      schema(schema.fieldIndex(a)).dataType match {
+        case LongType => Some(java.lang.Long.compare(bound.toLong, v.asInstanceOf[Number].longValue()))
+        case IntegerType => Some(java.lang.Integer.compare(bound.toInt, v.asInstanceOf[Number].intValue()))
+        case DoubleType => Some(ManifestFilters.dblCompare(bound.toDouble, v.asInstanceOf[Number].doubleValue()))
+        case TimestampType => // bounds are epoch micros
+          ManifestFilters.tsMicros(v).map(java.lang.Long.compare(bound.toLong, _))
+        case _ => None // strings carry no bounds (ordering hazard)
+      }
     }
     // "every stored value is NULL" — decided by the null COUNT, never
     // by min/max absence (a string column legitimately has no bounds)
@@ -306,16 +332,27 @@ private object ManifestFilters {
     def cmp(a: String, v: Any): Option[Int] = {
       val r = raw(a)
       if (r == null || v == null) None
-      else Some(schema(schema.fieldIndex(a)).dataType match {
-        case LongType => java.lang.Long.compare(r.toLong, v.asInstanceOf[Number].longValue())
-        case IntegerType => java.lang.Integer.compare(r.toInt, v.asInstanceOf[Number].intValue())
-        case DoubleType => ManifestFilters.dblCompare(r.toDouble, v.asInstanceOf[Number].doubleValue())
+      else schema(schema.fieldIndex(a)).dataType match {
+        case LongType => Some(java.lang.Long.compare(r.toLong, v.asInstanceOf[Number].longValue()))
+        case IntegerType => Some(java.lang.Integer.compare(r.toInt, v.asInstanceOf[Number].intValue()))
+        case DoubleType => Some(ManifestFilters.dblCompare(r.toDouble, v.asInstanceOf[Number].doubleValue()))
         // Spark's string order = unsigned UTF-8 bytes (UTF8String), NOT
         // Java's UTF-16 compareTo — they disagree on supplementary chars
-        case StringType => ManifestStrBounds.cmpB(
-          ManifestStrBounds.utf8(r), ManifestStrBounds.utf8(v.toString))
+        case StringType => Some(ManifestStrBounds.cmpB(
+          ManifestStrBounds.utf8(r), ManifestStrBounds.utf8(v.toString)))
+        case TimestampType => // raw field = canonical epoch micros
+          ManifestFilters.tsMicros(v)
+            .map(java.lang.Long.compare(r.toLong, _))
+        case _: DecimalType => // value compare: 12.3 == 12.30
+          ManifestFilters.toBigDec(v)
+            .map(new java.math.BigDecimal(r).compareTo(_))
+        case BooleanType => v match {
+          case b: java.lang.Boolean =>
+            Some(java.lang.Boolean.compare(r.toBoolean, b))
+          case _ => None
+        }
         case dt => throw new UnsupportedOperationException(s"filter on $dt")
-      })
+      }
     }
     f match {
       case EqualTo(a, v) => cmp(a, v).contains(0)
@@ -341,7 +378,7 @@ private object ManifestFilters {
   }
 }
 
-private class ManifestScan(
+private[sources] class ManifestScan(
     path: String, version: Option[Long],
     fullSchema: StructType, required: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
@@ -367,6 +404,14 @@ private class ManifestScan(
     * KeyGroupedPartitioning when v2 bucketing is enabled. Grouped
     * (compaction) scans opt out: their file list IS the work unit. */
   private var runtimeIn: Seq[(String, Seq[Any])] = Nil
+
+  /** THIS scan's pruning tallies (filled by planInputPartitions).
+    * Per-instance, so two concurrent scans of the SAME path — a
+    * streaming tail plus a batch probe — can never interleave each
+    * other's numbers; readers locate the cell through their own
+    * DataFrame's plan (ManifestScanMetrics.perScan). */
+  private[sources] val metricsCell = new ManifestScanMetrics.PerScan
+  private[sources] def tablePath: String = path
 
   override def filterAttributes()
     : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -427,15 +472,21 @@ private class ManifestScan(
   override def estimateStatistics()
     : org.apache.spark.sql.connector.read.Statistics = {
     val (kept, _) = keptEntries()
-    val conf = org.apache.spark.sql.SparkSession.active
-      .sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
+    // file lengths come from the manifest (recorded at commit time),
+    // NOT from one fs.getFileStatus RPC per file — Catalyst may ask
+    // for stats several times per plan, and on object stores O(files)
+    // metadata calls per planning pass dwarf planning itself. The stat
+    // fallback only fires for pre-round-15 manifests lacking "bytes",
+    // and the filesystem handle is resolved lazily for the same reason.
+    lazy val fs = new Path(path).getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     var bytes = 0L
     var rows = 0L
     kept.foreach { e =>
       rows += e.rows
-      bytes += (try fs.getFileStatus(new Path(s"$path/${e.file}")).getLen
-      catch { case _: java.io.IOException => 0L })
+      bytes += e.bytes.getOrElse(
+        try fs.getFileStatus(new Path(s"$path/${e.file}")).getLen
+        catch { case _: java.io.IOException => 0L })
     }
     val (b, r) = (bytes, rows)
     new org.apache.spark.sql.connector.read.Statistics {
@@ -461,14 +512,11 @@ private class ManifestScan(
     val manifestName =
       version.map(v => s"manifest-v$v.json").getOrElse("manifest.json")
     val txt =
-      try ManifestRead.manifestText(path, manifestName)
-      catch {
-        // a CURRENT read of a never-written table (catalog CREATE with
-        // no INSERT yet) is legitimately EMPTY; an explicitly requested
-        // version stays loud (expired by truncate, or never committed)
-        case e: java.io.FileNotFoundException =>
-          if (version.isEmpty) "" else throw e
-      }
+      // a CURRENT read of a never-written table (catalog CREATE with
+      // no INSERT yet) is legitimately EMPTY; an explicitly requested
+      // version stays loud (expired by truncate, or never committed)
+      if (version.isEmpty) ManifestRead.currentTextOrEmpty(path)
+      else ManifestRead.manifestText(path, manifestName)
     (ManifestRead.entriesOfText(txt),
       if (skipDvs) Nil else ManifestRead.dvsOfText(txt).map(_._1))
   }
@@ -478,43 +526,40 @@ private class ManifestScan(
     * truncate ranges, bucket residue classes — works on manifests with
     * no column stats at all), plus the raw candidate count (for the
     * skip metrics). */
+  private def pvKeep(e: ManifestEntry): Boolean =
+    e.partPairs.forall { case (sp, pv) =>
+      !(fullSchema.fieldNames.contains(sp.col) &&
+        fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType) ||
+        filters.forall(ManifestPartSpec.pvMayMatch(sp, pv, _))
+    }
+
+  // runtime join-key sets: keep a file iff AT LEAST ONE key could
+  // occur in it (zone maps / Bloom via an EqualTo probe per key, and
+  // the structural partition value — every transform of a composite
+  // key prunes independently — via the same In check)
+  private def runtimeKeep(e: ManifestEntry): Boolean =
+    runtimeIn.forall { case (c, vs) =>
+      !fullSchema.fieldNames.contains(c) || vs.isEmpty ||
+        (vs.exists(v => ManifestFilters.mayMatch(fullSchema, e,
+          org.apache.spark.sql.sources.EqualTo(c, v))) &&
+          e.partPairs.forall { case (sp, pv) =>
+            sp.col != c ||
+              fullSchema(fullSchema.fieldIndex(c)).dataType != LongType ||
+              ManifestPartSpec.pvMayMatch(sp, pv,
+                org.apache.spark.sql.sources.In(c, vs.toArray))
+          })
+    }
+
+  /** All pruning verdicts over one entry-shaped unit — a whole file,
+    * or ONE ROW GROUP dressed as a synthetic entry carrying its own
+    * rows/stats (zone maps compose at any granularity). */
+  private def keep(e: ManifestEntry): Boolean =
+    pvKeep(e) && runtimeKeep(e) &&
+      filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))
+
   private def keptEntries(): (Seq[ManifestEntry], Int) = {
     val allEntries = snapshot._1
-    def pvKeep(e: ManifestEntry): Boolean =
-      (e.pt, e.pv) match {
-        case (Some(pt), Some(pv)) =>
-          scala.util.Try(ManifestPartSpec.parse(pt)).toOption match {
-            case Some(sp) if fullSchema.fieldNames.contains(sp.col) &&
-              fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType =>
-              filters.forall(ManifestPartSpec.pvMayMatch(sp, pv, _))
-            case _ => true
-          }
-        case _ => true
-      }
-    // runtime join-key sets: keep a file iff AT LEAST ONE key could
-    // occur in it (zone maps / Bloom via an EqualTo probe per key, and
-    // the structural partition value via the same In check)
-    def runtimeKeep(e: ManifestEntry): Boolean =
-      runtimeIn.forall { case (c, vs) =>
-        !fullSchema.fieldNames.contains(c) || vs.isEmpty ||
-          (vs.exists(v => ManifestFilters.mayMatch(fullSchema, e,
-            org.apache.spark.sql.sources.EqualTo(c, v))) &&
-            ((e.pt, e.pv) match {
-              case (Some(pt), Some(pv)) =>
-                scala.util.Try(ManifestPartSpec.parse(pt)).toOption match {
-                  case Some(sp) if sp.col == c &&
-                    fullSchema(fullSchema.fieldIndex(c)).dataType == LongType =>
-                    ManifestPartSpec.pvMayMatch(sp, pv,
-                      org.apache.spark.sql.sources.In(c, vs.toArray))
-                  case _ => true
-                }
-              case _ => true
-            }))
-      }
-    (allEntries.filter(e =>
-      pvKeep(e) && runtimeKeep(e) &&
-        filters.forall(ManifestFilters.mayMatch(fullSchema, e, _))),
-      allEntries.length)
+    (allEntries.filter(keep), allEntries.length)
   }
 
   /** IDENTITY-PARTITIONED layout (sink option "partitionBy"): when
@@ -527,45 +572,49 @@ private class ManifestScan(
     * deterministic. None when any entry is un-keyed (a NULL-partition
     * file, a pre-partitioning manifest) or keyed differently. */
   private lazy val keyedLayout
-    : Option[(ManifestPartSpec, Seq[(Long, Seq[ManifestEntry])])] = {
+    : Option[(Seq[ManifestPartSpec], Seq[(Seq[Long], Seq[ManifestEntry])])] = {
     if (groups.isDefined) None
     else {
       val (entries, _) = keptEntries()
-      val pts = entries.map(_.pt).distinct
-      if (entries.isEmpty || pts.length != 1 || pts.head.isEmpty ||
-        entries.exists(_.pv.isEmpty)) None
+      // every kept entry must carry the SAME transform list (single
+      // pv/pt or composite pvs/pts — partPairs unifies them); an
+      // un-keyed or foreign entry disables grouping for the table
+      val specSets = entries.map(_.partPairs.map(_._1)).distinct
+      if (entries.isEmpty || specSets.length != 1 || specSets.head.isEmpty)
+        None
       else {
-        // identity ("col") or bucket ("bucket(n,col)") — an unparseable
-        // pt (foreign manifest) just disables grouping
-        scala.util.Try(ManifestPartSpec.parse(pts.head.get)).toOption
-          .filter(sp => fullSchema.fieldNames.contains(sp.col) &&
-            fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType)
-          .map(sp => (sp, entries.groupBy(_.pv.get).toSeq.sortBy(_._1)))
+        val specs = specSets.head
+        if (!specs.forall(sp => fullSchema.fieldNames.contains(sp.col) &&
+          fullSchema(fullSchema.fieldIndex(sp.col)).dataType == LongType))
+          None
+        else {
+          import scala.math.Ordering.Implicits.seqOrdering
+          Some((specs,
+            entries.groupBy(_.partPairs.map(_._2)).toSeq.sortBy(_._1)))
+        }
       }
     }
+  }
+
+  private def transformExpr(sp: ManifestPartSpec)
+    : org.apache.spark.sql.connector.expressions.Transform = sp match {
+    case IdentityPartSpec(col) =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(col)
+    case BucketPartSpec(n, col) =>
+      org.apache.spark.sql.connector.expressions.Expressions.bucket(n, col)
+    case TruncatePartSpec(w, col) =>
+      org.apache.spark.sql.connector.expressions.Expressions.apply(
+        "truncate",
+        org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+        org.apache.spark.sql.connector.expressions.Expressions.column(col))
   }
 
   override def outputPartitioning()
     : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     keyedLayout match {
-      case Some((sp, gs)) =>
-        val expr = sp match {
-          case IdentityPartSpec(col) =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .identity(col)
-          case BucketPartSpec(n, col) =>
-            org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(n, col)
-          case TruncatePartSpec(w, col) =>
-            org.apache.spark.sql.connector.expressions.Expressions.apply(
-              "truncate",
-              org.apache.spark.sql.connector.expressions.Expressions
-                .literal(w),
-              org.apache.spark.sql.connector.expressions.Expressions
-                .column(col))
-        }
+      case Some((specs, gs)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(expr), gs.length)
+          specs.map(transformExpr).toArray, gs.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
@@ -603,36 +652,75 @@ private class ManifestScan(
     val (entries, _) = keptEntries()
     ManifestScanMetrics.record(path, allEntries.length,
       allEntries.length - entries.length)
+    metricsCell.candidates = allEntries.length.toLong
+    metricsCell.skipped = (allEntries.length - entries.length).toLong
     // identity-partitioned: one partition per distinct value, whole
     // files (partition grouping trades byte-range split granularity
     // for zero-exchange joins — the same trade Spark bucketed tables
     // make), each exposing its value via HasPartitionKey
-    keyedLayout.foreach { case (sp, _) =>
+    keyedLayout.foreach { case (_, _) =>
       // group the FILTERED entry set, not the lazily-cached layout:
       // keyedLayout may have been materialized at planning time
       // (outputPartitioning), BEFORE any runtime (DPP) filter arrived —
       // the planned splits must honor it (BatchScanExec owns regrouping
       // runtime-filtered key-grouped splits). A bucket transform's
       // partition key is the INT bucket id; an identity/truncate key is
-      // the LONG value — the key row's type must match the transform's
-      // result type.
-      val intKey = sp.isInstanceOf[BucketPartSpec]
-      return entries.groupBy(_.pv.get).toSeq.sortBy(_._1)
-        .map { case (pv, es) =>
+      // the LONG value — each key-row field's type must match its
+      // transform's result type.
+      val specs = keyedLayout.get._1
+      val intKey = specs.map(_.isInstanceOf[BucketPartSpec])
+      import scala.math.Ordering.Implicits.seqOrdering
+      return entries.groupBy(_.partPairs.map(_._2)).toSeq.sortBy(_._1)
+        .map { case (keys, es) =>
           ManifestKeyedPartition(path,
             es.sortBy(_.file).map(e => (e.file, e.rows, e.cols)),
-            dvFiles, pv, intKey): InputPartition
+            dvFiles, keys, intKey): InputPartition
         }.toArray
     }
-    entries
+    var rgCandidates = 0L
+    var rgSkipped = 0L
+    val planned = entries
       .flatMap { e =>
       val (name, rows) = (e.file, e.rows)
-      val fp = new Path(s"$path/$name")
-      val len = fp.getFileSystem(conf).getFileStatus(fp).getLen
-      // parquet files are planned whole (row order defines _mf_pos;
-      // row-group splitting is the scale follow-up) — only the line-
-      // oriented CSV dialect byte-range splits
-      if (len <= maxSplit || !name.endsWith(".csv"))
+      // length from the manifest when recorded there (commit-time), a
+      // stat RPC only for pre-round-15 entries — planning must not pay
+      // O(files) driver-side metadata calls
+      lazy val statLen = {
+        val fp = new Path(s"$path/$name")
+        fp.getFileSystem(conf).getFileStatus(fp).getLen
+      }
+      val len = e.bytes.getOrElse(statLen)
+      val rgList =
+        if (name.endsWith(".csv")) Nil
+        else e.rgs.map(ManifestParquet.parseRgs).getOrElse(Nil)
+      if (rgList.nonEmpty) {
+        // MULTI-ROW-GROUP parquet: one split per SURVIVING row group —
+        // the planner both parallelizes a fat file and SKIPS inside it
+        // (a group whose zone maps / partition value / runtime join
+        // keys prove emptiness is never read). `_mf_pos` stays the
+        // GLOBAL row ordinal: each split seeds its ordinal with the
+        // preceding groups' row count, so delete vectors and row
+        // identity survive the split exactly.
+        rgCandidates += rgList.length
+        var rowStart = 0L
+        val parts = rgList.flatMap { rg =>
+          val start = rowStart
+          rowStart += rg.rows
+          // a row group prunes under the SAME verdicts as a file: its
+          // own zone maps ride a synthetic entry (partition value and
+          // file columns inherited)
+          val rgEntry = ManifestEntry(e.file, rg.rows, 0L, e.cols,
+            Option(rg.stats).filter(_.nonEmpty), e.pv, e.pt,
+            pvs = e.pvs, pts = e.pts)
+          if (keep(rgEntry))
+            Some(ManifestFilePartition(s"$path/$name", rg.rows,
+              rg.off, rg.len, dvFiles, cols = e.cols,
+              rowStart = start): InputPartition)
+          else { rgSkipped += 1; None }
+        }
+        parts
+      }
+      else if (len <= maxSplit || !name.endsWith(".csv"))
         // unsplit: the whole-file row-count tamper guard stays active
         Seq(ManifestFilePartition(s"$path/$name", rows,
           dvFiles = dvFiles, cols = e.cols): InputPartition)
@@ -655,6 +743,10 @@ private class ManifestScan(
         }
       }
     }.toArray
+    ManifestScanMetrics.recordRgs(path, rgCandidates, rgSkipped)
+    metricsCell.rgCandidates = rgCandidates
+    metricsCell.rgSkipped = rgSkipped
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -690,7 +782,31 @@ private[sources] case class ManifestEntry(
     // single value of the partition column every row of this file
     // carries (pv) and that column's name (pt). Powers partition-
     // grouped scans + storage-partitioned joins (q428).
-    pv: Option[Long] = None, pt: Option[String] = None) {
+    pv: Option[Long] = None, pt: Option[String] = None,
+    // on-disk length, recorded at commit time (the writer knows it) so
+    // estimateStatistics sums bytes from the manifest instead of one
+    // driver-side getFileStatus RPC per file per planning pass; absent
+    // on pre-round-15 manifests (readers fall back to a stat call)
+    bytes: Option[Long] = None,
+    // per-row-group (rows, byte range, zone maps) JSON for multi-group
+    // parquet files: the planner emits one split per SURVIVING row
+    // group — skipping inside a fat file, no plan-time footer reads
+    rgs: Option[String] = None,
+    // MULTI-transform partitioning (composite SPJ keys): pipe-joined
+    // value tuple ("3|12") and transform list ("bucket(8,k)|region");
+    // single-transform files keep the legacy pv/pt fields
+    pvs: Option[String] = None, pts: Option[String] = None) {
+  /** Per-transform (spec, value) pairs — single pv/pt and multi
+    * pvs/pts unified for the pruning paths. Empty when un-keyed or
+    * unparseable (foreign manifest). */
+  def partPairs: Seq[(ManifestPartSpec, Long)] =
+    (for (t <- pts; v <- pvs) yield scala.util.Try {
+      t.split('|').map(ManifestPartSpec.parse).toSeq
+        .zip(v.split('|').map(_.toLong).toSeq)
+    }.getOrElse(Nil)).orElse(
+      for (t <- pt; v <- pv) yield scala.util.Try(
+        Seq((ManifestPartSpec.parse(t), v))).getOrElse(Nil))
+      .getOrElse(Nil)
   def colNames: Option[Seq[String]] = cols.map(_.split(',').toSeq)
 }
 
@@ -823,26 +939,35 @@ private[graft] object ManifestBloom {
 private[graft] object ManifestRead {
   private val entryRe =
     ("""\{"file":"([^"]+)","rows":(\d+),"checksum":(-?\d+)""" +
+      """(?:,"bytes":(\d+))?""" +
       """(?:,"pv":(-?\d+),"pt":"([^"]*)")?""" +
+      """(?:,"pvs":"([^"]*)","pts":"([^"]*)")?""" +
       """(?:,"cols":"([^"]*)")?""" +
-      """(?:,"stats":(\{(?:[^{}]|\{[^{}]*\})*\}))?\}""").r
+      """(?:,"stats":(\{(?:[^{}]|\{[^{}]*\})*\}))?""" +
+      """(?:,"rgs":(\[[^\]]*\]))?\}""").r
 
-  /** Parse every data-file entry (with optional pv/pt/cols/stats) of
-    * one manifest body. */
+  /** Parse every data-file entry (with optional bytes/pv/pt/pvs/pts/
+    * cols/stats/rgs) of one manifest body. */
   def entriesOfText(txt: String): Seq[ManifestEntry] =
     entryRe.findAllMatchIn(txt).map { m =>
       ManifestEntry(m.group(1), m.group(2).toLong, m.group(3).toLong,
-        Option(m.group(6)).filter(_.nonEmpty), Option(m.group(7)),
-        Option(m.group(4)).map(_.toLong), Option(m.group(5)))
+        Option(m.group(9)).filter(_.nonEmpty), Option(m.group(10)),
+        Option(m.group(5)).map(_.toLong), Option(m.group(6)),
+        Option(m.group(4)).map(_.toLong), Option(m.group(11)),
+        Option(m.group(7)), Option(m.group(8)))
     }.toSeq
 
   /** Render one entry back to its manifest JSON form (inverse of
-    * [[entriesOfText]] — carry-forward must preserve pv/pt/cols/stats). */
+    * [[entriesOfText]] — carry-forward must preserve every optional
+    * field). */
   def render(e: ManifestEntry): String =
     s"""{"file":"${e.file}","rows":${e.rows},"checksum":${e.checksum}""" +
+      e.bytes.map(b => s""","bytes":$b""").getOrElse("") +
       (for (v <- e.pv; t <- e.pt) yield s""","pv":$v,"pt":"$t"""").getOrElse("") +
+      (for (v <- e.pvs; t <- e.pts) yield s""","pvs":"$v","pts":"$t"""").getOrElse("") +
       e.cols.map(c => s""","cols":"$c"""").getOrElse("") +
-      e.stats.map(st => s""","stats":$st""").getOrElse("") + "}"
+      e.stats.map(st => s""","stats":$st""").getOrElse("") +
+      e.rgs.map(r => s""","rgs":$r""").getOrElse("") + "}"
 
   /** Full entries of one committed manifest. */
   def entries(path: String, manifestName: String): Seq[ManifestEntry] =
@@ -873,6 +998,29 @@ private[graft] object ManifestRead {
     * lists — e.g. the epoch ledger a maintenance publish must carry). */
   def manifestText(path: String, manifestName: String): String =
     text(path, manifestName)
+
+  /** CURRENT-snapshot text with the commit swap window bridged: every
+    * committer publishes `manifest.json` delete-then-rename, so a
+    * reader racing a commit can see it absent for a few milliseconds.
+    * Absence only means "empty table" when the directory holds NO
+    * committed version manifest either (a catalog CREATE with no
+    * INSERT yet is the one legitimately-empty case); a table with
+    * history retries briefly and then rethrows — the swap window
+    * stays a loud failure, never a silent 0-row result. */
+  def currentTextOrEmpty(path: String): String = {
+    var attempt = 0
+    while (true) {
+      try return manifestText(path, "manifest.json")
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (latestVersion(path) == 0L) return "" // provably never written
+          attempt += 1
+          if (attempt >= 20) throw e
+          Thread.sleep(25L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private val colStatsRe =
     (""""([^"]+)":\{"nulls":(\d+)(?:,"min":("[^"]*"|[^,}]+))?""" +
@@ -1046,10 +1194,14 @@ private class ManifestMicroBatchStream(
   * (the row-count tamper guard is active only in that mode — a split
   * reader can't know its share of the manifest's row count). `dvFiles`
   * names the snapshot's delete-vector files (table-dir-relative); the
-  * reader skips records whose byte offset a dv lists for its file. */
+  * reader skips records whose byte offset a dv lists for its file.
+  * `rowStart >= 0` marks a parquet ROW-GROUP split: `start`/`len` are
+  * the group's byte range (midpoint-selected), `rows` the group's own
+  * row count (tamper guard stays active per group), and the reader
+  * seeds `_mf_pos` at `rowStart` so ordinals stay file-global. */
 private case class ManifestFilePartition(
     file: String, rows: Long, start: Long = 0L, len: Long = -1L,
-    dvFiles: Seq[String] = Nil,
+    dvFiles: Seq[String] = Nil, rowStart: Long = -1L,
     // the FILE's own column layout (schema evolution): absent = the
     // file was written with exactly the read schema's data columns
     cols: Option[String] = None)
@@ -1062,17 +1214,21 @@ private case class ManifestGroupPartition(
     dvFiles: Seq[String] = Nil)
   extends InputPartition
 
-/** All files of one identity-partition value, read by one task and
-  * EXPOSING the value — the storage-partitioned-join split (pairs up
-  * with the other side's equal-keyed split, no exchange). */
+/** All files of one partition-value TUPLE (single or composite key),
+  * read by one task and EXPOSING the tuple — the
+  * storage-partitioned-join split (pairs up with the other side's
+  * equal-keyed split, no exchange). `intKey(i)` marks bucket
+  * transforms, whose key field is the INT bucket id. */
 private case class ManifestKeyedPartition(
     tableDir: String, files: Seq[(String, Long, Option[String])],
-    dvFiles: Seq[String], pv: Long, intKey: Boolean = false)
+    dvFiles: Seq[String], keys: Seq[Long], intKey: Seq[Boolean])
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
-    if (intKey) org.apache.spark.sql.catalyst.InternalRow(pv.toInt)
-    else org.apache.spark.sql.catalyst.InternalRow(pv)
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      keys.zip(intKey).map { case (v, isInt) =>
+        if (isInt) v.toInt else v
+      })
 }
 
 /** Per-TABLE-PATH file-skipping tally of the most recent batch scan
@@ -1085,13 +1241,18 @@ private case class ManifestKeyedPartition(
   * path it created privately (per-query /tmp fixture dirs). */
 private[graft] object ManifestScanMetrics {
   private final case class M(candidates: Long, skipped: Long,
-    aggFromStats: Boolean)
+    aggFromStats: Boolean, rgCandidates: Long = 0L, rgSkipped: Long = 0L)
   private val byPath =
     new java.util.concurrent.ConcurrentHashMap[String, M]()
 
   private[sources] def record(path: String, candidates: Long,
       skipped: Long): Unit =
     byPath.put(path, M(candidates, skipped, aggFromStats = false))
+  private[sources] def recordRgs(path: String, rgCandidates: Long,
+      rgSkipped: Long): Unit =
+    byPath.compute(path, (_, m) =>
+      Option(m).getOrElse(M(0L, 0L, aggFromStats = false))
+        .copy(rgCandidates = rgCandidates, rgSkipped = rgSkipped))
   private[sources] def recordAgg(path: String): Unit =
     byPath.put(path, M(0L, 0L, aggFromStats = true))
 
@@ -1102,6 +1263,72 @@ private[graft] object ManifestScanMetrics {
   /** candidates − skipped of the last scan planned over `path`. */
   def plannedFiles(path: String): Long =
     candidateFiles(path) - skippedFiles(path)
+  /** Row groups of multi-group parquet files seen by the last scan. */
+  def candidateRowGroups(path: String): Long =
+    Option(byPath.get(path)).map(_.rgCandidates).getOrElse(0L)
+  /** ... of which pruned (zone maps / partition value / runtime keys)
+    * without being read. */
+  def skippedRowGroups(path: String): Long =
+    Option(byPath.get(path)).map(_.rgSkipped).getOrElse(0L)
+  def plannedRowGroups(path: String): Long =
+    candidateRowGroups(path) - skippedRowGroups(path)
+
+  /** One scan instance's pruning tallies — the per-SCAN identity the
+    * path-keyed map can't give when two scans of the SAME path run
+    * concurrently (a streaming tail plus a batch probe). */
+  final class PerScan {
+    @volatile var candidates = 0L
+    @volatile var skipped = 0L
+    @volatile var rgCandidates = 0L
+    @volatile var rgSkipped = 0L
+    def planned: Long = candidates - skipped
+    def plannedRgs: Long = rgCandidates - rgSkipped
+  }
+
+  /** The metric cells of every manifest scan OVER `path` inside `df`'s
+    * own executed plan — an observable query reads ITS scan's numbers,
+    * not "whatever scanned this path last". Force the DataFrame first
+    * (the cells are written by planInputPartitions at execution). */
+  def perScan(df: org.apache.spark.sql.DataFrame,
+      path: String): Seq[PerScan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[PerScan] = {
+      val here = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case b: BatchScanExec => b.scan match {
+          case m: ManifestScan if m.tablePath == path => Seq(m.metricsCell)
+          case _ => Nil
+        }
+        case _ => Nil
+      }
+      here ++ p.children.flatMap(walk) ++
+        p.subqueries.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).distinct
+  }
+
+  /** planned/candidate FILE counts summed over `df`'s own scans of
+    * `path` (throws if the plan holds none — an observable must never
+    * silently read zeros). */
+  def filesOf(df: org.apache.spark.sql.DataFrame,
+      path: String): (Long, Long) = {
+    val cells = perScan(df, path)
+    require(cells.nonEmpty,
+      s"ManifestScanMetrics: no manifest scan of $path in this plan")
+    (cells.map(_.planned).sum, cells.map(_.candidates).sum)
+  }
+
+  /** planned/candidate ROW-GROUP counts of `df`'s own scans of `path`. */
+  def rowGroupsOf(df: org.apache.spark.sql.DataFrame,
+      path: String): (Long, Long) = {
+    val cells = perScan(df, path)
+    require(cells.nonEmpty,
+      s"ManifestScanMetrics: no manifest scan of $path in this plan")
+    (cells.map(_.plannedRgs).sum, cells.map(_.rgCandidates).sum)
+  }
   /** true iff the last scan build over `path` answered its aggregates
     * from manifest statistics alone (no data file opened). */
   def aggFromStats(path: String): Boolean =
@@ -1342,11 +1569,17 @@ private class ManifestReaderFactory(
             filters.flatMap(_.references)).distinct.toSeq
         fileCols.filter(want.contains) // in FILE order, existing only
       }
+      // rowStart >= 0 = a ROW-GROUP split: read exactly the group whose
+      // byte midpoint falls in [start, start+len) and seed the ordinal
+      // with the preceding groups' rows — `_mf_pos` stays file-global,
+      // so delete vectors and row identity survive the split
+      private val rgSplit = part.rowStart >= 0L
       private val reader = ManifestParquet.reader(fp,
         ManifestParquet.messageType(StructType(neededNames.map(n =>
-          StructField(n, dtOf(n))))), hadoopConf.value)
+          StructField(n, dtOf(n))))), hadoopConf.value,
+        if (rgSplit) Some((part.start, part.start + part.len)) else None)
       private val hasFilters = filters.nonEmpty
-      private var ordinal = 0L
+      private var ordinal = if (rgSplit) part.rowStart else 0L
       private var readCount = 0L
       private var current: InternalRow = _
 
@@ -1354,10 +1587,14 @@ private class ManifestReaderFactory(
         while (true) {
           val g = reader.read()
           if (g == null) {
-            if (part.len < 0 && readCount != part.rows)
+            // tamper guard: whole files against the manifest row count,
+            // row-group splits against their group's own count
+            if ((part.len < 0 || rgSplit) && readCount != part.rows)
               throw new java.io.IOException(
-                s"ManifestSource: ${part.file} has $readCount rows, " +
-                  s"manifest says ${part.rows} — torn or tampered file")
+                s"ManifestSource: ${part.file}" +
+                  (if (rgSplit) s" row group @${part.start}" else "") +
+                  s" has $readCount rows, manifest says ${part.rows} — " +
+                  "torn or tampered file")
             return false
           }
           readCount += 1
@@ -1394,6 +1631,11 @@ private class ManifestReaderFactory(
                     case DoubleType => g.getDouble(f.name, 0)
                     case StringType =>
                       UTF8String.fromString(g.getString(f.name, 0))
+                    case TimestampType => g.getLong(f.name, 0) // micros
+                    case d: DecimalType =>
+                      org.apache.spark.sql.types.Decimal(
+                        g.getLong(f.name, 0), d.precision, d.scale)
+                    case BooleanType => g.getBoolean(f.name, 0)
                     case dt => throw new UnsupportedOperationException(
                       s"ManifestSource: unsupported read type $dt")
                   }
@@ -1543,6 +1785,11 @@ private class ManifestReaderFactory(
                     case IntegerType => raw.toInt
                     case DoubleType => raw.toDouble
                     case StringType => UTF8String.fromString(raw)
+                    case TimestampType => raw.toLong // canonical micros
+                    case d: DecimalType =>
+                      org.apache.spark.sql.types.Decimal(
+                        new java.math.BigDecimal(raw), d.precision, d.scale)
+                    case BooleanType => raw.toBoolean
                     case dt => throw new UnsupportedOperationException(
                       s"ManifestSource: unsupported read type $dt")
                   }

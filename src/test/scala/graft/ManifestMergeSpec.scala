@@ -121,7 +121,7 @@ class ManifestMergeSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("commit is in flight")), e)
+    assert(msgs(e).exists(_.contains("concurrent commit in flight")), e)
     fs.delete(lock, false)
     spark.sql(s"UPDATE $t SET v = 'x' WHERE k = 1")
     assert(contents(t).head == (1L -> "x"))
