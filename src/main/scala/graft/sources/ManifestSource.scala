@@ -1311,23 +1311,37 @@ private[graft] object ManifestScanMetrics {
   }
 
   /** planned/candidate FILE counts summed over `df`'s own scans of
-    * `path` (throws if the plan holds none — an observable must never
-    * silently read zeros). */
+    * `path`. When the final plan holds no scan node — AQE's
+    * empty-relation propagation REPLACES an executed scan whose stage
+    * returned 0 rows, making the instance unreachable even though it
+    * planned and recorded — fall back to the path-keyed record; a path
+    * NO scan ever recorded still fails loudly (an observable must
+    * never silently read zeros). */
   def filesOf(df: org.apache.spark.sql.DataFrame,
       path: String): (Long, Long) = {
     val cells = perScan(df, path)
-    require(cells.nonEmpty,
-      s"ManifestScanMetrics: no manifest scan of $path in this plan")
-    (cells.map(_.planned).sum, cells.map(_.candidates).sum)
+    if (cells.nonEmpty) (cells.map(_.planned).sum, cells.map(_.candidates).sum)
+    else {
+      require(byPath.containsKey(path),
+        s"ManifestScanMetrics: no manifest scan of $path in this plan " +
+          "and none ever recorded for the path")
+      (plannedFiles(path), candidateFiles(path))
+    }
   }
 
-  /** planned/candidate ROW-GROUP counts of `df`'s own scans of `path`. */
+  /** planned/candidate ROW-GROUP counts of `df`'s own scans of `path`
+    * (same empty-relation fallback as [[filesOf]]). */
   def rowGroupsOf(df: org.apache.spark.sql.DataFrame,
       path: String): (Long, Long) = {
     val cells = perScan(df, path)
-    require(cells.nonEmpty,
-      s"ManifestScanMetrics: no manifest scan of $path in this plan")
-    (cells.map(_.plannedRgs).sum, cells.map(_.rgCandidates).sum)
+    if (cells.nonEmpty)
+      (cells.map(_.plannedRgs).sum, cells.map(_.rgCandidates).sum)
+    else {
+      require(byPath.containsKey(path),
+        s"ManifestScanMetrics: no manifest scan of $path in this plan " +
+          "and none ever recorded for the path")
+      (plannedRowGroups(path), candidateRowGroups(path))
+    }
   }
   /** true iff the last scan build over `path` answered its aggregates
     * from manifest statistics alone (no data file opened). */
