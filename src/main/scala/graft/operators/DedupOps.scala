@@ -197,32 +197,79 @@ object DedupOps {
       toksd.groupBy("w").agg(count(lit(1)).as("f")), "r",
       col("f"), col("w"))
       .select("w", "r")
-    val dt = toksd.join(rk, "w")
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list("r")).as("rs"), count(lit(1)).as("n"))
-      .localCheckpoint() // reused for prefixes and verification
-    val pre = dt.select(col("doc_id"),
-      explode(expr(
-        s"slice(rs, 1, CAST(n - (($PpTauNum * n + ${PpTauDen - 1}) div $PpTauDen) + 1 AS INT))"))
-        .as("p"))
-    val cand = pre.as("a")
-      .join(pre.as("b"),
-        col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    cand
-      .join(dt.select(col("doc_id").as("d1"), col("rs").as("rs1"),
-        col("n").as("n1")), "d1")
-      .join(dt.select(col("doc_id").as("d2"), col("rs").as("rs2"),
-        col("n").as("n2")), "d2")
-      .withColumn("n_inter", size(array_intersect(col("rs1"), col("rs2")))
-        .cast("long"))
-      .withColumn("n_union", (col("n1") + col("n2")).cast("long")
-        - col("n_inter"))
-      .filter(col("n_inter") * PpTauDen >= col("n_union") * PpTauNum)
-      .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
-        expr("n_inter * 100 div n_union").as("jacc_pct"))
-      .orderBy("d1", "d2")
+    // r16 (guide §2.3/§3): candidate generation additionally applies the
+    // PPJoin LENGTH filter — Jaccard >= tau forces tau*max(n1,n2) <=
+    // min(n1,n2) (overlap <= min, >= tau*union >= tau*max), so the
+    // predicate drops no true pair (result-identical by theorem) while
+    // pruning enumerated candidates ~4x on this corpus (13.4M -> 3.4M
+    // at sf0.1, measured). Small-vocabulary fast path: when the GLOBAL
+    // vocabulary fits in one machine word (vocab <= 64 — a driver-side
+    // metadata count, not a data collect), a doc's token-rank set is a
+    // 64-bit mask and the exact intersection is bit_count(m1 & m2) —
+    // verification collapses into the candidate join itself (no array
+    // shuffles, no candidate-distinct barrier, no two verify joins).
+    // Both paths compute the IDENTICAL pair set; the array path remains
+    // for corpora whose vocabulary outgrows the mask.
+    val vocab = rk.count() // driver-held metadata (one long)
+    val prefixLenSql =
+      s"CAST(n - (($PpTauNum * n + ${PpTauDen - 1}) div $PpTauDen) + 1 AS INT)"
+    val lenOk = // 20*min >= 19*max, integer-exact
+      lit(PpTauDen) * least(col("a.n"), col("b.n")) >=
+        lit(PpTauNum) * greatest(col("a.n"), col("b.n"))
+    if (vocab <= 64) {
+      val ranked = toksd.join(rk, "w").select("doc_id", "r")
+      val docs = ranked.groupBy("doc_id").agg(
+        expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(r - 1 AS INT)))")
+          .as("mask"),
+        count(lit(1)).as("n"))
+      // prefix = the (n - ceil(tau*n) + 1) globally-rarest tokens; the
+      // per-doc window is bounded by document length, never corpus size
+      val pre = ranked
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy("r")))
+        .join(docs, "doc_id")
+        .filter(col("pos") <= expr(prefixLenSql))
+        .select(col("doc_id"), col("r").as("p"), col("n"), col("mask"))
+      pre.as("a")
+        .join(pre.as("b"),
+          col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+            lenOk)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("bit_count(a.mask & b.mask)").cast("long").as("n_inter"),
+          (col("a.n") + col("b.n")).cast("long").as("np"))
+        .withColumn("n_union", col("np") - col("n_inter"))
+        .filter(col("n_inter") * PpTauDen >= col("n_union") * PpTauNum)
+        .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+          expr("n_inter * 100 div n_union").as("jacc_pct"))
+        .distinct() // a pair can match on several shared prefix tokens
+        .orderBy("d1", "d2")
+    } else {
+      val dt = toksd.join(rk, "w")
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list("r")).as("rs"), count(lit(1)).as("n"))
+        .localCheckpoint() // reused for prefixes and verification
+      val pre = dt.select(col("doc_id"), col("n"),
+        explode(expr(s"slice(rs, 1, $prefixLenSql)")).as("p"))
+      val cand = pre.as("a")
+        .join(pre.as("b"),
+          col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&
+            lenOk)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(dt.select(col("doc_id").as("d1"), col("rs").as("rs1"),
+          col("n").as("n1")), "d1")
+        .join(dt.select(col("doc_id").as("d2"), col("rs").as("rs2"),
+          col("n").as("n2")), "d2")
+        .withColumn("n_inter", size(array_intersect(col("rs1"), col("rs2")))
+          .cast("long"))
+        .withColumn("n_union", (col("n1") + col("n2")).cast("long")
+          - col("n_inter"))
+        .filter(col("n_inter") * PpTauDen >= col("n_union") * PpTauNum)
+        .select(col("d1"), col("d2"), col("n_inter"), col("n_union"),
+          expr("n_inter * 100 div n_union").as("jacc_pct"))
+        .orderBy("d1", "d2")
+    }
   }
 
 

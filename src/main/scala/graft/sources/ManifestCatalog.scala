@@ -250,6 +250,12 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
     * positions) refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
+    val dirP = new Path(dir)
+    // one lock spans era-freeze + manifest rewrite + DDL swap: a reader
+    // can never observe the rename window, and an INSERT can't slip a
+    // snapshot between the latestVersion read and the schema publish
+    ManifestLock.withLock(fs(dirP), dirP,
+      s"alter-${java.util.UUID.randomUUID()}", "ManifestCatalog") {
     val raw = readDdl(dir).getOrElse(throw new NoSuchTableException(
       Seq(catName) ++ ident.namespace() :+ ident.name()))
     val lines = raw.split('\n')
@@ -264,6 +270,24 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
           TimestampType | BooleanType => true
         case d: DecimalType => d.precision <= 18
         case _ => false
+      }
+    }
+    // head BEFORE any change publishes a snapshot: the frozen era must
+    // cover only pre-ALTER snapshots (a RENAME publishes manifest-v{N+1}
+    // with the NEW column name — freezing after it would make
+    // `VERSION AS OF N+1` read the renamed data under the old name,
+    // silently serving NULLs). Freeze first, too, so a crash between
+    // the freeze and the manifest rewrite leaves only a harmless frozen
+    // copy of the still-current schema.
+    val head = ManifestRead.latestVersion(dir)
+    val f = fs(dirP)
+    if (head > 0) {
+      val frozen = new Path(dir, s"_schema-upto-v$head.ddl")
+      // create-if-absent — two ALTERs with no commits between must keep
+      // the FIRST frozen DDL for that head
+      if (!f.exists(frozen)) {
+        val out = f.create(frozen, false)
+        try out.write(raw.getBytes("UTF-8")) finally out.close()
       }
     }
     changes.foreach {
@@ -305,28 +329,22 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
           "ADD COLUMN (nullable, at the end) and RENAME COLUMN (CSV " +
           "tables) are supported")
     }
-    // freeze the OLD schema for time travel: snapshots <= the current
-    // head were written under it. create-if-absent — two ALTERs with no
-    // commits between must keep the FIRST frozen DDL for that head.
-    val head = ManifestRead.latestVersion(dir)
-    val f = fs(new Path(dir))
-    if (head > 0) {
-      val frozen = new Path(dir, s"_schema-upto-v$head.ddl")
-      if (!f.exists(frozen)) {
-        val out = f.create(frozen, false)
-        try out.write(raw.getBytes("UTF-8")) finally out.close()
-      }
-    }
-    // torn-safe DDL swap (write temp, rename over)
+    // torn-safe DDL swap: write temp, then rename OVER the live file
+    // (atomic overwrite on POSIX — no delete-then-rename window where a
+    // concurrent reader sees no table at all); fall back to
+    // delete+rename only where the FS refuses overwriting renames
     val newRaw = schema.toDDL +
       (if (lines.length > 1) "\n" + lines.tail.mkString("\n") else "")
     val tmp = new Path(dir, "_schema.ddl.tmp")
     val out = f.create(tmp, true)
     try out.write(newRaw.getBytes("UTF-8")) finally out.close()
-    f.delete(schemaFile(dir), false)
-    if (!f.rename(tmp, schemaFile(dir)))
-      throw new java.io.IOException(
-        s"ManifestCatalog: failed to publish new schema at $dir")
+    if (!f.rename(tmp, schemaFile(dir))) {
+      f.delete(schemaFile(dir), false)
+      if (!f.rename(tmp, schemaFile(dir)))
+        throw new java.io.IOException(
+          s"ManifestCatalog: failed to publish new schema at $dir")
+    }
+    } // end withLock
     load(ident, None)
   }
 
@@ -339,30 +357,61 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
     val dirP = new Path(dir)
     val f = fs(dirP)
     if (ManifestRead.latestVersion(dir) == 0L) return // never written
-    ManifestLock.withLock(f, dirP,
-      s"rename-${java.util.UUID.randomUUID()}", "ManifestCatalog") {
-      val txt = ManifestRead.manifestText(dir, "manifest.json")
-      val entries = ManifestRead.entriesOfText(txt)
-      require(entries.forall(_.file.endsWith(".csv")),
-        "ManifestCatalog: RENAME COLUMN needs an all-CSV table (parquet " +
-          "files carry column names internally — compact to rewrite first)")
-      val renamed = entries.map { e =>
-        e.copy(
-          cols = e.cols.map(_.split(',')
-            .map(c => if (c == from) to else c).mkString(",")),
-          stats = e.stats.map(_.replace(s""""$from":{""", s""""$to":{""")))
-      }
-      val body = s"""{"total_rows":${renamed.map(_.rows).sum},""" +
-        s""""files":${renamed.sortBy(_.file).map(ManifestRead.render)
-          .mkString("[", ",", "]")}""" + {
-        val dvs = ManifestRead.dvsOfText(txt)
-        if (dvs.isEmpty) ""
-        else dvs.sortBy(_._1).map { case (n, r, c) =>
-          s"""{"dv":"$n","rows":$r,"checksum":$c}"""
-        }.mkString(""","deletes":[""", ",", "]")
-      } + ManifestRead.renderEpochs(ManifestRead.streamEpochs(txt)) + "}"
-      ManifestMaintenance.publishBody(f, dirP, body)
+    // caller (alterTable) already holds _commit.lock for the table dir
+    val txt = ManifestRead.manifestText(dir, "manifest.json")
+    val entries = ManifestRead.entriesOfText(txt)
+    require(entries.forall(_.file.endsWith(".csv")),
+      "ManifestCatalog: RENAME COLUMN needs an all-CSV table (parquet " +
+        "files carry column names internally — compact to rewrite first)")
+    val renamed = entries.map { e =>
+      e.copy(
+        cols = e.cols.map(_.split(',')
+          .map(c => if (c == from) to else c).mkString(",")),
+        stats = e.stats.map(renameStatsKey(_, from, to)))
     }
+    val body = s"""{"total_rows":${renamed.map(_.rows).sum},""" +
+      s""""files":${renamed.sortBy(_.file).map(ManifestRead.render)
+        .mkString("[", ",", "]")}""" + {
+      val dvs = ManifestRead.dvsOfText(txt)
+      if (dvs.isEmpty) ""
+      else dvs.sortBy(_._1).map { case (n, r, c) =>
+        s"""{"dv":"$n","rows":$r,"checksum":$c}"""
+      }.mkString(""","deletes":[""", ",", "]")
+    } + ManifestRead.renderEpochs(ManifestRead.streamEpochs(txt)) + "}"
+    ManifestMaintenance.publishBody(f, dirP, body)
+  }
+
+  /** Rename the TOP-LEVEL key `from` to `to` in a per-file stats JSON
+    * object. Quote- and depth-aware: the same byte sequence occurring
+    * inside another column's recorded string min/max (or bloom payload)
+    * is never touched — a blind String.replace would corrupt it. */
+  private[sources] def renameStatsKey(stats: String, from: String,
+      to: String): String = {
+    val target = "\"" + from + "\":"
+    val sb = new StringBuilder(stats.length + 8)
+    var i = 0; var depth = 0; var inQ = false
+    while (i < stats.length) {
+      val c = stats.charAt(i)
+      if (inQ) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < stats.length) {
+          sb.append(stats.charAt(i + 1)); i += 1
+        } else if (c == '"') inQ = false
+        i += 1
+      } else if (depth == 1 && stats.startsWith(target, i)) {
+        sb.append('"').append(to).append("\":")
+        i += target.length
+      } else {
+        c match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case '"' => inQ = true
+          case _ =>
+        }
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -4,9 +4,9 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.types._
@@ -152,40 +152,6 @@ private[graft] object ManifestParquet {
         Option(m.group(4)).getOrElse(""))
     }.toSeq
 
-  /** Row-iterating reader over `projection` (a subset of the file's
-    * columns — parquet decodes only those chunks). `range` restricts
-    * the read to the row groups whose byte MIDPOINT falls in
-    * [start, end) — the standard parquet split contract, so passing
-    * one row group's exact (off, off+len) selects exactly it. */
-  def reader(file: Path, projection: MessageType,
-      conf: Configuration,
-      range: Option[(Long, Long)] = None): ParquetReader[Group] = {
-    val c = new Configuration(conf)
-    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projection.toString)
-    val b = ParquetReader.builder(new GroupReadSupport(), file).withConf(c)
-    range.foreach { case (s, e) => b.withFileRange(s, e) }
-    b.build()
-  }
-
-  /** Group field → raw string (the same rendering the writer hashed),
-    * null when unset. */
-  def rawString(g: Group, name: String, dt: DataType): String = {
-    if (g.getType.containsField(name) &&
-      g.getFieldRepetitionCount(name) > 0) {
-      dt match {
-        case LongType => g.getLong(name, 0).toString
-        case IntegerType => g.getInteger(name, 0).toString
-        case DoubleType => g.getDouble(name, 0).toString
-        case StringType => g.getString(name, 0)
-        case TimestampType => g.getLong(name, 0).toString // micros
-        case d: DecimalType => // scale-stable plain rendering
-          java.math.BigDecimal.valueOf(g.getLong(name, 0), d.scale)
-            .toPlainString
-        case BooleanType => g.getBoolean(name, 0).toString
-        case other => throw new UnsupportedOperationException(
-          s"ManifestParquet: unsupported read type $other")
-      }
-    } else null
-  }
+  // reads go through ManifestParquetBatchReader (batched column-chunk
+  // decode) — the old row-at-a-time Group reader was removed in r16
 }

@@ -517,8 +517,11 @@ private[sources] class ManifestScan(
       // version stays loud (expired by truncate, or never committed)
       if (version.isEmpty) ManifestRead.currentTextOrEmpty(path)
       else ManifestRead.manifestText(path, manifestName)
-    (ManifestRead.entriesOfText(txt),
-      if (skipDvs) Nil else ManifestRead.dvsOfText(txt).map(_._1))
+    // parse-cached across scans (text equality validated) — a second
+    // scan of an unchanged table re-reads the bytes but never re-parses
+    val (entries, dvs) =
+      ManifestRead.parsedOfText(s"$path/$manifestName", txt)
+    (entries, if (skipDvs) Nil else dvs.map(_._1))
   }
 
   /** Entries of the target snapshot surviving the pushed-filter zone
@@ -1103,6 +1106,43 @@ private[graft] object ManifestRead {
     head.contains("\"compaction\":true")
   }
 
+  /** Cross-scan cache of PARSED manifests. Every Scan used to regex-
+    * parse the full manifest text again — O(files) single-threaded
+    * driver work per query on a table scanned many times per session.
+    * The text itself is still read every time (so a concurrent commit
+    * is always observed — no staleness window); the cache only skips
+    * the parse, validated by full text EQUALITY (an O(bytes) memcmp,
+    * not a hash — a collision can never serve a stale layout). Bounded
+    * LRU; oversized manifests bypass it. */
+  private val parseCacheMax = 64
+  private val parseCacheMaxBytes = 32 * 1024 * 1024
+  private val parseCache =
+    new java.util.LinkedHashMap[String,
+        (String, Seq[ManifestEntry], Seq[(String, Long, Long)])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            (String, Seq[ManifestEntry], Seq[(String, Long, Long)])])
+        : Boolean = size > parseCacheMax
+    }
+
+  /** (entries, dvs) of one already-read manifest body, parse-cached by
+    * `key` (table path + manifest name). */
+  def parsedOfText(key: String, txt: String)
+    : (Seq[ManifestEntry], Seq[(String, Long, Long)]) = {
+    if (txt.length > parseCacheMaxBytes)
+      return (entriesOfText(txt), dvsOfText(txt))
+    parseCache.synchronized {
+      val hit = parseCache.get(key)
+      if (hit != null && hit._1 == txt) return (hit._2, hit._3)
+    }
+    val parsed = (entriesOfText(txt), dvsOfText(txt))
+    parseCache.synchronized {
+      parseCache.put(key, (txt, parsed._1, parsed._2))
+    }
+    parsed
+  }
+
   /** Highest committed manifest version at `path` (0 = none). */
   def latestVersion(path: String): Long = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -1554,8 +1594,13 @@ private class ManifestReaderFactory(
 
   /** Columnar reader: decodes ONLY the projected columns' chunks
     * (required + pushed-filter columns; everything when the canonical
-    * line hash is requested), applies delete vectors by ROW ORDINAL,
-    * and feeds the same pushed-filter eval the CSV reader uses. */
+    * line hash is requested) in BATCHES — each column chunk is walked
+    * in one tight loop into a typed array (ManifestParquetBatchReader),
+    * replacing the old per-row Group materialization and its per-field
+    * name lookups. Rows are then served from the arrays: delete
+    * vectors apply by ROW ORDINAL, and the same pushed-filter eval the
+    * CSV reader uses runs over raw renderings built only for the
+    * filter's own columns. */
   private def createParquetReader(
       part: ManifestFilePartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
@@ -1588,30 +1633,51 @@ private class ManifestReaderFactory(
       // with the preceding groups' rows — `_mf_pos` stays file-global,
       // so delete vectors and row identity survive the split
       private val rgSplit = part.rowStart >= 0L
-      private val reader = ManifestParquet.reader(fp,
-        ManifestParquet.messageType(StructType(neededNames.map(n =>
-          StructField(n, dtOf(n))))), hadoopConf.value,
+      private val batch = new ManifestParquetBatchReader(fp, neededNames,
+        neededNames.map(dtOf), hadoopConf.value,
         if (rgSplit) Some((part.start, part.start + part.len)) else None)
       private val hasFilters = filters.nonEmpty
+      // projected-column index by name (-1 = not in this file)
+      private def idxOf(n: String): Int = neededNames.indexOf(n)
+      // required output column → projected index
+      private val reqIdx: Array[Int] = required.fields.map(f => idxOf(f.name))
+      private val reqTypes: Array[DataType] = required.fields.map(_.dataType)
+      // filter eval renders ONLY the filter's referenced columns (the
+      // old path rendered every projected column per row)
+      private val filterRefs: Set[String] = filters.flatMap(_.references).toSet
+      private val filterIdx: Array[Int] = fullSchema.fields.map(f =>
+        if (filterRefs.contains(f.name)) idxOf(f.name) else -1)
+      // linehash walks the file's own column order
+      private val lineIdx: Array[Int] = fileCols.map(idxOf)
+      private val lineIsStr: Array[Boolean] =
+        fileCols.map(n => dtOf(n) == StringType)
       private var ordinal = if (rgSplit) part.rowStart else 0L
       private var readCount = 0L
+      private var batchRows = 0
+      private var cursor = 0
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         while (true) {
-          val g = reader.read()
-          if (g == null) {
-            // tamper guard: whole files against the manifest row count,
-            // row-group splits against their group's own count
-            if ((part.len < 0 || rgSplit) && readCount != part.rows)
-              throw new java.io.IOException(
-                s"ManifestSource: ${part.file}" +
-                  (if (rgSplit) s" row group @${part.start}" else "") +
-                  s" has $readCount rows, manifest says ${part.rows} — " +
-                  "torn or tampered file")
-            return false
+          if (cursor >= batchRows) {
+            val n = batch.loadNextBatch()
+            if (n < 0) {
+              // tamper guard: whole files against the manifest row count,
+              // row-group splits against their group's own count
+              if ((part.len < 0 || rgSplit) && readCount != part.rows)
+                throw new java.io.IOException(
+                  s"ManifestSource: ${part.file}" +
+                    (if (rgSplit) s" row group @${part.start}" else "") +
+                    s" has $readCount rows, manifest says ${part.rows} — " +
+                    "torn or tampered file")
+              return false
+            }
+            batchRows = n
+            cursor = 0
+            readCount += n
           }
-          readCount += 1
+          val r = cursor
+          cursor += 1
           val recOrdinal = ordinal // row ordinal = parquet row identity
           ordinal += 1
           val deleted = !deletedPos.isEmpty && deletedPos.contains(recOrdinal)
@@ -1622,11 +1688,8 @@ private class ManifestReaderFactory(
               val fields = new Array[String](fullSchema.length)
               var i = 0
               while (i < fullSchema.length) {
-                val n = fullSchema.fields(i).name
-                fields(i) =
-                  if (neededNames.contains(n))
-                    ManifestParquet.rawString(g, n, dtOf(n))
-                  else null
+                val c = filterIdx(i)
+                if (c >= 0) fields(i) = batch.rawString(c, r)
                 i += 1
               }
               filters.forall(ManifestFilters.eval(fullSchema, fields, _))
@@ -1635,21 +1698,19 @@ private class ManifestReaderFactory(
               val vals = new Array[Any](required.length + metaCols.length)
               var i = 0
               while (i < required.length) {
-                val f = required.fields(i)
+                val c = reqIdx(i)
                 vals(i) =
-                  if (!g.getType.containsField(f.name) ||
-                    g.getFieldRepetitionCount(f.name) == 0) null
-                  else f.dataType match {
-                    case LongType => g.getLong(f.name, 0)
-                    case IntegerType => g.getInteger(f.name, 0)
-                    case DoubleType => g.getDouble(f.name, 0)
-                    case StringType =>
-                      UTF8String.fromString(g.getString(f.name, 0))
-                    case TimestampType => g.getLong(f.name, 0) // micros
+                  if (c < 0 || batch.isNull(c, r)) null
+                  else reqTypes(i) match {
+                    case LongType => batch.getLong(c, r)
+                    case IntegerType => batch.getInt(c, r)
+                    case DoubleType => batch.getDouble(c, r)
+                    case StringType => UTF8String.fromBytes(batch.getBytes(c, r))
+                    case TimestampType => batch.getLong(c, r) // micros
                     case d: DecimalType =>
                       org.apache.spark.sql.types.Decimal(
-                        g.getLong(f.name, 0), d.precision, d.scale)
-                    case BooleanType => g.getBoolean(f.name, 0)
+                        batch.getLong(c, r), d.precision, d.scale)
+                    case BooleanType => batch.getBoolean(c, r)
                     case dt => throw new UnsupportedOperationException(
                       s"ManifestSource: unsupported read type $dt")
                   }
@@ -1663,12 +1724,18 @@ private class ManifestReaderFactory(
                     // EXACTLY the writer's canonical line over the
                     // file's own column order (escaped string fields,
                     // "" for NULL) — hash-compatible with CSV rows
-                    fileCols.map { n =>
-                      val raw = ManifestParquet.rawString(g, n, dtOf(n))
-                      if (raw == null) ""
-                      else if (dtOf(n) == StringType) ManifestSink.csvField(raw)
-                      else raw
-                    }.mkString(",").hashCode.toLong
+                    val sb = new java.lang.StringBuilder()
+                    var j = 0
+                    while (j < lineIdx.length) {
+                      if (j > 0) sb.append(',')
+                      val c = lineIdx(j)
+                      val raw = if (c < 0) null else batch.rawString(c, r)
+                      if (raw != null)
+                        sb.append(if (lineIsStr(j)) ManifestSink.csvField(raw)
+                          else raw)
+                      j += 1
+                    }
+                    sb.toString.hashCode.toLong
                 }
                 i += 1
               }
@@ -1681,7 +1748,7 @@ private class ManifestReaderFactory(
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = reader.close()
+      override def close(): Unit = batch.close()
     }
   }
 

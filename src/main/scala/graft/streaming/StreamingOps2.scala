@@ -465,21 +465,27 @@ object StreamingOps2 {
       ev.write.mode("append").parquet(stage)
       drain()
       // Matching sentinel view+purchase pair, far past the corpus: both
-      // watermarks advance and every real day window closes.
-      // Every sentinel round is a view+purchase PAIR: the join watermark
-      // is the MIN of both inputs, so a single-typed sentinel stalls it
-      // (first attempt here left the last real day unflushed). Three
-      // escalating rounds give the two stateful operators the batches
-      // the advance needs to propagate join -> window.
-      Seq(72, 120, 168).foreach { h =>
-        Seq("view", "purchase").foreach { t =>
-          ev.orderBy(col("ts").desc).limit(1)
-            .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
-            .withColumn("event_type", lit(t))
-            .write.mode("append").parquet(stage)
-        }
-        drain()
-      }
+      // watermarks advance and every real day window closes. The pair
+      // matters — the join watermark is the MIN of both inputs, so a
+      // single-typed sentinel stalls it (first attempt here left the
+      // last real day unflushed). r16: ONE +72h pair suffices — within
+      // a single AvailableNow drain the engine keeps running no-data
+      // batches while watermark advancement can still evict state
+      // (MicroBatchExecution.lastExecutionRequiresAnotherBatch), which
+      // is exactly the join -> window propagation the three escalating
+      // rounds (+72/+120/+168, one drain each) were re-buying with two
+      // extra full restarts. Verified hash-identical vs the oracle at
+      // sf0.001/0.01/0.1. The sentinel row is derived ONCE (one
+      // TakeOrdered over events), and both typed copies land in one
+      // append — not one ordered scan per type per round.
+      val lastRow = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 72 HOURS"))
+        .localCheckpoint()
+      Seq("view", "purchase").map(t =>
+          lastRow.withColumn("event_type", lit(t)))
+        .reduce(_.unionAll(_))
+        .write.mode("append").parquet(stage)
+      drain()
       s.read.parquet(sink)
         .filter(unix_micros(col("window.start")) <= lastRealDayUs)
         .select(col("window.start").cast("date").as("day"),
