@@ -68,12 +68,19 @@ object PipelineOps7 {
     // the whole shingle->df->sort prefix derivation on BOTH sides (the
     // plan literally duplicates the subtree). On a cluster: persist().
     val prefixTok = ordered
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         explode(expr("transform(slice(ts, 1, int(p)), x -> x.g)")).as("g"))
       .localCheckpoint()
+    // r16 (guide §3): the AllPairs LENGTH filter rides the candidate
+    // join — J >= t forces t*max(n1,n2) <= min(n1,n2) (overlap is at
+    // most min and at least t*union >= t*max), so 5*min >= 3*max drops
+    // no true pair (result-identical by theorem) while pruning the
+    // enumerated candidates before the distinct and the verify joins.
     val cand = prefixTok.as("a")
       .join(prefixTok.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.n"), col("b.n")) >=
+            lit(3) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     // Same cut: fulls feeds the d1 AND d2 verification joins.

@@ -200,15 +200,17 @@ object StreamingOps2 {
       // rows. Sentinel-sentinel matches and sentinel singles are all
       // filtered below: every surviving row's EARLIEST timestamp
       // (coalesce picks the view side when present) is real.
-      Seq(10, 20).foreach { h =>
-        Seq("view", "purchase").foreach { t =>
-          ev.orderBy(col("ts").desc).limit(1)
-            .withColumn("event_type", lit(t))
-            .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
-            .write.mode("append").parquet(stage)
-        }
-        drain()
-      }
+      // r16: ONE sentinel pair round (+10h) replaces the former two —
+      // AvailableNow's no-data batches cover the one-batch emission lag
+      // (q189 note); the pair is derived once, both types in one append.
+      val lastRow = ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 HOURS"))
+        .localCheckpoint()
+      Seq("view", "purchase").map(t =>
+          lastRow.withColumn("event_type", lit(t)))
+        .reduce(_.unionAll(_))
+        .write.mode("append").parquet(stage)
+      drain()
       s.read.parquet(sink)
         .filter(coalesce(col("v_ts"), col("p_ts")) <= lit(maxRealTs))
         .groupBy(coalesce(col("v_user"), col("p_user")).as("user_id"))
@@ -226,8 +228,8 @@ object StreamingOps2 {
     * only once the watermark passes each session's close — the shape
     * that turns a nightly sessionization batch into a continuous job
     * with per-user state bounded by the gap, not the history. The q189
-    * drain choreography (checkpointed AvailableNow runs + two
-    * far-future sentinel drains for the one-batch emission lag)
+    * drain choreography (checkpointed AvailableNow runs + one
+    * far-future sentinel drain; no-data batches cover the emission lag)
     * flushes every real session deterministically; sentinel sessions
     * sit past the real max ts and are filtered on read-back. */
   private val q234 = Q(
@@ -279,12 +281,13 @@ object StreamingOps2 {
       }
       ev.write.mode("append").parquet(stage)
       drain()
-      Seq(10, 20).foreach { h =>
-        ev.orderBy(col("ts").desc).limit(1)
-          .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
-          .write.mode("append").parquet(stage)
-        drain()
-      }
+      // r16: one +10h sentinel drain (was +10h/+20h, one drain each) —
+      // AvailableNow's no-data batches finalize the lagging sessions
+      // within the same run (q189 note). Oracle-verified at all SFs.
+      ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 HOURS"))
+        .write.mode("append").parquet(stage)
+      drain()
       s.read.parquet(sink)
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("session_start_us"),
@@ -968,8 +971,8 @@ object StreamingOps2 {
     * The oracle is BYTE-IDENTICAL to q288's batch oracle — the point of
     * the query is that the continuous job emits exactly the sessions
     * the nightly batch would. Drain choreography per q234/q189:
-    * checkpointed AvailableNow runs plus two far-future sentinel drains
-    * (+10h/+20h, past any real session end since the max gap is 1h)
+    * checkpointed AvailableNow runs plus one far-future sentinel drain
+    * (+10h, past any real session end since the max gap is 1h)
     * flush every real session; sentinels are filtered on read-back by
     * session start. Per-user state is bounded by the gap, not history. */
   private val q291 = Q(
@@ -1025,12 +1028,13 @@ object StreamingOps2 {
       }
       ev.write.mode("append").parquet(stage)
       drain()
-      Seq(10, 20).foreach { h =>
-        ev.orderBy(col("ts").desc).limit(1)
-          .withColumn("ts", col("ts") + expr(s"INTERVAL $h HOURS"))
-          .write.mode("append").parquet(stage)
-        drain()
-      }
+      // r16: one +10h sentinel drain (was +10h/+20h, one drain each) —
+      // AvailableNow's no-data batches finalize the lagging sessions
+      // within the same run (q189 note). Oracle-verified at all SFs.
+      ev.orderBy(col("ts").desc).limit(1)
+        .withColumn("ts", col("ts") + expr("INTERVAL 10 HOURS"))
+        .write.mode("append").parquet(stage)
+      drain()
       s.read.parquet(sink)
         .select(col("user_id"),
           unix_micros(col("session_window.start")).as("start_us"),
