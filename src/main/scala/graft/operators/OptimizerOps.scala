@@ -114,12 +114,25 @@ object OptimizerOps {
     val loc = java.nio.file.Files
       .createTempDirectory("graft_q319_tbl").toString
     s.sql("CREATE DATABASE IF NOT EXISTS graft_q319")
+    // r16 (guide §1.2/§6): the catalog fixture carries only the columns
+    // the star join touches, and ANALYZE computes column stats (incl.
+    // histograms) for exactly those — FOR ALL COLUMNS histogrammed all
+    // 16 lineitem columns and rewrote the full table bytes each run,
+    // ~2/3 of this query's wall time for stats the planner never reads.
+    // The statistics lifecycle (collect -> catalog -> costed reorder)
+    // is unchanged; the spec still pins rowCount on every relation and
+    // result equality with the stats-less plan.
+    val cols = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_returnflag", "l_extendedprice"))
     for (t <- Seq("customer", "orders", "lineitem")) {
       s.sql(s"DROP TABLE IF EXISTS graft_q319.$t")
-      Tables.load(s, dir, t).write
+      Tables.load(s, dir, t).select(cols(t).map(col): _*).write
         .option("path", s"$loc/$t").mode("overwrite")
         .saveAsTable(s"graft_q319.$t")
-      s.sql(s"ANALYZE TABLE graft_q319.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql(s"ANALYZE TABLE graft_q319.$t COMPUTE STATISTICS " +
+        s"FOR COLUMNS ${cols(t).mkString(", ")}")
     }
     s.sql(
       """SELECT l.l_returnflag,

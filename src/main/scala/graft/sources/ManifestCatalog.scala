@@ -385,7 +385,7 @@ class ManifestCatalog extends TableCatalog with FunctionCatalog {
     * object. Quote- and depth-aware: the same byte sequence occurring
     * inside another column's recorded string min/max (or bloom payload)
     * is never touched — a blind String.replace would corrupt it. */
-  private[sources] def renameStatsKey(stats: String, from: String,
+  private[graft] def renameStatsKey(stats: String, from: String,
       to: String): String = {
     val target = "\"" + from + "\":"
     val sb = new StringBuilder(stats.length + 8)
@@ -584,4 +584,11 @@ private class ManifestCatalogTable(
     ManifestMaintenance.delete(
       org.apache.spark.sql.SparkSession.active, dir, tableSchema.toDDL, pred)
   }
+}
+
+private[graft] object ManifestCatalog {
+  /** Test hook for the structural stats-key rename (the instance method
+    * is what alterTable uses; this exposes the same logic to specs). */
+  def renameStatsKeyForTest(stats: String, from: String, to: String): String =
+    new ManifestCatalog().renameStatsKey(stats, from, to)
 }
