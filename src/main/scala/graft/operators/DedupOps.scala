@@ -230,6 +230,9 @@ object DedupOps {
         .join(docs, "doc_id")
         .filter(col("pos") <= expr(prefixLenSql))
         .select(col("doc_id"), col("r").as("p"), col("n"), col("mask"))
+        // materialized once: the self-join otherwise re-derives the
+        // whole tokenize->rank->window->mask subtree on BOTH sides
+        .localCheckpoint()
       pre.as("a")
         .join(pre.as("b"),
           col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id") &&

@@ -57,20 +57,29 @@ object PipelineOps7 {
     val sets = TextOps.docShingleSets(s, dir)
     val tok = sets.select(col("doc_id"), explode(col("gs")).as("g"))
     val dfreq = tok.groupBy("g").agg(count(lit(1)).as("df"))
-    // Rarest-first canonical order = sort by (df, g); prefix length
-    // p = n - ceil(t*n) + 1, with ceil(3n/5) in exact integer math.
-    val ordered = tok.join(dfreq, "g")
+    // Rarest-first canonical order = sort by (df, g). r16: the order is
+    // materialized as a global RANK (injective shingle -> long), so
+    // every downstream structure — prefix keys, candidate join keys,
+    // verification arrays — carries 8-byte longs instead of ~30-byte
+    // shingle strings, and the exact verification runs the codegen'd
+    // two-pointer merge (graft_isect_count) instead of a per-row hash
+    // set. |A ∩ B| is invariant under the injective mapping, so the
+    // output is bit-identical. Prefix length p = n - ceil(t*n) + 1,
+    // ceil(3n/5) in exact integer math, unchanged.
+    val rk = ScalableRank.withRank(dfreq, "r", col("df"), col("g"))
+      .select("g", "r")
+    // Materialized once: feeds the prefix explode AND both verification
+    // joins (the plan otherwise re-derives shingle->rank->sort per
+    // consumer). On a cluster: persist().
+    val ordered = tok.join(rk, "g")
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("ts"))
-      .withColumn("n", size(col("ts")))
+      .agg(sort_array(collect_list("r")).as("rs"))
+      .withColumn("n", size(col("rs")))
       .withColumn("p", col("n") - floor((lit(3) * col("n") + 4) / 5) + 1)
-    // Materialized once: the candidate self-join otherwise recomputes
-    // the whole shingle->df->sort prefix derivation on BOTH sides (the
-    // plan literally duplicates the subtree). On a cluster: persist().
+      .localCheckpoint()
     val prefixTok = ordered
       .select(col("doc_id"), col("n"),
-        explode(expr("transform(slice(ts, 1, int(p)), x -> x.g)")).as("g"))
-      .localCheckpoint()
+        explode(expr("slice(rs, 1, int(p))")).as("g"))
     // r16 (guide §3): the AllPairs LENGTH filter rides the candidate
     // join — J >= t forces t*max(n1,n2) <= min(n1,n2) (overlap is at
     // most min and at least t*union >= t*max), so 5*min >= 3*max drops
@@ -83,16 +92,12 @@ object PipelineOps7 {
             lit(3) * greatest(col("a.n"), col("b.n")))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // Same cut: fulls feeds the d1 AND d2 verification joins.
-    val fulls = sets.select(col("doc_id"),
-      sort_array(col("gs")).as("sg"), size(col("gs")).as("n"))
-      .localCheckpoint()
     cand
-      .join(fulls.select(col("doc_id").as("d1"), col("sg").as("sg1"),
+      .join(ordered.select(col("doc_id").as("d1"), col("rs").as("rs1"),
         col("n").as("n1")), "d1")
-      .join(fulls.select(col("doc_id").as("d2"), col("sg").as("sg2"),
+      .join(ordered.select(col("doc_id").as("d2"), col("rs").as("rs2"),
         col("n").as("n2")), "d2")
-      .withColumn("inter", size(array_intersect(col("sg1"), col("sg2"))))
+      .withColumn("inter", expr("graft_isect_count(rs1, rs2)"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= JacT)
