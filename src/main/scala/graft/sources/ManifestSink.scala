@@ -664,45 +664,79 @@ private class ManifestFileWriter(
     }
   }
 
+  // per-column dispatch precompiled to int tags so the per-row loop
+  // does no DataType pattern matching and allocates no field array /
+  // closure: 0=long, 1=int, 2=string, 3=timestamp(micros long),
+  // 4=decimal, 5=boolean, 6=double, 7=other(render-only)
+  private val colKind: Array[Int] = schema.fields.map(_.dataType match {
+    case LongType => 0
+    case IntegerType => 1
+    case StringType => 2
+    case TimestampType => 3
+    case _: DecimalType => 4
+    case BooleanType => 5
+    case DoubleType => 6
+    case _ => 7
+  })
+  private val colPrec: Array[Int] = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.precision; case _ => 0 })
+  private val colScale: Array[Int] = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.scale; case _ => 0 })
+  private val nFields = schema.length
+  private val lineSb = new java.lang.StringBuilder(128)
+
   def write(r: InternalRow): Unit = {
-    val vals = schema.fields.zipWithIndex.map { case (f, i) =>
-      if (r.isNullAt(i)) { nNulls(i) += 1; "" }
-      else f.dataType match {
-        case LongType =>
+    // ONE fused pass per row: render the canonical CSV line (the
+    // checksum/stats/delete-vector identity — see class doc) into a
+    // reused StringBuilder and, for parquet, add typed values to the
+    // Group by FIELD INDEX (the name-keyed append did a hash lookup
+    // per field per row). Values, stats and renderings are identical
+    // to the former two-pass shape by construction.
+    val g = if (isParquet) groupFactory.newGroup() else null
+    val sb = lineSb
+    sb.setLength(0)
+    var i = 0
+    while (i < nFields) {
+      if (i > 0) sb.append(',')
+      if (r.isNullAt(i)) nNulls(i) += 1 // canonical rendering: empty
+      else colKind(i) match {
+        case 0 | 3 =>
+          // LONG, and session-UTC MICROSECONDS timestamps: the
+          // InternalRow long itself is the canonical rendering
+          // (integer-exact across formats) and the zone-map bound
+          // (total order, no NaN/zone hazards); INT64 in parquet
           val v = r.getLong(i)
           if (v < minL(i)) minL(i) = v
           if (v > maxL(i)) maxL(i) = v
           sawNum(i) = true
-          v.toString
-        case IntegerType =>
-          val v = r.getInt(i).toLong
-          if (v < minL(i)) minL(i) = v
-          if (v > maxL(i)) maxL(i) = v
+          sb.append(v)
+          if (g != null) g.add(i, v)
+        case 1 =>
+          val v = r.getInt(i)
+          if (v < minL(i)) minL(i) = v.toLong
+          if (v > maxL(i)) maxL(i) = v.toLong
           sawNum(i) = true
-          v.toString
-        case StringType =>
+          sb.append(v)
+          if (g != null) g.add(i, v)
+        case 2 =>
           val v = r.getUTF8String(i).toString
           ManifestBloom.add(blooms(i), v)
           trackStrBounds(i, v)
           sawStr(i) = true
-          ManifestSink.csvField(v)
-        case TimestampType =>
-          // session-UTC MICROSECONDS: the InternalRow long itself is
-          // the canonical rendering (integer-exact across formats) and
-          // the zone-map bound (total order, no NaN/zone hazards)
-          val v = r.getLong(i)
-          if (v < minL(i)) minL(i) = v
-          if (v > maxL(i)) maxL(i) = v
-          sawNum(i) = true
-          v.toString
-        case d: DecimalType =>
+          sb.append(ManifestSink.csvField(v))
+          if (g != null) g.add(i, v)
+        case 4 =>
           // scale-stable plain rendering ("12.30" at scale 2 — never
-          // scientific notation, identical from both formats' readers)
-          r.getDecimal(i, d.precision, d.scale)
-            .toJavaBigDecimal.toPlainString
-        case BooleanType =>
-          if (r.getBoolean(i)) "true" else "false"
-        case DoubleType =>
+          // scientific notation, identical from both formats' readers);
+          // unscaled long, INT64(decimal) in parquet
+          val d = r.getDecimal(i, colPrec(i), colScale(i))
+          sb.append(d.toJavaBigDecimal.toPlainString)
+          if (g != null) g.add(i, d.toUnscaledLong)
+        case 5 =>
+          val v = r.getBoolean(i)
+          sb.append(v) // "true" / "false"
+          if (g != null) g.add(i, v)
+        case 6 =>
           val v = r.getDouble(i)
           if (v.isNaN) sawNaN(i) = true
           else {
@@ -718,43 +752,24 @@ private class ManifestFileWriter(
             if (b > maxD(i)) maxD(i) = b
             sawNum(i) = true
           }
-          v.toString
-        case dt => ManifestSink.csvField(r.get(i, dt).toString)
+          sb.append(v)
+          if (g != null) g.add(i, v)
+        case _ =>
+          if (g != null) throw new UnsupportedOperationException(
+            s"ManifestSink parquet: unsupported type ${schema.fields(i).dataType}")
+          sb.append(ManifestSink.csvField(
+            r.get(i, schema.fields(i).dataType).toString))
       }
+      i += 1
     }
     // order-independent file checksum: sum of per-row line hashes (the
     // CANONICAL rendering — identical for both formats, so checksums
     // and delete-vector hashes survive format-converting rewrites)
-    val line = vals.mkString(",")
+    val line = sb.toString
     checksum += line.hashCode.toLong
     rows += 1
-    if (isParquet) {
-      val g = groupFactory.newGroup()
-      var i = 0
-      while (i < schema.length) {
-        if (!r.isNullAt(i)) schema.fields(i).dataType match {
-          case LongType => g.append(schema.fields(i).name, r.getLong(i))
-          case IntegerType => g.append(schema.fields(i).name, r.getInt(i))
-          case DoubleType => g.append(schema.fields(i).name, r.getDouble(i))
-          case StringType =>
-            g.append(schema.fields(i).name, r.getUTF8String(i).toString)
-          case TimestampType => // micros, INT64(timestamp) in the schema
-            g.append(schema.fields(i).name, r.getLong(i))
-          case d: DecimalType => // unscaled long, INT64(decimal)
-            g.append(schema.fields(i).name,
-              r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-          case BooleanType =>
-            g.append(schema.fields(i).name, r.getBoolean(i))
-          case dt => throw new UnsupportedOperationException(
-            s"ManifestSink parquet: unsupported type $dt")
-        }
-        i += 1
-      }
-      pq.write(g)
-    } else {
-      out.print(line)
-      out.print('\n')
-    }
+    if (isParquet) pq.write(g)
+    else { out.print(line); out.print('\n') }
   }
 
   private def closeOut(): Unit = if (isParquet) pq.close() else out.close()

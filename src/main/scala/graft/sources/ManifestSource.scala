@@ -1651,6 +1651,33 @@ private class ManifestReaderFactory(
       private val lineIdx: Array[Int] = fileCols.map(idxOf)
       private val lineIsStr: Array[Boolean] =
         fileCols.map(n => dtOf(n) == StringType)
+      // per-row dispatch precompiled to int tags (no DataType pattern
+      // match in the hot loop); decimal scale/precision kept alongside
+      private val reqKind: Array[Int] = reqTypes.map {
+        case LongType | TimestampType => 0
+        case IntegerType => 1
+        case DoubleType => 2
+        case StringType => 3
+        case BooleanType => 4
+        case _: DecimalType => 5
+        case dt => throw new UnsupportedOperationException(
+          s"ManifestSource: unsupported read type $dt")
+      }
+      private val reqPrec: Array[Int] = reqTypes.map {
+        case d: DecimalType => d.precision; case _ => 0 }
+      private val reqScale: Array[Int] = reqTypes.map {
+        case d: DecimalType => d.scale; case _ => 0 }
+      // meta columns: 0=_mf_file, 1=_mf_pos, 2=_mf_linehash
+      private val metaKind: Array[Int] = metaCols.toArray.map {
+        case "_mf_file" => 0
+        case "_mf_pos" => 1
+        case "_mf_linehash" => 2
+      }
+      private val fileNameUtf8 = UTF8String.fromString(fileName)
+      // reused per-row filter buffer: every referenced column's slot is
+      // rewritten each row; unreferenced slots are never read by eval
+      private val filterFields =
+        if (filters.nonEmpty) new Array[String](fullSchema.length) else null
       private var ordinal = if (rgSplit) part.rowStart else 0L
       private var readCount = 0L
       private var batchRows = 0
@@ -1685,42 +1712,38 @@ private class ManifestReaderFactory(
             // pushed filters on the raw rendering — same eval, same
             // 3VL, same UTF-8 semantics as the CSV path
             val ok = !hasFilters || {
-              val fields = new Array[String](fullSchema.length)
               var i = 0
               while (i < fullSchema.length) {
                 val c = filterIdx(i)
-                if (c >= 0) fields(i) = batch.rawString(c, r)
+                if (c >= 0) filterFields(i) = batch.rawString(c, r)
                 i += 1
               }
-              filters.forall(ManifestFilters.eval(fullSchema, fields, _))
+              filters.forall(ManifestFilters.eval(fullSchema, filterFields, _))
             }
             if (ok) {
-              val vals = new Array[Any](required.length + metaCols.length)
+              val vals = new Array[Any](required.length + metaKind.length)
               var i = 0
               while (i < required.length) {
                 val c = reqIdx(i)
                 vals(i) =
                   if (c < 0 || batch.isNull(c, r)) null
-                  else reqTypes(i) match {
-                    case LongType => batch.getLong(c, r)
-                    case IntegerType => batch.getInt(c, r)
-                    case DoubleType => batch.getDouble(c, r)
-                    case StringType => UTF8String.fromBytes(batch.getBytes(c, r))
-                    case TimestampType => batch.getLong(c, r) // micros
-                    case d: DecimalType =>
-                      org.apache.spark.sql.types.Decimal(
-                        batch.getLong(c, r), d.precision, d.scale)
-                    case BooleanType => batch.getBoolean(c, r)
-                    case dt => throw new UnsupportedOperationException(
-                      s"ManifestSource: unsupported read type $dt")
+                  else reqKind(i) match {
+                    case 0 => batch.getLong(c, r) // long / timestamp micros
+                    case 1 => batch.getInt(c, r)
+                    case 2 => batch.getDouble(c, r)
+                    case 3 => UTF8String.fromBytes(batch.getBytes(c, r))
+                    case 4 => batch.getBoolean(c, r)
+                    case _ => org.apache.spark.sql.types.Decimal(
+                      batch.getLong(c, r), reqPrec(i), reqScale(i))
                   }
                 i += 1
               }
-              metaCols.foreach { m =>
-                vals(i) = m match {
-                  case "_mf_file" => UTF8String.fromString(fileName)
-                  case "_mf_pos" => recOrdinal
-                  case "_mf_linehash" =>
+              var m = 0
+              while (m < metaKind.length) {
+                vals(i) = metaKind(m) match {
+                  case 0 => fileNameUtf8
+                  case 1 => recOrdinal
+                  case _ =>
                     // EXACTLY the writer's canonical line over the
                     // file's own column order (escaped string fields,
                     // "" for NULL) — hash-compatible with CSV rows
@@ -1737,9 +1760,10 @@ private class ManifestReaderFactory(
                     }
                     sb.toString.hashCode.toLong
                 }
-                i += 1
+                i += 1; m += 1
               }
-              current = InternalRow.fromSeq(vals.toIndexedSeq)
+              current =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
               return true
             }
           }
@@ -1793,6 +1817,30 @@ private class ManifestReaderFactory(
           else fullSchema.fieldNames.map(n => fileCols.indexOf(n))
         case None => null
       }
+      // per-row dispatch precompiled to int tags (see parquet reader)
+      private val reqKind: Array[Int] = required.fields.map(_.dataType match {
+        case LongType | TimestampType => 0
+        case IntegerType => 1
+        case DoubleType => 2
+        case StringType => 3
+        case BooleanType => 4
+        case _: DecimalType => 5
+        case dt => throw new UnsupportedOperationException(
+          s"ManifestSource: unsupported read type $dt")
+      })
+      private val reqPrec: Array[Int] = required.fields.map(_.dataType match {
+        case d: DecimalType => d.precision; case _ => 0 })
+      private val reqScale: Array[Int] = required.fields.map(_.dataType match {
+        case d: DecimalType => d.scale; case _ => 0 })
+      private val metaKind: Array[Int] = metaCols.toArray.map {
+        case "_mf_file" => 0
+        case "_mf_pos" => 1
+        case "_mf_linehash" => 2
+      }
+      private val fileNameUtf8 = UTF8String.fromString(fileName)
+      // reused remap buffer: every slot is rewritten for each row
+      private val remapBuf: Array[String] =
+        if (remap == null) null else new Array[String](remap.length)
       private var current: InternalRow = _
       private var readCount = 0L
 
@@ -1842,50 +1890,48 @@ private class ManifestReaderFactory(
             val fields =
               if (remap == null) rawFields
               else {
-                val a = new Array[String](remap.length)
                 var j = 0
                 while (j < remap.length) {
                   val fi = remap(j)
-                  a(j) = if (fi >= 0 && fi < rawFields.length) rawFields(fi)
-                         else null
+                  remapBuf(j) =
+                    if (fi >= 0 && fi < rawFields.length) rawFields(fi)
+                    else null
                   j += 1
                 }
-                a
+                remapBuf
               }
             // pushed filters run here, on the raw parse, BEFORE any row
             // is materialized or shipped
             if (filters.forall(ManifestFilters.eval(fullSchema, fields, _))) {
-              val vals = new Array[Any](required.length + metaCols.length)
+              val vals = new Array[Any](required.length + metaKind.length)
               var i = 0
               while (i < fieldIdx.length) {
                 val raw = fields(fieldIdx(i))
                 vals(i) =
                   if (raw == null) null
-                  else required.fields(i).dataType match {
-                    case LongType => raw.toLong
-                    case IntegerType => raw.toInt
-                    case DoubleType => raw.toDouble
-                    case StringType => UTF8String.fromString(raw)
-                    case TimestampType => raw.toLong // canonical micros
-                    case d: DecimalType =>
-                      org.apache.spark.sql.types.Decimal(
-                        new java.math.BigDecimal(raw), d.precision, d.scale)
-                    case BooleanType => raw.toBoolean
-                    case dt => throw new UnsupportedOperationException(
-                      s"ManifestSource: unsupported read type $dt")
+                  else reqKind(i) match {
+                    case 0 => raw.toLong // long / canonical ts micros
+                    case 1 => raw.toInt
+                    case 2 => raw.toDouble
+                    case 3 => UTF8String.fromString(raw)
+                    case 4 => raw.toBoolean
+                    case _ => org.apache.spark.sql.types.Decimal(
+                      new java.math.BigDecimal(raw), reqPrec(i), reqScale(i))
                   }
                 i += 1
               }
               // row-identity metadata (delete vectors are built from it)
-              metaCols.foreach { m =>
-                vals(i) = m match {
-                  case "_mf_file" => UTF8String.fromString(fileName)
-                  case "_mf_pos" => recStart
-                  case "_mf_linehash" => line.hashCode.toLong
+              var m = 0
+              while (m < metaKind.length) {
+                vals(i) = metaKind(m) match {
+                  case 0 => fileNameUtf8
+                  case 1 => recStart
+                  case _ => line.hashCode.toLong
                 }
-                i += 1
+                i += 1; m += 1
               }
-              current = InternalRow.fromSeq(vals.toIndexedSeq)
+              current =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
               return true
             }
           }

@@ -100,6 +100,39 @@ class R16OptimizationSpec extends AnyFunSuite {
       .toSeq == Seq(1L, 2L, 4L, 5L, 7L, 8L))
   }
 
+  test("reader hot loop: reused filter/remap buffers never alias rows") {
+    // The per-row filter-rendering and schema-evolution remap buffers
+    // are REUSED across rows (r16 per-task-work pass); rows with
+    // alternating null patterns + a string filter would surface any
+    // cross-row aliasing (a stale slot passing/failing the filter or
+    // leaking a neighbor's value). Run on BOTH formats, with the table
+    // evolved so the CSV remap path is active.
+    import spark.implicits._
+    for (fmt <- Seq("csv", "parquet")) {
+      val path = freshDir()
+      val rows = (0L until 200L).map { i =>
+        (i,
+          if (i % 3 == 0) None else Some(s"s${i % 7}"),
+          if (i % 2 == 0) None else Some(i * 11))
+      }
+      rows.toDF("k", "s", "extra")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", path).option("format", fmt)
+        .mode("append").save()
+      // read under a REORDERED schema (extra before s) so remap != null
+      val got = spark.read.format("graft.sources.ManifestSource")
+        .schema("k BIGINT, extra BIGINT, s STRING")
+        .option("path", path).load()
+        .where("s = 's1' AND k < 100") // pushed to the scan
+        .orderBy("k").collect()
+      val want = rows.filter(r => r._2.contains("s1") && r._1 < 100)
+      assert(got.map(_.getLong(0)).toSeq == want.map(_._1), fmt)
+      assert(got.forall(r => r.getString(2) == "s1"), fmt)
+      assert(got.map(r => if (r.isNullAt(1)) -1L else r.getLong(1)).toSeq ==
+        want.map(r => r._3.getOrElse(-1L)), fmt)
+    }
+  }
+
   // ---------------- ALTER fixes (round-15 ADVICE)
 
   private def freshCatalog(): String = {
