@@ -93,9 +93,16 @@ private class KeyedScan(
         val kp = p.asInstanceOf[KeyedPartition]
         new PartitionReader[InternalRow] {
           private var i = -1L
+          private val kBoxed: Any = kp.k.toLong // constant per split
           override def next(): Boolean = { i += 1; i < kp.rowsPerKey }
-          override def get(): InternalRow = InternalRow(
-            kp.k.toLong, (kp.k * kp.m1 + i * kp.m2) % kp.m3)
+          override def get(): InternalRow = {
+            // direct 2-slot fill — InternalRow(...) varargs built a
+            // Seq + copy per generated row
+            val a = new Array[Any](2)
+            a(0) = kBoxed
+            a(1) = (kp.k * kp.m1 + i * kp.m2) % kp.m3
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
+          }
           override def close(): Unit = ()
         }
       }

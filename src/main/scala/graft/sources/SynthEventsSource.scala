@@ -296,20 +296,46 @@ private class SynthReaderFactory(schema: StructType)
     val r = p.asInstanceOf[SynthRange]
     // Per-column generators resolved ONCE per partition from the pruned
     // schema: an unprojected column costs nothing per row.
+    // event_type has 5 distinct values — intern them once per partition
+    // (the old per-row "t"+mod concat + fromString was 3 allocations/row)
+    lazy val etCache: Array[UTF8String] =
+      Array.tabulate(5)(k => UTF8String.fromString("t" + k))
     val gens: Array[Long => Any] = schema.fieldNames.map {
       case "event_id" => (i: Long) => i
       case "user_id" => (i: Long) => SynthEventsSource.userId(i)
-      case "event_type" =>
-        (i: Long) => UTF8String.fromString(SynthEventsSource.eventType(i))
+      case "event_type" => (i: Long) => etCache(((i * 7919) % 5).toInt)
       case "cents" => (i: Long) => SynthEventsSource.cents(i)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
-    new PartitionReader[InternalRow] {
-      private var i = r.lo - 1
-      override def next(): Boolean = { i += 1; i < r.hi }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(gens.map(g => g(i)).toIndexedSeq)
-      override def close(): Unit = ()
-    }
+    // The generator is the bench's highest-volume row loop (2e8 virtual
+    // rows under q262's count() wrapper): the old
+    // InternalRow.fromSeq(gens.map(_).toIndexedSeq) allocated a mapped
+    // array + ArraySeq wrapper + toArray copy PER ROW (GC-bound at
+    // 32 threads). A while-loop fill into the row's own array — and a
+    // shared immutable empty row when every column is pruned — leaves
+    // only the values themselves.
+    if (gens.isEmpty)
+      new PartitionReader[InternalRow] {
+        private var i = r.lo - 1
+        private val empty =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array.empty[Any])
+        override def next(): Boolean = { i += 1; i < r.hi }
+        override def get(): InternalRow = empty
+        override def close(): Unit = ()
+      }
+    else
+      new PartitionReader[InternalRow] {
+        private var i = r.lo - 1
+        private val n = gens.length
+        override def next(): Boolean = { i += 1; i < r.hi }
+        override def get(): InternalRow = {
+          val a = new Array[Any](n)
+          var c = 0
+          while (c < n) { a(c) = gens(c)(i); c += 1 }
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(a)
+        }
+        override def close(): Unit = ()
+      }
   }
 }
