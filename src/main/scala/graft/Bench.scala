@@ -123,7 +123,23 @@ object Bench {
     val fixed = SparkEntry.fixedCostBound.toSeq.sorted
       .filter(n => results.exists(_._1 == n))
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"errors":$errs,"fixed_cost_bound":$fixed,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"errors":$errs,"fixed_cost_bound":$fixed,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The full line above is the 16-round contract, but it is ~30 KB and the
+    // driver retains only a ~2 KB stdout tail — its JSON parse has failed
+    // every round (BENCH_r01..r16 all have parsed:null). Recovery path, all
+    // additions-only: persist the full JSON to a stable file any consumer
+    // can read, then print a COMPACT summary as the final line so the line
+    // the driver's tail actually contains is complete, parseable JSON.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_out.json write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":$errs,"queries_file":"BENCH_out.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

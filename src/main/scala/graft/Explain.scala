@@ -19,11 +19,18 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
-    if (mode != "time") df.explain("formatted")
-    if (mode != "explain") {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    if (mode == "executed") {
+      // final AQE plan AFTER execution (shows ColumnarToRow /
+      // WholeStageCodegen spans the pre-execution formatted plan hides)
+      df.write.format("noop").mode("overwrite").save()
+      println(df.queryExecution.executedPlan.toString)
+    } else {
+      if (mode != "time") df.explain("formatted")
+      if (mode != "explain") {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[explain] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -95,6 +95,11 @@ object GraftFunctions {
     "graft_nfc" -> (exprs => NfcNormalize(exprs.head)),
     "graft_isect_count" -> (exprs =>
       SortedIntersectCount(exprs(0), exprs(1))),
+    // graft_bitset(ids, words) — words a literal int (fixed mask width)
+    "graft_bitset" -> (exprs => BitsetBuild(exprs(0),
+      foldableLong(exprs(1), "words").toInt)),
+    "graft_bitand_count" -> (exprs =>
+      BitsetAndCount(exprs(0), exprs(1))),
     "graft_char_stats" -> (exprs => CharStats(exprs.head)),
     "graft_morton" -> (exprs => MortonCode(exprs(0), exprs(1))),
     "graft_hilbert" -> (exprs => HilbertCode(exprs(0), exprs(1))),

@@ -99,13 +99,26 @@ object LineageStore {
     val source = Seq((sourceId, sourceLocator, "SPARK", system))
       .toDF("id", "source_locator", "sql_dialect", "system_source")
 
-    source.write.mode(SaveMode.Overwrite).parquet(s"$path/sql_source")
-    addParts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_add_partition")
-    dashboardLinks.write.mode(SaveMode.Overwrite).parquet(s"$path/dashboard_dataset")
-    datasets.write.mode(SaveMode.Overwrite).parquet(s"$path/dataset")
-    edges.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item_rel")
-    inserts.write.mode(SaveMode.Overwrite).parquet(s"$path/table_insert")
-    items.write.mode(SaveMode.Overwrite).parquet(s"$path/select_item")
+    // ONE task/file per entity table (§5 driver, r16 verdict #7): these
+    // are metadata-scale rows (a handful per script), but a bare write
+    // of a dropDuplicates output fans out over
+    // spark.sql.shuffle.partitions — at local[32] that was 32 shuffle
+    // tasks + up to 32 output files PER ENTITY per script, pure fixed
+    // cost billed to every lineage query. Rows persisted are identical.
+    source.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/sql_source")
+    addParts.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/table_add_partition")
+    dashboardLinks.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/dashboard_dataset")
+    datasets.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/dataset")
+    edges.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/select_item_rel")
+    inserts.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/table_insert")
+    items.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/select_item")
   }
 
   def readEdges(spark: SparkSession, path: String): DataFrame =

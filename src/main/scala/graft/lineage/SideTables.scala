@@ -26,7 +26,7 @@ object SideTables {
     import spark.implicits._
     links.toDF("src_schema", "src_table", "dst_schema", "dst_table",
       "linkage_src_key", "linkage_src_value", "af_dag_task")
-      .write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Dashboard registry (ts_dboard: native id, title, native created /
@@ -36,7 +36,7 @@ object SideTables {
     import spark.implicits._
     boards.toDF("native_id", "title", "native_created_ts",
       "native_updated_ts", "author")
-      .write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   /** Table-level closure that traverses symlinks: a symlinked pair

@@ -445,10 +445,15 @@ object AnalyticsOps {
     (s, dir) =>
     val li = Tables.load(s, dir, "lineitem")
     val e = li.select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
-    val edges = e.select(concat(lit("P"), col("p")).as("src"),
-        concat(lit("S"), col("s")).as("dst"))
-      .union(e.select(concat(lit("S"), col("s")).as("src"),
-        concat(lit("P"), col("p")).as("dst")))
+    // Narrow join/shuffle keys (§2.3): the iterations carry the node as
+    // a LONG — 'P'||p ↦ 2p, 'S'||s ↦ 2s+1, an injective map (TPC-H keys
+    // are non-negative and far below 2^62), so degrees, contributions
+    // and integer rank arithmetic are value-identical per node. The
+    // string spelling is re-derived only for the FINAL projection/sort
+    // (21k rows at sf0.1), not hashed/shuffled through all 3 iterations
+    // as a 5-9 char UTF8String.
+    val edges = e.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      .union(e.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     var r = deg.select(col("src").as("node"), lit(1000000000000L).as("r"))
     for (_ <- 1 to 3) {
@@ -459,7 +464,14 @@ object AnalyticsOps {
         .select(col("dst").as("node"),
           (lit(150000000000L) + expr("(85 * sc) div 100")).as("r"))
     }
-    r.orderBy(col("r").desc, col("node")).limit(20)
+    // rendering matches the oracle's 'P' || p / 'S' || s exactly; the
+    // final ORDER BY ties break on the rendered STRING, as declared
+    r.select(
+        when(col("node") % 2 === 0, concat(lit("P"), expr("node div 2")))
+          .otherwise(concat(lit("S"), expr("(node - 1) div 2")))
+          .as("node"),
+        col("r"))
+      .orderBy(col("r").desc, col("node")).limit(20)
   }
 
   // ------------------- time-weighted integration (irregular telemetry)

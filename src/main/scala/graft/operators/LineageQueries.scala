@@ -417,7 +417,7 @@ object LineageQueries {
         "spark-submit --deploy-mode cluster --class com.example.AggDaily app.jar", 1L),
       ("etl_dag", "agg_daily", "other_prop", "noise", 9L))
       .toDF("dag_id", "task_id", "name", "value", "updated")
-      .write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(path)
     val ops = Some(new graft.lineage.AirflowOpsStore(s, path))
     val rows = Seq(
       ("airflow", "hive", "etl_dag.load_users.sql"),

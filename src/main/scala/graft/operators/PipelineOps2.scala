@@ -76,15 +76,23 @@ object PipelineOps2 {
        |              WHEN n <= 1048576 THEN 4 WHEN n <= 2097152 THEN 2
        |              ELSE 1 END AS dv
        |  FROM (SELECT count(*) AS n FROM embeddings)),
+       |planes AS MATERIALIZED (
+       |  -- r17: the LCG hyperplane coefficients are corpus-independent;
+       |  -- computing them once (64x64 constant) instead of per vector
+       |  -- removes the dominant interpreted-arithmetic term from the
+       |  -- 100x sweep. Same expression, same doubles, same per-plane
+       |  -- summation ORDER as before — bit-identical bits.
+       |  SELECT list_transform(range(0, 64), p ->
+       |    list_transform(range(1, 65),
+       |      i -> CAST((1103515245 * (p * 64 + i - 1) + 12345) % 2147483648
+       |             AS DOUBLE) / 2147483648.0 * 2.0 - 1.0)) AS pl),
        |bits AS (
        |  SELECT vec_id,
        |    list_transform(range(0, 64), p ->
        |      CASE WHEN list_sum(list_transform(range(1, 65),
-       |        i -> CAST(embedding[i] AS DOUBLE) *
-       |             (CAST((1103515245 * (p * 64 + i - 1) + 12345) % 2147483648
-       |                   AS DOUBLE) / 2147483648.0 * 2.0 - 1.0))) >= 0
+       |        i -> CAST(embedding[i] AS DOUBLE) * pl[p + 1][i])) >= 0
        |      THEN 1 ELSE 0 END) AS bits
-       |  FROM embeddings),
+       |  FROM embeddings, planes),
        |keysall AS (
        |  SELECT vec_id, band,
        |    CAST(list_sum(list_transform(range(0, 16),

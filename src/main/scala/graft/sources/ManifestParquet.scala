@@ -93,6 +93,75 @@ private[graft] object ManifestParquet {
       new SimpleGroupFactory(mt))
   }
 
+  /** Direct-RecordConsumer parquet writer (r17, verdict #4): the same
+    * ParquetWriter engine as [[writer]] — identical pages, dictionary/
+    * RLE encoders, row-group roll, snappy, createdBy — minus the
+    * per-row SimpleGroup materialization of the Example writer (one
+    * SimpleGroup + one boxed ArrayList PER FIELD per row, then a
+    * GroupWriter replay pass). The sink streams each row's typed
+    * values straight into the consumer between startMessage/endMessage
+    * with the exact startField/addValue/endField sequence GroupWriter
+    * emits for non-null fields, so the produced bytes are identical by
+    * construction (spec-pinned byte-for-byte in R17OptimizationSpec).
+    */
+  final class RowParquetWriter(path: Path, schema: StructType,
+      conf: Configuration) {
+    import org.apache.parquet.io.api.{Binary, RecordConsumer}
+    private val mt = messageType(schema)
+    private var consumer: RecordConsumer = _
+    private var render: RecordConsumer => Unit = _
+    private object support
+      extends org.apache.parquet.hadoop.api.WriteSupport[AnyRef] {
+      override def init(c: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext =
+        new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(
+          mt, java.util.Collections.emptyMap[String, String]())
+      // the same footer `writer.model.name` GroupWriteSupport reports —
+      // files stay BYTE-identical to the Example-writer output
+      // (spec-pinned)
+      override def getName: String = "example"
+      override def prepareForWrite(rc: RecordConsumer): Unit = consumer = rc
+      override def write(ignored: AnyRef): Unit = {
+        consumer.startMessage()
+        render(consumer)
+        consumer.endMessage()
+      }
+    }
+    private class B(p: Path)
+      extends ParquetWriter.Builder[AnyRef, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[AnyRef] = support
+    }
+    private val writer: ParquetWriter[AnyRef] = new B(path)
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(conf.getLong("parquet.block.size",
+        ParquetWriter.DEFAULT_BLOCK_SIZE.toLong))
+      .withPageSize(conf.getInt("parquet.page.size",
+        ParquetWriter.DEFAULT_PAGE_SIZE))
+      .withMinRowCountForPageSizeCheck(conf.getInt(
+        "parquet.page.size.row.check.min", 100))
+      .withRowGroupRowCountLimit(conf.getInt(
+        "parquet.rowgroup.row.count.limit", Int.MaxValue))
+      .build()
+    private val names = schema.fieldNames
+
+    /** Write one record: `f` adds this row's non-null fields via
+      * [[field]]/the typed adders. Block-size/row-group accounting runs
+      * after the record, exactly as for the Group writer. */
+    def write(f: RecordConsumer => Unit): Unit = {
+      render = f
+      writer.write(RowParquetWriter.Token)
+    }
+    def fieldName(i: Int): String = names(i)
+    def close(): Unit = writer.close()
+  }
+
+  object RowParquetWriter {
+    private val Token = new AnyRef
+  }
+
   /** One row group's manifest metadata: row count, byte range
     * [off, off+len) (its midpoint selects it under the standard
     * split contract), and per-column zone-map stats JSON in the same
@@ -103,9 +172,14 @@ private[graft] object ManifestParquet {
     * recorded into the manifest AT COMMIT TIME so the planner can skip
     * row groups inside fat files without ever opening footers at plan
     * time (O(files) driver-side footer reads per scan would dwarf
-    * planning on an object store). Only INTEGRAL min/max are recorded:
-    * long order is total (no NaN/collation hazard), and the keys a
-    * scan prunes on — ids, buckets, epoch seconds — are integral. */
+    * planning on an object store). min/max are recorded for INTEGRAL
+    * columns (total order, no NaN/collation hazard — ids, buckets,
+    * epoch micros), for DECIMAL(≤18) (order-preserving unscaled INT64,
+    * rescaled to the plain rendering the pruner value-compares), and
+    * for STRING as the same truncated UTF-8 byte bounds (slo/shi) the
+    * file-level stats carry — unsigned byte order == Spark's
+    * UTF8String order, so no collation hazard. Doubles stay excluded
+    * (NaN poisoning is decided at the sink, not visible here). */
   def rowGroups(file: Path, conf: Configuration,
       schema: StructType): Seq[RgMeta] = {
     import scala.jdk.CollectionConverters._
@@ -115,17 +189,50 @@ private[graft] object ManifestParquet {
       rd.getRowGroups.asScala.toSeq.map { b =>
         val cols = b.getColumns.asScala.flatMap { c =>
           val n = c.getPath.toDotString
-          val integral = schema.fields.exists(f => f.name == n &&
-            (f.dataType == LongType || f.dataType == IntegerType ||
-              f.dataType == TimestampType)) // ts zone maps = micros longs
+          val dt = schema.fields.find(_.name == n).map(_.dataType)
           val st = c.getStatistics
-          if (!integral || st == null || st.isEmpty || !st.isNumNullsSet) None
-          else {
-            val bounds =
-              if (st.hasNonNullValue)
-                s""","min":${st.genericGetMin},"max":${st.genericGetMax}"""
-              else ""
-            Some(s""""$n":{"nulls":${st.getNumNulls}$bounds}""")
+          if (st == null || st.isEmpty || !st.isNumNullsSet) None
+          else dt match {
+            case Some(LongType | IntegerType | TimestampType) =>
+              val bounds =
+                if (st.hasNonNullValue)
+                  s""","min":${st.genericGetMin},"max":${st.genericGetMax}"""
+                else ""
+              Some(s""""$n":{"nulls":${st.getNumNulls}$bounds}""")
+            case Some(d: DecimalType) if d.precision <= 18 =>
+              val bounds =
+                if (st.hasNonNullValue)
+                  s""","min":${java.math.BigDecimal.valueOf(
+                    st.genericGetMin.asInstanceOf[java.lang.Long], d.scale)
+                    .toPlainString},"max":${java.math.BigDecimal.valueOf(
+                    st.genericGetMax.asInstanceOf[java.lang.Long], d.scale)
+                    .toPlainString}"""
+                else ""
+              Some(s""""$n":{"nulls":${st.getNumNulls}$bounds}""")
+            case Some(StringType) =>
+              val bounds =
+                if (!st.hasNonNullValue) ""
+                else {
+                  import ManifestStrBounds.{T, b64, succ, trunc}
+                  val mn = st.genericGetMin
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  val mx = st.genericGetMax
+                    .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+                  // slo: truncation only lowers — inclusive lower bound.
+                  // shi: the max itself when it fits T bytes (inclusive)
+                  // else the byte-successor of its prefix (exclusive);
+                  // an all-0xFF prefix has no successor — upper dropped.
+                  val lo = s""","slo":"${b64(trunc(mn))}""""
+                  val hi =
+                    if (mx.length <= T) s""","shi":"${b64(mx)}","shix":false"""
+                    else succ(trunc(mx)) match {
+                      case Some(s) => s""","shi":"${b64(s)}","shix":true"""
+                      case None => ""
+                    }
+                  lo + hi
+                }
+              Some(s""""$n":{"nulls":${st.getNumNulls}$bounds}""")
+            case _ => None
           }
         }
         RgMeta(b.getRowCount, b.getStartingPos, b.getCompressedSize,

@@ -603,9 +603,10 @@ private class ManifestFileWriter(
     if (isParquet) null
     else new java.io.PrintWriter(new java.io.OutputStreamWriter(
       fs.create(new Path(tmpDir, name), true), "UTF-8"))
-  private val (pq, groupFactory) =
-    if (isParquet) ManifestParquet.writer(new Path(tmpDir, name), schema, conf)
-    else (null, null)
+  private val pq: ManifestParquet.RowParquetWriter =
+    if (isParquet)
+      new ManifestParquet.RowParquetWriter(new Path(tmpDir, name), schema, conf)
+    else null
   private var rows = 0L
   private var checksum = 0L
   private val safeNames =
@@ -684,15 +685,49 @@ private class ManifestFileWriter(
     case d: DecimalType => d.scale; case _ => 0 })
   private val nFields = schema.length
   private val lineSb = new java.lang.StringBuilder(128)
+  // reused per-row value carry between the fused pass and the parquet
+  // render pass (strings/decimals are EXTRACTED once; numerics re-read
+  // from the row — primitive getters, no allocation)
+  private val strVals: Array[String] =
+    if (isParquet) new Array[String](nFields) else null
+  private val decVals: Array[Long] =
+    if (isParquet) new Array[Long](nFields) else null
+  private var curRow: InternalRow = _
+  /** Emits EXACTLY GroupWriter's startField/addValue/endField sequence
+    * for this row's non-null fields — identical parquet bytes, minus
+    * the SimpleGroup materialization (see RowParquetWriter). */
+  private val renderRow: org.apache.parquet.io.api.RecordConsumer => Unit =
+    rc => {
+      val r = curRow
+      var i = 0
+      while (i < nFields) {
+        if (!r.isNullAt(i)) {
+          val fn = schema.fields(i).name
+          rc.startField(fn, i)
+          colKind(i) match {
+            case 0 | 3 => rc.addLong(r.getLong(i))
+            case 1 => rc.addInteger(r.getInt(i))
+            case 2 => rc.addBinary(
+              org.apache.parquet.io.api.Binary.fromString(strVals(i)))
+            case 4 => rc.addLong(decVals(i))
+            case 5 => rc.addBoolean(r.getBoolean(i))
+            case 6 => rc.addDouble(r.getDouble(i))
+            case _ => throw new UnsupportedOperationException(
+              s"ManifestSink parquet: unsupported type ${schema.fields(i).dataType}")
+          }
+          rc.endField(fn, i)
+        }
+        i += 1
+      }
+    }
 
   def write(r: InternalRow): Unit = {
     // ONE fused pass per row: render the canonical CSV line (the
     // checksum/stats/delete-vector identity — see class doc) into a
-    // reused StringBuilder and, for parquet, add typed values to the
-    // Group by FIELD INDEX (the name-keyed append did a hash lookup
-    // per field per row). Values, stats and renderings are identical
-    // to the former two-pass shape by construction.
-    val g = if (isParquet) groupFactory.newGroup() else null
+    // reused StringBuilder; for parquet the row then streams straight
+    // into the record consumer (renderRow above) — no per-row Group.
+    // Values, stats and renderings are identical to the former Group
+    // shape by construction.
     val sb = lineSb
     sb.setLength(0)
     var i = 0
@@ -710,32 +745,34 @@ private class ManifestFileWriter(
           if (v > maxL(i)) maxL(i) = v
           sawNum(i) = true
           sb.append(v)
-          if (g != null) g.add(i, v)
         case 1 =>
           val v = r.getInt(i)
           if (v < minL(i)) minL(i) = v.toLong
           if (v > maxL(i)) maxL(i) = v.toLong
           sawNum(i) = true
           sb.append(v)
-          if (g != null) g.add(i, v)
         case 2 =>
           val v = r.getUTF8String(i).toString
           ManifestBloom.add(blooms(i), v)
           trackStrBounds(i, v)
           sawStr(i) = true
           sb.append(ManifestSink.csvField(v))
-          if (g != null) g.add(i, v)
+          if (strVals != null) strVals(i) = v
         case 4 =>
           // scale-stable plain rendering ("12.30" at scale 2 — never
           // scientific notation, identical from both formats' readers);
-          // unscaled long, INT64(decimal) in parquet
+          // unscaled long, INT64(decimal) in parquet. Zone maps track
+          // the UNSCALED long (order-preserving at the column's fixed
+          // scale — getDecimal normalizes to it) at zero extra cost.
           val d = r.getDecimal(i, colPrec(i), colScale(i))
+          val u = d.toUnscaledLong
+          if (u < minL(i)) minL(i) = u
+          if (u > maxL(i)) maxL(i) = u
+          sawNum(i) = true
           sb.append(d.toJavaBigDecimal.toPlainString)
-          if (g != null) g.add(i, d.toUnscaledLong)
+          if (decVals != null) decVals(i) = u
         case 5 =>
-          val v = r.getBoolean(i)
-          sb.append(v) // "true" / "false"
-          if (g != null) g.add(i, v)
+          sb.append(r.getBoolean(i)) // "true" / "false"
         case 6 =>
           val v = r.getDouble(i)
           if (v.isNaN) sawNaN(i) = true
@@ -753,9 +790,8 @@ private class ManifestFileWriter(
             sawNum(i) = true
           }
           sb.append(v)
-          if (g != null) g.add(i, v)
         case _ =>
-          if (g != null) throw new UnsupportedOperationException(
+          if (isParquet) throw new UnsupportedOperationException(
             s"ManifestSink parquet: unsupported type ${schema.fields(i).dataType}")
           sb.append(ManifestSink.csvField(
             r.get(i, schema.fields(i).dataType).toString))
@@ -768,7 +804,7 @@ private class ManifestFileWriter(
     val line = sb.toString
     checksum += line.hashCode.toLong
     rows += 1
-    if (isParquet) pq.write(g)
+    if (isParquet) { curRow = r; pq.write(renderRow) }
     else { out.print(line); out.print('\n') }
   }
 
@@ -803,6 +839,13 @@ private class ManifestFileWriter(
             s""","min":${minL(i)},"max":${maxL(i)}"""
           case DoubleType =>
             s""","min":${minD(i)},"max":${maxD(i)}"""
+          case d: DecimalType =>
+            // rescale the unscaled-long bounds to the column's plain
+            // rendering (a valid JSON number, e.g. -1.50) — the pruner
+            // compares them as BigDecimal values
+            s""","min":${java.math.BigDecimal.valueOf(minL(i), d.scale)
+              .toPlainString},"max":${java.math.BigDecimal
+              .valueOf(maxL(i), d.scale).toPlainString}"""
           case _ => ""
         }
       val strBounds =

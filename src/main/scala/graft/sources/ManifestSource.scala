@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.util.SerializableConfiguration
 
 /** DSv2 batch READ over a [[ManifestSink]] directory — the other half
@@ -249,7 +250,11 @@ private object ManifestFilters {
         case DoubleType => Some(ManifestFilters.dblCompare(bound.toDouble, v.asInstanceOf[Number].doubleValue()))
         case TimestampType => // bounds are epoch micros
           ManifestFilters.tsMicros(v).map(java.lang.Long.compare(bound.toLong, _))
-        case _ => None // strings carry no bounds (ordering hazard)
+        case _: DecimalType => // bounds are plain renderings; value compare
+          ManifestFilters.toBigDec(v)
+            .map(new java.math.BigDecimal(bound).compareTo(_))
+        case _ => None // strings carry no min/max (ordering hazard;
+          // truncated byte bounds slo/shi cover them instead)
       }
     }
     // "every stored value is NULL" — decided by the null COUNT, never
@@ -754,9 +759,25 @@ private[sources] class ManifestScan(
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
+    // columnar hand-off only when the WHOLE snapshot is parquet: Spark
+    // requires a scan's partitions to be uniformly columnar or row-based,
+    // and runtime filtering only ever shrinks this entry set
+    val allParquet = snapshot._1.nonEmpty &&
+      snapshot._1.forall(_.file.endsWith(".parquet"))
+    // scale gate: vector allocation + ColumnarToRow conversion are
+    // per-scan fixed costs that only amortize over enough rows — tiny
+    // fixture/metadata scans stay row-based (measured: many-small-file
+    // corpora regressed ~9% columnar-always at bench scale). Snapshot
+    // row counts come free from the already-parsed manifest. Both knobs
+    // are session confs so production can retune without a rebuild.
+    val enabled = spark.conf
+      .get("spark.graft.manifest.columnar.enabled", "true").toBoolean
+    val minRows = spark.conf
+      .get("spark.graft.manifest.columnar.minRows", "262144").toLong
+    val bigEnough = snapshot._1.iterator.map(_.rows).sum >= minRows
     new ManifestReaderFactory(fullSchema, required,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      filters, metaCols)
+      filters, metaCols, columnar = enabled && allParquet && bigEnough)
   }
 
   /** Streaming face: each micro-batch is the file-level DIFF between
@@ -1533,8 +1554,46 @@ private class ManifestReaderFactory(
     fullSchema: StructType, required: StructType,
     hadoopConf: SerializableConfiguration,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    metaCols: Seq[String] = Nil)
+    metaCols: Seq[String] = Nil,
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
+
+  /** Columnar hand-off: ON only when the scan proved every data file of
+    * the snapshot is parquet (Spark requires partitions of one scan to
+    * be uniformly columnar or uniformly row-based). The flag is scoped
+    * to the whole scan, so every planned partition honors it. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = p match {
+    case g: ManifestGroupPartition =>
+      // same file-chaining contract as the row path: per-file tamper
+      // guards and delete-vector application are preserved
+      new PartitionReader[ColumnarBatch] {
+        private val it = g.files.iterator
+        private var cur: PartitionReader[ColumnarBatch] = _
+        override def next(): Boolean = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return false
+              val (name, rows, cols) = it.next()
+              cur = createColumnarReader(ManifestFilePartition(
+                s"${g.tableDir}/$name", rows, dvFiles = g.dvFiles,
+                cols = cols))
+            }
+            if (cur.next()) return true
+            cur.close(); cur = null
+          }
+          false
+        }
+        override def get(): ColumnarBatch = cur.get()
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    case k: ManifestKeyedPartition =>
+      createColumnarReader(ManifestGroupPartition(k.tableDir, k.files, k.dvFiles))
+    case part: ManifestFilePartition =>
+      createParquetColumnarReader(part)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case g: ManifestGroupPartition =>
@@ -1592,187 +1651,402 @@ private class ManifestReaderFactory(
     set
   }
 
-  /** Columnar reader: decodes ONLY the projected columns' chunks
-    * (required + pushed-filter columns; everything when the canonical
-    * line hash is requested) in BATCHES — each column chunk is walked
-    * in one tight loop into a typed array (ManifestParquetBatchReader),
-    * replacing the old per-row Group materialization and its per-field
-    * name lookups. Rows are then served from the arrays: delete
-    * vectors apply by ROW ORDINAL, and the same pushed-filter eval the
+  /** Shared per-file decode state for BOTH parquet readers (row and
+    * columnar): decodes ONLY the projected columns' chunks (required +
+    * pushed-filter columns; everything when the canonical line hash is
+    * requested) in BATCHES — each column chunk is walked in one tight
+    * loop into a typed array (ManifestParquetBatchReader). Delete
+    * vectors apply by ROW ORDINAL and the same pushed-filter eval the
     * CSV reader uses runs over raw renderings built only for the
-    * filter's own columns. */
+    * filter's own columns; survivors land in a selection vector the
+    * wrapping reader serves rows (or column vectors) from. */
+  private final class ParquetCursor(part: ManifestFilePartition,
+      vectorMode: Boolean = false) {
+    private val fp = new Path(part.file)
+    private val fs = fp.getFileSystem(hadoopConf.value)
+    private val fileName = fp.getName
+    private val deletedPos = deletedPosFor(fs, fp, part.dvFiles)
+    def hasDeletes: Boolean = !deletedPos.isEmpty
+    // the FILE's own column layout (schema evolution by name)
+    private val fileCols: Array[String] =
+      part.cols.map(_.split(',')).getOrElse(fullSchema.fieldNames)
+    private val needLinehash = metaCols.contains("_mf_linehash")
+    if (needLinehash) {
+      val unknown = fileCols.filterNot(fullSchema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"ManifestSource: cannot reconstruct row identity hashes for " +
+          s"$fileName — file columns ${unknown.mkString(",")} are not in " +
+          "the read schema")
+    }
+    private def dtOf(n: String) = fullSchema(fullSchema.fieldIndex(n)).dataType
+    // projection: exactly the file columns this scan touches
+    private val neededNames: Array[String] = {
+      val want =
+        if (needLinehash) fullSchema.fieldNames.toSeq
+        else (required.fields.map(_.name) ++
+          filters.flatMap(_.references)).distinct.toSeq
+      fileCols.filter(want.contains) // in FILE order, existing only
+    }
+    // rowStart >= 0 = a ROW-GROUP split: read exactly the group whose
+    // byte midpoint falls in [start, start+len) and seed the ordinal
+    // with the preceding groups' rows — `_mf_pos` stays file-global,
+    // so delete vectors and row identity survive the split
+    private val rgSplit = part.rowStart >= 0L
+    val batch = new ManifestParquetBatchReader(fp, neededNames,
+      neededNames.map(dtOf), hadoopConf.value,
+      if (rgSplit) Some((part.start, part.start + part.len)) else None,
+      vectorMode)
+    private val hasFilters = filters.nonEmpty
+    // projected-column index by name (-1 = not in this file)
+    private def idxOf(n: String): Int = neededNames.indexOf(n)
+    // required output column → projected index
+    val reqIdx: Array[Int] = required.fields.map(f => idxOf(f.name))
+    private val reqTypes: Array[DataType] = required.fields.map(_.dataType)
+    // filter eval renders ONLY the filter's referenced columns (the
+    // old path rendered every projected column per row)
+    private val filterRefs: Set[String] = filters.flatMap(_.references).toSet
+    private val filterIdx: Array[Int] = fullSchema.fields.map(f =>
+      if (filterRefs.contains(f.name)) idxOf(f.name) else -1)
+    // linehash walks the file's own column order
+    private val lineIdx: Array[Int] = fileCols.map(idxOf)
+    private val lineIsStr: Array[Boolean] =
+      fileCols.map(n => dtOf(n) == StringType)
+    // per-row dispatch precompiled to int tags (no DataType pattern
+    // match in the hot loop); decimal scale/precision kept alongside
+    val reqKind: Array[Int] = reqTypes.map {
+      case LongType | TimestampType => 0
+      case IntegerType => 1
+      case DoubleType => 2
+      case StringType => 3
+      case BooleanType => 4
+      case _: DecimalType => 5
+      case dt => throw new UnsupportedOperationException(
+        s"ManifestSource: unsupported read type $dt")
+    }
+    val reqPrec: Array[Int] = reqTypes.map {
+      case d: DecimalType => d.precision; case _ => 0 }
+    val reqScale: Array[Int] = reqTypes.map {
+      case d: DecimalType => d.scale; case _ => 0 }
+    // meta columns: 0=_mf_file, 1=_mf_pos, 2=_mf_linehash
+    val metaKind: Array[Int] = metaCols.toArray.map {
+      case "_mf_file" => 0
+      case "_mf_pos" => 1
+      case "_mf_linehash" => 2
+    }
+    val fileNameUtf8: UTF8String = UTF8String.fromString(fileName)
+    // reused per-row filter buffer: every referenced column's slot is
+    // rewritten each row; unreferenced slots are never read by eval
+    private val filterFields =
+      if (filters.nonEmpty) new Array[String](fullSchema.length) else null
+    private var ordinal = if (rgSplit) part.rowStart else 0L
+    private var readCount = 0L
+    // survivors of the CURRENT decode batch: row index within the batch
+    // + the file-global row ordinal (delete vectors / `_mf_pos`)
+    val sel = new Array[Int](ManifestParquetBatchReader.BatchRows)
+    val selOrd = new Array[Long](ManifestParquetBatchReader.BatchRows)
+
+    /** Decode the next batch and apply delete vectors + pushed filters;
+      * fills `sel`/`selOrd`. Returns the surviving row count (possibly
+      * 0 — call again), or -1 at EOF (tamper guard checked: whole files
+      * against the manifest row count, row-group splits against their
+      * group's own count). */
+    def nextSelection(): Int = {
+      val n = batch.loadNextBatch()
+      if (n < 0) {
+        if ((part.len < 0 || rgSplit) && readCount != part.rows)
+          throw new java.io.IOException(
+            s"ManifestSource: ${part.file}" +
+              (if (rgSplit) s" row group @${part.start}" else "") +
+              s" has $readCount rows, manifest says ${part.rows} — " +
+              "torn or tampered file")
+        return -1
+      }
+      readCount += n
+      var m = 0
+      var r = 0
+      while (r < n) {
+        val recOrdinal = ordinal // row ordinal = parquet row identity
+        ordinal += 1
+        val deleted = !deletedPos.isEmpty && deletedPos.contains(recOrdinal)
+        if (!deleted) {
+          // pushed filters on the raw rendering — same eval, same
+          // 3VL, same UTF-8 semantics as the CSV path
+          val ok = !hasFilters || {
+            var i = 0
+            while (i < fullSchema.length) {
+              val c = filterIdx(i)
+              if (c >= 0) filterFields(i) = batch.rawString(c, r)
+              i += 1
+            }
+            filters.forall(ManifestFilters.eval(fullSchema, filterFields, _))
+          }
+          if (ok) { sel(m) = r; selOrd(m) = recOrdinal; m += 1 }
+        }
+        r += 1
+      }
+      m
+    }
+
+    /** Fast-path batch load (no delete vectors, no pushed filters, no
+      * meta columns): skips the per-row selection walk entirely. Same
+      * EOF tamper guard as [[nextSelection]]. */
+    def nextBatchDirect(): Int = {
+      val n = batch.loadNextBatch()
+      if (n < 0) {
+        if ((part.len < 0 || rgSplit) && readCount != part.rows)
+          throw new java.io.IOException(
+            s"ManifestSource: ${part.file}" +
+              (if (rgSplit) s" row group @${part.start}" else "") +
+              s" has $readCount rows, manifest says ${part.rows} — " +
+              "torn or tampered file")
+        return -1
+      }
+      readCount += n
+      ordinal += n
+      n
+    }
+
+    private val lineSb = new java.lang.StringBuilder()
+
+    /** EXACTLY the writer's canonical line over the file's own column
+      * order (escaped string fields, "" for NULL), hashed — identical
+      * to the CSV rows' `line.hashCode`. */
+    def linehash(r: Int): Long = {
+      lineSb.setLength(0)
+      var j = 0
+      while (j < lineIdx.length) {
+        if (j > 0) lineSb.append(',')
+        val c = lineIdx(j)
+        val raw = if (c < 0) null else batch.rawString(c, r)
+        if (raw != null)
+          lineSb.append(if (lineIsStr(j)) ManifestSink.csvField(raw)
+            else raw)
+        j += 1
+      }
+      lineSb.toString.hashCode.toLong
+    }
+
+    def close(): Unit = batch.close()
+  }
+
   private def createParquetReader(
       part: ManifestFilePartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
-      private val fp = new Path(part.file)
-      private val fs = fp.getFileSystem(hadoopConf.value)
-      private val fileName = fp.getName
-      private val deletedPos = deletedPosFor(fs, fp, part.dvFiles)
-      // the FILE's own column layout (schema evolution by name)
-      private val fileCols: Array[String] =
-        part.cols.map(_.split(',')).getOrElse(fullSchema.fieldNames)
-      private val needLinehash = metaCols.contains("_mf_linehash")
-      if (needLinehash) {
-        val unknown = fileCols.filterNot(fullSchema.fieldNames.contains)
-        require(unknown.isEmpty,
-          s"ManifestSource: cannot reconstruct row identity hashes for " +
-            s"$fileName — file columns ${unknown.mkString(",")} are not in " +
-            "the read schema")
-      }
-      private def dtOf(n: String) = fullSchema(fullSchema.fieldIndex(n)).dataType
-      // projection: exactly the file columns this scan touches
-      private val neededNames: Array[String] = {
-        val want =
-          if (needLinehash) fullSchema.fieldNames.toSeq
-          else (required.fields.map(_.name) ++
-            filters.flatMap(_.references)).distinct.toSeq
-        fileCols.filter(want.contains) // in FILE order, existing only
-      }
-      // rowStart >= 0 = a ROW-GROUP split: read exactly the group whose
-      // byte midpoint falls in [start, start+len) and seed the ordinal
-      // with the preceding groups' rows — `_mf_pos` stays file-global,
-      // so delete vectors and row identity survive the split
-      private val rgSplit = part.rowStart >= 0L
-      private val batch = new ManifestParquetBatchReader(fp, neededNames,
-        neededNames.map(dtOf), hadoopConf.value,
-        if (rgSplit) Some((part.start, part.start + part.len)) else None)
-      private val hasFilters = filters.nonEmpty
-      // projected-column index by name (-1 = not in this file)
-      private def idxOf(n: String): Int = neededNames.indexOf(n)
-      // required output column → projected index
-      private val reqIdx: Array[Int] = required.fields.map(f => idxOf(f.name))
-      private val reqTypes: Array[DataType] = required.fields.map(_.dataType)
-      // filter eval renders ONLY the filter's referenced columns (the
-      // old path rendered every projected column per row)
-      private val filterRefs: Set[String] = filters.flatMap(_.references).toSet
-      private val filterIdx: Array[Int] = fullSchema.fields.map(f =>
-        if (filterRefs.contains(f.name)) idxOf(f.name) else -1)
-      // linehash walks the file's own column order
-      private val lineIdx: Array[Int] = fileCols.map(idxOf)
-      private val lineIsStr: Array[Boolean] =
-        fileCols.map(n => dtOf(n) == StringType)
-      // per-row dispatch precompiled to int tags (no DataType pattern
-      // match in the hot loop); decimal scale/precision kept alongside
-      private val reqKind: Array[Int] = reqTypes.map {
-        case LongType | TimestampType => 0
-        case IntegerType => 1
-        case DoubleType => 2
-        case StringType => 3
-        case BooleanType => 4
-        case _: DecimalType => 5
-        case dt => throw new UnsupportedOperationException(
-          s"ManifestSource: unsupported read type $dt")
-      }
-      private val reqPrec: Array[Int] = reqTypes.map {
-        case d: DecimalType => d.precision; case _ => 0 }
-      private val reqScale: Array[Int] = reqTypes.map {
-        case d: DecimalType => d.scale; case _ => 0 }
-      // meta columns: 0=_mf_file, 1=_mf_pos, 2=_mf_linehash
-      private val metaKind: Array[Int] = metaCols.toArray.map {
-        case "_mf_file" => 0
-        case "_mf_pos" => 1
-        case "_mf_linehash" => 2
-      }
-      private val fileNameUtf8 = UTF8String.fromString(fileName)
-      // reused per-row filter buffer: every referenced column's slot is
-      // rewritten each row; unreferenced slots are never read by eval
-      private val filterFields =
-        if (filters.nonEmpty) new Array[String](fullSchema.length) else null
-      private var ordinal = if (rgSplit) part.rowStart else 0L
-      private var readCount = 0L
-      private var batchRows = 0
-      private var cursor = 0
+      private val cur = new ParquetCursor(part)
+      private var selCount = 0
+      private var k = 0
       private var current: InternalRow = _
 
       override def next(): Boolean = {
-        while (true) {
-          if (cursor >= batchRows) {
-            val n = batch.loadNextBatch()
-            if (n < 0) {
-              // tamper guard: whole files against the manifest row count,
-              // row-group splits against their group's own count
-              if ((part.len < 0 || rgSplit) && readCount != part.rows)
-                throw new java.io.IOException(
-                  s"ManifestSource: ${part.file}" +
-                    (if (rgSplit) s" row group @${part.start}" else "") +
-                    s" has $readCount rows, manifest says ${part.rows} — " +
-                    "torn or tampered file")
-              return false
+        while (k >= selCount) {
+          selCount = cur.nextSelection()
+          if (selCount < 0) return false
+          k = 0
+        }
+        val r = cur.sel(k)
+        val recOrdinal = cur.selOrd(k)
+        k += 1
+        val batch = cur.batch
+        val vals = new Array[Any](required.length + cur.metaKind.length)
+        var i = 0
+        while (i < required.length) {
+          val c = cur.reqIdx(i)
+          vals(i) =
+            if (c < 0 || batch.isNull(c, r)) null
+            else cur.reqKind(i) match {
+              case 0 => batch.getLong(c, r) // long / timestamp micros
+              case 1 => batch.getInt(c, r)
+              case 2 => batch.getDouble(c, r)
+              case 3 => UTF8String.fromBytes(batch.getBytes(c, r))
+              case 4 => batch.getBoolean(c, r)
+              case _ => org.apache.spark.sql.types.Decimal(
+                batch.getUnscaled(c, r), cur.reqPrec(i), cur.reqScale(i))
             }
-            batchRows = n
-            cursor = 0
-            readCount += n
+          i += 1
+        }
+        var m = 0
+        while (m < cur.metaKind.length) {
+          vals(i) = cur.metaKind(m) match {
+            case 0 => cur.fileNameUtf8
+            case 1 => recOrdinal
+            case _ => cur.linehash(r)
           }
-          val r = cursor
-          cursor += 1
-          val recOrdinal = ordinal // row ordinal = parquet row identity
-          ordinal += 1
-          val deleted = !deletedPos.isEmpty && deletedPos.contains(recOrdinal)
-          if (!deleted) {
-            // pushed filters on the raw rendering — same eval, same
-            // 3VL, same UTF-8 semantics as the CSV path
-            val ok = !hasFilters || {
-              var i = 0
-              while (i < fullSchema.length) {
-                val c = filterIdx(i)
-                if (c >= 0) filterFields(i) = batch.rawString(c, r)
-                i += 1
-              }
-              filters.forall(ManifestFilters.eval(fullSchema, filterFields, _))
-            }
-            if (ok) {
-              val vals = new Array[Any](required.length + metaKind.length)
-              var i = 0
-              while (i < required.length) {
-                val c = reqIdx(i)
-                vals(i) =
-                  if (c < 0 || batch.isNull(c, r)) null
-                  else reqKind(i) match {
-                    case 0 => batch.getLong(c, r) // long / timestamp micros
-                    case 1 => batch.getInt(c, r)
-                    case 2 => batch.getDouble(c, r)
-                    case 3 => UTF8String.fromBytes(batch.getBytes(c, r))
-                    case 4 => batch.getBoolean(c, r)
-                    case _ => org.apache.spark.sql.types.Decimal(
-                      batch.getLong(c, r), reqPrec(i), reqScale(i))
+          i += 1; m += 1
+        }
+        current =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+        true
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = cur.close()
+    }
+  }
+
+  /** Columnar reader over the same cursor, decode landing DIRECTLY in
+    * OnHeapColumnVectors (vector-mode batch reader).
+    *
+    * FAST PATH — no delete vectors, no pushed filters, no meta columns
+    * (the common shape of a big clean scan): the decode vectors
+    * themselves are served to Spark as the ColumnarBatch, re-ordered by
+    * reference to the required projection — ZERO copies between parquet
+    * decode and whole-stage codegen, and no per-row InternalRow
+    * materialization. A column the file never stored (schema evolution)
+    * rides a shared all-null vector.
+    *
+    * GATHER PATH — otherwise: survivors of each decode batch are
+    * gathered column by column into reused output vectors. Values,
+    * nulls, delete vectors, pushed-filter 3VL and the `_mf_*` meta
+    * columns are byte-identical to the row path — same cursor, same
+    * decode. */
+  private def createParquetColumnarReader(
+      part: ManifestFilePartition): PartitionReader[ColumnarBatch] = {
+    new PartitionReader[ColumnarBatch] {
+      private val cur = new ParquetCursor(part, vectorMode = true)
+      private val fast =
+        filters.isEmpty && metaCols.isEmpty && !cur.hasDeletes
+
+      // ---- fast path: serve the decode vectors by reference
+      private val servedBatch: ColumnarBatch =
+        if (!fast) null
+        else new ColumnarBatch(required.fields.indices.map { i =>
+          val c = cur.reqIdx(i)
+          if (c >= 0) cur.batch.vectors(c): ColumnVector
+          else { // all-null column: filled once, reused every batch
+            val v = new org.apache.spark.sql.execution.vectorized
+              .OnHeapColumnVector(ManifestParquetBatchReader.BatchRows,
+                required.fields(i).dataType)
+            v.putNulls(0, ManifestParquetBatchReader.BatchRows)
+            v: ColumnVector
+          }
+        }.toArray)
+
+      // ---- gather path: reused output vectors
+      private val outTypes: Array[DataType] =
+        if (fast) null
+        else required.fields.map(_.dataType) ++ metaCols.map {
+          case "_mf_file" => StringType
+          case _ => LongType
+        }
+      private val vectors =
+        if (fast) null
+        else org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+          .allocateColumns(ManifestParquetBatchReader.BatchRows,
+            StructType(outTypes.zipWithIndex.map { case (t, i) =>
+              StructField(s"c$i", t) }))
+      private val out =
+        if (fast) servedBatch
+        else new ColumnarBatch(vectors.map(v => v: ColumnVector))
+      private val fileNameBytes =
+        cur.fileNameUtf8.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+      override def next(): Boolean = {
+        if (fast) {
+          val n = cur.nextBatchDirect()
+          if (n < 0) return false
+          servedBatch.setNumRows(n)
+          return true
+        }
+        while (true) {
+          val m = cur.nextSelection()
+          if (m < 0) return false
+          if (m > 0) {
+            val sel = cur.sel
+            val batch = cur.batch
+            var i = 0
+            while (i < required.length) {
+              val v = vectors(i)
+              v.reset()
+              val c = cur.reqIdx(i)
+              if (c < 0) v.putNulls(0, m)
+              else cur.reqKind(i) match {
+                case 0 => // long / timestamp micros
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else v.putLong(k, batch.getLong(c, r))
+                    k += 1
                   }
-                i += 1
-              }
-              var m = 0
-              while (m < metaKind.length) {
-                vals(i) = metaKind(m) match {
-                  case 0 => fileNameUtf8
-                  case 1 => recOrdinal
-                  case _ =>
-                    // EXACTLY the writer's canonical line over the
-                    // file's own column order (escaped string fields,
-                    // "" for NULL) — hash-compatible with CSV rows
-                    val sb = new java.lang.StringBuilder()
-                    var j = 0
-                    while (j < lineIdx.length) {
-                      if (j > 0) sb.append(',')
-                      val c = lineIdx(j)
-                      val raw = if (c < 0) null else batch.rawString(c, r)
-                      if (raw != null)
-                        sb.append(if (lineIsStr(j)) ManifestSink.csvField(raw)
-                          else raw)
-                      j += 1
+                case 1 =>
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else v.putInt(k, batch.getInt(c, r))
+                    k += 1
+                  }
+                case 2 =>
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else v.putDouble(k, batch.getDouble(c, r))
+                    k += 1
+                  }
+                case 3 =>
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else {
+                      val b = batch.getBytes(c, r)
+                      v.putByteArray(k, b, 0, b.length)
                     }
-                    sb.toString.hashCode.toLong
-                }
-                i += 1; m += 1
+                    k += 1
+                  }
+                case 4 =>
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else v.putBoolean(k, batch.getBoolean(c, r))
+                    k += 1
+                  }
+                case _ =>
+                  // decimal(<=18): unscaled int-/long-backed per
+                  // precision (Spark's fixed-decimal contract)
+                  val asInt = cur.reqPrec(i) <= org.apache.spark.sql.types.Decimal.MAX_INT_DIGITS
+                  var k = 0
+                  while (k < m) {
+                    val r = sel(k)
+                    if (batch.isNull(c, r)) v.putNull(k)
+                    else if (asInt) v.putInt(k, batch.getUnscaled(c, r).toInt)
+                    else v.putLong(k, batch.getUnscaled(c, r))
+                    k += 1
+                  }
               }
-              current =
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
-              return true
+              i += 1
             }
+            var mi = 0
+            while (mi < cur.metaKind.length) {
+              val v = vectors(i)
+              v.reset()
+              cur.metaKind(mi) match {
+                case 0 =>
+                  var k = 0
+                  while (k < m) {
+                    v.putByteArray(k, fileNameBytes, 0, fileNameBytes.length)
+                    k += 1
+                  }
+                case 1 =>
+                  var k = 0
+                  while (k < m) { v.putLong(k, cur.selOrd(k)); k += 1 }
+                case _ =>
+                  var k = 0
+                  while (k < m) { v.putLong(k, cur.linehash(sel(k))); k += 1 }
+              }
+              i += 1; mi += 1
+            }
+            out.setNumRows(m)
+            return true
           }
         }
         false
       }
 
-      override def get(): InternalRow = current
-      override def close(): Unit = batch.close()
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = cur.close()
     }
   }
 
@@ -1801,8 +2075,19 @@ private class ManifestReaderFactory(
           if (b >= 0) p + 1 else p // consumed the partial line's '\n'
         } else 0L
       }
-      private val buffered = new java.io.BufferedInputStream(stream, 1 << 16)
-      private val lineBuf = new java.io.ByteArrayOutputStream(256)
+      // Block-buffered line scanner (r17, verdict #3): the old
+      // BufferedInputStream.read() path paid one synchronized virtual
+      // call PER BYTE plus a ByteArrayOutputStream append per byte —
+      // the dominant per-row cost of the CSV format. Lines are now
+      // located by scanning a 64 KB block for '\n' and decoded straight
+      // from the block (one String per line, no intermediate buffer);
+      // only a line that straddles a block boundary touches the
+      // carry-over builder. Same bytes, same UTF-8 decode, same torn-
+      // file contract.
+      private val block = new Array[Byte](1 << 16)
+      private var blockLen = 0
+      private var blockPos = 0
+      private val carry = new java.io.ByteArrayOutputStream(256)
       // positions (in file field order) of the required columns
       private val fieldIdx = required.fields.map(f => fullSchema.fieldIndex(f.name))
       // SCHEMA EVOLUTION: when the file was written under a different
@@ -1848,16 +2133,44 @@ private class ManifestReaderFactory(
         * EOF (an unterminated trailing fragment is a torn write —
         * loud). */
       private def readLine(): String = {
-        lineBuf.reset()
-        var b = buffered.read()
-        if (b < 0) return null
-        while (b >= 0 && b != '\n') { lineBuf.write(b); b = buffered.read() }
-        if (b < 0)
-          throw new java.io.IOException(
-            s"ManifestSource: ${part.file} ends mid-record at byte $pos — " +
-              "torn or tampered file")
-        pos += lineBuf.size() + 1
-        new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        var start = blockPos
+        var sb: java.io.ByteArrayOutputStream = null
+        while (true) {
+          if (blockPos >= blockLen) {
+            if (start < blockPos) { // straddling line: carry the prefix
+              if (sb == null) { sb = carry; sb.reset() }
+              sb.write(block, start, blockPos - start)
+            }
+            blockLen = stream.read(block)
+            blockPos = 0
+            start = 0
+            if (blockLen <= 0) {
+              if (sb != null && sb.size() > 0)
+                throw new java.io.IOException(
+                  s"ManifestSource: ${part.file} ends mid-record at byte " +
+                    s"$pos — torn or tampered file")
+              return null
+            }
+          }
+          var i = blockPos
+          while (i < blockLen && block(i) != '\n') i += 1
+          if (i < blockLen) {
+            val line =
+              if (sb == null)
+                new String(block, start, i - start,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else {
+                sb.write(block, start, i - start)
+                new String(sb.toByteArray,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              }
+            pos += (if (sb == null) i - start else sb.size()) + 1
+            blockPos = i + 1
+            return line
+          }
+          blockPos = blockLen // no newline in block: spill and refill
+        }
+        null
       }
 
       override def next(): Boolean = {
@@ -1940,7 +2253,7 @@ private class ManifestReaderFactory(
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = buffered.close()
+      override def close(): Unit = stream.close()
 
       /** Inverse of the sink's CSV dialect: fields separated by commas;
         * a field starting with `"` is quoted with `\"`/`\\` escapes plus

@@ -303,7 +303,12 @@ private class SynthReaderFactory(schema: StructType)
     val gens: Array[Long => Any] = schema.fieldNames.map {
       case "event_id" => (i: Long) => i
       case "user_id" => (i: Long) => SynthEventsSource.userId(i)
-      case "event_type" => (i: Long) => etCache(((i * 7919) % 5).toInt)
+      // floorMod: i*7919 can wrap negative past ~1.16e15 ids (ADVICE
+      // r16) — unreachable with the current non-negative ranges, but a
+      // negative index must never throw where the old string render
+      // worked
+      case "event_type" => (i: Long) =>
+        etCache(java.lang.Math.floorMod(i * 7919, 5).toInt)
       case "cents" => (i: Long) => SynthEventsSource.cents(i)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }

@@ -33,7 +33,7 @@ run_bench() {  # $1=sfDir $2=outJson [$3=SPARK_GRAFT_ONLY filter]
   SPARK_GRAFT_ONLY="${3:-}" \
     java $ADD_OPENS -Xmx24g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench \
-      2>/tmp/release_bench_err.log | tail -1 > "$2"
+      2>/tmp/release_bench_err.log | grep -F '"query_metrics"' | tail -1 > "$2"
   python3 - "$2" <<'EOF'
 import json, sys
 d = json.load(open(sys.argv[1]))
