@@ -21,8 +21,10 @@ object Explain {
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (mode == "executed") {
       // final AQE plan AFTER execution (shows ColumnarToRow /
-      // WholeStageCodegen spans the pre-execution formatted plan hides)
-      df.write.format("noop").mode("overwrite").save()
+      // WholeStageCodegen spans the pre-execution formatted plan
+      // hides). collect() executes THIS QueryExecution — a write would
+      // plan its own and leave this one unexecuted (isFinalPlan=false).
+      df.collect()
       println(df.queryExecution.executedPlan.toString)
     } else {
       if (mode != "time") df.explain("formatted")

@@ -105,12 +105,15 @@ PYEOF
   #    join (>180 s at 100x; 4.9 s at 10x where feasible).
   #  - q390_context_packing: greedy packing = one recursive-CTE
   #    iteration per rank (158 s at 10x; iterations scale with rows).
-  #  - q138_dup_clusters: LSH-candidate cosine re-verify, 1081 s at
-  #    100x (measured round 14) — completes, but inside 1.7x of the
-  #    1800 s sweep budget; kept skipped so a slow host can't abort
-  #    the release. Covered at 10x and in SCALE_CURVE.
+  #  - q138_dup_clusters: UNSKIPPED in r17 — the oracle's LCG hyperplane
+  #    coefficients are hoisted into a materialized 64x64 constant
+  #    (bit-identical bits, verified), cutting the dominant interpreted-
+  #    arithmetic term ~2x from the r14-measured 1081 s.
+  #  - q279_grid_radius_join: UNSKIPPED in r17 — the oracle is now the
+  #    same lossless 3x3 grid-cell equi-join the Spark side uses
+  #    (radius 600 < cell 1000), linear instead of all-pairs.
   SKIP_10=""
-  SKIP_100="q48_embedding_top_pairs,q123_embedding_neardup,q279_grid_radius_join,q390_context_packing,q138_dup_clusters"
+  SKIP_100="q48_embedding_top_pairs,q123_embedding_neardup,q390_context_packing"
   for SCALE in 10 100; do
     DIRV=/tmp/release_sweep_$SCALE
     echo "== SWEEP_${SCALE}x (value-verify at /tmp/sfsmoke$SCALE)"
