@@ -56,18 +56,31 @@ object GraphOps {
        |  FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
        |  JOIN ok ON ok.p = a.p)""".stripMargin
 
-  /** Canonical (u < v) co-supply edges as a DataFrame. */
+  /** Canonical (u < v) co-supply edges as a DataFrame.
+    *
+    * One aggregation replaces the former distinct + per-part count +
+    * self-join pipeline (§2.4 — that shape paid 4 exchanges plus a
+    * sort-merge self-join on p): per part, collect the DISTINCT
+    * supplier set (exactly the old `ps` rows, deduped map-side by the
+    * partial ObjectHashAggregate), drop parts over the cap, and emit
+    * each sorted set's (u < v) pairs with two generators — no join
+    * left anywhere, 2 exchanges total (the groupBy(p) and the final
+    * pair distinct). Pair generation stays O(rows · PartCap) exactly
+    * as the cap contract demands (arrays are ≤ PartCap wide when
+    * exploded), and sorted-set order makes every emitted pair u < v,
+    * so the result set is identical by construction to the oracle's
+    * edgeCte. Parts with a single supplier produce no pairs in either
+    * shape; the size ≥ 2 filter just drops them before the explode. */
   private[operators] def edges(s: SparkSession, dir: String): DataFrame = {
-    val ps = Tables.load(s, dir, "lineitem")
+    val sets = Tables.load(s, dir, "lineitem")
       .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
-      .distinct()
-    val ok = ps.groupBy("p").agg(count(lit(1)).as("np"))
-      .filter(col("np") <= PartCap).select("p")
-    val guarded = ps.join(ok, "p")
-    guarded.as("a")
-      .join(guarded.as("b"),
-        col("a.p") === col("b.p") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .groupBy("p")
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+      .filter(size(col("ss")).between(2, PartCap))
+    sets
+      .select(col("ss"), posexplode(col("ss")))
+      .select(col("col").as("u"),
+        explode(slice(col("ss"), col("pos") + lit(2), size(col("ss")))).as("v"))
       .distinct()
   }
 

@@ -272,4 +272,29 @@ class R17OptimizationSpec extends AnyFunSuite {
     assert(df.count() == 10)
     assert(df.groupBy("k").count().collect().forall(_.getLong(1) == 2))
   }
+
+  test("co-supply edge projection: join-free plan, brute-force-identical set") {
+    // The generator reshape (groupBy + collect_set + in-row pair explode
+    // replacing distinct + count-per-part + self-join) must keep the
+    // EXACT edge set — including the PartCap drop and the u < v
+    // orientation — and must plan with no join and at most 2 exchanges.
+    val dir = "/root/testdata/sf0.001"
+    val df = operators.OperatorTestAccess.coSupplyEdges(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"edge projection must be join-free:\n$plan")
+    assert("Exchange".r.findAllIn(
+      df.queryExecution.executedPlan.treeString).length <= 2)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ps = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val expected = ps.groupBy(_._1).filter(_._2.length <= 50).values.flatMap {
+      sup =>
+        val ss = sup.map(_._2).sorted
+        for (i <- ss.indices; j <- (i + 1) until ss.length)
+          yield (ss(i), ss(j))
+    }.toSet
+    assert(got === expected)
+    assert(got.forall { case (u, v) => u < v })
+  }
 }
