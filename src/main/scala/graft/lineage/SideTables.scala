@@ -19,25 +19,25 @@ object SideTables {
 
   /** Register symlink rows: the src table is the one found during
     * parsing, the dst is discovered outside parsing (LatestOperator /
-    * storage-linked — table_symlinked COMMENT, db_setup_ddl.sql:162). */
+    * storage-linked — table_symlinked COMMENT, db_setup_ddl.sql:162).
+    * Registry rows arrive as driver-local Seqs; written directly
+    * (zero Spark jobs), same store-write rationale as [[LineageStore]]. */
   def writeSymlinks(spark: SparkSession,
       links: Seq[(String, String, String, String, String, String, String)],
-      path: String): Unit = {
-    import spark.implicits._
-    links.toDF("src_schema", "src_table", "dst_schema", "dst_table",
-      "linkage_src_key", "linkage_src_value", "af_dag_task")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+      path: String): Unit =
+    LineageStore.writeLocal(path,
+      Seq("src_schema", "src_table", "dst_schema", "dst_table",
+        "linkage_src_key", "linkage_src_value", "af_dag_task"),
+      links.map(l => Seq[Any](l._1, l._2, l._3, l._4, l._5, l._6, l._7)))
 
   /** Dashboard registry (ts_dboard: native id, title, native created /
     * updated ts, author). */
   def writeDashboards(spark: SparkSession,
-      boards: Seq[(Long, String, Long, Long, String)], path: String): Unit = {
-    import spark.implicits._
-    boards.toDF("native_id", "title", "native_created_ts",
-      "native_updated_ts", "author")
-      .coalesce(1).write.mode("overwrite").parquet(path)
-  }
+      boards: Seq[(Long, String, Long, Long, String)], path: String): Unit =
+    LineageStore.writeLocal(path,
+      Seq("native_id", "title", "native_created_ts",
+        "native_updated_ts", "author"),
+      boards.map(b => Seq[Any](b._1, b._2, b._3, b._4, b._5)))
 
   /** Table-level closure that traverses symlinks: a symlinked pair
     * names the same physical data, so both directions join the edge set

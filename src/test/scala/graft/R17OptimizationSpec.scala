@@ -297,4 +297,45 @@ class R17OptimizationSpec extends AnyFunSuite {
     assert(got === expected)
     assert(got.forall { case (u, v) => u < v })
   }
+
+  test("direct lineage store write: Catalyst hash ids, Spark-readable schema") {
+    import org.apache.spark.sql.functions._
+    val d = freshDir()
+    val res = lineage.LineageRunner.run(spark,
+      """select col100l, col101s from dw.tab10 where col100l > 0;
+        |create table adhoc.r17pin as select col200l as k, count(1) as c
+        |from dw.tab20 group by col200l;""".stripMargin)
+    lineage.LineageStore.write(spark, "r17pin.sql", res, d, system = "dashboard")
+    // every entity table reads back through plain spark.read.parquet
+    val edges = spark.read.parquet(s"$d/select_item_rel")
+    val items = spark.read.parquet(s"$d/select_item")
+    val datasets = spark.read.parquet(s"$d/dataset")
+    val src = spark.read.parquet(s"$d/sql_source")
+    val links = spark.read.parquet(s"$d/dashboard_dataset")
+    assert(edges.schema("id").dataType.typeName == "long")
+    assert(items.schema("is_simple_column").dataType.typeName == "boolean")
+    assert(datasets.schema("defined_name").dataType.typeName == "string")
+    // ids are EXACTLY abs(xxhash64(...)) over the declared column lists —
+    // the contract every pre-r17 store was written with
+    assert(edges.filter(col("id") =!= abs(xxhash64(col("sql_source_id"),
+      col("target"), col("out_column"), col("parent_schema"),
+      col("parent_table"), col("parent_column"), col("usage_context"))))
+      .count() == 0)
+    assert(items.filter(col("id") =!= abs(xxhash64(col("sql_source_id"),
+      col("target"), col("name"), col("definition"), col("usage_context"),
+      col("ds_type")))).count() == 0)
+    assert(datasets.filter(col("id") =!= abs(xxhash64(col("sql_source_id"),
+      col("defined_name"), col("type"), col("map_to_schema"),
+      col("map_to_table")))).count() == 0)
+    // id dedup actually deduplicates
+    assert(edges.count() == edges.select("id").distinct().count())
+    // dashboard links point at real dataset ids of the same source
+    val dsIds = datasets.select("id").collect().map(_.getLong(0)).toSet
+    val linkRows = links.collect()
+    assert(linkRows.nonEmpty)
+    assert(linkRows.forall(r => dsIds.contains(r.getLong(0))))
+    assert(src.count() == 1 &&
+      src.head().getAs[String]("system_source") == "dashboard")
+    spark.sql("DROP TABLE IF EXISTS adhoc.r17pin")
+  }
 }
