@@ -455,10 +455,19 @@ object AnalyticsOps {
     val edges = e.select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
       .union(e.select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    var r = deg.select(col("src").as("node"), lit(1000000000000L).as("r"))
+    // deg is loop-invariant, so the (edges ⋈ deg) join is hoisted out of
+    // the power iteration and the result materialized ONCE
+    // (localCheckpoint; persist() on a cluster): each iteration is then
+    // a single join + aggregation, and the lineitem distinct is no
+    // longer re-planned per reference — the executed plan previously
+    // carried 17 parquet scans and 12 joins for 3 iterations
+    // (plans/r17/q192_pagerank_executed_*). Same rows per iteration by
+    // construction: every (src, dst) pair simply carries its src degree.
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    var r = edgesDeg.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000000000L))
     for (_ <- 1 to 3) {
-      r = edges.join(r, edges("src") === r("node"))
-        .join(deg, "src")
+      r = edgesDeg.join(r, edgesDeg("src") === r("node"))
         .select(col("dst"), expr("r div d").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),

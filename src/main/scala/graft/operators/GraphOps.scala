@@ -289,8 +289,17 @@ object GraphOps {
       .distinct()
       .localCheckpoint() // the edge list is reused 6x
     def half(in: DataFrame, from: String, to: String): DataFrame = {
+      // Materialized per half-step: `raw` feeds BOTH the max-normalizer
+      // and the rescale join, so without the cut each half-step's plan
+      // embeds the previous one TWICE — 2^6 copies of the base by h3
+      // (the executed plan reached 194 joins / ~400 exchanges, almost
+      // all replanned duplicates; see plans/r17/q331_hits_executed_*).
+      // One tiny checkpoint per half-step (score rows: users or event
+      // types) keeps the plan linear in the iteration count. On a
+      // cluster this is persist().
       val raw = e.join(in, in("k") === e(from))
         .groupBy(e(to).as("k")).agg(sum("s").as("raw"))
+        .localCheckpoint()
       val mx = raw.agg(max("raw").as("mx"))
       raw.crossJoin(broadcast(mx))
         .select(col("k"), expr(s"raw * $HitsScale div mx").as("s"))

@@ -473,12 +473,34 @@ object LakehouseOps {
     val (v1, v2) = writeEvolvedLayouts(s, dir)
     val pred = col("l_shipdate") >= lit(EvoLo).cast("timestamp") &&
       col("l_shipdate") < lit(EvoHi).cast("timestamp")
-    val hist = s.read.parquet(v1)
+    // Plan-time directory pruning (§6 — the Iceberg-manifest point the
+    // layout exists to make): discovering the day layout's partitions
+    // by recursive listing costs one filesystem walk over ~1800 day
+    // dirs PER READ (probed at ~3 s steady-state vs 0.4 s for the
+    // pruned read at sf0.1); the matching dirs are derivable from the
+    // partition predicate with ONE parent listing, because ISO
+    // partition strings order like dates — the exact contract the
+    // in-plan pruning filters already rely on. basePath keeps pm/pd as
+    // partition columns, the SAME pruning filters stay in the plan
+    // (they re-prune the listed subset), and the exact timestamp
+    // residual still re-checks every row — pruning remains a
+    // performance contract, never a correctness one.
+    def pruned(root: String, colName: String,
+        keep: String => Boolean): DataFrame = {
+      val dirs = new java.io.File(root).list()
+        .filter(n => n.startsWith(s"$colName=") &&
+          keep(n.substring(colName.length + 1)))
+        .sorted.map(n => s"$root/$n").toSeq
+      if (dirs.isEmpty) s.read.parquet(root) // degenerate corpus: list all
+      else s.read.option("basePath", root).parquet(dirs: _*)
+    }
+    val hist = pruned(v1, "pm",
+        m => m >= EvoLo.substring(0, 7) && m <= EvoHi.substring(0, 7))
       .filter(col("pm") >= EvoLo.substring(0, 7) &&
         col("pm") <= EvoHi.substring(0, 7))           // partition prune
       .filter(pred)                                   // residual re-check
       .select("l_returnflag", "l_extendedprice")
-    val cur = s.read.parquet(v2)
+    val cur = pruned(v2, "pd", d => d >= EvoLo && d < EvoHi)
       .filter(col("pd") >= EvoLo && col("pd") < EvoHi) // partition prune
       .filter(pred)
       .select("l_returnflag", "l_extendedprice")
